@@ -1,0 +1,84 @@
+"""Lakehouse IO: schema-checked scans and Hive-partitioned sinks.
+
+Replaces the reference's ``rglob("*.parquet") -> pd.concat`` scan idiom
+(``jobs/build_feature_views.py:10-11`` and five sibling sites, SURVEY.md §2.1
+S2) with native Spark partition-discovering parquet scans — partition pruning,
+predicate pushdown, and column pruning come from Catalyst for free — and its
+manual one-directory-per-date writer (``jobs/ingest_xlsx_to_parquet.py:44-51``,
+S3) with ``write.partitionBy``.
+
+At 100 TB the *only* changes are the paths (object store URIs) and the table
+format (Delta/Iceberg for ACID overwrite) — the call sites stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TESTDATA, TESTDATA_TABLES
+
+__all__ = ["load_table", "load_tables", "write_date_partitioned", "DEFAULT_SF_DIR"]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table.  Plain parquet scan: Catalyst handles
+    partition discovery, filter pushdown and column pruning downstream.
+
+    Nanosecond parquet timestamps are read as long (see session config) and
+    converted here to microsecond TimestampType per the declared schema —
+    Spark's native precision (sub-µs truncated; DuckDB's TIMESTAMP is µs too,
+    so the differential oracle agrees).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = TESTDATA.get(name)
+    if expected is not None:
+        actual = dict(zip(df.schema.names, df.schema.fields))
+        for field in expected.fields:
+            got = actual.get(field.name)
+            if (
+                got is not None
+                and isinstance(field.dataType, T.TimestampType)
+                and isinstance(got.dataType, T.LongType)
+            ):
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    event_ts_col: str,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style ``date=YYYY-MM-DD`` partitioned sink.
+
+    Parity with the reference's bronze/gold writers
+    (``jobs/ingest_xlsx_to_parquet.py:44-51``, ``jobs/build_feature_views.py:75-82``)
+    — the reference derives the date string per row and writes one file per
+    date directory in a Python loop; here the deriving column is part of the
+    plan and the shuffle-free ``partitionBy`` writer fans files out per
+    partition value.  The partition column stays out of the data files, same
+    as the reference (it drops ``date`` before write, ``:81``).
+    """
+    (
+        df.withColumn("date", F.date_format(F.col(event_ts_col), "yyyy-MM-dd"))
+        .write.mode(mode)
+        .partitionBy("date")
+        .format(fmt)
+        .save(path)
+    )

@@ -1,0 +1,215 @@
+"""Event-time range-frame window feature engine — the heart of the store.
+
+Reference semantics (``jobs/build_feature_views.py:19-72``, SURVEY.md §2.4
+W1-W6): per entity, over event-time range windows ``[t_row - w, t_row]``
+inclusive of both boundaries (pandas ``rolling(w, closed="both")``), one
+output row per input event:
+
+- W1  txn_count_{w}   = windowed count of non-cancel lines
+- W2  spend_{w}       = windowed sum of non-cancel amount
+- W3  unique_skus_{w} = windowed distinct SKU count
+- W4  avg_basket_value_{w} = spend / max(txn_count, 1)
+- W5  cancel_rate_{w} = cancels / max(cancels + txns, 1), clipped [0, 1]
+- W6  tenure_days     = floor((t_row - first event ts) / 86400s)  (whole-24h
+       floor, NOT calendar datediff — SURVEY.md §7.4.6)
+
+The reference computes these in a Python per-customer groupby loop with pandas
+rolling frames — its scalability cliff.  Here the whole family is a single
+window-function pass: ONE shuffle on the entity key, one sort, and every
+window frame over it, all inside whole-stage codegen (except ``collect_set``
+buffers).  Equal-timestamp ties follow SQL range-frame semantics (all rows at
+the same event time see the same window) — a documented, deliberate divergence
+from pandas positional rolling (SURVEY.md §2.4 tie caveat); the DuckDB oracle
+agrees with this engine.
+
+Scale notes (100 TB):
+- ``rangeBetween`` bounds are in MICROSECONDS over ``unix_micros(ts)`` so
+  sub-second event times are exact (casting to seconds would truncate).
+- The per-frame ``collect_set`` state for W3 is bounded by per-entity distinct
+  SKUs inside the window horizon; for whale entities enable
+  ``approx_unique=True`` (HLL ``approx_count_distinct``) — documented opt-in,
+  divergence recorded, or pre-aggregate to (entity, sku, day) grain first.
+- AQE skew-join/partition handling covers entity-key skew; no salting needed
+  for window ops (Spark windows don't support partial aggregation anyway, so
+  the mitigation for a pathological whale is the day-grain pre-aggregation).
+
+Determinism note: floating-point summation is order-dependent, so windowed
+SUMs over doubles are not bit-reproducible across engines (or even across
+shuffles).  Monetary inputs are fixed-decimal, so the engine optionally
+accumulates them as DECIMAL (exact, order-independent) and casts the final
+sum back to double — ``amount_decimal=(p, s)``.  This is what makes the
+DuckDB differential oracle hash-match, and at scale it also makes feature
+builds reproducible run-over-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..functions.expressions import clip, guarded_div
+
+__all__ = [
+    "MICROS_PER_DAY",
+    "range_window",
+    "build_customer_features",
+    "user_activity_features",
+]
+
+MICROS_PER_DAY = 86_400 * 1_000_000
+
+# Ordering column name used by all range frames (injected, then dropped).
+_TS_US = "__ts_us"
+
+
+def range_window(entity_col: str, days: int) -> WindowSpec:
+    """``[t - days, t]`` both-closed event-time range frame (W1-W5 frame)."""
+    return (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(_TS_US))
+        .rangeBetween(-days * MICROS_PER_DAY, 0)
+    )
+
+
+def _windowed(
+    df: DataFrame,
+    entity_col: str,
+    windows: dict[str, int],
+    per_window_exprs,
+) -> DataFrame:
+    """Apply ``per_window_exprs(window_spec) -> dict[str, Column]`` for every
+    horizon.  All frames share partitioning+ordering, so Catalyst plans ONE
+    exchange + ONE sort for the whole family."""
+    cols = dict()
+    for suffix, days in windows.items():
+        w = range_window(entity_col, days)
+        for base, expr in per_window_exprs(w).items():
+            cols[f"{base}_{suffix}"] = expr
+    return df.withColumns(cols)
+
+
+def build_customer_features(
+    bronze: DataFrame,
+    windows: dict[str, int] | None = None,
+    entity_col: str = "customer_id",
+    ts_col: str = "invoice_date",
+    sku_col: str = "stock_code",
+    amount_col: str = "line_amount",
+    cancel_col: str = "is_cancel",
+    round_to: int | None = None,
+    approx_unique: bool = False,
+    amount_decimal: tuple[int, int] | None = (18, 4),
+) -> DataFrame:
+    """Bronze order lines -> gold per-line feature snapshots (W1-W6).
+
+    Output: one row per input line with ``customer_id, t_ref`` keys plus the
+    windowed feature family — the reference's gold ``features_customer``
+    contract (``jobs/build_feature_views.py:62,75``), window list
+    parameterized exactly like the reference's ``WINDOWS = ["1D","7D","30D"]``
+    (``jobs/build_feature_views.py:7``).
+    """
+    windows = windows or {"1d": 1, "7d": 7, "30d": 30}
+
+    txn = (~F.col(cancel_col)).cast("long")
+    cancel = F.col(cancel_col).cast("long")
+    # P7: cancel lines contribute 0 spend (jobs/build_feature_views.py:15).
+    spend = F.when(~F.col(cancel_col), F.col(amount_col)).otherwise(F.lit(0.0))
+    if amount_decimal is not None:
+        p, s = amount_decimal
+        spend = spend.cast(f"decimal({p},{s})")
+
+    df = bronze.withColumns(
+        {
+            _TS_US: F.unix_micros(F.col(ts_col)),
+            "__txn": txn,
+            "__cancel": cancel,
+            "__spend": spend,
+        }
+    )
+
+    def uniq(w: WindowSpec) -> Column:
+        if approx_unique:
+            # Documented divergence: HLL estimate for whale-entity scale.
+            return F.approx_count_distinct(sku_col).over(w).cast("double")
+        return F.size(F.collect_set(sku_col).over(w)).cast("double")
+
+    def fam(w: WindowSpec) -> dict[str, Column]:
+        # Integer counts are exact; spend sums are exact when decimal-typed.
+        txn_c = F.sum("__txn").over(w).cast("double")
+        spend_c = F.sum("__spend").over(w).cast("double")
+        cancel_c = F.sum("__cancel").over(w).cast("double")
+        return {
+            "txn_count": txn_c,
+            "spend": spend_c,
+            "unique_skus": uniq(w),
+            "avg_basket_value": guarded_div(spend_c, txn_c),
+            "cancel_rate": clip(guarded_div(cancel_c, cancel_c + txn_c), 0.0, 1.0),
+        }
+
+    df = _windowed(df, entity_col, windows, fam)
+
+    # W6 tenure: whole-24h-period floor since first event (entity-wide frame;
+    # same partitioning => same single exchange).
+    w_all = Window.partitionBy(entity_col)
+    df = df.withColumn(
+        "tenure_days",
+        F.floor((F.col(_TS_US) - F.min(_TS_US).over(w_all)) / F.lit(MICROS_PER_DAY)),
+    )
+
+    feature_cols = [f"{b}_{s}" for b in
+                    ("txn_count", "spend", "unique_skus", "avg_basket_value", "cancel_rate")
+                    for s in windows]
+    if round_to is not None:
+        df = df.withColumns(
+            {c: F.round(F.col(c).cast("double"), round_to) for c in feature_cols}
+        )
+    else:
+        df = df.withColumns({c: F.col(c).cast("double") for c in feature_cols})
+
+    # P13 NaN sweep parity (jobs/build_feature_views.py:68-70).
+    df = df.na.fill(0.0, subset=feature_cols)
+
+    return df.withColumn("t_ref", F.col(ts_col)).drop(
+        _TS_US, "__txn", "__cancel", "__spend"
+    )
+
+
+def user_activity_features(
+    events: DataFrame,
+    windows: dict[str, int] | None = None,
+    round_to: int | None = None,
+    amount_decimal: tuple[int, int] | None = (18, 6),
+) -> DataFrame:
+    """The same W1-W6 family expressed over the ``events`` stream table
+    (user_id/ts/event_type/value) — the driver-testdata face of the feature
+    engine: count, sum, distinct-type, guarded average, error rate, tenure.
+    """
+    windows = windows or {"1d": 1, "7d": 7}
+    val = F.col("value")
+    if amount_decimal is not None:
+        p, s_ = amount_decimal
+        val = val.cast(f"decimal({p},{s_})")
+    df = events.withColumns({_TS_US: F.unix_micros(F.col("ts")), "__val": val})
+
+    def fam(w: WindowSpec) -> dict[str, Column]:
+        n = F.count(F.lit(1)).over(w).cast("long")
+        s = F.sum("__val").over(w).cast("double")
+        err = F.sum((F.col("event_type") == "error").cast("long")).over(w).cast("double")
+        return {
+            "event_count": n,
+            "value_sum": s,
+            "unique_types": F.size(F.collect_set("event_type").over(w)).cast("long"),
+            "avg_value": guarded_div(s, n.cast("double")),
+            "error_rate": clip(guarded_div(err, n.cast("double")), 0.0, 1.0),
+        }
+
+    df = _windowed(df, "user_id", windows, fam)
+    w_all = Window.partitionBy("user_id")
+    df = df.withColumn(
+        "tenure_days",
+        F.floor((F.col(_TS_US) - F.min(_TS_US).over(w_all)) / F.lit(MICROS_PER_DAY)),
+    )
+    float_cols = [f"{b}_{s}" for b in ("value_sum", "avg_value", "error_rate") for s in windows]
+    if round_to is not None:
+        df = df.withColumns({c: F.round(F.col(c), round_to) for c in float_cols})
+    return df.drop(_TS_US, "__val")

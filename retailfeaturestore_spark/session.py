@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference engine is single-process pandas with no execution config at all
+(SURVEY.md §4.1).  Here the session *is* the engine config, so the defaults
+encode the 100 TB design intent:
+
+- UTC session timezone — the reference enforces UTC at every read boundary
+  (``jobs/ingest_xlsx_to_parquet.py:26``, ``serving/feature_service.py:23``).
+- AQE on (runtime re-planning, skew-join splitting for whale-customer skew —
+  SURVEY.md §7.4.8).
+- Arrow on (every pandas boundary is Arrow-batched, never row-at-a-time).
+- shuffle partitions sized to the environment (env override for the bench
+  driver); at cluster scale this should be ~2-3x total executor cores or
+  left to AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "retailfeaturestore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's canonical config.
+
+    In local testing ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; on a
+    real cluster the caller passes no master and spark-submit supplies it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: runtime shuffle-partition coalescing + skew-join
+        # splitting.  Essential at scale (customer_id / user_id whale skew).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every JVM<->Python boundary (pandas_udf, toPandas,
+        # createDataFrame-from-pandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read tz-less parquet timestamps as TIMESTAMP_LTZ; with a UTC session
+        # this is value-identical to naive-UTC (what the reference enforces and
+        # what DuckDB computes), and keeps epoch functions (unix_micros) legal.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Nanosecond parquet timestamps (events.ts) surface as long; io.py
+        # converts them to microsecond TimestampType against the declared
+        # schema.  (Spark has no native ns timestamp — documented truncation.)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Parquet scans: vectorized reader + pushdown are on by default; keep
+        # partition files at a size that parallelizes a 100 TB scan well.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Broadcast threshold: dims (region/nation/supplier/part at any SF's
+        # relative size) broadcast; fact-fact joins sort-merge.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
