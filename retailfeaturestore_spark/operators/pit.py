@@ -1,0 +1,198 @@
+"""Point-in-time operators: latest-per-group, as-of lookup/join, interval
+existence labels (SURVEY.md §2.3 A4, §2.5 J2/J3).
+
+The reference implements these with sorted pandas + per-customer binary
+search (``jobs/make_training_and_train.py:26-46``: ``np.searchsorted`` per
+feature row; ``jobs/materialize_online.py:19``: stable-sort ``groupby.tail(1)``;
+``serving/feature_service.py:36-46``: filter + ``iloc[-1]``).  Here each one
+is a single window pass over one shuffle on the entity key — no joins at all
+for the self-table forms, and the two-table forms use the union trick (tag +
+union + conditional window) instead of a range join, which keeps the work a
+plain hash-exchange + sort that AQE can skew-split.  At 100 TB this matters:
+a range-predicate join would degrade to a nested-loop explosion per whale
+key; the union-window form is O(n log n) per partition, full stop.
+
+Determinism: the reference's latest-per-group relies on pandas stable-sort
+file order (an accident — SURVEY.md §7.4.2); every operator here takes an
+explicit tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+__all__ = [
+    "latest_per_key",
+    "asof_snapshot",
+    "asof_join",
+    "interval_existence_labels",
+]
+
+
+def latest_per_key(
+    df: DataFrame, key: str | list[str], order_col: str, tiebreak: str
+) -> DataFrame:
+    """A4: last snapshot per entity, deterministic.
+
+    ``row_number() over (partition by key order by order_col desc, tiebreak
+    desc) = 1`` — replaces the reference's sort + ``groupby.tail(1)``
+    (``jobs/materialize_online.py:19``) whose tie resolution is stable-sort
+    luck.  One shuffle; with AQE the per-key partial ``row_number`` never
+    materializes more than the partition.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_snapshot(
+    df: DataFrame, key: str | list[str], ts_col: str, as_of, tiebreak: str
+) -> DataFrame:
+    """J3: latest row per entity with ``ts <= as_of`` (serving time travel,
+    ``serving/feature_service.py:36-46``).  The filter pushes down to the
+    scan (partition pruning on date-partitioned gold); then A4."""
+    return latest_per_key(
+        df.where(F.col(ts_col) <= F.lit(as_of)), key, ts_col, tiebreak
+    )
+
+
+def asof_join(
+    spine: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    spine_ts: str,
+    lookup_ts: str,
+    value_cols: list[str],
+    lookup_tiebreak: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Batch as-of join: for every spine row, the latest lookup row with
+    ``lookup_ts <= spine_ts`` (or ``<`` when ``strict``) for the same key.
+
+    Union trick: tag both sides, union by key, one event-time-sorted window,
+    ``last_value(..., ignoreNulls)`` carried forward onto spine rows.  Equal
+    timestamps: lookup rows sort before spine rows (non-strict as-of), and
+    among equal-ts lookup rows the largest ``lookup_tiebreak`` wins.
+
+    Scale: ONE shuffle on ``key`` — this is the as-of join formulation that
+    survives 1000 executors, vs. the O(spine x lookup-per-key) range join.
+    """
+    s = spine.withColumns(
+        {
+            "__ts_us": F.unix_micros(F.col(spine_ts)),
+            "__side": F.lit(1),
+            "__tb": F.lit(None).cast("long"),
+            **{f"__v_{c}": F.lit(None).cast(dict(lookup.dtypes)[c]) for c in value_cols},
+        }
+    )
+    lu = lookup.select(
+        F.col(key),
+        F.unix_micros(F.col(lookup_ts)).alias("__ts_us"),
+        F.lit(0 if not strict else 2).alias("__side"),
+        F.col(lookup_tiebreak).cast("long").alias("__tb"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    # Spine schema minus the carried columns, preserved through the union.
+    spine_cols = spine.columns
+    s_sel = s.select(
+        F.col(key), "__ts_us", "__side", "__tb",
+        *[F.col(f"__v_{c}") for c in value_cols],
+        *[F.col(c) for c in spine_cols if c != key],
+    )
+    lu_sel = lu.select(
+        F.col(key), "__ts_us", "__side", "__tb",
+        *[F.col(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(dict(spine.dtypes)[c]).alias(c) for c in spine_cols if c != key],
+    )
+    unioned = s_sel.unionByName(lu_sel)
+    # strict=False: lookups (side 0) sort before spine (side 1) at equal ts;
+    # strict=True: lookups get side 2, sorting after -> excluded at equal ts.
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts_us", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumns(
+        {
+            f"asof_{c}": F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)
+            for c in value_cols
+        }
+    )
+    return (
+        carried.where(F.col("__side") == 1)
+        .select(*spine_cols, *[f"asof_{c}" for c in value_cols])
+    )
+
+
+def interval_existence_labels(
+    spine: DataFrame,
+    events: DataFrame,
+    key: str,
+    spine_ts: str,
+    event_ts: str,
+    horizon_days: int,
+    label_col: str = "churn",
+) -> DataFrame:
+    """J2: ``label = 1`` iff NO event in ``(t_ref, t_ref + horizon]`` for the
+    entity — the reference's churn-label construction
+    (``jobs/make_training_and_train.py:26-46``: ``searchsorted(side="right")``
+    excludes ``event_ts == t_ref``, the ``<= t_ref + 30D`` bound is
+    inclusive).
+
+    Union-window formulation (zero joins): tag event rows, union with the
+    (deduped) spine, and count events in the range frame
+    ``[t + 1us, t + horizon]`` — strictly-after via the +1us lower bound,
+    inclusive upper bound.  The reference's duplicate-label blowup
+    (SURVEY.md §7.4.3) is avoided by deduping the spine first.
+    """
+    horizon_us = horizon_days * 86_400 * MICROS
+    sp = (
+        spine.select(F.col(key), F.col(spine_ts).alias("__t"))
+        .distinct()
+        .withColumns({"__ts_us": F.unix_micros(F.col("__t")), "__ev": F.lit(0)})
+    )
+    ev = events.select(
+        F.col(key),
+        F.lit(None).cast(dict(spine.dtypes)[spine_ts]).alias("__t"),
+        F.unix_micros(F.col(event_ts)).alias("__ts_us"),
+        F.lit(1).alias("__ev"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts_us")
+        .rangeBetween(1, horizon_us)
+    )
+    out = (
+        sp.unionByName(ev)
+        .withColumn("__n_future", F.sum("__ev").over(w))
+        .where(F.col("__ev") == 0)
+        .select(
+            F.col(key),
+            F.col("__t").alias("t_ref"),
+            F.when(F.coalesce(F.col("__n_future"), F.lit(0)) > 0, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias(label_col),
+        )
+    )
+    return out
+
+
+def next_event_within(
+    df: DataFrame, key: str, ts_col: str, horizon_days: int, exists_col: str
+) -> Column:
+    """Self-table convenience: 0/1 'another row for this key within
+    (t, t+horizon]' as a window expression over ``df``'s own rows."""
+    horizon_us = horizon_days * 86_400 * MICROS
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(1, horizon_us)
+    )
+    return (F.count(F.lit(1)).over(w) > 0).cast("int").alias(exists_col)

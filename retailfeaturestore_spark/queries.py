@@ -23,8 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io import load_table, load_tables
+from .operators.encode import group_mode, onehot_encode, topk_categories
 from .operators.normalize import lineitem_to_bronze
+from .operators.pit import (
+    asof_join,
+    asof_snapshot,
+    interval_existence_labels,
+    latest_per_key,
+)
 from .operators.window_features import build_customer_features, user_activity_features
+
+# Frozen category contract (the engine's feature_names.txt analogue — computed
+# once offline, applied as static when() lists; SURVEY.md §4.2.4).
+MKTSEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -246,3 +257,239 @@ def q_user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     cols.append("tenure_days")
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# M3 — point-in-time + labels (A4, J2, J3; SURVEY.md §2.3/§2.5)
+# ---------------------------------------------------------------------------
+
+_LATEST_EVENT_ORACLE = """
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@register("latest_event_per_user", oracle=_LATEST_EVENT_ORACLE, tags=("pit",))
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 latest-per-group with an explicit deterministic tiebreak
+    (jobs/materialize_online.py:19 relies on stable-sort accident)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    return latest_per_key(ev, "user_id", "ts", "event_id")
+
+
+_ASOF_CUTOFF = "2024-01-15 00:00:00"
+
+_ASOF_SNAPSHOT_ORACLE = f"""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+WHERE ts <= TIMESTAMP '{_ASOF_CUTOFF}'
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@register("asof_snapshot_lookup", oracle=_ASOF_SNAPSHOT_ORACLE, tags=("pit",))
+def q_asof_snapshot_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 point-in-time lookup: latest state per entity as of a cutoff
+    (serving/feature_service.py:36-46 time travel, batch form).  The ts
+    filter pushes down to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    return asof_snapshot(ev, "user_id", "ts", _ASOF_CUTOFF, "event_id")
+
+
+_ASOF_JOIN_ORACLE = """
+SELECT
+  a.event_id, a.user_id, a.ts,
+  (SELECT b.value FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'purchase' AND b.ts <= a.ts
+    ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS asof_value,
+  (SELECT b.ts FROM events b
+    WHERE b.user_id = a.user_id AND b.event_type = 'purchase' AND b.ts <= a.ts
+    ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS asof_ts
+FROM events a
+WHERE a.event_type = 'click'
+"""
+
+
+@register("asof_join_clicks_purchases", oracle=_ASOF_JOIN_ORACLE, tags=("pit", "join"))
+def q_asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch as-of join via the union trick (ONE shuffle on user_id, no range
+    join): for every click, the latest purchase at-or-before it.  This is the
+    distributed generalization of the reference's per-entity as-of lookup."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        spine_ts="ts",
+        lookup_ts="ts",
+        value_cols=["value", "ts"],
+        lookup_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_value").alias("asof_value"),
+        F.col("asof_ts").alias("asof_ts"),
+    )
+
+
+_CHURN_ORDERS_ORACLE = """
+WITH spine AS (
+  SELECT DISTINCT o_custkey AS customer_id, o_orderdate AS t_ref FROM orders
+)
+SELECT
+  s.customer_id, s.t_ref,
+  CASE WHEN EXISTS (
+    SELECT 1 FROM orders b
+    WHERE b.o_custkey = s.customer_id
+      AND b.o_orderdate >  s.t_ref
+      AND b.o_orderdate <= s.t_ref + INTERVAL 30 DAY
+  ) THEN 0 ELSE 1 END AS churn_30d
+FROM spine s
+"""
+
+
+@register("churn_labels_orders", oracle=_CHURN_ORDERS_ORACLE, tags=("labels", "join"))
+def q_churn_labels_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 interval existence join, self-table form: churn_30d = 1 iff no
+    follow-up order in (t_ref, t_ref+30d].  Window formulation — zero joins,
+    one shuffle (jobs/make_training_and_train.py:26-46 parity; boundary
+    semantics: strictly-after start, inclusive end)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return interval_existence_labels(
+        orders.withColumnRenamed("o_custkey", "customer_id"),
+        orders.withColumnRenamed("o_custkey", "customer_id"),
+        key="customer_id",
+        spine_ts="o_orderdate",
+        event_ts="o_orderdate",
+        horizon_days=30,
+        label_col="churn_30d",
+    )
+
+
+_PURCHASE_AFTER_SIGNUP_ORACLE = """
+WITH spine AS (
+  SELECT DISTINCT user_id, ts AS t_ref FROM events WHERE event_type = 'signup'
+)
+SELECT
+  s.user_id, s.t_ref,
+  CASE WHEN EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = s.user_id AND b.event_type = 'purchase'
+      AND b.ts >  s.t_ref
+      AND b.ts <= s.t_ref + INTERVAL 7 DAY
+  ) THEN 0 ELSE 1 END AS no_purchase_7d
+FROM spine s
+"""
+
+
+@register(
+    "purchase_labels_after_signup",
+    oracle=_PURCHASE_AFTER_SIGNUP_ORACLE,
+    tags=("labels", "join"),
+)
+def q_purchase_labels_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 two-table form at microsecond precision: for each signup, did the
+    user purchase within 7 days (strictly after, inclusive horizon)?"""
+    ev = load_table(spark, sf_dir, "events")
+    return interval_existence_labels(
+        ev.where(F.col("event_type") == "signup"),
+        ev.where(F.col("event_type") == "purchase"),
+        key="user_id",
+        spine_ts="ts",
+        event_ts="ts",
+        horizon_days=7,
+        label_col="no_purchase_7d",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 — encoding + frequency (J4, A1, A2, A5)
+# ---------------------------------------------------------------------------
+
+_ONEHOT_ORACLE = """
+SELECT
+  c_custkey,
+  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS c_mktsegment__automobile,
+  CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END AS c_mktsegment__building,
+  CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END AS c_mktsegment__furniture,
+  CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS c_mktsegment__household,
+  CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS c_mktsegment__machinery
+FROM customer
+"""
+
+
+@register("customer_onehot", oracle=_ONEHOT_ORACLE, tags=("encode",))
+def q_customer_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 static one-hot against the frozen segment contract (the engine's
+    feature_names.txt analogue, jobs/make_training_and_train.py:48-53)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return onehot_encode(cust, "c_mktsegment", list(MKTSEGMENTS)).drop("c_mktsegment")
+
+
+_TOPK_SEGMENTS_ORACLE = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY n DESC, c_mktsegment ASC
+LIMIT 3
+"""
+
+
+@register("topk_segments", oracle=_TOPK_SEGMENTS_ORACLE, tags=("agg", "topk"))
+def q_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+O2 value frequency top-k, deterministic tiebreak; Catalyst plans
+    partial+final agg then TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return topk_categories(cust, "c_mktsegment", 3)
+
+
+_MODE_ORACLE = """
+SELECT o_custkey, o_orderpriority AS o_orderpriority_mode, CAST(__n AS BIGINT) AS mode_count
+FROM (
+  SELECT o_custkey, o_orderpriority, count(*) AS __n
+  FROM orders GROUP BY o_custkey, o_orderpriority
+)
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY __n DESC, o_orderpriority ASC) = 1
+"""
+
+
+@register("priority_mode_per_customer", oracle=_MODE_ORACLE, tags=("agg",))
+def q_priority_mode_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 per-group mode, ties -> lexicographically smallest (the reference's
+    pandas mode().iloc[0] semantics made explicit, jobs/build_feature_views.py:59)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return group_mode(orders, "o_custkey", "o_orderpriority")
+
+
+_DISTINCT_PARTS_ORACLE = """
+SELECT o.o_custkey AS customer_id,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+"""
+
+
+@register("distinct_parts_per_customer", oracle=_DISTINCT_PARTS_ORACLE, tags=("agg", "join"))
+def q_distinct_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 exact distinct count per group over a fact-fact equi-join.  Spark
+    expands count(distinct) into a two-phase exact aggregation; at whale-key
+    scale swap in approx_count_distinct (documented opt-in)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    joined = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        t["lineitem"].l_orderkey == F.col("o_orderkey"),
+    )
+    return joined.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

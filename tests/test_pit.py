@@ -1,0 +1,90 @@
+"""Point-in-time operator edge cases: label horizon boundaries (inclusive
+end / exclusive start — jobs/make_training_and_train.py:41-42), as-of equal-ts
+semantics, deterministic latest-per-group ties."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import types as T
+
+from retailfeaturestore_spark.operators.pit import (
+    asof_join,
+    interval_existence_labels,
+    latest_per_key,
+)
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_latest_per_key_tie_broken_by_id(spark):
+    df = spark.createDataFrame(
+        [(1, 7, ts("2024-01-01 10:00:00"), 1.0), (2, 7, ts("2024-01-01 10:00:00"), 2.0)],
+        EV_SCHEMA,
+    )
+    out = latest_per_key(df, "user_id", "ts", "event_id").collect()
+    assert len(out) == 1 and out[0].event_id == 2  # larger id wins the tie
+
+
+def test_label_horizon_boundaries(spark):
+    """event at exactly t_ref -> excluded (strict >); event at exactly
+    t_ref + horizon -> included (<=)."""
+    spine = spark.createDataFrame(
+        [
+            (10, 1, ts("2024-01-01 00:00:00"), 0.0),  # has event AT t_ref only
+            (11, 2, ts("2024-01-01 00:00:00"), 0.0),  # event at exactly +7d
+            (12, 3, ts("2024-01-01 00:00:00"), 0.0),  # event at +7d +1us
+        ],
+        EV_SCHEMA,
+    )
+    events = spark.createDataFrame(
+        [
+            (20, 1, ts("2024-01-01 00:00:00"), 0.0),
+            (21, 2, ts("2024-01-08 00:00:00"), 0.0),
+            (22, 3, ts("2024-01-08 00:00:00.000001"), 0.0),
+        ],
+        EV_SCHEMA,
+    )
+    out = {
+        r.user_id: r.label
+        for r in interval_existence_labels(
+            spine, events, "user_id", "ts", "ts", 7, "label"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 1}
+
+
+def test_asof_join_equal_ts_included_and_tiebreak(spark):
+    spine = spark.createDataFrame([(30, 1, ts("2024-01-02 00:00:00"), 0.0)], EV_SCHEMA)
+    lookup = spark.createDataFrame(
+        [
+            (40, 1, ts("2024-01-02 00:00:00"), 5.0),  # same ts as spine: counts
+            (41, 1, ts("2024-01-02 00:00:00"), 9.0),  # same ts, larger id: wins
+            (39, 1, ts("2024-01-01 00:00:00"), 1.0),
+        ],
+        EV_SCHEMA,
+    )
+    out = asof_join(
+        spine, lookup, "user_id", "ts", "ts", ["value"], "event_id"
+    ).collect()[0]
+    assert out.asof_value == 9.0
+
+
+def test_asof_join_no_prior_lookup_is_null(spark):
+    spine = spark.createDataFrame([(30, 1, ts("2024-01-01 00:00:00"), 0.0)], EV_SCHEMA)
+    lookup = spark.createDataFrame([(40, 1, ts("2024-06-01 00:00:00"), 5.0)], EV_SCHEMA)
+    out = asof_join(
+        spine, lookup, "user_id", "ts", "ts", ["value"], "event_id"
+    ).collect()[0]
+    assert out.asof_value is None
