@@ -493,3 +493,218 @@ def q_distinct_parts_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("l_partkey").cast("long").alias("n_parts"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M5 — TPC-H-shaped join/agg coverage (SURVEY.md §7.1-M5): the entity-
+# enrichment joins a feature store runs at scale.  Broadcast for dims,
+# sort-merge for fact-fact, partial+final aggregation, top-k without global
+# sort, exact decimal accumulation for engine-reproducible money sums.
+# ---------------------------------------------------------------------------
+
+_PRICING_SUMMARY_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+                                                              AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                AS DECIMAL(25,6))) AS DOUBLE)                 AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE)                              AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE)                              AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE)                              AS avg_disc,
+  CAST(count(*) AS BIGINT)                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_SUMMARY_ORACLE, tags=("agg", "tpch"))
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with partial+final agg (map-side
+    combine) — the canonical 'does aggregation scale' query.  Averages are
+    exact-decimal sums divided by counts (deterministic), not F.avg over
+    doubles (order-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    price_sum = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    disc_sum = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qty_sum.alias("sum_qty"),
+            price_sum.alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(25,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(25,6)")).cast("double").alias("sum_charge"),
+            (qty_sum / n.cast("double")).alias("avg_qty"),
+            (price_sum / n.cast("double")).alias("avg_price"),
+            (disc_sum / n.cast("double")).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_ORACLE = """
+SELECT
+  n.n_name,
+  r.r_name,
+  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+    AS revenue,
+  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("revenue_by_nation", oracle=_REVENUE_BY_NATION_ORACLE, tags=("join", "tpch"))
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — fact-fact sort-merge (lineitem ⋈ orders)
+    with explicitly broadcast dimensions (nation/region/customer-as-dim).
+    The o_orderdate range predicate pushes down to the orders scan before
+    the join."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation", "region"))
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    c = F.broadcast(t["customer"].select("c_custkey", "c_nationkey"))
+    n = F.broadcast(t["nation"])
+    r = F.broadcast(t["region"])
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    return joined.groupBy("n_name", "r_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+@register("top_customers_by_revenue", oracle=_TOP_CUSTOMERS_ORACLE, tags=("join", "topk"))
+def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 top-k over a join+agg: TakeOrderedAndProject (per-partition heaps,
+    no global sort), deterministic tiebreak on the key."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    agg = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    c = F.broadcast(t["customer"].select("c_custkey", "c_name"))
+    return (
+        agg.join(c, agg.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT
+  o.o_orderkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+  o.o_orderpriority,
+  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+    AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("shipping_priority", oracle=_SHIPPING_PRIORITY_ORACLE, tags=("join", "tpch", "topk"))
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter (broadcast semi-reduction) + two
+    date predicates pushed to both fact scans + top-k."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = F.broadcast(
+        t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    o = t["orders"].where(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(25,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_UNION_SLICES_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, 'urgent' AS slice
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, 'high_value' AS slice
+FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
+@register("union_slices", oracle=_UNION_SLICES_ORACLE, tags=("setop",))
+def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 UNION ALL of tagged slices (the reference's sheet/partition concat,
+    jobs/ingest_xlsx_to_parquet.py:11) — overlapping rows preserved, no
+    dedup shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("urgent").alias("slice")
+    )
+    high = o.where(F.col("o_totalprice") > 400000.0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("high_value").alias("slice")
+    )
+    return urgent.unionByName(high)

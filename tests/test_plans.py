@@ -1,0 +1,68 @@
+"""Plan-shape regression tests: the scale properties the engine promises
+(broadcast dims, pushdown to scans, codegen coverage) asserted on real plans.
+Uses sf0.001 — plan shape, not data, is under test."""
+
+from __future__ import annotations
+
+import pytest
+
+from retailfeaturestore_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    has_sort_merge_join,
+    pushed_filters,
+    wholestage_codegen_spans,
+)
+from retailfeaturestore_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_revenue_join_broadcasts_dims_and_sortmerges_facts(spark):
+    df = REGISTRY["revenue_by_nation"].fn(spark, SF)
+    assert has_broadcast_join(df)  # nation/region/customer
+    # fact-fact lineitem ⋈ orders must NOT be a nested loop
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
+def test_date_filter_pushes_to_scan(spark):
+    df = REGISTRY["pricing_summary"].fn(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_normalize_prunes_columns(spark):
+    """Projection must reach the scan: unused lineitem columns (l_comment-
+    style) absent from ReadSchema."""
+    df = REGISTRY["normalize_lineitem"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "l_suppkey" not in plan  # never referenced -> pruned from scan
+
+
+def test_feature_view_single_exchange(spark):
+    """The whole W1-W6 family must reuse ONE shuffle on customer_id — extra
+    Exchange nodes mean the window frames stopped sharing partitioning."""
+    df = REGISTRY["feature_view_build"].fn(spark, SF)
+    plan = formatted_plan(df)
+    # exchanges: one for the join (each side) + one hashpartitioning(customer_id)
+    n_entity_exchanges = plan.count("hashpartitioning(customer_id")
+    assert n_entity_exchanges == 1, plan[:2000]
+
+
+def test_interval_labels_plan_has_no_join(spark):
+    """J2 is the union-window formulation: zero join nodes."""
+    df = REGISTRY["churn_labels_orders"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_codegen_covers_hot_path(spark):
+    df = REGISTRY["pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE: codegen spans appear in the executed (final) plan
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_pricing_summary_has_partial_aggregation(spark):
+    """Map-side combine must exist: partial_sum before the exchange."""
+    plan = formatted_plan(REGISTRY["pricing_summary"].fn(spark, SF))
+    assert "partial_sum" in plan
