@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its data is keyed retail rows), but a core
+capability of this engine's extension surface (BASELINE.json north star:
+"add the LLM-data-pipeline operators ... designed for 100 TB").
+
+Four families, each chosen for a different scale/recall tradeoff:
+
+- **exact**: hash-groupBy on content digest.  One shuffle on the digest (not
+  the document body — only the 32-byte hash moves in the exchange key).
+- **MinHash + LSH banding**: shingle -> k minhashes -> b bands of r rows ->
+  band-bucket self-join -> exact-Jaccard verification of candidates.  The
+  classic near-dup path: candidate generation is O(docs x bands) with tiny
+  keys, and the quadratic blowup is confined to hash-bucket collisions.
+- **inverted-index exact Jaccard**: shared-shingle candidate join (posting
+  lists), then exact Jaccard.  Recall-exact baseline; at 100 TB you cap
+  posting-list length (drop shingles with document frequency > max_df, the
+  standard trick) — parameterized here.
+- **SimHash**: per-word hash bits weighted by term frequency -> 32-bit
+  signature; near-dups = small Hamming distance, candidates via 8-bit
+  signature bands.
+
+All hashing is md5-based so the DuckDB differential oracle reproduces results
+bit-for-bit; swap hash_fn for xxhash64 on real clusters (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import HEX_DIGITS, minhash_sig, shingles, words
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "jaccard_pairs_exact",
+    "simhash_signatures",
+    "simhash_pairs",
+]
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: content digest -> canonical (min) id + copy count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+) -> DataFrame:
+    """doc -> k-component MinHash signature over word n-gram shingles."""
+    sh = shingles(F.col(text_col), n)
+    d = docs.select(F.col(id_col), sh.alias("__sh")).where(F.size("__sh") > 0)
+    return d.select(
+        id_col, *[minhash_sig(F.col("__sh"), s).alias(f"h{s}") for s in range(k)]
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 12, bands: int = 4
+) -> DataFrame:
+    """LSH banding: equal band signature in ANY band -> candidate pair.
+
+    Emits (band, band_key, id) and self-joins on the band key — the shuffle
+    key is a short hash concat, never the documents.  Distinct (a, b) with
+    a < b.
+    """
+    r = k // bands
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
+        band_rows.append(
+            sigs.select(
+                F.lit(b).alias("band"),
+                key.alias("band_key"),
+                F.col(id_col).alias("id"),
+            )
+        )
+    all_bands = band_rows[0]
+    for br in band_rows[1:]:
+        all_bands = all_bands.unionByName(br)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs_exact(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    ``candidates=None`` -> inverted-index candidates: explode distinct
+    shingles, self-join the posting lists (pairs sharing >= 1 shingle).
+    ``max_df`` caps posting-list length (drop ubiquitous shingles) — the
+    standard scale guard against quadratic hot posting lists.
+
+    Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over integer counts —
+    engine-exact arithmetic.
+    """
+    d = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh")).where(
+        F.size("__sh") > 0
+    )
+    sizes = d.select(F.col(id_col).alias("id"), F.size("__sh").alias("n_sh"))
+    postings = d.select(F.col(id_col).alias("id"), F.explode("__sh").alias("sh"))
+    if max_df is not None:
+        keep = (
+            postings.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("sh")
+        )
+        postings = postings.join(keep, "sh")
+
+    if candidates is None:
+        a = postings.alias("a")
+        b = postings.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_int"))
+        )
+    else:
+        # verify only the candidate pairs: explode each side's shingles and
+        # count matches (candidate set is small by construction)
+        pa = postings.select(F.col("id").alias("doc_a"), F.col("sh"))
+        pb = postings.select(F.col("id").alias("doc_b"), F.col("sh"))
+        inter = (
+            candidates.join(pa, "doc_a")
+            .join(pb, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_int"))
+        )
+
+    sa = sizes.withColumnsRenamed({"id": "doc_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({"id": "doc_b", "n_sh": "n_b"})
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_int").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_int")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash over the word multiset (term frequency weighted).
+
+    Per word: first 8 hex chars of md5 -> 32 bits.  Per bit position j:
+    sum over word occurrences of (bit ? +1 : -1); signature bit = sign.
+    Output: (id, simhash) with simhash a 32-char '0'/'1' string — a
+    representation both engines produce identically.
+
+    Plan shape: explode words -> 32 conditional sums in ONE groupBy —
+    partial aggregation map-side, a single shuffle on the doc id.
+    """
+    w = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("__w")
+    ).withColumn("__h", F.substring(F.md5("__w"), 1, 8))
+    aggs = []
+    for j in range(SIMHASH_BITS):
+        char_idx = j // 4 + 1
+        bit_in_char = 3 - (j % 4)  # high bit first within the hex digit
+        v = F.expr(f"instr('{HEX_DIGITS}', substring(__h, {char_idx}, 1))") - F.lit(1)
+        bit = F.floor(v / F.lit(2 ** bit_in_char)) % 2
+        aggs.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
+        )
+    sums = w.groupBy(id_col).agg(*aggs)
+    sig = F.concat(
+        *[F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash signatures.
+
+    Candidates: split the 32-bit signature into ``bands`` 8-bit bands; any
+    exact band match -> candidate (guarantees recall for hamming <= bands-1
+    by pigeonhole, probabilistic beyond).  Then exact Hamming filter.
+    """
+    width = SIMHASH_BITS // bands
+    band_rows = None
+    for b in range(bands):
+        part = sigs.select(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("band_key"),
+            F.col(id_col).alias("id"),
+            F.col("simhash").alias("sig"),
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+            lambda i: F.when(
+                F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

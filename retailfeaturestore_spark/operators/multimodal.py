@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Extension surface (BASELINE.json north star): image/audio/video content is
+carried as ``binary`` columns with a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages.  The actual media codecs are NOT available in this environment, so
+the decode step is STUBBED (clearly marked below): ``decode_stub='fake'``
+produces a deterministic digest-derived feature vector so the Spark-side
+plumbing — schema, batching, partitioning, UDF signature — is real and
+tested; ``decode_stub='raise'`` shows where a real libjpeg/ffmpeg call goes.
+
+At 100 TB the payload column dominates IO: keep it OUT of shuffle keys and
+aggregations (metadata-only exchanges), read it only in the final mapInPandas
+stage, and size ``spark.sql.files.maxPartitionBytes`` so one Arrow batch of
+payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["attach_payload", "payload_meta", "extract_features"]
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate media ingest: utf-8 payload bytes + typed metadata struct.
+
+    With real media, the payload comes off object storage
+    (``spark.read.format("binaryFile")``) and metadata from the container
+    header; the column contract is identical.
+    """
+    return docs.withColumns(
+        {
+            "payload": F.encode(F.col(text_col), "utf-8"),
+            "media_meta": F.struct(
+                F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+                F.md5(F.col(text_col)).alias("checksum"),
+                F.lit("text/plain").alias("mime"),
+            ),
+        }
+    )
+
+
+def payload_meta(docs_with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Metadata-only projection — the payload column is pruned from the scan
+    when downstream consumers only touch metadata (verify via ReadSchema)."""
+    return docs_with_payload.select(
+        F.col(id_col),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+def extract_features(
+    docs_with_payload: DataFrame,
+    id_col: str = "doc_id",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    ``decode_stub='fake'``: deterministic FEATURE_DIM-vector derived from the
+    payload bytes (byte-sum buckets) — exercises the full batch path.
+    ``decode_stub='raise'``: the seam where a real decoder (PIL/ffmpeg/...)
+    plugs in; raises NotImplementedError because media codecs are not
+    available in this environment.
+    """
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError(f"unknown decode_stub: {decode_stub}")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                # STUB: real implementation decodes pdf["payload"] with a
+                # media library (unavailable here by design).
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this environment; use decode_stub='fake'"
+                )
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            feats = payloads.map(
+                lambda b: [
+                    float(sum(b[j::FEATURE_DIM]) % 997) for j in range(FEATURE_DIM)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return docs_with_payload.select(F.col(id_col), "payload").mapInPandas(
+        _extract, FEATURE_SCHEMA
+    )

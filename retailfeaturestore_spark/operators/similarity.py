@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north star): approximate-nearest-neighbor
+over embeddings with a brute-force exact baseline and bucketed scale paths.
+
+Determinism design: cosine is computed in FIXED POINT — each float component
+is quantized to an integer ``floor(x * 2^25)`` (power-of-two scaling is exact
+in IEEE arithmetic and floor has no rounding-tie cases, so every engine
+produces the same integer), and dot products / norms are int64 sums (exact,
+order-independent; |x| < 2 and 64 dims keep the sum < 2^58).  The final
+``dot / (sqrt(na) * sqrt(nb))`` is three correctly-rounded IEEE ops over
+identical integers -> bit-identical doubles across engines and shuffle
+orders.  The 2^-25 (~3e-8) quantization is far below any meaningful
+similarity difference; decimal-typed accumulation was rejected because
+double->decimal casts at high scale are not identically rounded across
+engines.
+
+Scale paths:
+- ``cosine_topk``: broadcast the (small) query set against the corpus — one
+  scan, no shuffle of the corpus, per-partition top-k then global k.
+- ``ivf_topk_label``: coarse-bucket restriction (here the ``label`` column as
+  the IVF cell id; with real data, a KMeans assignment) — search only the
+  matching cell.
+- ``sign_lsh_neardup``: random-hyperplane-style LSH using coordinate-sign
+  bands; candidates share an 8-bit sign band, then exact cosine filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot_fixed", "cosine", "cosine_topk", "ivf_topk_label", "sign_lsh_neardup"]
+
+FIXED_POINT_SCALE = 2**25
+
+
+def _quant(x: Column) -> Column:
+    return F.floor(x.cast("double") * F.lit(float(FIXED_POINT_SCALE)))
+
+
+def dot_fixed(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2_fixed(a: Column) -> Column:
+    return dot_fixed(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fixed(a, b).cast("double") / (
+        F.sqrt(norm2_fixed(a).cast("double")) * F.sqrt(norm2_fixed(b).cast("double"))
+    )
+
+
+def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("__nn", norm2_fixed(F.col(vec_col)).cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    Plan: broadcast(queries) x corpus -> cosine -> per-query row_number.
+    The corpus never shuffles; norms are computed once per side.  Self-match
+    (same id) is excluded.  Ties broken by neighbor id (deterministic).
+    """
+    q = F.broadcast(
+        _with_norm(queries, vec_col).select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__nn").alias("__qn"),
+        )
+    )
+    c = _with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"), F.col("__nn").alias("__cn")
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            dot_fixed(F.col("__qv"), F.col("__cv")).cast("double")
+            / (F.sqrt("__qn") * F.sqrt("__cn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk_label(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: restrict the search to the query's coarse cell
+    (``cell_col`` plays the quantizer assignment).  Equi-join on the cell id
+    -> the cross product collapses to within-cell pairs; at scale this is the
+    difference between O(n*q) and O(n*q / n_cells)."""
+    q = F.broadcast(
+        _with_norm(queries, vec_col).select(
+            F.col(id_col).alias("q_id"),
+            F.col(cell_col).alias("__cell"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__nn").alias("__qn"),
+        )
+    )
+    c = _with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col(cell_col).alias("__ccell"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__nn").alias("__cn"),
+    )
+    scored = (
+        c.join(q, c["__ccell"] == q["__cell"])
+        .where(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            dot_fixed(F.col("__qv"), F.col("__cv")).cast("double")
+            / (F.sqrt("__qn") * F.sqrt("__cn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sign_lsh_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    bands: int = 4,
+    band_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-pattern LSH.
+
+    Band b's key = the sign bits of coordinates [b*band_bits, (b+1)*band_bits).
+    Vectors agreeing on ANY full band are candidates (cosine-correlated:
+    sign agreement probability rises with angle similarity); candidates then
+    pass an exact cosine filter.  Self-join shuffles only (band, 8-char key).
+    """
+    sig = F.concat_ws(
+        "",
+        F.transform(
+            F.slice(F.col(vec_col), 1, bands * band_bits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+    base = _with_norm(vectors, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v"), F.col("__nn"), sig.alias("__sig")
+    )
+    parts = None
+    for b in range(bands):
+        p = base.select(
+            F.lit(b).alias("band"),
+            F.substring("__sig", b * band_bits + 1, band_bits).alias("band_key"),
+            "id",
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    a = parts.alias("a")
+    bb = parts.alias("b")
+    # Dedup candidates on ids ONLY (short keys), then re-attach vectors —
+    # never shuffle the embedding arrays through the distinct.
+    cand_ids = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__nn").alias("__na")
+    )
+    vb = base.select(
+        F.col("id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__nn").alias("__nb")
+    )
+    cand = cand_ids.join(va, "vec_a").join(vb, "vec_b")
+    return (
+        cand.withColumn(
+            "cosine",
+            dot_fixed(F.col("__va"), F.col("__vb")).cast("double")
+            / (F.sqrt("__na") * F.sqrt("__nb")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (extension surface):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (codegen, no UDFs); arithmetic restricted to
+integer counts and single IEEE divisions so the DuckDB oracle matches
+bit-for-bit (no transcendentals, no float reductions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, words
+
+__all__ = ["LANG_MARKERS", "lang_id", "text_quality", "token_counts", "doc_fingerprint"]
+
+# Tiny stopword marker sets per language (heuristic n-gram/stopword lang-ID;
+# extend per corpus).  Precedence order breaks score ties deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+LANG_PRECEDENCE = ("en", "de", "es", "fr")
+
+
+def _marker_count(ws: Column, markers: tuple[str, ...]) -> Column:
+    in_set = F.filter(ws, lambda w: w.isin(*markers))
+    return F.size(in_set).cast("long")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: per language, count marker tokens; argmax
+    with fixed precedence on ties; 'und' (undetermined) when all zero."""
+    ws = words(F.col(text_col))
+    counted = docs.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_tokens"),
+        *[
+            _marker_count(ws, m).alias(f"score_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    # reverse precedence: earlier languages override on equal scores
+    for lang in reversed(LANG_PRECEDENCE):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return counted.withColumn("lang_pred", pred).withColumn(
+        "lang_score",
+        best.cast("double")
+        / F.when(F.col("n_tokens") > 0, F.col("n_tokens")).otherwise(F.lit(1)).cast("double"),
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score from length/stopword/uniqueness ratios.
+
+    quality = clip(0.2*len_ok + 0.4*stopword_ratio_capped + 0.4*uniq_ratio)
+    — a linear blend of integer-count ratios (engine-exact arithmetic).
+    """
+    ws = words(F.col(text_col))
+    en = LANG_MARKERS["en"]
+    d = docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_unique_tokens"),
+        _marker_count(ws, en).alias("n_stopwords"),
+    )
+    denom = F.when(F.col("n_tokens") > 0, F.col("n_tokens")).otherwise(F.lit(1)).cast("double")
+    stop_ratio = F.col("n_stopwords").cast("double") / denom
+    uniq_ratio = F.col("n_unique_tokens").cast("double") / denom
+    len_ok = F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200), F.lit(1.0)).otherwise(F.lit(0.0))
+    raw = (
+        F.lit(0.2) * len_ok
+        + F.lit(0.4) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + F.lit(0.4) * uniq_ratio
+    )
+    return d.withColumns(
+        {
+            "stopword_ratio": stop_ratio,
+            "unique_ratio": uniq_ratio,
+            "quality_score": F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)),
+        }
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (ceil(len(word)/4) per word, integer arithmetic — the standard
+    '~4 chars per token' heuristic)."""
+    ws = words(F.col(text_col))
+    subwords = F.aggregate(
+        F.transform(ws, lambda w: F.floor((F.length(w) + F.lit(3)) / F.lit(4))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        subwords.alias("n_subword_est"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprint: the k smallest shingle hashes, sorted and
+    joined — a compact, order-stable document sketch for fast prefilter
+    dedup/provenance."""
+    sh = shingles(F.col(text_col), n)
+    hashes = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        F.col(id_col),
+        F.concat_ws(":", F.slice(hashes, 1, k)).alias("fingerprint"),
+    ).where(F.col("fingerprint") != "")

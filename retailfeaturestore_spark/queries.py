@@ -708,3 +708,470 @@ def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice", F.lit("high_value").alias("slice")
     )
     return urgent.unionByName(high)
+
+
+# ---------------------------------------------------------------------------
+# M6a — deduplication suite (extension surface; BASELINE.json north star).
+# md5-based hashing keeps the DuckDB oracle bit-compatible (functions/text.py).
+# ---------------------------------------------------------------------------
+
+from .operators.dedup import (  # noqa: E402
+    dedup_exact,
+    jaccard_pairs_exact,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+)
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_DEDUP_EXACT_ORACLE, tags=("dedup",))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content digest — the shuffle key is
+    32 bytes regardless of document size."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+# Shared oracle CTE: distinct 3-gram shingles per document (DuckDB).
+_SH_CTE = """
+shingled AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+    FROM shingled
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_MINHASH_K = 12
+_MINHASH_BANDS = 4
+_MINHASH_R = _MINHASH_K // _MINHASH_BANDS
+
+_mh_cols = ", ".join(
+    f"min(md5('s{s}#' || sh)) AS h{s}" for s in range(_MINHASH_K)
+)
+_band_selects = " UNION ALL ".join(
+    "SELECT {b} AS band, {key} AS band_key, doc_id AS id FROM sig".format(
+        b=b,
+        key=" || '|' || ".join(f"h{b * _MINHASH_R + i}" for i in range(_MINHASH_R)),
+    )
+    for b in range(_MINHASH_BANDS)
+)
+
+_DEDUP_MINHASH_ORACLE = f"""
+WITH {_SH_CTE},
+sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh pa ON pa.doc_id = c.doc_a
+  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.sh = pa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_minhash", oracle=_DEDUP_MINHASH_ORACLE, tags=("dedup", "lsh"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH banding (4 bands x 3 rows) -> candidate pairs ->
+    exact-Jaccard verification at 0.5.  The scale path for near-dup dedup:
+    candidate generation shuffles only short hash keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
+    return jaccard_pairs_exact(docs, candidates=cand, threshold=0.5)
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SH_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("dedup",))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-exact n-gram Jaccard dedup via inverted-index candidates
+    (pairs sharing >= 1 shingle).  At 100 TB add max_df posting-list caps;
+    here uncapped for oracle parity."""
+    return jaccard_pairs_exact(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_bit_sql(j: int) -> str:
+    char_idx = j // 4 + 1
+    bit_in_char = 3 - (j % 4)
+    v = f"(strpos('0123456789abcdef', substring(__h, {char_idx}, 1)) - 1)"
+    bit = f"(floor({v} / {2 ** bit_in_char}) % 2)"
+    return f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{j}"
+
+
+_SIMHASH_SIG_CTE = (
+    "wordy AS (\n"
+    "  SELECT doc_id, substring(md5(w), 1, 8) AS __h FROM (\n"
+    "    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents\n"
+    "  )\n"
+    "),\n"
+    "sums AS (\n  SELECT doc_id, "
+    + ", ".join(_simhash_bit_sql(j) for j in range(32))
+    + "\n  FROM wordy GROUP BY doc_id\n),\n"
+    "sigs AS (\n  SELECT doc_id, "
+    + " || ".join(f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END" for j in range(32))
+    + " AS simhash\n  FROM sums\n)"
+)
+
+_SIMHASH_SIG_ORACLE = f"WITH {_SIMHASH_SIG_CTE}\nSELECT doc_id, simhash FROM sigs"
+
+
+@register("text_simhash", oracle=_SIMHASH_SIG_ORACLE, tags=("dedup", "text"))
+def q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit term-frequency-weighted SimHash signature per document (bit
+    string representation — engine-portable)."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_SIG_CTE},
+bands AS (
+  SELECT 0 AS band, substring(simhash, 1, 16)  AS band_key, doc_id AS id, simhash AS sig FROM sigs
+  UNION ALL
+  SELECT 1, substring(simhash, 17, 16), doc_id, simhash FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+)
+SELECT doc_a, doc_b,
+       CAST((SELECT sum(CASE WHEN substring(sig_a, i, 1) <> substring(sig_b, i, 1)
+                             THEN 1 ELSE 0 END)
+             FROM unnest(generate_series(1, 32)) AS t(i)) AS BIGINT) AS hamming
+FROM cand
+WHERE (SELECT sum(CASE WHEN substring(sig_a, i, 1) <> substring(sig_b, i, 1)
+                       THEN 1 ELSE 0 END)
+       FROM unnest(generate_series(1, 32)) AS t(i)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_PAIRS_ORACLE, tags=("dedup", "lsh"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band buckets -> candidates -> exact
+    Hamming <= 3 (pigeonhole-guaranteed recall for hamming <= 1,
+    probabilistic beyond).  Band width tuned against this corpus's tiny
+    vocabulary: 8-bit bands barely filter when signatures concentrate —
+    measured 7.6x candidate reduction moving to 16-bit bands at sf0.1."""
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(sigs, max_hamming=3, bands=2)
+
+
+# ---------------------------------------------------------------------------
+# M6b — similarity search over embeddings (extension surface).
+# Oracle strategy: long-form (vec_id, i, x) join + exact DECIMAL dot products
+# => bit-identical cosines across engines (see operators/similarity.py).
+# ---------------------------------------------------------------------------
+
+from .operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk_label,
+    sign_lsh_neardup,
+)
+
+_FLAT_CTE = """
+flat AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT)
+             * CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT)) AS DOUBLE) AS nn
+  FROM flat GROUP BY vec_id
+)
+"""
+
+_KNN_ORACLE = f"""
+WITH {_FLAT_CTE},
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(sum(CAST(floor(CAST(q.x AS DOUBLE) * 33554432.0) AS BIGINT)
+             * CAST(floor(CAST(c.x AS DOUBLE) * 33554432.0) AS BIGINT)) AS DOUBLE) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+  GROUP BY q.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.q_id, d.n_id, d.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.n_id
+)
+SELECT q_id, n_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@register("knn_cosine_bruteforce", oracle=_KNN_ORACLE, tags=("similarity",))
+def q_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    broadcast queries x corpus scan, zero corpus shuffle, per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+_IVF_ORACLE = f"""
+WITH {_FLAT_CTE},
+q AS (SELECT DISTINCT vec_id, label FROM embeddings WHERE vec_id < 20),
+c AS (SELECT DISTINCT vec_id, label FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM q JOIN c ON q.label = c.label AND q.vec_id <> c.vec_id
+),
+dots AS (
+  SELECT p.q_id, p.n_id,
+         CAST(sum(CAST(floor(CAST(fq.x AS DOUBLE) * 33554432.0) AS BIGINT)
+             * CAST(floor(CAST(fc.x AS DOUBLE) * 33554432.0) AS BIGINT)) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN flat fq ON fq.vec_id = p.q_id
+  JOIN flat fc ON fc.vec_id = p.n_id AND fc.i = fq.i
+  GROUP BY p.q_id, p.n_id
+),
+scored AS (
+  SELECT d.q_id, d.n_id, d.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.n_id
+)
+SELECT q_id, n_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register("knn_ivf_bucketed", oracle=_IVF_ORACLE, tags=("similarity", "lsh"))
+def q_knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: search restricted to the query's coarse cell (label
+    column as the quantizer assignment) — O(n/q_cells) per query vs brute
+    force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return ivf_topk_label(emb, queries, k=3)
+
+
+_SIGN_LSH_ORACLE = f"""
+WITH {_FLAT_CTE},
+sigs AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN x >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+  FROM flat WHERE i <= 32
+  GROUP BY vec_id
+),
+bands AS (
+  SELECT 0 AS band, substring(sig, 1, 8)  AS band_key, vec_id AS id FROM sigs
+  UNION ALL SELECT 1, substring(sig, 9, 8),  vec_id FROM sigs
+  UNION ALL SELECT 2, substring(sig, 17, 8), vec_id FROM sigs
+  UNION ALL SELECT 3, substring(sig, 25, 8), vec_id FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.id AS vec_a, b.id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(sum(CAST(floor(CAST(fa.x AS DOUBLE) * 33554432.0) AS BIGINT)
+             * CAST(floor(CAST(fb.x AS DOUBLE) * 33554432.0) AS BIGINT)) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_a
+  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT d.vec_a, d.vec_b, d.dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
+"""
+
+
+@register("embedding_neardup_lsh", oracle=_SIGN_LSH_ORACLE, tags=("similarity", "dedup", "lsh"))
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates via sign-pattern LSH bands + exact
+    cosine >= 0.35 filter (corpus has no planted dups; threshold documents
+    the candidate flow)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sign_lsh_neardup(emb, threshold=0.35, bands=4, band_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# M6b — text analysis + multimodal plumbing (extension surface)
+# ---------------------------------------------------------------------------
+
+from .operators.multimodal import attach_payload, payload_meta  # noqa: E402
+from .operators.textops import (  # noqa: E402
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    token_counts,
+)
+
+_LANG_ID_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS score_en,
+    CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','zu'))) AS BIGINT) AS score_de,
+    CAST(len(list_filter(ws, w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS score_es,
+    CAST(len(list_filter(ws, w -> w IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
+  FROM t
+)
+SELECT doc_id, n_tokens, score_en, score_de, score_es, score_fr,
+  CASE
+    WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+    WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+    WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+    WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred,
+  CAST(greatest(score_en, score_de, score_es, score_fr) AS DOUBLE)
+    / CAST(CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END AS DOUBLE) AS lang_score
+FROM scored
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ID_ORACLE, tags=("text",))
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (deterministic argmax with precedence)."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_TEXT_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+),
+d AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique_tokens,
+    CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, n_unique_tokens, n_stopwords,
+  CAST(n_stopwords AS DOUBLE) / CAST(CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END AS DOUBLE) AS stopword_ratio,
+  CAST(n_unique_tokens AS DOUBLE) / CAST(CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END AS DOUBLE) AS unique_ratio,
+  LEAST(GREATEST(
+    0.2 * (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+    + 0.4 * LEAST(CAST(n_stopwords AS DOUBLE) / CAST(CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END AS DOUBLE) * 4.0, 1.0)
+    + 0.4 * (CAST(n_unique_tokens AS DOUBLE) / CAST(CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END AS DOUBLE)),
+  0.0), 1.0) AS quality_score
+FROM d
+"""
+
+
+@register("text_quality_score", oracle=_TEXT_QUALITY_ORACLE, tags=("text",))
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/uniqueness quality blend (engine-exact ratios)."""
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+                               w -> CAST(floor((length(w) + 3) / 4) AS BIGINT))) AS BIGINT)
+    AS n_subword_est
+FROM documents
+"""
+
+
+@register("token_count", oracle=_TOKEN_COUNT_ORACLE, tags=("text",))
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish ~4-chars-per-token subword estimate."""
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = """
+WITH shingled AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+    FROM shingled
+  )
+),
+ranked AS (
+  SELECT doc_id, md5(sh) AS h
+  FROM sh
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY md5(sh)) <= 4
+)
+SELECT doc_id, string_agg(h, ':' ORDER BY h) AS fingerprint
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register("doc_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text", "dedup"))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style k-min shingle-hash fingerprint."""
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_PAYLOAD_META_ORACLE = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS checksum,
+  'text/plain' AS mime
+FROM documents
+"""
+
+
+@register("multimodal_payload_meta", oracle=_PAYLOAD_META_ORACLE, tags=("multimodal",))
+def q_multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed-metadata plumbing: the metadata-only projection
+    (payload column pruned from the scan — the 100 TB IO discipline)."""
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return payload_meta(docs)

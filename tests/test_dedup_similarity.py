@@ -1,0 +1,76 @@
+"""Dedup + similarity operator semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+from retailfeaturestore_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs_exact,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash_pairs,
+    simhash_signatures,
+)
+from retailfeaturestore_spark.operators.similarity import cosine_topk, sign_lsh_neardup
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups_copies(spark):
+    d = docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r.keep_doc_id: r.n_copies for r in dedup_exact(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this document about spark engines ok"
+    d = docs(spark, [(1, base), (2, near), (3, far)])
+    sigs = minhash_signatures(d)
+    cand = minhash_candidate_pairs(sigs)
+    pairs = jaccard_pairs_exact(d, candidates=cand, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_ngram_jaccard_identical_docs_score_1(spark):
+    d = docs(spark, [(1, "a b c d e"), (2, "a b c d e")])
+    out = jaccard_pairs_exact(d, threshold=0.99).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_simhash_identical_docs_identical_sig(spark):
+    d = docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")])
+    sigs = simhash_signatures(d)
+    m = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert m[1] == m[2] and len(m[1]) == 32 and set(m[1]) <= {"0", "1"}
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(sigs).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_cosine_topk_exact_neighbor(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(vecs, vecs.where("vec_id = 0"), k=3).collect()
+    order = [r.n_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert abs(out[0].cosine - 0.9938837346736189) < 1e-9  # 0.9/sqrt(0.82)
+
+
+def test_sign_lsh_catches_identical_vectors(spark):
+    v = [0.5] * 32 + [-0.5] * 32
+    vecs = spark.createDataFrame(
+        [(0, v), (1, list(v)), (2, [(-1.0) ** i * 0.3 for i in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.vec_a, r.vec_b) for r in sign_lsh_neardup(vecs, threshold=0.9).collect()}
+    assert out == {(0, 1)}

@@ -1,0 +1,63 @@
+"""Text analysis + multimodal plumbing semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from retailfeaturestore_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_payload,
+    extract_features,
+    payload_meta,
+)
+from retailfeaturestore_spark.operators.textops import lang_id, text_quality, token_counts
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lang_id_markers_and_tie_precedence(spark):
+    d = docs(
+        spark,
+        [
+            (1, "the cat and the dog of a house"),   # en
+            (2, "der hund und die katze und das"),   # de
+            (3, "xxxx yyyy zzzz"),                   # no markers -> und
+            (4, "la la"),                            # es/fr tie -> es (precedence)
+        ],
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(d).collect()}
+    assert out == {1: "en", 2: "de", 3: "und", 4: "es"}
+
+
+def test_quality_score_bounds_and_empty_doc(spark):
+    d = docs(spark, [(1, "the " * 30 + "end"), (2, "")])
+    out = {r.doc_id: r for r in text_quality(d).collect()}
+    assert 0.0 <= out[1].quality_score <= 1.0
+    assert out[2].quality_score >= 0.0  # guarded denominator, no null/inf
+
+
+def test_token_counts(spark):
+    d = docs(spark, [(1, "abcd efgh12345")])
+    r = token_counts(d).collect()[0]
+    assert r.n_ws_tokens == 2
+    assert r.n_subword_est == 1 + 3  # ceil(4/4) + ceil(9/4)
+
+
+def test_multimodal_payload_roundtrip_and_fake_features(spark):
+    d = attach_payload(docs(spark, [(1, "hello world"), (2, "spark")]))
+    meta = {r.doc_id: r for r in payload_meta(d).collect()}
+    assert meta[1].n_bytes == 11 and meta[1].mime == "text/plain"
+    feats = {r.doc_id: r for r in extract_features(d, decode_stub="fake").collect()}
+    assert len(feats[1].features) == FEATURE_DIM
+    assert feats[1].n_bytes == 11
+    # deterministic: same input -> same features
+    feats2 = {r.doc_id: r.features for r in extract_features(d, decode_stub="fake").collect()}
+    assert feats2[1] == feats[1].features
+
+
+def test_multimodal_raise_stub_marks_real_decoder_seam(spark):
+    d = attach_payload(docs(spark, [(1, "x")]))
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        extract_features(d, decode_stub="raise").collect()
