@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Method: each query materializes through the noop sink (forces evaluation of
+every output column — count() would let Catalyst prune the feature columns
+away and fake the numbers), 2 runs, min per query (first run pays scan-cache
+warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from retailfeaturestore_spark.queries import REGISTRY  # noqa: E402
+from retailfeaturestore_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "feature_view_build",
+    "training_set_build",
+    "user_activity_features",
+    "churn_labels_orders",
+    "asof_join_clicks_purchases",
+    "latest_event_per_user",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "events_tumbling_daily",
+    "dedup_exact",
+    "dedup_minhash",
+    "knn_cosine_bruteforce",
+    "text_lang_id",
+]
+
+RUNS = 2
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("rfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        best = None
+        for _ in range(RUNS):
+            t0 = time.time()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

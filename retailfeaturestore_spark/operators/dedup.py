@@ -33,12 +33,25 @@ from ..functions.text import HEX_DIGITS, minhash_sig, shingles, words
 
 __all__ = [
     "dedup_exact",
+    "shingle_docs",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "jaccard_pairs_exact",
     "simhash_signatures",
     "simhash_pairs",
 ]
+
+
+def shingle_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle-set) projection — compute ONCE and pass to the signature
+    / candidate / verification stages (shingling + md5 dominate the pipeline;
+    recomputing it per stage tripled the wall time in bench).  Callers
+    should ``.persist()`` this when feeding multiple consumers."""
+    return docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__sh")
+    ).where(F.size("__sh") > 0)
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -59,12 +72,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = 12,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """doc -> k-component MinHash signature over word n-gram shingles."""
-    sh = shingles(F.col(text_col), n)
-    d = docs.select(F.col(id_col), sh.alias("__sh")).where(F.size("__sh") > 0)
+    """doc -> k-component MinHash signature over word n-gram shingles.
+    Pass ``shingled`` (from :func:`shingle_docs`, persisted) to avoid
+    recomputing the shingle sets."""
+    d = shingled if shingled is not None else shingle_docs(docs, text_col, id_col, n)
     return d.select(
-        id_col, *[minhash_sig(F.col("__sh"), s).alias(f"h{s}") for s in range(k)]
+        F.col("id").alias(id_col),
+        *[minhash_sig(F.col("__sh"), s).alias(f"h{s}") for s in range(k)],
     )
 
 
@@ -113,6 +129,7 @@ def jaccard_pairs_exact(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.
 
@@ -124,11 +141,9 @@ def jaccard_pairs_exact(
     Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over integer counts —
     engine-exact arithmetic.
     """
-    d = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh")).where(
-        F.size("__sh") > 0
-    )
-    sizes = d.select(F.col(id_col).alias("id"), F.size("__sh").alias("n_sh"))
-    postings = d.select(F.col(id_col).alias("id"), F.explode("__sh").alias("sh"))
+    d = shingled if shingled is not None else shingle_docs(docs, text_col, id_col, n)
+    sizes = d.select(F.col("id"), F.size("__sh").alias("n_sh"))
+    postings = d.select(F.col("id"), F.explode("__sh").alias("sh"))
     if max_df is not None:
         keep = (
             postings.groupBy("sh")

