@@ -1,0 +1,183 @@
+"""Batch pipeline entry points — the reference's four jobs, Spark-first.
+
+    raw (xlsx/fixture) --ingest_to_bronze--> bronze parquet (date-partitioned)
+        --build_feature_views--> gold parquet (features_customer)
+            +--materialize_online_job--> online hash store
+            +--make_training--> training set -> model artifacts
+
+Each stage is a pure DataFrame program ending in a declarative sink, so the
+whole pipeline is restatable as Delta/Iceberg jobs on a cluster unchanged.
+Citations: jobs/ingest_xlsx_to_parquet.py, jobs/build_feature_views.py,
+jobs/materialize_online.py, jobs/make_training_and_train.py (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import write_date_partitioned
+from .ml.artifacts import save_artifacts
+from .ml.training import build_training_set
+from .operators.encode import group_mode, topk_categories
+from .operators.normalize import normalize_orders_raw
+from .operators.pit import interval_existence_labels, latest_per_key
+from .operators.window_features import build_customer_features
+
+__all__ = [
+    "read_excel_sheets",
+    "ingest_to_bronze",
+    "build_feature_views",
+    "materialize_online_job",
+    "make_training",
+]
+
+
+def read_excel_sheets(spark: SparkSession, xlsx_path: str) -> DataFrame:
+    """S1 Excel multi-sheet scan: every sheet, UNION ALL, Arrow-batched into
+    a DataFrame (``jobs/ingest_xlsx_to_parquet.py:8-11``).  xlsx parsing is
+    inherently single-node (openpyxl; import-gated — not installed here);
+    for real volume, land the xlsx as parquet first and let Spark scan that.
+    """
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pandas required for excel ingest") from e
+    try:
+        xl = pd.ExcelFile(xlsx_path)
+    except ImportError as e:
+        raise RuntimeError(
+            "openpyxl not installed in this environment; provide the fixture "
+            "as parquet/DataFrame instead (FIXTURES.md §1 contract)"
+        ) from e
+    frames = [xl.parse(sheet) for sheet in xl.sheet_names]
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def ingest_to_bronze(spark: SparkSession, raw: DataFrame, bronze_path: str) -> None:
+    """Normalize (P1-P8) + date-partitioned bronze sink (S3)."""
+    write_date_partitioned(normalize_orders_raw(raw), bronze_path, "invoice_date")
+
+
+def build_feature_views(
+    spark: SparkSession,
+    bronze_path: str,
+    gold_path: str,
+    windows: dict[str, int] | None = None,
+) -> None:
+    """Bronze -> W1-W6 window family + A2 country mode -> gold sink.
+
+    The reference's per-customer Python loop (``jobs/build_feature_views.py:24``)
+    is one window pass here; the per-customer mode country (``:59``) is a
+    second tiny aggregation joined back on the entity key.
+    """
+    bronze = spark.read.parquet(bronze_path)
+    feats = build_customer_features(bronze.drop("country"), windows=windows)
+    mode = group_mode(bronze, "customer_id", "country").select(
+        "customer_id", F.col("country_mode").alias("country")
+    )
+    # Gold contract (FIXTURES.md §3): keys + windowed features + tenure +
+    # mode country — raw line columns stay in bronze.
+    wnames = (windows or {"1d": 1, "7d": 7, "30d": 30}).keys()
+    feature_cols = [
+        f"{base}_{w}"
+        for base in ("txn_count", "spend", "unique_skus", "avg_basket_value", "cancel_rate")
+        for w in wnames
+    ]
+    gold = feats.select("customer_id", "t_ref", *feature_cols, "tenure_days").join(
+        mode, "customer_id", "left"
+    )
+    write_date_partitioned(gold, gold_path, "t_ref")
+
+
+def materialize_online_job(
+    spark: SparkSession,
+    gold_path: str,
+    feature_cols: list[str],
+    client_factory,
+    onehot_categories: list[str] | None = None,
+    limit: int | None = None,
+    ttl_seconds: int | None = None,
+) -> int:
+    """Gold -> deterministic latest-per-customer (A4) -> hash-store sink (S5).
+    Returns the number of entities materialized."""
+    from .sources.redis_sink import materialize_online
+
+    gold = spark.read.parquet(gold_path)
+    latest = latest_per_key(gold, "customer_id", "t_ref", "t_ref")
+    if limit:
+        latest = latest.limit(limit)
+    n = latest.count()
+    materialize_online(
+        latest,
+        feature_cols,
+        onehot_categories=onehot_categories,
+        client_factory=client_factory,
+        ttl_seconds=ttl_seconds,
+    )
+    return n
+
+
+def make_training(
+    spark: SparkSession,
+    bronze_path: str,
+    gold_path: str,
+    model_dir: str,
+    horizon_days: int = 30,
+    time_cutoff: str | None = None,
+    top_k_countries: int = 10,
+):
+    """Labels (J2) -> training set (J1+J4) -> fit -> artifacts (S8).
+
+    Divergences from the reference, by design (SURVEY.md §7.4): deduped label
+    spine, true time-cutoff split, contract categories from a one-time top-k.
+    The model fit runs at the driver on the aggregated frame (toPandas) —
+    LightGBM-shaped work stays out of the Spark plan; here the protocol-typed
+    LinearStubModel stands in (lightgbm not installed).
+    """
+    import numpy as np
+
+    from .ml.scoring import LinearStubModel
+
+    bronze = spark.read.parquet(bronze_path)
+    gold = spark.read.parquet(gold_path)
+
+    purchases = bronze.where(~F.col("is_cancel") & (F.col("quantity") > 0))
+    labels = interval_existence_labels(
+        gold.select("customer_id", F.col("t_ref")),
+        purchases.select("customer_id", F.col("invoice_date")),
+        key="customer_id",
+        spine_ts="t_ref",
+        event_ts="invoice_date",
+        horizon_days=horizon_days,
+        label_col="churn_30d",
+    )
+    cats = [
+        r[0]
+        for r in topk_categories(gold.where(F.col("country").isNotNull()), "country", top_k_countries)
+        .select("country")
+        .collect()
+    ]
+    ts = build_training_set(
+        gold, labels, cat_col="country", cat_categories=sorted(cats), time_cutoff=time_cutoff
+    )
+    numeric = {
+        c for c, t in ts.dtypes if t in ("double", "int", "bigint", "float", "smallint")
+    }
+    feature_names = [
+        c
+        for c in ts.columns
+        if c in numeric
+        and c not in ("customer_id", "churn_30d", "is_train")
+    ]
+    pdf = ts.select(*feature_names, "churn_30d").toPandas()
+    X = pdf[feature_names].to_numpy(dtype="float64", na_value=0.0)
+    y = pdf["churn_30d"].to_numpy(dtype="float64")
+    # deterministic closed-form ridge-ish fit (stands in for LightGBM)
+    scale = np.abs(X).max(axis=0)
+    scale[scale == 0] = 1.0
+    w = (X / scale).T @ y / max(len(y), 1)
+    model = LinearStubModel(weights=tuple((w / scale).tolist()), bias=float(y.mean()) * 0.0)
+    metrics = {"n_rows": int(len(y)), "pos_rate": float(y.mean())}
+    paths = save_artifacts(model_dir, model, feature_names, metrics)
+    return model, feature_names, paths

@@ -1299,3 +1299,69 @@ def q_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "country__household", "country__machinery",
         "is_train",
     )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: JSON column functions (SURVEY.md §2.8) + hierarchical rollup
+# ---------------------------------------------------------------------------
+
+_PROPS_JSON_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  (CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50) AS k_high
+FROM events
+WHERE props IS NOT NULL
+"""
+
+
+@register("events_props_json", oracle=_PROPS_JSON_ORACLE, tags=("json",))
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json/get_json_object over the events.props string column — the
+    semi-structured payload path (JSON stays JVM-side, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.where(F.col("props").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        k.alias("k_value"),
+        (k >= 50).alias("k_high"),
+    )
+
+
+_REVENUE_ROLLUP_ORACLE = """
+SELECT
+  r.r_name,
+  n.n_name,
+  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+@register("revenue_rollup", oracle=_REVENUE_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region -> nation -> grand total) — the grouping-
+    sets surface the reference lacks entirely; partial aggregation applies
+    per grouping set."""
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation", "region"))
+    c = F.broadcast(t["customer"].select("c_custkey", "c_nationkey"))
+    n = F.broadcast(t["nation"])
+    r = F.broadcast(t["region"])
+    joined = (
+        t["orders"]
+        .join(c, t["orders"].o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

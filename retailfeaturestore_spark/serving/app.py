@@ -1,0 +1,118 @@
+"""HTTP serving app factory — FastAPI parity with ``serving/app.py``.
+
+Endpoint contract (first-registration semantics of the reference, SURVEY.md
+§7.4.7: the reference registers /predict three times and FastAPI routes to
+the FIRST — the variant returning ``log_path``/``log_error``; that is the
+contract reproduced here, once, without the dead duplicates):
+
+- ``POST /predict`` {customer_id, t_ref?, threshold?} ->
+  {customer_id, probability, prediction, threshold, t_ref, latency_ms,
+   log_path, log_error}
+- ``GET /health``  -> {status, mode, rows|keys}
+- ``POST /refresh`` -> {rows} (offline cache reload)
+
+FastAPI/uvicorn are not installed in this environment, so ``create_app`` is
+import-gated; ``predict_once`` holds the full request pipeline (lookup ->
+align -> score -> log) and is directly testable + reused by the CLI
+(local_infer parity).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..sources.pred_log import log_prediction
+from .feature_service import OfflineFeatureService, row_to_vector
+
+__all__ = ["ServingContext", "predict_once", "create_app"]
+
+
+@dataclass
+class ServingContext:
+    service: OfflineFeatureService
+    model: object                      # predict_proba protocol
+    feature_names: list[str]
+    model_artifact: str = "model"
+    cat_col: str | None = "country"
+    pred_log_dir: str | None = None
+    threshold: float = 0.5
+
+
+def predict_once(
+    ctx: ServingContext, customer_id: int, t_ref=None, threshold: float | None = None
+) -> dict:
+    """The /predict pipeline: as-of lookup -> contract alignment -> score ->
+    audit log (failure to log never fails the request — log_error carries it,
+    matching the first-registered reference handler)."""
+    t0 = time.time()
+    thr = ctx.threshold if threshold is None else float(threshold)
+    snap = ctx.service.get_snapshot(customer_id, as_of=t_ref)
+    if snap is None:
+        return {
+            "customer_id": customer_id,
+            "error": "customer not found",
+            "latency_ms": (time.time() - t0) * 1000.0,
+        }
+    x = row_to_vector(snap, ctx.feature_names, cat_col=ctx.cat_col)
+    proba = float(ctx.model.predict_proba(np.asarray([x], dtype="float64"))[0, 1])
+    latency_ms = (time.time() - t0) * 1000.0
+    log_path, log_error = None, None
+    if ctx.pred_log_dir:
+        try:
+            log_path = log_prediction(
+                ctx.pred_log_dir,
+                customer_id=customer_id,
+                probability=proba,
+                threshold=thr,
+                latency_ms=latency_ms,
+                model_artifact=ctx.model_artifact,
+                t_ref=snap.get("t_ref"),
+                features=dict(zip(ctx.feature_names, x)),
+            )
+        except Exception as e:  # pragma: no cover - IO failure path
+            log_error = str(e)
+    return {
+        "customer_id": customer_id,
+        "probability": proba,
+        "prediction": int(proba >= thr),
+        "threshold": thr,
+        "t_ref": str(snap.get("t_ref")),
+        "latency_ms": latency_ms,
+        "log_path": log_path,
+        "log_error": log_error,
+    }
+
+
+def create_app(ctx: ServingContext):
+    """FastAPI app factory (import-gated: fastapi absent here by design)."""
+    try:
+        from fastapi import FastAPI  # type: ignore[import-not-found]
+        from pydantic import BaseModel  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "fastapi/pydantic not installed; use predict_once() directly"
+        ) from e
+
+    class PredictRequest(BaseModel):
+        customer_id: int
+        t_ref: str | None = None
+        threshold: float | None = None
+
+    app = FastAPI()
+
+    @app.post("/predict")
+    def predict(req: PredictRequest):
+        return predict_once(ctx, req.customer_id, req.t_ref, req.threshold)
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok", "mode": "offline", "rows": ctx.service.row_count()}
+
+    @app.post("/refresh")
+    def refresh():
+        return {"rows": ctx.service.refresh()}
+
+    return app
