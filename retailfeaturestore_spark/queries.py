@@ -1365,3 +1365,31 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_FIRST_EVENT_ORACLE = """
+SELECT user_id,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 86400000000.0) AS BIGINT)
+         AS active_days
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("first_event_per_user", oracle=_FIRST_EVENT_ORACLE, tags=("agg", "pit"))
+def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 group-min first event (+ span stats): the profile aggregate behind
+    tenure (jobs/build_feature_views.py:57), standalone form."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(86_400_000_000.0)
+        ).alias("active_days"),
+    )

@@ -68,6 +68,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # local metastore/warehouse for bucketed-table tests (static conf —
+        # must be set before the first session in the JVM)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/rfs-spark-warehouse"),
+        )
     )
     if master is not None:
         builder = builder.master(master)

@@ -104,3 +104,30 @@ def test_score_batch_fills_missing_contract_columns(spark):
     df = spark.createDataFrame([(1, 0.25)], "id int, a double")  # no column b
     out = score_batch(spark, df, model).collect()[0]
     assert abs(out.probability - 0.25) < 1e-12
+
+
+def test_online_feature_service_typed_decode():
+    from retailfeaturestore_spark.serving.feature_service import OnlineFeatureService
+
+    class FakeClient:
+        def hgetall(self, key):
+            assert key == "fs:customer:7"
+            return {
+                b"spend_30d": b"12.5",
+                b"country__UK": b"1",
+                b"meta:t_ref": b"2024-01-02T03:04:05",
+                b"weird": b"not-a-float",
+            }
+
+    svc = OnlineFeatureService(FakeClient())
+    snap = svc.get_snapshot(7)
+    assert snap["spend_30d"] == 12.5            # float parse
+    assert snap["country__UK"] == 1.0
+    assert snap["meta:t_ref"] == "2024-01-02T03:04:05"  # meta stays string
+    assert snap["weird"] == "not-a-float"       # string fallback
+
+    class EmptyClient:
+        def hgetall(self, key):
+            return {}
+
+    assert OnlineFeatureService(EmptyClient()).get_snapshot(1) is None
