@@ -1393,3 +1393,167 @@ def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(86_400_000_000.0)
         ).alias("active_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-analytics extensions: percentiles, sliding windows, session windows,
+# lead/lag/rank — surface the reference lacks, standard for a feature store.
+# ---------------------------------------------------------------------------
+
+_PERCENTILES_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("value_percentiles", oracle=_PERCENTILES_ORACLE, tags=("agg",))
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont: both linear-interpolate over the sorted set — verified
+    bit-identical).  For 100 TB use approx_percentile (documented opt-in:
+    t-digest, oracle becomes rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT
+  ws                     AS window_start,
+  ws + INTERVAL 7 DAY    AS window_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM (
+  SELECT date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS ws, value
+  FROM events, range(0, 7) t(k)
+)
+GROUP BY ws
+"""
+
+
+@register("events_sliding_7d_daily", oracle=_SLIDING_ORACLE, tags=("window", "streaming"))
+def q_events_sliding_7d_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (7-day width, 1-day slide): each event
+    lands in 7 epoch-aligned windows; partial aggregation applies per
+    window replica.  Same operator powers the streaming sliding variant."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts)                        AS session_start,
+       max(ts) + INTERVAL 30 MINUTE   AS session_end,
+       CAST(count(*) AS BIGINT)       AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register("events_session_windows", oracle=_SESSION_ORACLE, tags=("window", "streaming"))
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute inactivity gap) per user.
+    Spark merge semantics: events chain while the gap is STRICTLY under 30
+    minutes; session_end = last event + gap.  The SQL oracle reproduces this
+    with the lag-and-running-sum islands technique — which is also the
+    batch-backfill formulation when reprocessing history."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+_ORDER_ANALYTICS_ORACLE = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  o_orderdate,
+  o_totalprice,
+  CAST(floor((epoch_us(o_orderdate)
+       - epoch_us(lag(o_orderdate) OVER w_seq)) / 86400000000.0) AS BIGINT)
+    AS days_since_prev,
+  lead(o_orderdate) OVER w_seq AS next_order_date,
+  CAST(row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+    AS value_rank
+FROM orders
+WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("order_sequence_analytics", oracle=_ORDER_ANALYTICS_ORACLE, tags=("window",))
+def q_order_sequence_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/rank sequence analytics per customer (inter-purchase gaps,
+    next-order lookahead, per-customer value rank) — deterministic tiebreaks
+    on the order key; one shuffle serves both window specs."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.floor(
+            (F.unix_micros("o_orderdate") - F.unix_micros(F.lag("o_orderdate").over(w_seq)))
+            / F.lit(86_400_000_000.0)
+        ).alias("days_since_prev"),
+        F.lead("o_orderdate").over(w_seq).alias("next_order_date"),
+        F.row_number().over(w_rank).cast("long").alias("value_rank"),
+    )
