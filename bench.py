@@ -36,6 +36,11 @@ HEADLINE = [
     "dedup_minhash",
     "knn_cosine_bruteforce",
     "text_lang_id",
+    "events_session_windows",
+    "events_sliding_7d_daily",
+    "value_percentiles",
+    "revenue_rollup",
+    "order_sequence_analytics",
 ]
 
 RUNS = 2

@@ -1,0 +1,63 @@
+"""Declarative data-quality gates for pipeline boundaries.
+
+The reference DECLARES great-expectations/evidently in requirements but never
+imports either (SURVEY.md §0) — quality checking is an aspirational no-op
+there.  This module supplies the minimal real thing: expectations evaluated
+in ONE aggregation pass (a single job over the table, no per-check scans),
+returning a structured report the pipeline can gate on.
+
+Scale shape: every expectation compiles to an aggregate expression; the
+whole suite is one partial+final aggregation regardless of how many checks
+run.  100 TB cost = one scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expect_not_null", "expect_between", "expect_unique_key", "run_checks"]
+
+
+@dataclass
+class Check:
+    name: str
+    # aggregate producing the number of VIOLATIONS
+    violations: Column
+
+
+def expect_not_null(col: str) -> Check:
+    return Check(
+        name=f"not_null({col})",
+        violations=F.sum(F.col(col).isNull().cast("long")),
+    )
+
+
+def expect_between(col: str, lo, hi) -> Check:
+    bad = ~F.col(col).between(F.lit(lo), F.lit(hi)) | F.col(col).isNull()
+    return Check(name=f"between({col},{lo},{hi})", violations=F.sum(bad.cast("long")))
+
+
+def expect_unique_key(*cols: str) -> Check:
+    # distinct-count shortfall = duplicate key rows
+    return Check(
+        name=f"unique_key({','.join(cols)})",
+        violations=F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]),
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> dict:
+    """Evaluate the whole suite in one aggregation; returns
+    {'passed': bool, 'n_rows': int, 'violations': {check: count}}."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[c.violations.alias(f"__c{i}") for i, c in enumerate(checks)],
+    ).collect()[0]
+    violations = {c.name: int(row[f"__c{i}"] or 0) for i, c in enumerate(checks)}
+    return {
+        "passed": all(v == 0 for v in violations.values()),
+        "n_rows": int(row["__n"]),
+        "violations": violations,
+    }

@@ -1,0 +1,57 @@
+"""Continuous online materialization: stream -> foreachBatch -> online store.
+
+The streaming upgrade of ``jobs/materialize_online.py`` (which republishes a
+full batch snapshot each run): each micro-batch reduces to latest-per-entity
+WITHIN the batch and upserts only those entities' hashes — incremental,
+idempotent (last-write-wins per entity), and it reuses the batch sink
+verbatim (``sources/redis_sink.materialize_online``), which is the whole
+point of foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.pit import latest_per_key
+from ..sources.redis_sink import materialize_online
+
+__all__ = ["stream_materialize_online"]
+
+
+def stream_materialize_online(
+    snapshots_stream: DataFrame,
+    feature_cols: list[str],
+    client_factory,
+    entity_col: str = "customer_id",
+    ts_col: str = "t_ref",
+    tiebreak_col: str | None = None,
+    onehot_categories: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start the continuous materializer; returns the StreamingQuery.
+
+    Within each micro-batch the per-entity latest row wins (deterministic
+    tiebreak); across batches Redis HSET last-write-wins gives the same
+    result as the reference's full republish, at per-batch cost.
+    """
+    tb = tiebreak_col or ts_col
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        latest = latest_per_key(batch_df, entity_col, ts_col, tb)
+        materialize_online(
+            latest,
+            feature_cols,
+            entity_col=entity_col,
+            ts_col=ts_col,
+            cat_col=None,
+            onehot_categories=onehot_categories,
+            client_factory=client_factory,
+        )
+
+    writer = snapshots_stream.writeStream.foreachBatch(publish)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,112 @@
+"""CLI scoring surface, quality-check gate, streaming foreachBatch sink."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from retailfeaturestore_spark.jobs import build_feature_views, ingest_to_bronze, make_training
+from retailfeaturestore_spark.operators.quality_checks import (
+    expect_between,
+    expect_not_null,
+    expect_unique_key,
+    run_checks,
+)
+from retailfeaturestore_spark.serving.cli import main as cli_main
+from retailfeaturestore_spark.sources.redis_sink import DictRedis
+from retailfeaturestore_spark.streaming.materialize import stream_materialize_online
+
+
+def _mini_gold(spark, tmp_path):
+    rows = [
+        ("I1", "s1", "d", "2", "2011-01-10 10:00:00", "3.5", "1", "UK"),
+        ("I2", "s2", "d", "1", "2011-02-10 10:00:00", "4.0", "1", "UK"),
+        ("I3", "s3", "d", "1", "2011-02-11 10:00:00", "5.0", "2", "FR"),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        ["Invoice", "StockCode", "Description", "Quantity",
+         "InvoiceDate", "Price", "Customer ID", "Country"],
+    )
+    ingest_to_bronze(spark, raw, str(tmp_path / "bronze"))
+    build_feature_views(spark, str(tmp_path / "bronze"), str(tmp_path / "gold"))
+    make_training(spark, str(tmp_path / "bronze"), str(tmp_path / "gold"), str(tmp_path / "model"))
+    return str(tmp_path / "gold"), str(tmp_path / "model")
+
+
+def test_cli_single_and_batch(spark, tmp_path, capsys):
+    gold, model_dir = _mini_gold(spark, tmp_path)
+    rc = cli_main(["--gold", gold, "--model-dir", model_dir,
+                   "single", "--customer-id", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["customer_id"] == 1 and 0.0 <= out["probability"] <= 1.0
+
+    rc = cli_main(["--gold", gold, "--model-dir", model_dir,
+                   "batch", "--out", str(tmp_path / "scores")])
+    assert rc == 0
+    back = spark.read.option("header", "true").csv(str(tmp_path / "scores"))
+    assert back.count() == 2  # one latest row per customer
+    assert {"customer_id", "probability", "prediction", "t_ref"} <= set(back.columns)
+
+    rc = cli_main(["--gold", gold, "--model-dir", model_dir,
+                   "single", "--customer-id", "404"])
+    assert rc == 1  # missing customer -> nonzero exit
+
+
+def test_quality_checks_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, 200.0)], "id int, v double"
+    )
+    report = run_checks(
+        df,
+        [expect_not_null("v"), expect_between("v", 0, 100), expect_unique_key("id")],
+    )
+    assert report["n_rows"] == 3 and not report["passed"]
+    assert report["violations"]["not_null(v)"] == 1
+    assert report["violations"]["between(v,0,100)"] == 2  # null + 200.0
+    assert report["violations"]["unique_key(id)"] == 1
+
+    clean = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id int, v double")
+    assert run_checks(clean, [expect_not_null("v"), expect_unique_key("id")])["passed"]
+
+
+def test_stream_materialize_foreachbatch(spark, tmp_path):
+    """readStream over gold-shaped parquet -> foreachBatch -> hash-store fake:
+    the continuous online materialization path."""
+    src = tmp_path / "goldstream"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0), (1, "2024-01-02 00:00:00", 7.0),
+         (2, "2024-01-01 12:00:00", 9.0)],
+        "customer_id int, t_ref string, spend_30d double",
+    ).withColumn("t_ref", F.col("t_ref").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(src / "batch0"))
+    for f in glob.glob(str(src / "batch0") + "/*.parquet"):
+        shutil.move(f, str(src / os.path.basename(f)))
+    shutil.rmtree(str(src / "batch0"))
+
+    sink_dir = str(tmp_path / "online")
+    os.makedirs(sink_dir)
+
+    class FileRedis(DictRedis):
+        def hset(self, key, mapping):
+            with open(f"{sink_dir}/{key.replace(':', '_')}.json", "w") as f:
+                json.dump({"key": key, **mapping}, f)
+
+    stream = (
+        spark.readStream.schema("customer_id int, t_ref timestamp, spend_30d double")
+        .parquet(str(src))
+    )
+    q = stream_materialize_online(
+        stream, ["spend_30d"], FileRedis,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    files = sorted(glob.glob(f"{sink_dir}/*.json"))
+    assert len(files) == 2
+    rec1 = json.load(open(f"{sink_dir}/fs_customer_1.json"))
+    assert rec1["spend_30d"] == "7.0"  # latest-per-entity within the batch won
