@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["attach_payload", "payload_meta", "extract_features"]
+__all__ = [
+    "attach_payload",
+    "payload_meta",
+    "extract_features",
+    "frame_sample",
+    "resize_stub",
+]
 
 FEATURE_DIM = 8
 
@@ -110,4 +116,90 @@ def extract_features(
 
     return docs_with_payload.select(F.col(id_col), "payload").mapInPandas(
         _extract, FEATURE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def frame_sample(
+    docs_with_payload: DataFrame,
+    id_col: str = "doc_id",
+    frame_size: int = 64,
+    stride: int = 256,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video-style frame sampling over binary payloads (mapInPandas):
+    one output row per sampled frame (fixed-size byte window every
+    ``stride`` bytes, capped).  With real video this is the
+    every-Nth-keyframe decode; the chunking/batching/explode shape is
+    identical.  Output rows carry only the sampled bytes — the full payload
+    never re-enters the plan after this stage."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, lens = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for i in range(max_frames):
+                    off = i * stride
+                    if off >= len(payload):
+                        break
+                    chunk = bytes(payload[off : off + frame_size])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames, "frame_len": lens}
+            )
+
+    return docs_with_payload.select(F.col(id_col), "payload").mapInPandas(
+        _sample, FRAME_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+
+def resize_stub(
+    docs_with_payload: DataFrame, id_col: str = "doc_id", target_bytes: int = 32
+) -> DataFrame:
+    """Image-resize seam (mapInPandas).  STUB: real implementation decodes
+    with PIL/libjpeg (unavailable here) and re-encodes at target resolution;
+    the deterministic fake downsamples the byte stream to ``target_bytes``
+    by even striding, preserving the batch/schema contract."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if len(b) <= target_bytes:
+                    out.append(b)
+                else:
+                    step = max(len(b) // target_bytes, 1)
+                    out.append(b[::step][:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "resized": out,
+                    "n_bytes_out": [len(x) for x in out],
+                }
+            )
+
+    return docs_with_payload.select(F.col(id_col), "payload").mapInPandas(
+        _resize, RESIZED_SCHEMA
     )

@@ -1557,3 +1557,57 @@ def q_order_sequence_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w_seq).alias("next_order_date"),
         F.row_number().over(w_rank).cast("long").alias("value_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins — absent from the reference (SURVEY.md §2.5), standard
+# feature-store filters (active/churned entity selection).
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("customers_with_urgent_orders", oracle=_SEMI_ORACLE, tags=("join", "semi"))
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: entity selection by existence — no row duplication,
+    the probe side never materializes matched rows."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+"""
+
+
+@register("customers_without_recent_orders", oracle=_ANTI_ORACLE, tags=("join", "anti"))
+def q_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: churn-candidate selection (no orders since cutoff) —
+    the date predicate pushes into the build side before the anti join."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        t["customer"]
+        .join(recent, t["customer"].c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

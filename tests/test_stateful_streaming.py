@@ -1,0 +1,72 @@
+"""applyInPandasWithState: running per-user totals must survive across
+micro-batches and converge to the batch aggregation."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from retailfeaturestore_spark.streaming.stateful import running_user_totals
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_running_totals_converge_to_batch(spark, tmp_path):
+    # stage the events into TWO files so maxFilesPerTrigger=1 yields two
+    # micro-batches -> state must carry over
+    from retailfeaturestore_spark.io import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "value")
+    stage = tmp_path / "stream"
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(str(stage / "a"))
+    ev.where("event_id % 2 = 1").coalesce(1).write.parquet(str(stage / "b"))
+    import glob as g
+    import os
+    files = sorted(g.glob(str(stage / "*" / "*.parquet")))
+    for i, f in enumerate(files):
+        shutil.move(f, str(stage / f"part-{i}.parquet"))
+    for d in ("a", "b"):
+        shutil.rmtree(str(stage / d))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    name = f"totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends each batch's emissions: take the
+    # LAST emission per user
+    final = {
+        r.user_id: r
+        for r in spark.table(name)
+        .withColumn("__i", F.monotonically_increasing_id())
+        .orderBy("__i")
+        .collect()
+    }
+    expected = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100)) / 100.0).alias("value_sum"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, exp in expected.items():
+        got = final[uid]
+        assert got.n_events == exp.n_events, uid
+        assert abs(got.value_sum - exp.value_sum) < 1e-9, uid
+        assert got.last_ts == exp.last_ts, uid

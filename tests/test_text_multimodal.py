@@ -61,3 +61,27 @@ def test_multimodal_raise_stub_marks_real_decoder_seam(spark):
     d = attach_payload(docs(spark, [(1, "x")]))
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_features(d, decode_stub="raise").collect()
+
+
+def test_frame_sample_chunks_payload(spark):
+    from retailfeaturestore_spark.operators.multimodal import frame_sample
+
+    d = attach_payload(docs(spark, [(1, "x" * 1000), (2, "short")]))
+    frames = frame_sample(d, frame_size=64, stride=256, max_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 4            # 1000 bytes / 256 stride -> 4 frames
+    assert all(r.frame_len == 64 for r in by_doc[1][:3])
+    assert len(by_doc[2]) == 1 and by_doc[2][0].frame_len == 5
+
+
+def test_resize_stub_deterministic_downsample(spark):
+    from retailfeaturestore_spark.operators.multimodal import resize_stub
+
+    d = attach_payload(docs(spark, [(1, "abcdefgh" * 100), (2, "tiny")]))
+    out = {r.doc_id: r for r in resize_stub(d, target_bytes=32).collect()}
+    assert out[1].n_bytes_out == 32
+    assert out[2].n_bytes_out == 4        # smaller than target -> unchanged
+    out2 = {r.doc_id: r.resized for r in resize_stub(d, target_bytes=32).collect()}
+    assert bytes(out2[1]) == bytes(out[1].resized)  # deterministic
