@@ -9,7 +9,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["guarded_div", "clip", "indicator", "not_null_filter"]
+__all__ = [
+    "guarded_div",
+    "clip",
+    "indicator",
+    "not_null_filter",
+    "cents",
+    "from_cents",
+    "money_sum",
+]
+
+
+def cents(col: Column, scale: int = 2) -> Column:
+    """Fixed-decimal value -> exact long 'cents': ``round(x * 10^scale)::long``.
+
+    The scaled double is within ~1e-11 of an integer (inputs have <= scale
+    decimals), so round() is unambiguous in every engine; summing the longs
+    is exact and order-independent — the fast-path alternative to DECIMAL
+    accumulation (~2x: primitive codegen vs BigDecimal).  Overflow bound:
+    group sums must stay < 2^63 / 10^scale; at extreme row counts switch to
+    DECIMAL or two-tier summation.
+    """
+    return F.round(col * F.lit(float(10**scale))).cast("long")
+
+
+def from_cents(col: Column, scale: int = 2) -> Column:
+    return col / F.lit(float(10**scale))
+
+
+def money_sum(col: Column, scale: int = 2) -> Column:
+    """groupBy form: ``sum(cents(x)) / 10^scale`` (double)."""
+    return from_cents(F.sum(cents(col, scale)), scale)
 
 
 def guarded_div(num: Column, denom: Column) -> Column:

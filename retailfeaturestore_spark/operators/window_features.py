@@ -35,11 +35,12 @@ Scale notes (100 TB):
 
 Determinism note: floating-point summation is order-dependent, so windowed
 SUMs over doubles are not bit-reproducible across engines (or even across
-shuffles).  Monetary inputs are fixed-decimal, so the engine optionally
-accumulates them as DECIMAL (exact, order-independent) and casts the final
-sum back to double — ``amount_decimal=(p, s)``.  This is what makes the
-DuckDB differential oracle hash-match, and at scale it also makes feature
-builds reproducible run-over-run.
+shuffles).  Monetary inputs are fixed-decimal, so the engine accumulates
+them as exact long 'cents' (``functions.expressions.cents`` — round to the
+input's decimal scale, sum integers, divide back): order-independent,
+bit-reproducible, and on the primitive-long codegen fast path (~2x over
+DECIMAL aggregation).  ``amount_scale`` sets the quantization (None ->
+plain double sums, NOT cross-engine reproducible).
 """
 
 from __future__ import annotations
@@ -47,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-from ..functions.expressions import clip, guarded_div
+from ..functions.expressions import cents, clip, from_cents, guarded_div
 
 __all__ = [
     "MICROS_PER_DAY",
@@ -98,7 +99,7 @@ def build_customer_features(
     cancel_col: str = "is_cancel",
     round_to: int | None = None,
     approx_unique: bool = False,
-    amount_decimal: tuple[int, int] | None = (18, 4),
+    amount_scale: int | None = 4,
 ) -> DataFrame:
     """Bronze order lines -> gold per-line feature snapshots (W1-W6).
 
@@ -114,9 +115,8 @@ def build_customer_features(
     cancel = F.col(cancel_col).cast("long")
     # P7: cancel lines contribute 0 spend (jobs/build_feature_views.py:15).
     spend = F.when(~F.col(cancel_col), F.col(amount_col)).otherwise(F.lit(0.0))
-    if amount_decimal is not None:
-        p, s = amount_decimal
-        spend = spend.cast(f"decimal({p},{s})")
+    if amount_scale is not None:
+        spend = cents(spend, amount_scale)
 
     df = bronze.withColumns(
         {
@@ -134,9 +134,13 @@ def build_customer_features(
         return F.size(F.collect_set(sku_col).over(w)).cast("double")
 
     def fam(w: WindowSpec) -> dict[str, Column]:
-        # Integer counts are exact; spend sums are exact when decimal-typed.
+        # Integer counts are exact; spend sums are exact long-cents sums.
         txn_c = F.sum("__txn").over(w).cast("double")
-        spend_c = F.sum("__spend").over(w).cast("double")
+        spend_c = F.sum("__spend").over(w)
+        spend_c = (
+            from_cents(spend_c, amount_scale) if amount_scale is not None
+            else spend_c.cast("double")
+        )
         cancel_c = F.sum("__cancel").over(w).cast("double")
         return {
             "txn_count": txn_c,
@@ -178,7 +182,7 @@ def user_activity_features(
     events: DataFrame,
     windows: dict[str, int] | None = None,
     round_to: int | None = None,
-    amount_decimal: tuple[int, int] | None = (18, 6),
+    amount_scale: int | None = 6,
 ) -> DataFrame:
     """The same W1-W6 family expressed over the ``events`` stream table
     (user_id/ts/event_type/value) — the driver-testdata face of the feature
@@ -186,14 +190,14 @@ def user_activity_features(
     """
     windows = windows or {"1d": 1, "7d": 7}
     val = F.col("value")
-    if amount_decimal is not None:
-        p, s_ = amount_decimal
-        val = val.cast(f"decimal({p},{s_})")
+    if amount_scale is not None:
+        val = cents(val, amount_scale)
     df = events.withColumns({_TS_US: F.unix_micros(F.col("ts")), "__val": val})
 
     def fam(w: WindowSpec) -> dict[str, Column]:
         n = F.count(F.lit(1)).over(w).cast("long")
-        s = F.sum("__val").over(w).cast("double")
+        s = F.sum("__val").over(w)
+        s = from_cents(s, amount_scale) if amount_scale is not None else s.cast("double")
         err = F.sum((F.col("event_type") == "error").cast("long")).over(w).cast("double")
         return {
             "event_count": n,

@@ -31,6 +31,7 @@ from .operators.pit import (
     interval_existence_labels,
     latest_per_key,
 )
+from .functions.expressions import money_sum
 from .operators.window_features import build_customer_features, user_activity_features
 
 # Frozen category contract (the engine's feature_names.txt analogue — computed
@@ -161,8 +162,8 @@ def _feature_window_block(w: str) -> str:
     txn = f"CAST(sum(CASE WHEN is_cancel THEN 0 ELSE 1 END) OVER w_{w} AS DOUBLE)"
     cancel = f"CAST(sum(CASE WHEN is_cancel THEN 1 ELSE 0 END) OVER w_{w} AS DOUBLE)"
     spend = (
-        f"CAST(sum(CAST(CASE WHEN is_cancel THEN 0.0 ELSE line_amount END"
-        f" AS DECIMAL(18,4))) OVER w_{w} AS DOUBLE)"
+        f"(CAST(sum(CAST(round((CASE WHEN is_cancel THEN 0.0 ELSE line_amount END)"
+        f" * 10000.0) AS BIGINT)) OVER w_{w} AS DOUBLE) / 10000.0)"
     )
     uniq = f"CAST(count(DISTINCT stock_code) OVER w_{w} AS DOUBLE)"
     return ",\n    ".join(
@@ -208,9 +209,9 @@ WITH feat AS (
   SELECT
     event_id, user_id, ts, event_type, value,
     CAST(count(*) OVER w_1d AS BIGINT)  AS event_count_1d,
-    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w_1d AS DOUBLE) AS value_sum_1d,
+    (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w_1d AS DOUBLE) / 1000000.0) AS value_sum_1d,
     CAST(count(DISTINCT event_type) OVER w_1d AS BIGINT) AS unique_types_1d,
-    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w_1d AS DOUBLE)
+    (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w_1d AS DOUBLE) / 1000000.0)
       / (CASE WHEN CAST(count(*) OVER w_1d AS DOUBLE) > 0
               THEN CAST(count(*) OVER w_1d AS DOUBLE) ELSE 1.0 END) AS avg_value_1d,
     LEAST(GREATEST(
@@ -218,9 +219,9 @@ WITH feat AS (
       / (CASE WHEN CAST(count(*) OVER w_1d AS DOUBLE) > 0
               THEN CAST(count(*) OVER w_1d AS DOUBLE) ELSE 1.0 END), 0.0), 1.0) AS error_rate_1d,
     CAST(count(*) OVER w_7d AS BIGINT)  AS event_count_7d,
-    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w_7d AS DOUBLE) AS value_sum_7d,
+    (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w_7d AS DOUBLE) / 1000000.0) AS value_sum_7d,
     CAST(count(DISTINCT event_type) OVER w_7d AS BIGINT) AS unique_types_7d,
-    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w_7d AS DOUBLE)
+    (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) OVER w_7d AS DOUBLE) / 1000000.0)
       / (CASE WHEN CAST(count(*) OVER w_7d AS DOUBLE) > 0
               THEN CAST(count(*) OVER w_7d AS DOUBLE) ELSE 1.0 END) AS avg_value_7d,
     LEAST(GREATEST(
@@ -506,17 +507,17 @@ _PRICING_SUMMARY_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+  (CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)      AS sum_qty,
+  (CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_base_price,
+  (CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
                                                               AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
-                AS DECIMAL(25,6))) AS DOUBLE)                 AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+  (CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)                 AS sum_charge,
+  (CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
       / CAST(count(*) AS DOUBLE)                              AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+  (CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
       / CAST(count(*) AS DOUBLE)                              AS avg_price,
-  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+  (CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
       / CAST(count(*) AS DOUBLE)                              AS avg_disc,
   CAST(count(*) AS BIGINT)                                    AS count_order
 FROM lineitem
@@ -535,17 +536,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     n = F.count(F.lit(1))
-    qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-    price_sum = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-    disc_sum = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+    qty_sum = money_sum(F.col("l_quantity"), 2)
+    price_sum = money_sum(F.col("l_extendedprice"), 2)
+    disc_sum = money_sum(F.col("l_discount"), 2)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             qty_sum.alias("sum_qty"),
             price_sum.alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(25,4)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(25,6)")).cast("double").alias("sum_charge"),
+            money_sum(disc_price, 4).alias("sum_disc_price"),
+            money_sum(charge, 6).alias("sum_charge"),
             (qty_sum / n.cast("double")).alias("avg_qty"),
             (price_sum / n.cast("double")).alias("avg_price"),
             (disc_sum / n.cast("double")).alias("avg_disc"),
@@ -558,7 +559,7 @@ _REVENUE_BY_NATION_ORACLE = """
 SELECT
   n.n_name,
   r.r_name,
-  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+  (CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
     AS revenue,
   CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
 FROM customer c
@@ -593,11 +594,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
     )
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(25,4)"
-    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return joined.groupBy("n_name", "r_name").agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        money_sum(rev, 4).alias("revenue"),
         F.countDistinct("c_custkey").cast("long").alias("n_customers"),
     )
 
@@ -606,7 +605,7 @@ _TOP_CUSTOMERS_ORACLE = """
 SELECT
   c.c_custkey,
   c.c_name,
-  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+  (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_spend,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
@@ -624,7 +623,7 @@ def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .groupBy("o_custkey")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+            money_sum(F.col("o_totalprice"), 2).alias("total_spend"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -642,7 +641,7 @@ SELECT
   o.o_orderkey,
   strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
   o.o_orderpriority,
-  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+  (CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
     AS revenue
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -669,9 +668,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].where(F.col("l_shipdate") > cutoff).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(25,4)"
-    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -680,7 +677,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(money_sum(rev, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -1192,7 +1189,7 @@ SELECT
   date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
   event_type,
   CAST(count(*) AS BIGINT)               AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+  (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0) AS value_sum,
   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
 FROM events
 GROUP BY date_trunc('day', ts), event_type
@@ -1336,7 +1333,7 @@ _REVENUE_ROLLUP_ORACLE = """
 SELECT
   r.r_name,
   n.n_name,
-  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS revenue,
   CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1362,7 +1359,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        money_sum(F.col("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -1433,7 +1430,7 @@ SELECT
   ws                     AS window_start,
   ws + INTERVAL 7 DAY    AS window_end,
   CAST(count(*) AS BIGINT) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0) AS value_sum
 FROM (
   SELECT date_trunc('day', ts) - (k * INTERVAL 1 DAY) AS ws, value
   FROM events, range(0, 7) t(k)
@@ -1452,7 +1449,7 @@ def q_events_sliding_7d_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "7 days", "1 day").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+            money_sum(F.col("value"), 6).alias("value_sum"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -1485,7 +1482,7 @@ SELECT user_id,
        min(ts)                        AS session_start,
        max(ts) + INTERVAL 30 MINUTE   AS session_end,
        CAST(count(*) AS BIGINT)       AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0) AS value_sum
 FROM sess
 GROUP BY user_id, sid
 """
@@ -1503,7 +1500,7 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+            money_sum(F.col("value"), 6).alias("value_sum"),
         )
         .select(
             "user_id",

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.expressions import money_sum
+
 __all__ = ["read_events_stream", "windowed_event_counts", "stream_to_memory"]
 
 
@@ -57,13 +59,13 @@ def windowed_event_counts(
     are directly comparable — the streaming test asserts equality against
     the batch formulation on a replayed file stream.
     """
-    p, s = amount_decimal
+    _, s = amount_decimal
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(f"decimal({p},{s})")).cast("double").alias("value_sum"),
+            money_sum(F.col("value"), s).alias("value_sum"),
             F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
         )
         .select(
@@ -107,7 +109,7 @@ def _batch_counts(events: DataFrame, window: str = "1 day") -> DataFrame:
         events.groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+            money_sum(F.col("value"), 6).alias("value_sum"),
             F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
         )
         .select(
