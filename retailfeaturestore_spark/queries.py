@@ -1608,3 +1608,78 @@ def q_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataF
         .join(recent, t["customer"].c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+_CROSS_NATION_ORACLE = """
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  year(l.l_shipdate) AS l_year,
+  (CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+    AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+"""
+
+
+@register("cross_nation_trade", oracle=_CROSS_NATION_ORACLE, tags=("join", "tpch"))
+def q_cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume by
+    year — a five-way join where every dimension broadcasts and the two
+    facts sort-merge once."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    s_ = F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey"))
+    c = F.broadcast(t["customer"].select("c_custkey", "c_nationkey"))
+    n1 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation")))
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    joined = (
+        li.join(s_, li.l_suppkey == s_.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == n1.n1k)
+        .join(n2, F.col("c_nationkey") == n2.n2k)
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        money_sum(rev, 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_BRAND_MARGIN_ORACLE = """
+SELECT
+  p.p_brand,
+  (CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+    AS net_revenue,
+  (CAST(sum(CAST(round(p.p_retailprice * l.l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+    AS retail_value,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("brand_margin", oracle=_BRAND_MARGIN_ORACLE, tags=("join", "tpch"))
+def q_brand_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor: per-brand realized revenue vs retail value — part
+    dimension broadcast against the fact scan, two exact money sums."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    p = F.broadcast(t["part"].select("p_partkey", "p_brand", "p_retailprice"))
+    joined = t["lineitem"].join(p, t["lineitem"].l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        money_sum(rev, 4).alias("net_revenue"),
+        money_sum(F.col("p_retailprice") * F.col("l_quantity"), 2).alias("retail_value"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
