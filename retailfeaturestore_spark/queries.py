@@ -1683,3 +1683,153 @@ def q_brand_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("p_retailprice") * F.col("l_quantity"), 2).alias("retail_value"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond UNION ALL (absent from the reference, SURVEY.md §2.7)
+# + dynamic pivot (J4's aggregation form) + day-grain feature snapshots (the
+# whale-scale pre-aggregation grain from SCALE.md).
+# ---------------------------------------------------------------------------
+
+_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+@register("users_purchase_and_signup", oracle=_INTERSECT_ORACLE, tags=("setop",))
+def q_users_purchase_and_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: entity sets present in both event slices (planned as a
+    distinct + semi-join pair)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+_EXCEPT_ORACLE = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("user_days_view_no_purchase", oracle=_EXCEPT_ORACLE, tags=("setop",))
+def q_user_days_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT at (user, day) grain: funnel drop-off days — days a user
+    browsed without buying."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def slice_(etype):
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+
+    return slice_("view").subtract(slice_("purchase"))
+
+
+_PIVOT_ORACLE = """
+SELECT
+  o_custkey,
+  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS BIGINT) AS prio_urgent,
+  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS BIGINT) AS prio_high,
+  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS BIGINT) AS prio_medium,
+  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS prio_not_specified,
+  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS BIGINT) AS prio_low
+FROM orders
+GROUP BY o_custkey
+"""
+
+_PRIORITY_SLUGS = {
+    "1-URGENT": "prio_urgent",
+    "2-HIGH": "prio_high",
+    "3-MEDIUM": "prio_medium",
+    "4-NOT SPECIFIED": "prio_not_specified",
+    "5-LOW": "prio_low",
+}
+
+
+@register("orders_priority_pivot", oracle=_PIVOT_ORACLE, tags=("agg", "pivot"))
+def q_orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-form one-hot (J4's aggregation flavor): groupBy().pivot() with
+    the value list FROZEN (no extra distinct-values job, single partial+final
+    agg pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderpriority", list(_PRIORITY_SLUGS))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv
+    for val, slug in _PRIORITY_SLUGS.items():
+        out = out.withColumn(slug, F.coalesce(F.col(f"`{val}`"), F.lit(0)).cast("long")).drop(val)
+    return out
+
+
+_DAILY_SNAPSHOT_ORACLE = """
+WITH bronze AS (
+  SELECT
+    o.o_custkey                              AS customer_id,
+    CAST(o.o_orderdate AS DATE)              AS day,
+    CAST(l.l_partkey AS VARCHAR)             AS stock_code,
+    (l.l_returnflag = 'R')                   AS is_cancel,
+    l.l_extendedprice * (1.0 - l.l_discount) AS line_amount
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+),
+daily AS (
+  SELECT customer_id, day,
+    CAST(sum(CASE WHEN is_cancel THEN 0 ELSE 1 END) AS BIGINT)  AS d_txn,
+    CAST(sum(CAST(round((CASE WHEN is_cancel THEN 0.0 ELSE line_amount END) * 10000.0) AS BIGINT)) AS BIGINT) AS d_spend_cents
+  FROM bronze GROUP BY customer_id, day
+)
+SELECT
+  customer_id,
+  strftime(day, '%Y-%m-%d') AS snapshot_date,
+  CAST(sum(d_txn) OVER w30 AS DOUBLE) AS txn_count_30d,
+  (CAST(sum(d_spend_cents) OVER w30 AS DOUBLE) / 10000.0) AS spend_30d
+FROM daily
+WINDOW w30 AS (PARTITION BY customer_id ORDER BY day
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("daily_feature_snapshots", oracle=_DAILY_SNAPSHOT_ORACLE, tags=("window", "scale"))
+def q_daily_feature_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain feature snapshots: the whale-scale pre-aggregation path
+    (SCALE.md) — bronze reduces to (entity, day) partial aggregates FIRST
+    (partial+final, map-side combine), then the 30d window runs over the
+    tiny day grain.  Window input shrinks by the intra-day duplication
+    factor; the per-line flagship and this grain coexist as two views."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    bronze = lineitem_to_bronze(t["lineitem"], t["orders"])
+    daily = (
+        bronze.groupBy(
+            "customer_id", F.col("invoice_date").cast("date").alias("day")
+        )
+        .agg(
+            F.sum((~F.col("is_cancel")).cast("long")).alias("d_txn"),
+            F.sum(
+                F.round(
+                    F.when(~F.col("is_cancel"), F.col("line_amount")).otherwise(F.lit(0.0))
+                    * F.lit(10000.0)
+                ).cast("long")
+            ).alias("d_spend_cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w30 = (
+        Window.partitionBy("customer_id")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-30, 0)
+    )
+    return daily.select(
+        "customer_id",
+        F.date_format("day", "yyyy-MM-dd").alias("snapshot_date"),
+        F.sum("d_txn").over(w30).cast("double").alias("txn_count_30d"),
+        (F.sum("d_spend_cents").over(w30).cast("double") / F.lit(10000.0)).alias("spend_30d"),
+    )
