@@ -1833,3 +1833,53 @@ def q_daily_feature_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_txn").over(w30).cast("double").alias("txn_count_30d"),
         (F.sum("d_spend_cents").over(w30).cast("double") / F.lit(10000.0)).alias("spend_30d"),
     )
+
+
+_HASH_SPLIT_ORACLE = """
+SELECT
+  doc_id,
+  CASE WHEN (strpos('0123456789abcdef',
+                    substring(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 2
+       THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@register("hash_split_train_val", oracle=_HASH_SPLIT_ORACLE, tags=("sampling",))
+def q_hash_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val split (~12.5% val): the sampling
+    primitive a training pipeline needs — stable under reprocessing, shard-
+    independent, engine-portable (md5 bucket, no RNG seed semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr("instr('0123456789abcdef', substring(md5(concat('split#', cast(doc_id as string))), 1, 1))")
+        - F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 2, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+  c.c_mktsegment,
+  o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY CUBE(c.c_mktsegment, o.o_orderpriority)
+"""
+
+
+@register("segment_priority_cube", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def q_segment_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, priority): all four grouping sets in one pass —
+    the full grouping-sets surface alongside revenue_rollup."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    c = F.broadcast(t["customer"].select("c_custkey", "c_mktsegment"))
+    joined = t["orders"].join(c, t["orders"].o_custkey == c.c_custkey)
+    return joined.cube("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), 2).alias("revenue"),
+    )

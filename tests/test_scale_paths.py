@@ -53,3 +53,34 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     write_csv(df, str(tmp_path / "scores"))
     back = spark.read.option("header", "true").csv(str(tmp_path / "scores"))
     assert back.count() == 2 and set(back.columns) == {"customer_id", "probability"}
+
+
+def test_upsert_latest_merges_by_key(spark, tmp_path):
+    from datetime import datetime
+
+    from retailfeaturestore_spark.operators.incremental import upsert_latest
+
+    path = str(tmp_path / "gold_inc")
+    base = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 10.0), (2, datetime(2024, 1, 1), 20.0)],
+        "customer_id int, t_ref timestamp, spend double",
+    )
+    n = upsert_latest(spark, path, base, ["customer_id"], "t_ref")
+    assert n == 2
+
+    updates = spark.createDataFrame(
+        [(2, datetime(2024, 2, 1), 25.0), (3, datetime(2024, 1, 15), 30.0)],
+        "customer_id int, t_ref timestamp, spend double",
+    )
+    n = upsert_latest(spark, path, updates, ["customer_id"], "t_ref")
+    assert n == 3
+    out = {r.customer_id: r.spend for r in spark.read.parquet(path).collect()}
+    assert out == {1: 10.0, 2: 25.0, 3: 30.0}  # 2 updated, 1 kept, 3 inserted
+
+    # stale update (older ts) must NOT win
+    stale = spark.createDataFrame(
+        [(2, datetime(2023, 1, 1), 1.0)], "customer_id int, t_ref timestamp, spend double"
+    )
+    upsert_latest(spark, path, stale, ["customer_id"], "t_ref")
+    out = {r.customer_id: r.spend for r in spark.read.parquet(path).collect()}
+    assert out[2] == 25.0
