@@ -41,6 +41,9 @@ HEADLINE = [
     "value_percentiles",
     "revenue_rollup",
     "order_sequence_analytics",
+    "daily_feature_snapshots",
+    "cross_nation_trade",
+    "segment_priority_cube",
 ]
 
 RUNS = 2

@@ -1,0 +1,43 @@
+"""Regenerate PLANS.md: formatted physical-plan trees of the headline
+queries, with the scale-property annotation each plan demonstrates."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from retailfeaturestore_spark.plans import formatted_plan  # noqa: E402
+from retailfeaturestore_spark.queries import REGISTRY  # noqa: E402
+from retailfeaturestore_spark.session import get_spark  # noqa: E402
+
+SHOW = {
+    "feature_view_build": "ONE hashpartitioning(customer_id) exchange serves the whole W1-W6 family; orders side broadcasts.",
+    "churn_labels_orders": "J2 interval labels: NO Join node — union-window formulation.",
+    "pricing_summary": "Filter pushed to the parquet scan (PushedFilters); partial_sum map-side combine before the exchange.",
+    "revenue_by_nation": "Star join: every dimension a BroadcastHashJoin; no nested loops.",
+    "knn_cosine_bruteforce": "Corpus never shuffles: broadcast queries x scan, per-query top-k window.",
+}
+
+
+def main() -> None:
+    spark = get_spark("dump-plans")
+    out = [
+        "# PLANS — physical-plan evidence for the scale claims",
+        "",
+        "Formatted plans (pre-execution, AQE initial) of the headline queries at",
+        "sf0.001 — regenerate with `python tools/dump_plans.py`.  Each plan is the",
+        "shape asserted by tests/test_plans.py.",
+        "",
+    ]
+    for name, note in SHOW.items():
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        tree = formatted_plan(df).split("\n\n")[0]
+        out += [f"## {name}", "", note, "", "```", tree.strip(), "```", ""]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
