@@ -1883,3 +1883,47 @@ def q_segment_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+
+_EDIT_DISTANCE_ORACLE = f"""
+WITH {_SH_CTE},
+sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+       CAST(length(da.text) AS BIGINT) AS len_a,
+       CAST(length(db.text) AS BIGINT) AS len_b
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+"""
+
+
+@register("dedup_edit_distance", oracle=_EDIT_DISTANCE_ORACLE, tags=("dedup", "text"))
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of MinHash candidates: Levenshtein is
+    O(len_a * len_b) per pair — viable ONLY downstream of a candidate
+    generator, never all-pairs; integer result is engine-exact.  The
+    character-level confirmation stage after shingle-level LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = shingle_docs(docs).persist()
+    sigs = minhash_signatures(docs, k=_MINHASH_K, shingled=shingled)
+    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("edit_distance"),
+            F.length("__ta").cast("long").alias("len_a"),
+            F.length("__tb").cast("long").alias("len_b"),
+        )
+    )

@@ -131,3 +131,20 @@ def test_online_feature_service_typed_decode():
             return {}
 
     assert OnlineFeatureService(EmptyClient()).get_snapshot(1) is None
+
+
+def test_zscore_per_entity_grouped_map(spark):
+    from retailfeaturestore_spark.ml.normalize_features import zscore_per_entity
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 30.0), (2, 5.0)],
+        "customer_id int, spend double",
+    )
+    out = zscore_per_entity(df, "customer_id", ["spend"]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.customer_id, []).append(round(r.spend_z, 6))
+    import math
+    sd = math.sqrt(((10-20)**2 + 0 + (30-20)**2) / 3)
+    assert sorted(by[1]) == [round(-10/sd, 6), 0.0, round(10/sd, 6)]
+    assert by[2] == [0.0]  # single row -> zero variance -> 0
