@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import HEX_DIGITS, minhash_sig, shingles, words
+from ..functions.text import (
+    HEX_DIGITS,
+    minhash_component,
+    minhash_hash_pairs,
+    shingles,
+    words,
+)
 
 __all__ = [
     "dedup_exact",
@@ -76,11 +82,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc -> k-component MinHash signature over word n-gram shingles.
     Pass ``shingled`` (from :func:`shingle_docs`, persisted) to avoid
-    recomputing the shingle sets."""
+    recomputing the shingle sets.
+
+    The digest-pair array is materialized in its own projection so each
+    shingle is md5'd ONCE; the k components are integer arithmetic over it
+    (see ``functions.text.minhash_hash_pairs``)."""
     d = shingled if shingled is not None else shingle_docs(docs, text_col, id_col, n)
+    d = d.withColumn("__mh", minhash_hash_pairs(F.col("__sh")))
     return d.select(
         F.col("id").alias(id_col),
-        *[minhash_sig(F.col("__sh"), s).alias(f"h{s}") for s in range(k)],
+        *[minhash_component(F.col("__mh"), s).alias(f"h{s}") for s in range(k)],
     )
 
 

@@ -758,20 +758,30 @@ _MINHASH_K = 12
 _MINHASH_BANDS = 4
 _MINHASH_R = _MINHASH_K // _MINHASH_BANDS
 
+# One md5 per shingle; component i = min(h1 + (i+1)*h2) over its 56-bit
+# halves — mirrors functions.text.minhash_hash_pairs exactly.
+_MH_PAIR_SRC = """(
+    SELECT doc_id,
+           CAST('0x' || substr(md5(sh), 1, 14) AS BIGINT)  AS __h1,
+           CAST('0x' || substr(md5(sh), 15, 14) AS BIGINT) AS __h2
+    FROM sh
+  )"""
 _mh_cols = ", ".join(
-    f"min(md5('s{s}#' || sh)) AS h{s}" for s in range(_MINHASH_K)
+    f"min(__h1 + {s + 1} * __h2) AS h{s}" for s in range(_MINHASH_K)
 )
 _band_selects = " UNION ALL ".join(
     "SELECT {b} AS band, {key} AS band_key, doc_id AS id FROM sig".format(
         b=b,
-        key=" || '|' || ".join(f"h{b * _MINHASH_R + i}" for i in range(_MINHASH_R)),
+        key=" || '|' || ".join(
+            f"CAST(h{b * _MINHASH_R + i} AS VARCHAR)" for i in range(_MINHASH_R)
+        ),
     )
     for b in range(_MINHASH_BANDS)
 )
 
 _DEDUP_MINHASH_ORACLE = f"""
 WITH {_SH_CTE},
-sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols} FROM {_MH_PAIR_SRC} GROUP BY doc_id),
 bands AS ({_band_selects}),
 cand AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
@@ -1887,7 +1897,7 @@ def q_segment_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDIT_DISTANCE_ORACLE = f"""
 WITH {_SH_CTE},
-sig AS (SELECT doc_id, {_mh_cols} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_mh_cols} FROM {_MH_PAIR_SRC} GROUP BY doc_id),
 bands AS ({_band_selects}),
 cand AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
