@@ -31,7 +31,7 @@ from .operators.pit import (
     interval_existence_labels,
     latest_per_key,
 )
-from .functions.expressions import money_sum
+from .functions.expressions import cents, from_cents, money_sum
 from .operators.window_features import build_customer_features, user_activity_features
 
 # Frozen category contract (the engine's feature_names.txt analogue — computed
@@ -1935,5 +1935,293 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("__ta", "__tb").cast("long").alias("edit_distance"),
             F.length("__ta").cast("long").alias("len_a"),
             F.length("__tb").cast("long").alias("len_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M9 — additional TPC-H-shaped join/agg coverage (Q13/Q18/Q22/Q14/Q8)
+# ---------------------------------------------------------------------------
+
+_ORDER_COUNT_DIST_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+@register("order_count_distribution", oracle=_ORDER_COUNT_DIST_ORACLE, tags=("join", "agg"))
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a compound ON predicate (the
+    filter must live in the join condition, not a WHERE — a WHERE would drop
+    the zero-order customers), then a two-level aggregation.  Scale: the
+    outer join shuffles on custkey; the second groupBy is over a tiny
+    distinct-count domain and AQE coalesces it."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].where(F.col("o_orderpriority") != "1-URGENT"),
+            on=t["customer"]["c_custkey"] == t["orders"]["o_custkey"],
+            how="left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_LARGE_VOLUME_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_name, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("large_volume_orders", oracle=_LARGE_VOLUME_ORDERS_ORACLE, tags=("join", "agg"))
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregation drives a join back to the
+    fact and dim tables.  The aggregate side shrinks to a handful of keys, so
+    AQE converts both subsequent joins to broadcasts at runtime — assert via
+    plans (integer quantities sum exactly; no float in the filter)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(t["orders"], big["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_TOP_BALANCE_INACTIVE_ORACLE = """
+WITH ab AS (
+  SELECT (CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+         / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       (CAST(sum(CAST(round(c.c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+         AS totacctbal
+FROM customer c, ab
+WHERE c.c_acctbal > ab.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("top_balance_inactive_customers", oracle=_TOP_BALANCE_INACTIVE_ORACLE, tags=("join", "agg"))
+def q_top_balance_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global average balance,
+    cents-exact) + anti join against the urgent-order key set + segment
+    rollup.  The scalar is
+    a 1-row broadcast cross join; the anti join shuffles only custkeys."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"]
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (from_cents(F.sum(cents(F.col("c_acctbal"), 2)), 2)
+             / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"].where(F.col("o_orderpriority") == "1-URGENT"),
+            c["c_custkey"] == t["orders"]["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_PROMO_REVENUE_ORACLE = """
+WITH j AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+         p.p_type,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(rev * 10000.0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(round(rev * 10000.0) AS BIGINT)) AS DOUBLE) AS promo_share,
+       (CAST(sum(CAST(round(rev * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+         AS total_revenue
+FROM j GROUP BY ship_month
+"""
+
+
+@register("promo_revenue_share", oracle=_PROMO_REVENUE_ORACLE, tags=("join", "agg"))
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast dim join,
+    monthly grain.  Share = exact-cents conditional sum / exact-cents total
+    (single IEEE division — engine-reproducible)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    rev_c = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0)).alias("__promo_c"),
+            rev_c.alias("__rev_c"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            (F.sum("__promo_c").cast("double") / F.sum("__rev_c").cast("double")
+             ).alias("promo_share"),
+            from_cents(F.sum("__rev_c"), 4).alias("total_revenue"),
+        )
+    )
+
+
+_NATION_MARKET_SHARE_ORACLE = """
+WITH j AS (
+  SELECT strftime(o.o_orderdate, '%Y') AS order_year,
+         sn.n_name AS supp_nation,
+         l.l_extendedprice * (1.0 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+)
+SELECT order_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_4'
+                     THEN CAST(round(rev * 10000.0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(round(rev * 10000.0) AS BIGINT)) AS DOUBLE) AS mkt_share,
+       (CAST(sum(CAST(round(rev * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+         AS total_revenue
+FROM j GROUP BY order_year
+"""
+
+
+@register("nation_market_share", oracle=_NATION_MARKET_SHARE_ORACLE, tags=("join", "agg"))
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: five-way star join (region-filtered customer side,
+    supplier-nation attribution) + per-year conditional share.  All dims
+    broadcast; the only shuffle is lineitem->orders and the final tiny
+    per-year aggregation."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "supplier")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = t["region"].where(F.col("r_name") == "ASIA").select("r_regionkey")
+    cust_in_region = (
+        t["customer"].select("c_custkey", "c_nationkey")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cn_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        t["supplier"].select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    rev_c = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    j = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+            F.when(F.col("supp_nation") == "NATION_4", rev_c).otherwise(F.lit(0))
+             .alias("__target_c"),
+            rev_c.alias("__rev_c"),
+        )
+    )
+    return j.groupBy("order_year").agg(
+        (F.sum("__target_c").cast("double") / F.sum("__rev_c").cast("double")
+         ).alias("mkt_share"),
+        from_cents(F.sum("__rev_c"), 4).alias("total_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M10 — approximate aggregation scale paths (sketches; rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_users_daily", oracle=None, tags=("approx", "scale"))
+def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ daily distinct users (rsd=1%) next to the exact count.
+    At 100 TB the HLL sketch is THE distinct-count path: fixed-size state,
+    partial-aggregable (map-side combine), no shuffle of raw user ids.
+    Sketch internals are engine-specific -> rows-only driver check; the
+    companion test asserts the estimate lands within rsd bounds of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("approx_value_percentiles", oracle=None, tags=("approx", "scale"))
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna via percentile_approx, accuracy
+    10000) per event type — the scale path replacing exact percentile sorts:
+    mergeable fixed-size state instead of a full sort per group.  Engine-
+    specific sketch -> rows-only check; test asserts vs exact percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("value_pcts")[0].alias("p50"),
+            F.col("value_pcts")[1].alias("p90"),
+            F.col("value_pcts")[2].alias("p99"),
+            "n",
         )
     )

@@ -84,3 +84,22 @@ def test_upsert_latest_merges_by_key(spark, tmp_path):
     upsert_latest(spark, path, stale, ["customer_id"], "t_ref")
     out = {r.customer_id: r.spend for r in spark.read.parquet(path).collect()}
     assert out[2] == 25.0
+
+
+def test_approx_sketches_within_bounds(spark):
+    from retailfeaturestore_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["day"]: r
+        for r in REGISTRY["approx_distinct_users_daily"].fn(spark, sf).collect()
+    }
+    assert rows
+    for r in rows.values():
+        # rsd=1% HLL++: allow 5% slack at tiny cardinalities
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"])
+
+    pcts = REGISTRY["approx_value_percentiles"].fn(spark, sf).collect()
+    assert pcts
+    for r in pcts:
+        assert r["p50"] <= r["p90"] <= r["p99"]
