@@ -100,6 +100,7 @@ def build_customer_features(
     round_to: int | None = None,
     approx_unique: bool = False,
     amount_scale: int | None = 4,
+    unique_mode: str = "set",
 ) -> DataFrame:
     """Bronze order lines -> gold per-line feature snapshots (W1-W6).
 
@@ -108,8 +109,20 @@ def build_customer_features(
     contract (``jobs/build_feature_views.py:62,75``), window list
     parameterized exactly like the reference's ``WINDOWS = ["1D","7D","30D"]``
     (``jobs/build_feature_views.py:7``).
+
+    ``unique_mode`` selects the W3 distinct-count engine: ``"set"`` (default,
+    ``collect_set`` window state — exact, best at retail cardinalities),
+    ``"delta"`` (exact interval-delta running sums, O(1) per-row state — the
+    whale-entity path, see ``operators.windowed_distinct``), or ``"approx"``
+    (HLL estimate; also reachable via the legacy ``approx_unique=True``).
+    All three produce the same column names; "set" and "delta" the same
+    values.
     """
     windows = windows or {"1d": 1, "7d": 7, "30d": 30}
+    if approx_unique:
+        unique_mode = "approx"
+    if unique_mode not in ("set", "approx", "delta"):
+        raise ValueError(f"unknown unique_mode: {unique_mode!r}")
 
     txn = (~F.col(cancel_col)).cast("long")
     cancel = F.col(cancel_col).cast("long")
@@ -128,7 +141,7 @@ def build_customer_features(
     )
 
     def uniq(w: WindowSpec) -> Column:
-        if approx_unique:
+        if unique_mode == "approx":
             # Documented divergence: HLL estimate for whale-entity scale.
             return F.approx_count_distinct(sku_col).over(w).cast("double")
         return F.size(F.collect_set(sku_col).over(w)).cast("double")
@@ -142,15 +155,24 @@ def build_customer_features(
             else spend_c.cast("double")
         )
         cancel_c = F.sum("__cancel").over(w).cast("double")
-        return {
+        cols = {
             "txn_count": txn_c,
             "spend": spend_c,
             "unique_skus": uniq(w),
             "avg_basket_value": guarded_div(spend_c, txn_c),
             "cancel_rate": clip(guarded_div(cancel_c, cancel_c + txn_c), 0.0, 1.0),
         }
+        if unique_mode == "delta":
+            del cols["unique_skus"]
+        return cols
 
     df = _windowed(df, entity_col, windows, fam)
+    if unique_mode == "delta":
+        from .windowed_distinct import exact_windowed_distinct
+
+        df = exact_windowed_distinct(
+            df, entity_col, ts_col, sku_col, windows, out_prefix="unique_skus"
+        )
 
     # W6 tenure: whole-24h-period floor since first event (entity-wide frame;
     # same partitioning => same single exchange).

@@ -1,0 +1,148 @@
+"""Exact event-time-windowed distinct counts WITHOUT per-row set state.
+
+``collect_set(...).over(range_window)`` (the default W3 path in
+``window_features``) keeps every distinct key of the window in memory per
+row — fine at retail cardinalities, pathological for whale entities at
+100 TB (a customer seeing 10^6 SKUs in a 30-day horizon materializes a
+10^6-element set per output row).
+
+This module computes the SAME exact value with O(1) per-row state via the
+interval-delta decomposition::
+
+    distinct(t) = C(t) - P(t)
+
+    C(t) = # rows in [t-w, t]                       (plain range-window count)
+    P(t) = # consecutive same-key occurrence pairs
+           (a=prev_ts, b=ts) active at t, i.e. b <= t AND a >= t-w
+
+For a key with m occurrences inside the window the m occurrences are
+consecutive in the key's full timeline, contributing m rows to C and m-1
+pairs to P — so C - P counts each present key exactly once.  Each pair is
+active for ``t in [b, a+w]``: encode it as a +1 event at time b and a -1
+event at time a+w (applied strictly after), and P(t) is a running sum.
+Pairs with ``b - a > w`` can never be active and are dropped at the source.
+
+Physical shape: ONE exchange on the entity key; two sorts over it (the
+per-key ``lag`` uses (entity, key, ts), the running sum (entity, ts, kind));
+every operator is a codegen'd long-integer window aggregate.  The union
+triples the row count with skinny delta rows (payload columns are NULL) —
+at 100 TB that is a 3x scan of long triples versus per-row set
+materialization, and it never falls over on skew.
+
+Tie semantics match SQL RANGE frames (all rows at the same timestamp see
+the same window): +1 events sort before query rows at the same instant
+(kind 0 < 1), -1 events after (kind 2 > 1), and delta rows at equal times
+never straddle a query row ambiguously.
+
+Reference parity: the reference's pandas ``rolling(...).apply(nunique)``
+per-customer loop (``jobs/build_feature_views.py:44-47``) — same value,
+executed as distributed window algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_windowed_distinct", "MICROS_PER_DAY"]
+
+MICROS_PER_DAY = 86_400 * 1_000_000
+
+
+def exact_windowed_distinct(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    key_col: str,
+    windows: dict[str, int],
+    out_prefix: str = "unique",
+) -> DataFrame:
+    """Append ``{out_prefix}_{suffix}`` = exact distinct ``key_col`` count
+    over the both-closed range window ``[t - days, t]`` per entity.
+
+    ``windows`` maps suffix -> horizon days.  NULL keys are excluded from
+    the count (SQL ``count(DISTINCT ...)`` / ``collect_set`` semantics).
+    All original columns are preserved; one shuffle on ``entity_col``.
+    """
+    payload_cols = df.columns
+    horizons = {s: d * MICROS_PER_DAY for s, d in windows.items()}
+
+    base = df.withColumn("__t", F.unix_micros(F.col(ts_col)))
+    w_lag = Window.partitionBy(entity_col, key_col).orderBy("__t")
+    paired = base.withColumn(
+        "__prev",
+        F.when(
+            F.col(key_col).isNotNull(), F.lag("__t").over(w_lag)
+        ),
+    )
+
+    d_cols = [f"__d_{s}" for s in horizons]
+    payload = F.struct(*payload_cols)
+    null_payload = F.lit(None).cast(
+        base.select(payload.alias("__p")).schema["__p"].dataType.simpleString()
+    )
+
+    # kind 1: query rows (carry the payload; deltas 0; count themselves in C)
+    queries = paired.select(
+        F.col(entity_col).alias("__e"),
+        F.col("__t").alias("__time"),
+        F.lit(1).alias("__kind"),
+        F.col(key_col).isNotNull().cast("long").alias("__c"),
+        *[F.lit(0).cast("long").alias(c) for c in d_cols],
+        payload.alias("__p"),
+    )
+
+    # kind 0: +1 pair-start events at b (only horizons the pair can ever hit)
+    plus = paired.where(F.col("__prev").isNotNull()).select(
+        F.col(entity_col).alias("__e"),
+        F.col("__t").alias("__time"),
+        F.lit(0).alias("__kind"),
+        F.lit(0).cast("long").alias("__c"),
+        *[
+            (F.col("__t") - F.col("__prev") <= F.lit(w_us)).cast("long").alias(c)
+            for c, w_us in zip(d_cols, horizons.values())
+        ],
+        null_payload.alias("__p"),
+    )
+
+    # kind 2: -1 pair-end events at a + w, one per surviving horizon
+    unions = [queries, plus]
+    for (s, w_us), c in zip(horizons.items(), d_cols):
+        unions.append(
+            paired.where(
+                F.col("__prev").isNotNull()
+                & (F.col("__t") - F.col("__prev") <= F.lit(w_us))
+            ).select(
+                F.col(entity_col).alias("__e"),
+                (F.col("__prev") + F.lit(w_us)).alias("__time"),
+                F.lit(2).alias("__kind"),
+                F.lit(0).cast("long").alias("__c"),
+                *[
+                    F.lit(-1 if c2 == c else 0).cast("long").alias(c2)
+                    for c2 in d_cols
+                ],
+                null_payload.alias("__p"),
+            )
+        )
+
+    u = unions[0]
+    for more in unions[1:]:
+        u = u.unionByName(more)
+
+    w_run = (
+        Window.partitionBy("__e")
+        .orderBy("__time", "__kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = {}
+    for (s, w_us), c in zip(horizons.items(), d_cols):
+        w_cnt = Window.partitionBy("__e").orderBy("__time").rangeBetween(-w_us, 0)
+        out_cols[f"{out_prefix}_{s}"] = (
+            F.sum("__c").over(w_cnt) - F.sum(c).over(w_run)
+        )
+    u = u.withColumns(out_cols)
+
+    return u.where(F.col("__kind") == 1).select(
+        *[F.col("__p")[c].alias(c) for c in payload_cols],
+        *[F.col(n).alias(n) for n in out_cols],
+    )

@@ -2225,3 +2225,16 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register("feature_view_build_delta", oracle=_FEATURE_VIEW_ORACLE, tags=("window", "scale"))
+def q_feature_view_build_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME W1-W6 feature family as ``feature_view_build`` but with the
+    W3 distinct-count computed by the interval-delta running-sum engine
+    (``operators.windowed_distinct``) instead of per-row ``collect_set``
+    state — the whale-entity 100 TB path, certified against the identical
+    DuckDB oracle."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    bronze = lineitem_to_bronze(t["lineitem"], t["orders"])
+    feats = build_customer_features(bronze, unique_mode="delta")
+    return feats.select(*_FEATURE_COL_ORDER)

@@ -103,3 +103,33 @@ def test_approx_sketches_within_bounds(spark):
     assert pcts
     for r in pcts:
         assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_delta_distinct_matches_collect_set(spark):
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.windowed_distinct import (
+        exact_windowed_distinct,
+    )
+    from pyspark.sql import Window, functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = (
+        exact_windowed_distinct(ev, "user_id", "ts", "event_type", {"1d": 1, "7d": 7})
+        .select("event_id", "unique_1d", "unique_7d")
+        .collect()
+    )
+    us = F.unix_micros("ts")
+    exp_df = ev.withColumn("__t", us)
+    rows = {}
+    for s, days in (("1d", 1), ("7d", 7)):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("__t")
+            .rangeBetween(-days * 86_400_000_000, 0)
+        )
+        exp_df = exp_df.withColumn(f"e_{s}", F.size(F.collect_set("event_type").over(w)))
+    for r in exp_df.select("event_id", "e_1d", "e_7d").collect():
+        rows[r.event_id] = (r.e_1d, r.e_7d)
+    assert len(got) == len(rows)
+    for r in got:
+        assert (r.unique_1d, r.unique_7d) == rows[r.event_id], r.event_id
