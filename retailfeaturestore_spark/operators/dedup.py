@@ -45,6 +45,7 @@ __all__ = [
     "jaccard_pairs_exact",
     "simhash_signatures",
     "simhash_pairs",
+    "connected_components",
 ]
 
 
@@ -292,3 +293,70 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster the near-dup pair graph: (id, cluster_id) with cluster_id =
+    the minimum id reachable through the undirected edge set.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds (near-dup clusters are shallow — single-digit rounds in
+    practice).  Each round is one join + one partial-aggregating groupBy,
+    both shuffling only (id, label) longs; ``localCheckpoint`` truncates the
+    lineage so the plan stays O(1) per round instead of growing
+    exponentially.
+
+    The driver-side loop reads ONE scalar per round (the changed-label
+    count) — the data never leaves the cluster.  At extreme scale swap the
+    propagation body for the large-star/small-star rewrite (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which bounds rounds by
+    O(log^2 n) on adversarial chain graphs; the interface stays the same.
+
+    The dedup use: group mutually-similar documents, keep
+    ``cluster_id == id`` as the canonical survivor.
+    """
+    # Materialize the edge set ONCE — it is consumed every round, and an
+    # unmaterialized lineage would re-execute the whole upstream pipeline
+    # (shingle -> minhash -> verify) per iteration.
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("label"))
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        merged = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "id")
+            .select(
+                "id",
+                F.col("n.label").alias("label"),
+                (F.col("n.label") < F.col("o.label")).cast("long").alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = merged.agg(F.sum("__chg")).collect()[0][0]
+        labels = merged.select("id", "label")
+        if not changed:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

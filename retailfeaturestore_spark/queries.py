@@ -713,6 +713,7 @@ def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from .operators.dedup import (  # noqa: E402
+    connected_components,
     dedup_exact,
     jaccard_pairs_exact,
     minhash_candidate_pairs,
@@ -2238,3 +2239,57 @@ def q_feature_view_build_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze = lineitem_to_bronze(t["lineitem"], t["orders"])
     feats = build_customer_features(bronze, unique_mode="delta")
     return feats.select(*_FEATURE_COL_ORDER)
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SH_CTE},
+sig AS (SELECT doc_id, {_mh_cols} FROM {_MH_PAIR_SRC} GROUP BY doc_id),
+bands AS ({_band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh pa ON pa.doc_id = c.doc_a
+  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.sh = pa.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+dup AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM dup
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM dup
+),
+reach(u, v) AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@register("dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE, tags=("dedup", "iterative"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash+LSH candidates -> exact-Jaccard
+    verified pairs (>= 0.5) -> connected components by iterative min-label
+    propagation (``operators.dedup.connected_components``).  The oracle
+    computes the same components with a recursive CTE — certifying a
+    genuinely iterative distributed algorithm against declarative SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = shingle_docs(docs).persist()
+    sigs = minhash_signatures(docs, k=_MINHASH_K, shingled=shingled)
+    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
+    dup = jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, shingled=shingled)
+    return connected_components(dup).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )

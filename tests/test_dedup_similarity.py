@@ -74,3 +74,15 @@ def test_sign_lsh_catches_identical_vectors(spark):
     )
     out = {(r.vec_a, r.vec_b) for r in sign_lsh_neardup(vecs, threshold=0.9).collect()}
     assert out == {(0, 1)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from retailfeaturestore_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), island pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
