@@ -2293,3 +2293,192 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(dup).select(
         F.col("id").alias("doc_id"), F.col("cluster_id")
     )
+
+
+_TOP_REVENUE_SUPPLIER_ORACLE = """
+WITH srev AS (
+  SELECT l_suppkey,
+         (CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                        AS BIGINT)) AS DOUBLE) / 10000.0) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM srev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM srev)
+"""
+
+
+@register("top_revenue_supplier", oracle=_TOP_REVENUE_SUPPLIER_ORACLE, tags=("agg", "window"))
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate -> global-max scalar -> equality filter.
+    The max is an empty-frame window over the aggregate (no second scan, no
+    self-join); float equality is safe because both engines derive the
+    revenue from the identical exact-cents long."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    srev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("total_revenue")
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        srev.withColumn("__mx", F.max("total_revenue").over(w_all))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_SMALL_QTY_REVENUE_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq, count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT (CAST(sum(CAST(round(l.l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE)
+        / 10000.0) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.2 * (CAST(pa.sq AS DOUBLE) / pa.cnt)
+"""
+
+
+@register("small_qty_revenue", oracle=_SMALL_QTY_REVENUE_ORACLE, tags=("agg", "join"))
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate-then-rejoin — the standard
+    Catalyst rewrite, expressed directly.  The threshold 0.2*avg is a single
+    IEEE expression over exact integer sums, so the float comparison is
+    engine-reproducible."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    pa = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pa_key"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].where(F.col("p_brand") == "Brand#1").select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(pa, F.col("l_partkey") == F.col("pa_key"))
+        .where(
+            F.col("l_quantity")
+            < F.lit(0.2) * (F.col("sq").cast("double") / F.col("cnt"))
+        )
+        .agg(
+            (money_sum(F.col("l_extendedprice"), 4) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+_DISCOUNTED_REVENUE_ORACLE = """
+SELECT (CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0)
+                      AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("discounted_revenue", oracle=_DISCOUNTED_REVENUE_ORACLE, tags=("filter", "join"))
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive range predicates across
+    both join sides.  Catalyst splits the OR into per-side implied filters
+    (brand/size to the part scan, quantity to the lineitem scan) before the
+    broadcast join evaluates the full disjunction."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li, p = t["lineitem"], t["part"]
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_SOLE_RETURN_SUPPLIER_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_return_supps
+  FROM lineitem GROUP BY l_orderkey
+),
+sole AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN per_order po ON po.l_orderkey = l.l_orderkey AND po.n_return_supps = 1
+  WHERE l.l_returnflag = 'R'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole
+JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+GROUP BY s.s_name
+"""
+
+
+@register("sole_return_supplier", oracle=_SOLE_RETURN_SUPPLIER_ORACLE, tags=("agg", "join"))
+def q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to available columns): per-order existence
+    counting — suppliers who were the ONLY supplier with returned lines in
+    an order.  The exists/not-exists pair becomes one conditional distinct
+    count per order, reused by the fact scan through a self-join."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    li = t["lineitem"]
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_return_supps")
+    )
+    sole = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            per_order.where(F.col("n_return_supps") == 1),
+            F.col("l_orderkey") == F.col("po_key"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
