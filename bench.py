@@ -44,6 +44,19 @@ HEADLINE = [
     "daily_feature_snapshots",
     "cross_nation_trade",
     "segment_priority_cube",
+    "promo_revenue_share",
+    "nation_market_share",
+    "order_count_distribution",
+    "large_volume_orders",
+    "discounted_revenue",
+    "sole_return_supplier",
+    "top_revenue_supplier",
+    "small_qty_revenue",
+    "top_balance_inactive_customers",
+    "dedup_clusters",
+    "dedup_edit_distance",
+    "approx_distinct_users_daily",
+    "feature_view_build_delta",
 ]
 
 RUNS = 2

@@ -97,28 +97,42 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = 12, bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 12,
+    bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: equal band signature in ANY band -> candidate pair.
 
-    Emits (band, band_key, id) and self-joins on the band key — the shuffle
-    key is a short hash concat, never the documents.  Distinct (a, b) with
-    a < b.
+    Emits (band, band_key, id) via a single ``explode`` over the signature
+    row (NOT a b-way union — union branches don't share work, so a 4-band
+    union under a self-join re-evaluated the signature pipeline 8x) and
+    self-joins on the band key — the shuffle key is a short hash concat,
+    never the documents.  Distinct (a, b) with a < b.
+
+    ``materialize=True`` (default) eagerly ``localCheckpoint``s the
+    signature table first: it is tiny (one row per doc, k longs) and feeds
+    BOTH sides of the self-join, so cutting its lineage halves the
+    upstream shingle+digest work and stops cache-population races.
     """
     r = k // bands
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)])
-        band_rows.append(
-            sigs.select(
+    if materialize:
+        sigs = sigs.localCheckpoint()
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                key.alias("band_key"),
-                F.col(id_col).alias("id"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * r + i}") for i in range(r)]
+                ).alias("band_key"),
             )
-        )
-    all_bands = band_rows[0]
-    for br in band_rows[1:]:
-        all_bands = all_bands.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    all_bands = sigs.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("__bb")
+    ).select("id", F.col("__bb.band").alias("band"), F.col("__bb.band_key").alias("band_key"))
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (

@@ -1920,11 +1920,17 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of MinHash candidates: Levenshtein is
     O(len_a * len_b) per pair — viable ONLY downstream of a candidate
     generator, never all-pairs; integer result is engine-exact.  The
-    character-level confirmation stage after shingle-level LSH."""
+    character-level confirmation stage after shingle-level LSH.
+
+    The candidate set is tiny in BYTES but each row costs O(len^2) CPU, so
+    AQE's byte-based coalescing would funnel all pairs into one task;
+    explicitly re-spread across the cluster before the expensive projection
+    (compute-bound rows need row-count parallelism, not byte balance)."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = shingle_docs(docs).persist()
     sigs = minhash_signatures(docs, k=_MINHASH_K, shingled=shingled)
     cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
     return (
