@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from ..functions.expressions import money_sum
 
-__all__ = ["read_events_stream", "windowed_event_counts", "stream_to_memory"]
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "stream_to_memory",
+    "dedup_events_stream",
+    "purchase_attribution_stream",
+]
 
 
 def read_events_stream(
@@ -120,4 +126,62 @@ def _batch_counts(events: DataFrame, window: str = "1 day") -> DataFrame:
             "value_sum",
             "n_errors",
         )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Exactly-once event dedup on the event id with watermark-bounded state.
+
+    ``dropDuplicates`` in a stream keeps every seen key in the state store
+    forever unless a watermark bounds it: with one, ids older than the
+    watermark are evicted — O(watermark-horizon event volume) state instead
+    of O(stream lifetime).  The at-least-once upstream (replayed files,
+    Kafka redeliveries) becomes exactly-once downstream, the precondition
+    for incremental feature materialization.
+
+    The reference gets this implicitly by full-batch rebuilds
+    (``jobs/build_feature_views.py`` reprocesses everything); here it is an
+    incremental operator.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def purchase_attribution_stream(
+    events: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the clicks of
+    the same user in the preceding ``within`` interval.
+
+    Both sides are watermarked so the join state is bounded: a click can be
+    evicted once the purchase-side watermark passes ``click.ts + within``.
+    This is the streaming analogue of the batch as-of/interval join family
+    (``operators/pit.py``) — same semantics, incrementally maintained.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", within)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", within)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        "purchase_id", "purchase_ts", "purchase_value",
+        F.col("p_user").alias("user_id"), "click_id", "click_ts",
     )

@@ -39,3 +39,61 @@ def test_stream_replay_equals_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_dedup_drops_replayed_duplicates(spark, tmp_path):
+    from retailfeaturestore_spark.streaming.events_stream import dedup_events_stream
+
+    stage = tmp_path / "dup_stream"
+    stage.mkdir()
+    # the same file twice = an at-least-once source replaying every event
+    shutil.copy(f"{SF}/events.parquet", stage / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", stage / "part-1.parquet")
+    stream = read_events_stream(spark, str(stage))
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(dedup_events_stream(stream), name, output_mode="append")
+    q.awaitTermination(120)
+    got = spark.table(name)
+    n_unique = got.select("event_id").distinct().count()
+    assert got.count() == n_unique  # no duplicate ids survived the replay
+    from retailfeaturestore_spark.io import load_table
+    assert n_unique == load_table(spark, SF, "events").count()
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    from retailfeaturestore_spark.streaming.events_stream import (
+        purchase_attribution_stream,
+    )
+    from retailfeaturestore_spark.io import load_table
+
+    stage = tmp_path / "join_stream"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage / "part-0.parquet")
+    stream = read_events_stream(spark, str(stage))
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(
+        purchase_attribution_stream(stream, within="1 hour"), name, "append"
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.purchase_id, r.click_id) for r in spark.table(name).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    from pyspark.sql import functions as F
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
