@@ -2488,3 +2488,125 @@ def q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# M11 — time-decay and RFM feature families (retail feature-store staples)
+# ---------------------------------------------------------------------------
+
+_DECAY_MAX_WEEKS = 8
+
+_DECAYED_USER_VALUE_ORACLE = f"""
+WITH anchor AS (SELECT max(ts) AS t_max FROM events),
+aged AS (
+  SELECT e.user_id,
+         CAST(round(e.value * 1000000.0) AS BIGINT) AS v_c,
+         LEAST(CAST(floor(CAST(epoch_us(a.t_max) - epoch_us(e.ts) AS DOUBLE)
+                          / (7.0 * 86400000000.0)) AS BIGINT),
+               {_DECAY_MAX_WEEKS}) AS age_w
+  FROM events e, anchor a
+)
+SELECT user_id,
+       (CAST(sum(v_c << ({_DECAY_MAX_WEEKS} - age_w)) AS DOUBLE)
+        / {float(2 ** _DECAY_MAX_WEEKS * 1_000_000)}) AS decayed_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM aged GROUP BY user_id
+"""
+
+
+@register("decayed_user_value", oracle=_DECAYED_USER_VALUE_ORACLE, tags=("window", "feature"))
+def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement value (half-life = 1 week,
+    floor-capped at {K} weeks) — the classic recency-weighted feature, made
+    ENGINE-EXACT: 0.5^k decay with integer k becomes a LEFT SHIFT of the
+    exact micro-cents value by (K - k), so the whole decayed sum accumulates
+    in integers (order-independent, bit-reproducible) and divides back by
+    2^K once at the end.  No pow(), no float summation, no libm variance.
+    Scale: partial-aggregable long sums; the anchor is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t_max"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        cents(F.col("value"), 6).alias("v_c"),
+        F.least(
+            F.floor(
+                (F.unix_micros("t_max") - F.unix_micros("ts")).cast("double")
+                / F.lit(7.0 * 86_400_000_000.0)
+            ).cast("long"),
+            F.lit(_DECAY_MAX_WEEKS).cast("long"),
+        ).alias("age_w"),
+    )
+    return aged.groupBy("user_id").agg(
+        (
+            F.sum(F.expr(f"shiftleft(v_c, {_DECAY_MAX_WEEKS} - age_w)")).cast("double")
+            / F.lit(float(2**_DECAY_MAX_WEEKS * 1_000_000))
+        ).alias("decayed_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_RFM_ORACLE = """
+WITH anchor AS (SELECT max(o_orderdate) AS t_max FROM orders),
+base AS (
+  SELECT o.o_custkey AS customer_id,
+         CAST(floor(CAST(epoch_us(a.t_max) - epoch_us(max(o.o_orderdate))
+                         AS DOUBLE) / 86400000000.0) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+          / 100.0) AS monetary
+  FROM orders o, anchor a
+  GROUP BY o.o_custkey, a.t_max
+)
+SELECT customer_id, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, customer_id) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, customer_id) AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, customer_id) AS BIGINT) AS m_quartile
+FROM base
+"""
+
+
+@register("rfm_segments", oracle=_RFM_ORACLE, tags=("window", "feature"))
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    retail feature-store staple the reference's churn features approximate.
+    Every ntile ordering carries an explicit customer_id tie-break so the
+    quartile assignment is engine-deterministic.  Scale: one groupBy
+    shuffle; the three ntiles share one global sort domain each (quartiles
+    at 10^9 customers would move to approx quantile cut-points)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("t_max"))
+    base = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.floor(
+                (F.unix_micros(F.max("t_max")) - F.unix_micros(F.max("o_orderdate")))
+                .cast("double")
+                / F.lit(86_400_000_000.0)
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum(F.col("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    return base.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("customer_id")))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("customer_id")))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("customer_id")))
+        .cast("long")
+        .alias("m_quartile"),
+    )
