@@ -2610,3 +2610,71 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_quartile"),
     )
+
+
+_QTY_PRICE_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag AS return_flag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT return_flag,
+         count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM m GROUP BY return_flag
+)
+SELECT return_flag, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS qty_price_corr
+FROM s
+"""
+
+
+@register("qty_price_correlation", oracle=_QTY_PRICE_CORR_ORACLE, tags=("agg", "stats"))
+def q_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs extended price) per return flag with
+    ENGINE-EXACT moment accumulation: x as long, y as exact cents, and all
+    five moment sums in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both
+    exact integer arithmetic, so the final double formula (and its
+    correctly-rounded sqrt) is bit-reproducible.  The built-in ``corr()``
+    aggregates in floats and is NOT cross-engine stable — documented
+    divergence, which is why the moments are explicit.  Scale: five
+    partial-aggregable sums, one tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = cents(F.col("l_extendedprice"), 2)
+    dec = "decimal(38,0)"
+    m = li.select(
+        F.col("l_returnflag").alias("return_flag"),
+        x.alias("x"),
+        y.alias("y"),
+        (x * y).cast(dec).alias("xy"),
+        (x * x).cast(dec).alias("xx"),
+        (y * y).cast(dec).alias("yy"),
+    )
+    s = m.groupBy("return_flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return s.select(
+        "return_flag",
+        "n",
+        (
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
+        ).alias("qty_price_corr"),
+    )

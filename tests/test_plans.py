@@ -66,3 +66,30 @@ def test_pricing_summary_has_partial_aggregation(spark):
     """Map-side combine must exist: partial_sum before the exchange."""
     plan = formatted_plan(REGISTRY["pricing_summary"].fn(spark, SF))
     assert "partial_sum" in plan
+
+
+def test_discounted_revenue_splits_or_predicates_to_scans(spark):
+    """Q19 shape: Catalyst must derive per-side implied filters from the
+    OR-of-ANDs and push them into BOTH scans (brand/size to part, quantity
+    to lineitem)."""
+    df = REGISTRY["discounted_revenue"].fn(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("p_brand" in p for p in pushed), pushed
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert has_broadcast_join(df)
+
+
+def test_nation_market_share_broadcasts_all_dims(spark):
+    """Q8 shape: five-way star — every dimension side must broadcast; the
+    only sort-merge (if any) is fact-fact lineitem ⋈ orders."""
+    df = REGISTRY["nation_market_share"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_count_distribution_keeps_left_join(spark):
+    """Q13 shape: the priority filter must stay INSIDE the left join (a
+    post-join WHERE would silently drop zero-order customers)."""
+    plan = formatted_plan(REGISTRY["order_count_distribution"].fn(spark, SF))
+    assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan[:1500]
