@@ -57,6 +57,9 @@ HEADLINE = [
     "dedup_edit_distance",
     "approx_distinct_users_daily",
     "feature_view_build_delta",
+    "decayed_user_value",
+    "rfm_segments",
+    "qty_price_correlation",
 ]
 
 RUNS = 2
