@@ -79,3 +79,30 @@ def test_window_family_matches_brute_force(spark, events):
         for r in feats.collect()
     )
     assert got == brute_force(rows, 7)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event, min_size=1, max_size=25))
+def test_delta_distinct_matches_brute_force(spark, events):
+    """The interval-delta distinct engine against the same brute force —
+    heavy timestamp ties (second-granularity offsets) are exactly where
+    event-ordering bugs in the +1/-1 running sum would surface."""
+    rows = [
+        (cid, BASE + timedelta(seconds=off), sku, cancel, cents / 100.0)
+        for cid, off, sku, cancel, cents in events
+    ]
+    df = spark.createDataFrame(rows, BRONZE_SCHEMA)
+    feats = build_customer_features(df, windows={"7d": 7}, unique_mode="delta")
+    got = sorted(
+        (
+            r.customer_id,
+            r.t_ref,
+            r.txn_count_7d,
+            round(r.spend_7d, 4),
+            r.unique_skus_7d,
+            round(r.cancel_rate_7d, 6),
+            r.tenure_days,
+        )
+        for r in feats.collect()
+    )
+    assert got == brute_force(rows, 7)
