@@ -31,6 +31,7 @@ __all__ = [
     "stream_to_memory",
     "dedup_events_stream",
     "purchase_attribution_stream",
+    "session_window_counts",
 ]
 
 
@@ -184,4 +185,34 @@ def purchase_attribution_stream(
     ).select(
         "purchase_id", "purchase_ts", "purchase_value",
         F.col("p_user").alias("user_id"), "click_id", "click_ts",
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window`` (dynamic-gap
+    merging windows): per user, sessions close after ``gap`` of silence.
+
+    The same operator family as the batch gap-sessionizer
+    (``events_session_windows`` query) but incrementally maintained: the
+    state store keeps one open session per (user, window) and merges
+    overlapping sessions as events arrive; the watermark finalizes (emits
+    and evicts) sessions once event time passes close + gap.  State is
+    bounded by open sessions, not history.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
     )

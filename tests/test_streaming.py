@@ -97,3 +97,40 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    from retailfeaturestore_spark.streaming.events_stream import (
+        session_window_counts,
+    )
+    from retailfeaturestore_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    stage = tmp_path / "sess_stream"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage / "part-0.parquet")
+    stream = read_events_stream(spark, str(stage))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(
+        session_window_counts(stream, gap="30 minutes"), name, output_mode="complete"
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.session_start, r.user_id): (r.n_events, r.value_sum)
+        for r in spark.table(name).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    batch = {
+        (r["win"]["start"], r.user_id): (r.n_events, r.value_sum)
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 1e6).cast("long")).cast("double") / 1e6
+             ).alias("value_sum"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
