@@ -148,3 +148,54 @@ def test_zscore_per_entity_grouped_map(spark):
     sd = math.sqrt(((10-20)**2 + 0 + (30-20)**2) / 3)
     assert sorted(by[1]) == [round(-10/sd, 6), 0.0, round(10/sd, 6)]
     assert by[2] == [0.0]  # single row -> zero variance -> 0
+
+
+def test_weighted_mean_udaf_matches_builtin(spark):
+    from retailfeaturestore_spark.functions.python_udfs import weighted_mean_udaf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0), (1, 20.0, 0.0), (1, 40.0, 2.0), (2, 5.0, 0.0)],
+        "k int, v double, w double",
+    )
+    got = {
+        r.k: r.wm
+        for r in df.groupBy("k").agg(weighted_mean_udaf("v", "w").alias("wm")).collect()
+    }
+    exp = {
+        r.k: r.wm
+        for r in df.groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("v") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("wm")
+        )
+        .collect()
+    }
+    assert got == exp == {1: 25.0, 2: 0.0}
+
+
+def test_word_ngrams_udtf_matches_column_shingles(spark):
+    from retailfeaturestore_spark.functions.python_udfs import WordNGrams
+    from retailfeaturestore_spark.functions.text import shingles
+    from retailfeaturestore_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    spark.udtf.register("word_ngrams", WordNGrams)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    docs.createOrReplaceTempView("docs_50")
+    via_udtf = {
+        (r.doc_id, r.ngram)
+        for r in spark.sql(
+            "SELECT d.doc_id, g.ngram FROM docs_50 d, LATERAL word_ngrams(d.text, 3) g"
+        ).collect()
+    }
+    via_columns = {
+        (r.doc_id, r.ngram)
+        for r in docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), 3)).alias("ngram")
+        ).collect()
+    }
+    assert via_udtf == via_columns
+    assert len(via_udtf) > 0
