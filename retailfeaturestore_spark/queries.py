@@ -2678,3 +2678,94 @@ def q_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
         ).alias("qty_price_corr"),
     )
+
+
+_CALENDAR_FEATURES_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS epoch_day,
+       CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3) % 7
+            AS BIGINT) AS dow_mon0,
+       CAST(floor((day(o_orderdate) - 1) / 7.0) AS BIGINT) + 1 AS week_of_month,
+       (CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)))
+         AS is_month_end,
+       CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_in_month
+FROM orders
+"""
+
+
+@register("order_calendar_features", oracle=_CALENDAR_FEATURES_ORACLE, tags=("projection", "scalar"))
+def q_order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time scalar inventory as one engine-portable projection:
+    year/quarter/month/day extraction, epoch-day arithmetic, and a
+    day-of-week derived PURELY arithmetically ((epoch_day + 3) % 7,
+    Monday=0) — never from locale-dependent dow functions, whose week-start
+    conventions differ across engines.  Pure projection: no shuffle, full
+    codegen, pushdown-transparent."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    epoch_day = F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        epoch_day.alias("epoch_day"),
+        ((epoch_day + F.lit(3)) % 7).cast("long").alias("dow_mon0"),
+        (F.floor((F.dayofmonth(d) - 1) / 7.0).cast("long") + 1).alias("week_of_month"),
+        (d == F.last_day(d)).alias("is_month_end"),
+        F.dayofmonth(F.last_day(d)).cast("long").alias("days_in_month"),
+    )
+
+
+_EMBEDDING_NORMS_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       sqrt(CAST(list_sum(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000.0)
+                        AS BIGINT))) AS DOUBLE)) / 1000000.0 AS l2_norm,
+       CAST(list_max(embedding) AS DOUBLE) AS max_component,
+       CAST(list_min(embedding) AS DOUBLE) AS min_component,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+"""
+
+
+@register("embedding_norms", oracle=_EMBEDDING_NORMS_ORACLE, tags=("array", "similarity"))
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — transform /
+    aggregate / filter / array_max, no explode, no shuffle.  The L2 norm
+    squares are quantized to exact 1e-12-grained longs BEFORE summation, so
+    the reduction is order-independent (float sums are not) and the final
+    sqrt is a single correctly-rounded IEEE op — bit-stable across engines.
+    At 100 TB this is the pattern for embedding hygiene scans (norm audit,
+    dead-dimension detection) at full scan speed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    sq_c = F.transform(
+        "embedding",
+        lambda x: F.round(xd(x) * xd(x) * F.lit(1e12)).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        (
+            F.sqrt(
+                F.aggregate(sq_c, F.lit(0).cast("long"), lambda a, x: a + x)
+                .cast("double")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("l2_norm"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+        F.array_min("embedding").cast("double").alias("min_component"),
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.0).cast("float")))
+        .cast("long")
+        .alias("n_positive"),
+    )
