@@ -2769,3 +2769,88 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_positive"),
     )
+
+
+_ROWS_ROLLING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       (CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+             OVER w5 AS DOUBLE) / 100.0) AS rolling5_spend,
+       CAST(count(*) OVER w5 AS BIGINT) AS rolling5_n
+FROM orders
+WINDOW w5 AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rows_rolling_spend", oracle=_ROWS_ROLLING_ORACLE, tags=("window",))
+def q_rows_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL rolling window (ROWS frame, last 5 orders) — the
+    reference's actual pandas ``rolling(5)`` semantics, as opposed to the
+    event-time RANGE frames of the feature engine (SURVEY.md §2.4 tie
+    caveat documents the divergence; the engine offers BOTH).  Positional
+    frames require a total order: the orderkey tie-break makes equal-date
+    rows deterministic in every engine."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w5 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (F.sum(cents(F.col("o_totalprice"), 2)).over(w5).cast("double") / F.lit(100.0)
+         ).alias("rolling5_spend"),
+        F.count(F.lit(1)).over(w5).alias("rolling5_n"),
+    )
+
+
+_ORDER_NAVIGATION_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order_date,
+       strftime(last_value(o_orderdate)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                '%Y-%m-%d') AS last_order_date,
+       nth_value(o_totalprice, 2)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_order_total,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      CAST(lead(o_orderdate) OVER w AS DATE)) AS BIGINT)
+         AS days_to_next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("order_navigation", oracle=_ORDER_NAVIGATION_ORACLE, tags=("window",))
+def q_order_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family in one pass: first_value / last_value /
+    nth_value (entity-wide frames) + lead-difference (next-order gap).
+    last_value and nth_value REQUIRE the unbounded-following frame — the
+    default running frame silently returns the current row (classic SQL
+    footgun, pinned by the oracle).  One exchange; deterministic total
+    order via the orderkey tie-break."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd")
+        .alias("first_order_date"),
+        F.date_format(F.last("o_orderdate").over(w_full), "yyyy-MM-dd")
+        .alias("last_order_date"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_order_total"),
+        F.datediff(
+            F.to_date(F.lead("o_orderdate").over(w)), F.to_date("o_orderdate")
+        ).cast("long").alias("days_to_next_order"),
+    )
