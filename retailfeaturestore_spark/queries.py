@@ -2854,3 +2854,41 @@ def q_order_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.lead("o_orderdate").over(w)), F.to_date("o_orderdate")
         ).cast("long").alias("days_to_next_order"),
     )
+
+
+_TEXT_STRING_FEATURES_ORACLE = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS first_word,
+       string_split(text, ' ')[3] AS third_word,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       regexp_matches(text, '[0-9]') AS has_digit,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+       upper(substr(text, 1, 12)) AS head_upper,
+       reverse(substr(text, 1, 12)) AS head_rev,
+       translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS head_devowel,
+       CAST(strpos(text, 'the') AS BIGINT) AS first_the_pos
+FROM documents
+"""
+
+
+@register("text_string_features", oracle=_TEXT_STRING_FEATURES_ORACLE, tags=("projection", "scalar"))
+def q_text_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string scalar inventory in one projection: split-indexing,
+    regexp predicate, lpad key formatting, case/reverse/translate transforms
+    and substring search — every function chosen for identical cross-engine
+    semantics (e.g. ``instr``/``strpos`` are both 1-based, 0 when absent).
+    Pure codegen projection; no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        ws[0].alias("first_word"),
+        ws[2].alias("third_word"),
+        F.size(ws).cast("long").alias("n_words"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.reverse(F.substring("text", 1, 12)).alias("head_rev"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "AEIOU").alias("head_devowel"),
+        F.instr(F.col("text"), "the").cast("long").alias("first_the_pos"),
+    )
