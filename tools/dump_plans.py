@@ -17,6 +17,9 @@ SHOW = {
     "pricing_summary": "Filter pushed to the parquet scan (PushedFilters); partial_sum map-side combine before the exchange.",
     "revenue_by_nation": "Star join: every dimension a BroadcastHashJoin; no nested loops.",
     "knn_cosine_bruteforce": "Corpus never shuffles: broadcast queries x scan, per-query top-k window.",
+    "discounted_revenue": "Q19 OR-of-ANDs: implied per-side filters pushed to BOTH scans before the broadcast join.",
+    "nation_market_share": "Q8 five-way star: every dim broadcast; the only exchange is fact-fact + final agg.",
+    "feature_view_build_delta": "Interval-delta distinct: union of skinny delta rows, running-sum windows, O(1) state.",
 }
 
 
