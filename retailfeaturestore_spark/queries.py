@@ -2892,3 +2892,42 @@ def q_text_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(F.substring("text", 1, 20), "aeiou", "AEIOU").alias("head_devowel"),
         F.instr(F.col("text"), "the").cast("long").alias("first_the_pos"),
     )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       (CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+         AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+"""
+
+
+@register("segment_priority_grouping_sets", oracle=_GROUPING_SETS_ORACLE, tags=("agg",))
+def q_segment_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the third multi-grain form next to the cube
+    and rollup queries): per-segment, per-priority, and grand-total grains
+    in ONE pass, disambiguated by ``grouping_id`` — the NULL-vs-subtotal
+    footgun SQL answers with grouping().  Spark expresses this via
+    ``groupingSets`` + partial aggregation; one exchange for all grains."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    j = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    j.createOrReplaceTempView("__gs_join")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n_orders,
+               (CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+                / 100.0) AS revenue
+        FROM __gs_join
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
