@@ -2195,17 +2195,19 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("approx_distinct_users_daily", oracle=None, tags=("approx", "scale"))
 def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ daily distinct users (rsd=1%) next to the exact count.
-    At 100 TB the HLL sketch is THE distinct-count path: fixed-size state,
-    partial-aggregable (map-side combine), no shuffle of raw user ids.
-    Sketch internals are engine-specific -> rows-only driver check; the
-    companion test asserts the estimate lands within rsd bounds of exact."""
+    """HyperLogLog++ daily distinct users (rsd=1%).  At 100 TB the HLL
+    sketch is THE distinct-count path: fixed-size state, partial-aggregable
+    (map-side combine), no shuffle of raw user ids — which is also why the
+    query does NOT carry an exact countDistinct next to it (that would
+    reintroduce the expand + full id shuffle the sketch exists to avoid);
+    the companion test computes the exact counts separately and asserts the
+    estimate lands within rsd bounds.  Sketch internals are engine-specific
+    -> rows-only driver check."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

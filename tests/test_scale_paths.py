@@ -90,14 +90,24 @@ def test_approx_sketches_within_bounds(spark):
     from retailfeaturestore_spark.queries import REGISTRY
 
     sf = "/root/testdata/sf0.001"
+    from retailfeaturestore_spark.io import load_table
+    from pyspark.sql import functions as F
+
     rows = {
         r["day"]: r
         for r in REGISTRY["approx_distinct_users_daily"].fn(spark, sf).collect()
     }
     assert rows
-    for r in rows.values():
+    exact = {
+        r["day"]: r["exact_users"]
+        for r in load_table(spark, sf, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    for day, r in rows.items():
         # rsd=1% HLL++: allow 5% slack at tiny cardinalities
-        assert abs(r["approx_users"] - r["exact_users"]) <= max(2, 0.05 * r["exact_users"])
+        assert abs(r["approx_users"] - exact[day]) <= max(2, 0.05 * exact[day])
 
     pcts = REGISTRY["approx_value_percentiles"].fn(spark, sf).collect()
     assert pcts
