@@ -2933,3 +2933,51 @@ def q_segment_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFr
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         """
     )
+
+
+_LATEST_ORDER_MAXBY_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         (CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) << 24) + o_orderkey AS ord,
+         o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+)
+SELECT o_custkey AS customer_id,
+       max_by(o_orderkey, ord) AS last_orderkey,
+       strftime(max_by(o_orderdate, ord), '%Y-%m-%d') AS last_order_date,
+       max_by(o_totalprice, ord) AS last_order_total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM o GROUP BY o_custkey
+"""
+
+
+@register("latest_order_maxby", oracle=_LATEST_ORDER_MAXBY_ORACLE, tags=("agg", "scale"))
+def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-group as an AGGREGATION (max_by over a composite ordinal)
+    instead of a window sort — the scale-preferred A4 strategy: max_by is
+    partial-aggregable (map-side combine shrinks each partition to one row
+    per key BEFORE the shuffle), while the window formulation must shuffle
+    and sort every row.  The ordinal packs (epoch_day << 24 | orderkey) into
+    one long so the tie-break is total and engine-identical.  Compare
+    ``latest_event_per_user`` (window A4) — both semantics, both certified."""
+    o = load_table(spark, sf_dir, "orders")
+    ordinal = (
+        F.shiftleft(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long"),
+            24,
+        )
+        + F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("__ord", ordinal)
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.max_by("o_orderkey", "__ord").alias("last_orderkey"),
+            F.date_format(F.max_by("o_orderdate", "__ord"), "yyyy-MM-dd")
+            .alias("last_order_date"),
+            F.max_by("o_totalprice", "__ord").alias("last_order_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
