@@ -17,7 +17,22 @@ __all__ = [
     "cents",
     "from_cents",
     "money_sum",
+    "epoch_us",
 ]
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Dtype-safe epoch microseconds: ``unix_micros(cast(col AS TIMESTAMP))``.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ inputs outright (SQLSTATE 42K09), and
+    the engine cannot control whether a caller's session read parquet as NTZ or
+    LTZ.  The cast is a Catalyst no-op on TIMESTAMP, interprets NTZ wall time
+    in the session timezone (UTC — asserted by ``io.ensure_scan_confs``), and
+    also admits DATE.  Use this, never raw ``F.unix_micros``, on any column
+    that may originate from a scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def cents(col: Column, scale: int = 2) -> Column:

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from .schemas import TESTDATA, TESTDATA_TABLES
 
 __all__ = [
+    "ensure_scan_confs",
     "load_table",
     "load_tables",
     "write_date_partitioned",
@@ -32,30 +33,61 @@ __all__ = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable SQL confs every scan re-asserts.  The engine cannot assume
+# the caller's session was built by session.get_spark() — the correctness
+# driver (and any downstream user) passes its own vanilla SparkSession, under
+# which (a) nanosecond parquet timestamps fail the scan outright
+# (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on, and (b) tz-less parquet
+# timestamps surface as TIMESTAMP_NTZ, breaking epoch arithmetic.  All three
+# confs are per-session runtime confs (verified on a vanilla local session),
+# so setting them here makes every query session-agnostic.
+_SCAN_CONFS = (
+    # ns timestamps (events.ts) arrive as long; converted to µs below.
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # tz-less timestamps read as TIMESTAMP (LTZ); with a UTC session this is
+    # value-identical to the naive-UTC wall time DuckDB's oracle computes.
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_scan_confs(spark: SparkSession) -> None:
+    """Assert the scan-critical runtime confs on the *caller's* session."""
+    for k, v in _SCAN_CONFS:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Unknown/static conf on an exotic build: the dtype-normalizing
+            # casts in load_table below still repair what they can.
+            pass
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table.  Plain parquet scan: Catalyst handles
     partition discovery, filter pushdown and column pruning downstream.
 
-    Nanosecond parquet timestamps are read as long (see session config) and
-    converted here to microsecond TimestampType per the declared schema —
-    Spark's native precision (sub-µs truncated; DuckDB's TIMESTAMP is µs too,
-    so the differential oracle agrees).
+    Session-agnostic by construction: re-asserts the runtime scan confs on
+    the passed session, then normalizes every declared-timestamp column that
+    arrived as long (nanosecond parquet, ns->µs truncation — Spark's native
+    precision; DuckDB's TIMESTAMP is µs too, so the differential oracle
+    agrees) or as TIMESTAMP_NTZ (cast to TIMESTAMP under the UTC session —
+    value-identical instant).
     """
+    ensure_scan_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     expected = TESTDATA.get(name)
     if expected is not None:
         actual = dict(zip(df.schema.names, df.schema.fields))
         for field in expected.fields:
             got = actual.get(field.name)
-            if (
-                got is not None
-                and isinstance(field.dataType, T.TimestampType)
-                and isinstance(got.dataType, T.LongType)
-            ):
+            if got is None or not isinstance(field.dataType, T.TimestampType):
+                continue
+            if isinstance(got.dataType, T.LongType):
                 df = df.withColumn(
                     field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
                 )
+            elif isinstance(got.dataType, T.TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

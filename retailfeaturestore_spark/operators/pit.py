@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import epoch_us
+
 MICROS = 1_000_000
 
 __all__ = [
@@ -77,38 +79,43 @@ def asof_join(
     ``lookup_ts <= spine_ts`` (or ``<`` when ``strict``) for the same key.
 
     Union trick: tag both sides, union by key, one event-time-sorted window,
-    ``last_value(..., ignoreNulls)`` carried forward onto spine rows.  Equal
+    ONE ``last_value(struct, ignoreNulls)`` carried forward onto spine rows —
+    a single struct of all value columns, so the carried values always come
+    from the SAME lookup row (carrying columns independently would let an
+    older row's stale non-null value leak through a newer row's null).  Equal
     timestamps: lookup rows sort before spine rows (non-strict as-of), and
-    among equal-ts lookup rows the largest ``lookup_tiebreak`` wins.
+    among equal-ts lookup rows the largest ``lookup_tiebreak`` wins (native
+    dtype ordering — no lossy cast).
 
     Scale: ONE shuffle on ``key`` — this is the as-of join formulation that
     survives 1000 executors, vs. the O(spine x lookup-per-key) range join.
     """
+    lookup_types = dict(lookup.dtypes)
+    vals = F.struct(*[F.col(c) for c in value_cols])
+    vals_type = lookup.select(vals.alias("__vals")).schema["__vals"].dataType
     s = spine.withColumns(
         {
-            "__ts_us": F.unix_micros(F.col(spine_ts)),
+            "__ts_us": epoch_us(spine_ts),
             "__side": F.lit(1),
-            "__tb": F.lit(None).cast("long"),
-            **{f"__v_{c}": F.lit(None).cast(dict(lookup.dtypes)[c]) for c in value_cols},
+            "__tb": F.lit(None).cast(lookup_types[lookup_tiebreak]),
+            "__vals": F.lit(None).cast(vals_type),
         }
     )
     lu = lookup.select(
         F.col(key),
-        F.unix_micros(F.col(lookup_ts)).alias("__ts_us"),
+        epoch_us(lookup_ts).alias("__ts_us"),
         F.lit(0 if not strict else 2).alias("__side"),
-        F.col(lookup_tiebreak).cast("long").alias("__tb"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(lookup_tiebreak).alias("__tb"),
+        vals.alias("__vals"),
     )
     # Spine schema minus the carried columns, preserved through the union.
     spine_cols = spine.columns
     s_sel = s.select(
-        F.col(key), "__ts_us", "__side", "__tb",
-        *[F.col(f"__v_{c}") for c in value_cols],
+        F.col(key), "__ts_us", "__side", "__tb", "__vals",
         *[F.col(c) for c in spine_cols if c != key],
     )
     lu_sel = lu.select(
-        F.col(key), "__ts_us", "__side", "__tb",
-        *[F.col(f"__v_{c}") for c in value_cols],
+        F.col(key), "__ts_us", "__side", "__tb", "__vals",
         *[F.lit(None).cast(dict(spine.dtypes)[c]).alias(c) for c in spine_cols if c != key],
     )
     unioned = s_sel.unionByName(lu_sel)
@@ -119,15 +126,13 @@ def asof_join(
         .orderBy("__ts_us", "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumns(
-        {
-            f"asof_{c}": F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)
-            for c in value_cols
-        }
-    )
+    carried = unioned.withColumn("__asof", F.last("__vals", ignorenulls=True).over(w))
     return (
         carried.where(F.col("__side") == 1)
-        .select(*spine_cols, *[f"asof_{c}" for c in value_cols])
+        .select(
+            *spine_cols,
+            *[F.col("__asof")[c].alias(f"asof_{c}") for c in value_cols],
+        )
     )
 
 
@@ -156,12 +161,12 @@ def interval_existence_labels(
     sp = (
         spine.select(F.col(key), F.col(spine_ts).alias("__t"))
         .distinct()
-        .withColumns({"__ts_us": F.unix_micros(F.col("__t")), "__ev": F.lit(0)})
+        .withColumns({"__ts_us": epoch_us("__t"), "__ev": F.lit(0)})
     )
     ev = events.select(
         F.col(key),
         F.lit(None).cast(dict(spine.dtypes)[spine_ts]).alias("__t"),
-        F.unix_micros(F.col(event_ts)).alias("__ts_us"),
+        epoch_us(event_ts).alias("__ts_us"),
         F.lit(1).alias("__ev"),
     )
     w = (
@@ -192,7 +197,7 @@ def next_event_within(
     horizon_us = horizon_days * 86_400 * MICROS
     w = (
         Window.partitionBy(key)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(epoch_us(ts_col))
         .rangeBetween(1, horizon_us)
     )
     return (F.count(F.lit(1)).over(w) > 0).cast("int").alias(exists_col)

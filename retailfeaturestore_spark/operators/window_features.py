@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-from ..functions.expressions import cents, clip, from_cents, guarded_div
+from ..functions.expressions import cents, clip, epoch_us, from_cents, guarded_div
 
 __all__ = [
     "MICROS_PER_DAY",
@@ -133,7 +133,7 @@ def build_customer_features(
 
     df = bronze.withColumns(
         {
-            _TS_US: F.unix_micros(F.col(ts_col)),
+            _TS_US: epoch_us(ts_col),
             "__txn": txn,
             "__cancel": cancel,
             "__spend": spend,
@@ -214,7 +214,7 @@ def user_activity_features(
     val = F.col("value")
     if amount_scale is not None:
         val = cents(val, amount_scale)
-    df = events.withColumns({_TS_US: F.unix_micros(F.col("ts")), "__val": val})
+    df = events.withColumns({_TS_US: epoch_us("ts"), "__val": val})
 
     def fam(w: WindowSpec) -> dict[str, Column]:
         n = F.count(F.lit(1)).over(w).cast("long")

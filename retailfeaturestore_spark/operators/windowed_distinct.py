@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.expressions import epoch_us
+
 __all__ = ["exact_windowed_distinct", "MICROS_PER_DAY"]
 
 MICROS_PER_DAY = 86_400 * 1_000_000
@@ -67,7 +69,7 @@ def exact_windowed_distinct(
     payload_cols = df.columns
     horizons = {s: d * MICROS_PER_DAY for s, d in windows.items()}
 
-    base = df.withColumn("__t", F.unix_micros(F.col(ts_col)))
+    base = df.withColumn("__t", epoch_us(ts_col))
     w_lag = Window.partitionBy(entity_col, key_col).orderBy("__t")
     paired = base.withColumn(
         "__prev",

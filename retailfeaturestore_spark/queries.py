@@ -31,7 +31,7 @@ from .operators.pit import (
     interval_existence_labels,
     latest_per_key,
 )
-from .functions.expressions import cents, from_cents, money_sum
+from .functions.expressions import cents, epoch_us, from_cents, money_sum
 from .operators.window_features import build_customer_features, user_activity_features
 
 # Frozen category contract (the engine's feature_names.txt analogue — computed
@@ -1397,7 +1397,7 @@ def q_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
         F.floor(
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            (epoch_us(F.max("ts")) - epoch_us(F.min("ts")))
             / F.lit(86_400_000_000.0)
         ).alias("active_days"),
     )
@@ -1559,7 +1559,7 @@ def q_order_sequence_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
         F.floor(
-            (F.unix_micros("o_orderdate") - F.unix_micros(F.lag("o_orderdate").over(w_seq)))
+            (epoch_us("o_orderdate") - epoch_us(F.lag("o_orderdate").over(w_seq)))
             / F.lit(86_400_000_000.0)
         ).alias("days_since_prev"),
         F.lead("o_orderdate").over(w_seq).alias("next_order_date"),
@@ -2532,7 +2532,7 @@ def q_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("value"), 6).alias("v_c"),
         F.least(
             F.floor(
-                (F.unix_micros("t_max") - F.unix_micros("ts")).cast("double")
+                (epoch_us("t_max") - epoch_us("ts")).cast("double")
                 / F.lit(7.0 * 86_400_000_000.0)
             ).cast("long"),
             F.lit(_DECAY_MAX_WEEKS).cast("long"),
@@ -2584,7 +2584,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("customer_id"))
         .agg(
             F.floor(
-                (F.unix_micros(F.max("t_max")) - F.unix_micros(F.max("o_orderdate")))
+                (epoch_us(F.max("t_max")) - epoch_us(F.max("o_orderdate")))
                 .cast("double")
                 / F.lit(86_400_000_000.0)
             )
