@@ -2939,7 +2939,7 @@ _LATEST_ORDER_MAXBY_ORACLE = """
 WITH o AS (
   SELECT o_custkey,
          (CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-               AS BIGINT) << 24) + o_orderkey AS ord,
+               AS BIGINT) << 32) + o_orderkey AS ord,
          o_orderkey, o_orderdate, o_totalprice
   FROM orders
 )
@@ -2958,15 +2958,18 @@ def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a window sort — the scale-preferred A4 strategy: max_by is
     partial-aggregable (map-side combine shrinks each partition to one row
     per key BEFORE the shuffle), while the window formulation must shuffle
-    and sort every row.  The ordinal packs (epoch_day << 24 | orderkey) into
-    one long so the tie-break is total and engine-identical.  Compare
+    and sort every row.  The ordinal packs (epoch_day << 32 | orderkey) into
+    one long so the tie-break is total and engine-identical.  Bounds: a
+    32-bit orderkey field covers TPC-H up to ~SF 700 (keys < 2^32) and
+    epoch_day < 2^30 keeps the packed long well under 2^63; beyond that,
+    switch the ordinal to max_by over a (date, key) struct.  Compare
     ``latest_event_per_user`` (window A4) — both semantics, both certified."""
     o = load_table(spark, sf_dir, "orders")
     ordinal = (
         F.shiftleft(
             F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
             .cast("long"),
-            24,
+            32,
         )
         + F.col("o_orderkey")
     )
@@ -2981,3 +2984,90 @@ def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver evaluation order.  The correctness driver evaluates the FIRST 50
+# registry entries; with 73 registered queries, definition order left whole
+# operator families (grouping sets, max_by latest, navigation, rows-frame,
+# delta distinct, clustering, Q8/Q13/Q14/Q18/Q22 shapes) without any driver
+# verdict while near-duplicate variants occupied slots.  This explicit
+# priority list guarantees every distinct SURVEY.md §2 family — plus every
+# LLM-pipeline component (dedup/ANN/text/multimodal/streaming-equiv) — at
+# least one slot in the evaluated window; remaining queries keep definition
+# order after it.
+# ---------------------------------------------------------------------------
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # core pipeline: normalize -> windows -> labels -> training set
+    "normalize_lineitem",
+    "feature_view_build",
+    "feature_view_build_delta",
+    "user_activity_features",
+    "training_set_build",
+    "churn_labels_orders",
+    "purchase_labels_after_signup",
+    # point-in-time family
+    "asof_snapshot_lookup",
+    "asof_join_clicks_purchases",
+    "latest_event_per_user",
+    "latest_order_maxby",
+    "first_event_per_user",
+    # encodings + simple aggregates
+    "customer_onehot",
+    "topk_segments",
+    "priority_mode_per_customer",
+    "distinct_parts_per_customer",
+    "union_slices",
+    # multi-grain aggregation
+    "revenue_rollup",
+    "segment_priority_cube",
+    "segment_priority_grouping_sets",
+    "orders_priority_pivot",
+    # window / navigation / scalar inventories
+    "order_sequence_analytics",
+    "order_navigation",
+    "rows_rolling_spend",
+    "order_calendar_features",
+    "text_string_features",
+    "value_percentiles",
+    "hash_split_train_val",
+    # feature-engineering staples
+    "rfm_segments",
+    "decayed_user_value",
+    # join/agg shapes (TPC-H-derived)
+    "pricing_summary",
+    "shipping_priority",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "nation_market_share",
+    "promo_revenue_share",
+    "order_count_distribution",
+    "large_volume_orders",
+    "top_balance_inactive_customers",
+    # LLM-data-pipeline components
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_edit_distance",
+    "dedup_clusters",
+    "embedding_neardup_lsh",
+    "knn_ivf_bucketed",
+    "text_lang_id",
+    "multimodal_payload_meta",
+    # streaming batch-equivalents
+    "events_session_windows",
+    "events_props_json",
+)
+
+
+def _reorder_registry() -> None:
+    ordered = {name: REGISTRY[name] for name in DRIVER_PRIORITY}  # KeyError = typo
+    for name, qd in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = qd
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
