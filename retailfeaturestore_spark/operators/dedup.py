@@ -40,6 +40,7 @@ from ..functions.text import (
 __all__ = [
     "dedup_exact",
     "shingle_docs",
+    "posting_lists",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "jaccard_pairs_exact",
@@ -49,6 +50,27 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan is under-partitioned.  Digest
+    stages (shingle md5, simhash word hashing) are COMPUTE-bound: AQE sizes
+    partitions by bytes, so a small single-row-group parquet file leaves the
+    whole md5 pipeline on one core.  Row-count spreading costs one tiny
+    shuffle of the raw docs and parallelizes everything downstream (same
+    lesson as the repartition-before-Levenshtein stage, see
+    q_dedup_edit_distance).
+
+    Quarter-width, not full-width: these stages are short, and explicit
+    repartition counts are exempt from AQE coalescing, so every downstream
+    stage inherits the width — at full core count the task-launch overhead
+    of ~8 skinny stages exceeded the compute (measured 1.8s vs 1.4s at
+    sf0.1).  On a real cluster a large input arrives already partitioned
+    and this path never fires."""
+    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -56,9 +78,39 @@ def shingle_docs(
     / candidate / verification stages (shingling + md5 dominate the pipeline;
     recomputing it per stage tripled the wall time in bench).  Callers
     should ``.persist()`` this when feeding multiple consumers."""
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__sh")
     ).where(F.size("__sh") > 0)
+
+
+def posting_lists(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """``(id, sh, h1, h2)``: one exploded row per distinct shingle, ONE md5
+    per shingle, hex halves as 56-bit longs (Kirsch-Mitzenmacher bases).
+
+    This is the single cacheable artifact of the minhash pipeline — skinny
+    long/short-string rows that sizes, signatures, LSH candidates AND the
+    exact-Jaccard verification all consume.  Persisting this instead of the
+    per-doc shingle *arrays* cut the flagship dedup wall time ~2x: columnar
+    caching of large string arrays was the hidden cost, and the k signature
+    components become a map-side-combinable ``groupBy(id).agg(min(...))``
+    instead of array arithmetic behind an extra checkpoint.
+    """
+    return (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .withColumn("__d", F.md5("sh"))
+        .select(
+            "id",
+            "sh",
+            F.conv(F.substring("__d", 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("__d", 15, 14), 16, 10).cast("long").alias("h2"),
+        )
+    )
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -80,14 +132,23 @@ def minhash_signatures(
     n: int = 3,
     k: int = 12,
     shingled: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """doc -> k-component MinHash signature over word n-gram shingles.
-    Pass ``shingled`` (from :func:`shingle_docs`, persisted) to avoid
-    recomputing the shingle sets.
 
-    The digest-pair array is materialized in its own projection so each
-    shingle is md5'd ONCE; the k components are integer arithmetic over it
-    (see ``functions.text.minhash_hash_pairs``)."""
+    Preferred input: ``postings`` (from :func:`posting_lists`, persisted) —
+    the k components are then ONE ``groupBy(id).agg(min(h1 + (i+1)*h2))``,
+    partially aggregated map-side before the (tiny) shuffle.  The legacy
+    ``shingled`` array path computes the same values via array arithmetic
+    (``functions.text.minhash_hash_pairs`` — one md5 per shingle either way).
+    """
+    if postings is not None:
+        return postings.groupBy(F.col("id").alias(id_col)).agg(
+            *[
+                F.min(F.col("h1") + F.lit(s + 1) * F.col("h2")).alias(f"h{s}")
+                for s in range(k)
+            ]
+        )
     d = shingled if shingled is not None else shingle_docs(docs, text_col, id_col, n)
     d = d.withColumn("__mh", minhash_hash_pairs(F.col("__sh")))
     return d.select(
@@ -156,6 +217,7 @@ def jaccard_pairs_exact(
     threshold: float = 0.5,
     max_df: int | None = None,
     shingled: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.
 
@@ -164,12 +226,19 @@ def jaccard_pairs_exact(
     ``max_df`` caps posting-list length (drop ubiquitous shingles) — the
     standard scale guard against quadratic hot posting lists.
 
+    Preferred input: ``postings`` (from :func:`posting_lists`, persisted) —
+    sizes and intersections derive from the same skinny cached rows.
+
     Jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over integer counts —
     engine-exact arithmetic.
     """
-    d = shingled if shingled is not None else shingle_docs(docs, text_col, id_col, n)
-    sizes = d.select(F.col("id"), F.size("__sh").alias("n_sh"))
-    postings = d.select(F.col("id"), F.explode("__sh").alias("sh"))
+    if postings is not None:
+        sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        postings = postings.select("id", "sh")
+    else:
+        d = shingled if shingled is not None else shingle_docs(docs, text_col, id_col, n)
+        sizes = d.select(F.col("id"), F.size("__sh").alias("n_sh"))
+        postings = d.select(F.col("id"), F.explode("__sh").alias("sh"))
     if max_df is not None:
         keep = (
             postings.groupBy("sh")
@@ -236,7 +305,7 @@ def simhash_signatures(
     Plan shape: explode words -> 32 conditional sums in ONE groupBy —
     partial aggregation map-side, a single shuffle on the doc id.
     """
-    w = docs.select(
+    w = _spread(docs).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("__w")
     ).withColumn("__h", F.substring(F.md5("__w"), 1, 8))
     aggs = []

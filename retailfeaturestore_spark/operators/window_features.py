@@ -100,7 +100,7 @@ def build_customer_features(
     round_to: int | None = None,
     approx_unique: bool = False,
     amount_scale: int | None = 4,
-    unique_mode: str = "set",
+    unique_mode: str = "delta",
 ) -> DataFrame:
     """Bronze order lines -> gold per-line feature snapshots (W1-W6).
 
@@ -110,13 +110,16 @@ def build_customer_features(
     parameterized exactly like the reference's ``WINDOWS = ["1D","7D","30D"]``
     (``jobs/build_feature_views.py:7``).
 
-    ``unique_mode`` selects the W3 distinct-count engine: ``"set"`` (default,
-    ``collect_set`` window state — exact, best at retail cardinalities),
-    ``"delta"`` (exact interval-delta running sums, O(1) per-row state — the
-    whale-entity path, see ``operators.windowed_distinct``), or ``"approx"``
-    (HLL estimate; also reachable via the legacy ``approx_unique=True``).
-    All three produce the same column names; "set" and "delta" the same
-    values.
+    ``unique_mode`` selects the W3 distinct-count engine: ``"delta"``
+    (default: exact interval-delta running sums, O(1) per-row state — safe
+    for whale entities at 100 TB, see ``operators.windowed_distinct``),
+    ``"set"`` (``collect_set`` window state — exact and ~1.5x faster at
+    retail cardinalities, but per-row set state is the known memory cliff
+    when one entity sees millions of distinct keys inside a window), or
+    ``"approx"`` (HLL estimate; also reachable via the legacy
+    ``approx_unique=True``).  All three produce the same column names;
+    "set" and "delta" the same values.  The default is the engine that
+    cannot fall over — callers that know their cardinality opt into "set".
     """
     windows = windows or {"1d": 1, "7d": 7, "30d": 30}
     if approx_unique:
@@ -139,6 +142,19 @@ def build_customer_features(
             "__spend": spend,
         }
     )
+
+    # Delta W3 runs FIRST, emitting (entity, ts_us) as alias-aware columns:
+    # the W1-W5 range frames below then reuse the delta pass's entity-hash
+    # exchange and (entity, time, kind) sort — the sort order (entity, ts_us)
+    # they require is a prefix of it — so the whole family still costs ONE
+    # wide shuffle, same as the collect_set path.
+    if unique_mode == "delta":
+        from .windowed_distinct import exact_windowed_distinct
+
+        df = exact_windowed_distinct(
+            df, entity_col, ts_col, sku_col, windows,
+            out_prefix="unique_skus", epoch_col=_TS_US,
+        )
 
     def uniq(w: WindowSpec) -> Column:
         if unique_mode == "approx":
@@ -167,12 +183,6 @@ def build_customer_features(
         return cols
 
     df = _windowed(df, entity_col, windows, fam)
-    if unique_mode == "delta":
-        from .windowed_distinct import exact_windowed_distinct
-
-        df = exact_windowed_distinct(
-            df, entity_col, ts_col, sku_col, windows, out_prefix="unique_skus"
-        )
 
     # W6 tenure: whole-24h-period floor since first event (entity-wide frame;
     # same partitioning => same single exchange).

@@ -1,6 +1,6 @@
 """Exact event-time-windowed distinct counts WITHOUT per-row set state.
 
-``collect_set(...).over(range_window)`` (the default W3 path in
+``collect_set(...).over(range_window)`` (the small-entity W3 path in
 ``window_features``) keeps every distinct key of the window in memory per
 row — fine at retail cardinalities, pathological for whale entities at
 100 TB (a customer seeing 10^6 SKUs in a 30-day horizon materializes a
@@ -11,7 +11,7 @@ interval-delta decomposition::
 
     distinct(t) = C(t) - P(t)
 
-    C(t) = # rows in [t-w, t]                       (plain range-window count)
+    C(t) = # rows in [t-w, t]
     P(t) = # consecutive same-key occurrence pairs
            (a=prev_ts, b=ts) active at t, i.e. b <= t AND a >= t-w
 
@@ -22,11 +22,25 @@ active for ``t in [b, a+w]``: encode it as a +1 event at time b and a -1
 event at time a+w (applied strictly after), and P(t) is a running sum.
 Pairs with ``b - a > w`` can never be active and are dropped at the source.
 
-Physical shape: ONE exchange on the entity key; two sorts over it (the
-per-key ``lag`` uses (entity, key, ts), the running sum (entity, ts, kind));
-every operator is a codegen'd long-integer window aggregate.  The union
-triples the row count with skinny delta rows (payload columns are NULL) —
-at 100 TB that is a 3x scan of long triples versus per-row set
+Physical shape (v2 — every frame is *incremental*, no sliding re-scans):
+
+- ONE lag pass over ``(entity, key)`` marks each row's previous same-key
+  occurrence; pairs explode into their +1/-1 delta events from an inline
+  array (single branch — v1's per-horizon union branches re-executed the
+  whole lag subtree once per horizon).
+- Query rows union with the skinny delta rows (payload columns NULL), then
+  ONE exchange on the entity key and ONE sort ``(time, kind)`` feed all
+  output frames:
+  * ``P(t)``: running rows-frame sum of the deltas (incremental).
+  * ``C(t) = A(t) - B_w(t)``: two *growing* range frames
+    (``[unbounded, 0]`` and ``[unbounded, -w-1µs]``) — Spark evaluates
+    growing frames by incremental accumulation, while a sliding
+    ``[-w, 0]`` frame re-aggregates its buffer per row.
+  The rows-frame ordering ``(time, kind)`` satisfies the range frames'
+  ``(time)`` ordering prefix, so no second sort materializes.
+
+The union roughly triples the row count with skinny delta rows — at
+100 TB that is a 3x pass of long triples versus per-row set
 materialization, and it never falls over on skew.
 
 Tie semantics match SQL RANGE frames (all rows at the same timestamp see
@@ -58,34 +72,38 @@ def exact_windowed_distinct(
     key_col: str,
     windows: dict[str, int],
     out_prefix: str = "unique",
+    epoch_col: str | None = None,
 ) -> DataFrame:
     """Append ``{out_prefix}_{suffix}`` = exact distinct ``key_col`` count
     over the both-closed range window ``[t - days, t]`` per entity.
 
     ``windows`` maps suffix -> horizon days.  NULL keys are excluded from
     the count (SQL ``count(DISTINCT ...)`` / ``collect_set`` semantics).
-    All original columns are preserved; one shuffle on ``entity_col``.
+    All original columns are preserved; one entity-key shuffle feeds every
+    output frame.
+
+    ``epoch_col`` names an *existing* epoch-microseconds long column to use
+    as the event time.  When given, the output emits ``entity_col`` and
+    ``epoch_col`` as direct aliases of the internal partition/order
+    attributes — ProjectExec is alias-aware, so downstream operators that
+    partition on ``entity_col`` and order by ``epoch_col`` (e.g. the W1-W5
+    range-frame family) reuse this operator's exchange and sort instead of
+    shuffling again.
     """
-    payload_cols = df.columns
     horizons = {s: d * MICROS_PER_DAY for s, d in windows.items()}
-
-    base = df.withColumn("__t", epoch_us(ts_col))
-    w_lag = Window.partitionBy(entity_col, key_col).orderBy("__t")
-    paired = base.withColumn(
-        "__prev",
-        F.when(
-            F.col(key_col).isNotNull(), F.lag("__t").over(w_lag)
-        ),
-    )
-
     d_cols = [f"__d_{s}" for s in horizons]
-    payload = F.struct(*payload_cols)
-    null_payload = F.lit(None).cast(
-        base.select(payload.alias("__p")).schema["__p"].dataType.simpleString()
-    )
 
-    # kind 1: query rows (carry the payload; deltas 0; count themselves in C)
-    queries = paired.select(
+    if epoch_col is None:
+        base = df.withColumn("__t", epoch_us(ts_col))
+        payload_cols = df.columns
+    else:
+        base = df.withColumn("__t", F.col(epoch_col))
+        payload_cols = [c for c in df.columns if c not in (entity_col, epoch_col)]
+    payload = F.struct(*payload_cols)
+    payload_type = base.select(payload.alias("__p")).schema["__p"].dataType
+
+    # Query rows: carry the payload; count themselves into C; no deltas.
+    queries = base.select(
         F.col(entity_col).alias("__e"),
         F.col("__t").alias("__time"),
         F.lit(1).alias("__kind"),
@@ -94,57 +112,90 @@ def exact_windowed_distinct(
         payload.alias("__p"),
     )
 
-    # kind 0: +1 pair-start events at b (only horizons the pair can ever hit)
-    plus = paired.where(F.col("__prev").isNotNull()).select(
-        F.col(entity_col).alias("__e"),
-        F.col("__t").alias("__time"),
-        F.lit(0).alias("__kind"),
-        F.lit(0).cast("long").alias("__c"),
-        *[
-            (F.col("__t") - F.col("__prev") <= F.lit(w_us)).cast("long").alias(c)
-            for c, w_us in zip(d_cols, horizons.values())
-        ],
-        null_payload.alias("__p"),
+    # Pair rows -> delta events, ONE branch.  The lag partitions on
+    # (entity, key) — a different hash than the final window, but it spreads
+    # whale entities across partitions, and the union below needs a
+    # re-exchange regardless.
+    w_lag = Window.partitionBy("__e", "__k").orderBy("__t")
+    max_w = max(horizons.values())
+    paired = (
+        base.where(F.col(key_col).isNotNull())
+        .select(F.col(entity_col).alias("__e"), "__t", F.col(key_col).alias("__k"))
+        .withColumn("__prev", F.lag("__t").over(w_lag))
+        .where(F.col("__prev").isNotNull() & (F.col("__t") - F.col("__prev") <= max_w))
+    )
+    # One array element per delta event: the +1 at pair start (indicator per
+    # horizon the pair can ever hit), and a -1 at prev + w for each horizon
+    # the pair survives; dead elements are nulled then compacted.
+    gap = F.col("__t") - F.col("__prev")
+    elem_fields = lambda time, kind, ds: F.struct(  # noqa: E731
+        time.alias("t"), F.lit(kind).alias("k"),
+        *[d.cast("long").alias(c) for d, c in zip(ds, d_cols)],
+    )
+    plus = elem_fields(
+        F.col("__t"), 0, [(gap <= F.lit(w)).cast("long") for w in horizons.values()]
+    )
+    minuses = [
+        F.when(
+            gap <= F.lit(w_us),
+            elem_fields(
+                F.col("__prev") + F.lit(w_us), 2,
+                [F.lit(-1 if c2 == c else 0) for c2 in d_cols],
+            ),
+        )
+        for (s, w_us), c in zip(horizons.items(), d_cols)
+    ]
+    deltas = (
+        paired.select(
+            "__e",
+            F.explode(
+                F.filter(F.array(plus, *minuses), lambda x: x.isNotNull())
+            ).alias("__ev"),
+        )
+        .select(
+            "__e",
+            F.col("__ev.t").alias("__time"),
+            F.col("__ev.k").alias("__kind"),
+            F.lit(0).cast("long").alias("__c"),
+            *[F.col(f"__ev.{c}").alias(c) for c in d_cols],
+            F.lit(None).cast(payload_type).alias("__p"),
+        )
     )
 
-    # kind 2: -1 pair-end events at a + w, one per surviving horizon
-    unions = [queries, plus]
-    for (s, w_us), c in zip(horizons.items(), d_cols):
-        unions.append(
-            paired.where(
-                F.col("__prev").isNotNull()
-                & (F.col("__t") - F.col("__prev") <= F.lit(w_us))
-            ).select(
-                F.col(entity_col).alias("__e"),
-                (F.col("__prev") + F.lit(w_us)).alias("__time"),
-                F.lit(2).alias("__kind"),
-                F.lit(0).cast("long").alias("__c"),
-                *[
-                    F.lit(-1 if c2 == c else 0).cast("long").alias(c2)
-                    for c2 in d_cols
-                ],
-                null_payload.alias("__p"),
-            )
-        )
+    u = queries.unionByName(deltas)
 
-    u = unions[0]
-    for more in unions[1:]:
-        u = u.unionByName(more)
-
+    # All output frames share the (entity) exchange and the (time, kind)
+    # sort; every frame below is evaluated incrementally.
     w_run = (
         Window.partitionBy("__e")
         .orderBy("__time", "__kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_cum = Window.partitionBy("__e").orderBy("__time").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
     out_cols = {}
     for (s, w_us), c in zip(horizons.items(), d_cols):
-        w_cnt = Window.partitionBy("__e").orderBy("__time").rangeBetween(-w_us, 0)
-        out_cols[f"{out_prefix}_{s}"] = (
-            F.sum("__c").over(w_cnt) - F.sum(c).over(w_run)
+        w_before = Window.partitionBy("__e").orderBy("__time").rangeBetween(
+            Window.unboundedPreceding, -w_us - 1
         )
+        c_in_window = F.sum("__c").over(w_cum) - F.coalesce(
+            F.sum("__c").over(w_before), F.lit(0)
+        )
+        out_cols[f"{out_prefix}_{s}"] = c_in_window - F.sum(c).over(w_run)
     u = u.withColumns(out_cols)
 
-    return u.where(F.col("__kind") == 1).select(
+    filtered = u.where(F.col("__kind") == 1)
+    if epoch_col is None:
+        return filtered.select(
+            *[F.col("__p")[c].alias(c) for c in payload_cols],
+            *[F.col(n).alias(n) for n in out_cols],
+        )
+    # Alias-aware output: __e/__time carry the hash-partitioning and the
+    # (entity, time) sort order through to downstream window operators.
+    return filtered.select(
+        F.col("__e").alias(entity_col),
+        F.col("__time").alias(epoch_col),
         *[F.col("__p")[c].alias(c) for c in payload_cols],
         *[F.col(n).alias(n) for n in out_cols],
     )

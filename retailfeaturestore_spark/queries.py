@@ -718,6 +718,7 @@ from .operators.dedup import (  # noqa: E402
     jaccard_pairs_exact,
     minhash_candidate_pairs,
     minhash_signatures,
+    posting_lists,
     shingle_docs,
     simhash_pairs,
     simhash_signatures,
@@ -809,12 +810,18 @@ WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH banding (4 bands x 3 rows) -> candidate pairs ->
     exact-Jaccard verification at 0.5.  The scale path for near-dup dedup:
-    candidate generation shuffles only short hash keys."""
+    candidate generation shuffles only short hash keys.
+
+    Pure lineage, no persist/checkpoint: every consumer derives from the
+    skinny ``posting_lists`` projection, the self-join's identical band
+    subtrees collapse via ReusedExchange, and the signature agg is map-side
+    combinable — one Spark job end to end (the earlier cached-array variant
+    spent more on columnar cache writes and extra jobs than it saved)."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = shingle_docs(docs).persist()
-    sigs = minhash_signatures(docs, k=_MINHASH_K, shingled=shingled)
-    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
-    return jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, shingled=shingled)
+    post = posting_lists(docs)
+    sigs = minhash_signatures(docs, k=_MINHASH_K, postings=post)
+    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, materialize=False)
+    return jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, postings=post)
 
 
 _NGRAM_JACCARD_ORACLE = f"""
@@ -1927,9 +1934,9 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly re-spread across the cluster before the expensive projection
     (compute-bound rows need row-count parallelism, not byte balance)."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = shingle_docs(docs).persist()
-    sigs = minhash_signatures(docs, k=_MINHASH_K, shingled=shingled)
-    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
+    post = posting_lists(docs)
+    sigs = minhash_signatures(docs, k=_MINHASH_K, postings=post)
+    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, materialize=False)
     cand = cand.repartition(spark.sparkContext.defaultParallelism)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
@@ -2236,16 +2243,16 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("feature_view_build_delta", oracle=_FEATURE_VIEW_ORACLE, tags=("window", "scale"))
-def q_feature_view_build_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("feature_view_build_set", oracle=_FEATURE_VIEW_ORACLE, tags=("window", "scale"))
+def q_feature_view_build_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME W1-W6 feature family as ``feature_view_build`` but with the
-    W3 distinct-count computed by the interval-delta running-sum engine
-    (``operators.windowed_distinct``) instead of per-row ``collect_set``
-    state — the whale-entity 100 TB path, certified against the identical
-    DuckDB oracle."""
+    W3 distinct-count computed by per-row ``collect_set`` window state — the
+    small-entity fast path (the flagship defaults to the whale-safe
+    interval-delta engine, ``operators.windowed_distinct``); certified
+    against the identical DuckDB oracle."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     bronze = lineitem_to_bronze(t["lineitem"], t["orders"])
-    feats = build_customer_features(bronze, unique_mode="delta")
+    feats = build_customer_features(bronze, unique_mode="set")
     return feats.select(*_FEATURE_COL_ORDER)
 
 
@@ -2294,10 +2301,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same components with a recursive CTE — certifying a
     genuinely iterative distributed algorithm against declarative SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = shingle_docs(docs).persist()
-    sigs = minhash_signatures(docs, k=_MINHASH_K, shingled=shingled)
-    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS)
-    dup = jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, shingled=shingled)
+    post = posting_lists(docs)
+    sigs = minhash_signatures(docs, k=_MINHASH_K, postings=post)
+    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, materialize=False)
+    dup = jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, postings=post)
     return connected_components(dup).select(
         F.col("id").alias("doc_id"), F.col("cluster_id")
     )
@@ -3002,7 +3009,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # core pipeline: normalize -> windows -> labels -> training set
     "normalize_lineitem",
     "feature_view_build",
-    "feature_view_build_delta",
+    "feature_view_build_set",
     "user_activity_features",
     "training_set_build",
     "churn_labels_orders",
