@@ -62,7 +62,11 @@ HEADLINE = [
     "qty_price_correlation",
 ]
 
-RUNS = 2
+# min-of-3: the first run of a plan pays whole-stage-codegen compilation and
+# JIT tiering (the delta-distinct window family generates large codegen
+# units whose first execution costs ~1-2s extra); the third run is the
+# steady state a resident pipeline would see.
+RUNS = 3
 
 
 def main() -> None:

@@ -22,25 +22,27 @@ active for ``t in [b, a+w]``: encode it as a +1 event at time b and a -1
 event at time a+w (applied strictly after), and P(t) is a running sum.
 Pairs with ``b - a > w`` can never be active and are dropped at the source.
 
-Physical shape (v2 — every frame is *incremental*, no sliding re-scans):
+Physical shape (v3 — ONE exchange, every frame *incremental*):
 
-- ONE lag pass over ``(entity, key)`` marks each row's previous same-key
-  occurrence; pairs explode into their +1/-1 delta events from an inline
-  array (single branch — v1's per-horizon union branches re-executed the
-  whole lag subtree once per horizon).
-- Query rows union with the skinny delta rows (payload columns NULL), then
-  ONE exchange on the entity key and ONE sort ``(time, kind)`` feed all
-  output frames:
-  * ``P(t)``: running rows-frame sum of the deltas (incremental).
+- One hash exchange on the entity key serves the entire operator.  The
+  previous-same-key-occurrence lag runs over a partition-local
+  ``(key, time)`` sort with a same-key guard; each row then EXPLODES into
+  its query event plus its pair +1/-1 delta events.  Explode preserves the
+  hash partitioning (a union of separate query/delta branches would not —
+  UnionExec reports unknown partitioning, forcing a re-exchange and
+  re-executing the upstream scan per branch), so the running-sum pass needs
+  only a partition-local re-sort on ``(time, kind)``.
+- Output frames, all evaluated by incremental accumulation:
+  * ``P(t)``: running rows-frame sum of the deltas.
   * ``C(t) = A(t) - B_w(t)``: two *growing* range frames
     (``[unbounded, 0]`` and ``[unbounded, -w-1µs]``) — Spark evaluates
-    growing frames by incremental accumulation, while a sliding
-    ``[-w, 0]`` frame re-aggregates its buffer per row.
+    growing frames incrementally, while a sliding ``[-w, 0]`` frame
+    re-aggregates its buffer per row.
   The rows-frame ordering ``(time, kind)`` satisfies the range frames'
-  ``(time)`` ordering prefix, so no second sort materializes.
+  ``(time)`` ordering prefix, so no further sort materializes.
 
-The union roughly triples the row count with skinny delta rows — at
-100 TB that is a 3x pass of long triples versus per-row set
+The explode roughly triples the row count with skinny delta rows (payload
+NULL) — at 100 TB that is a 3x pass of long triples versus per-row set
 materialization, and it never falls over on skew.
 
 Tie semantics match SQL RANGE frames (all rows at the same timestamp see
@@ -102,67 +104,79 @@ def exact_windowed_distinct(
     payload = F.struct(*payload_cols)
     payload_type = base.select(payload.alias("__p")).schema["__p"].dataType
 
-    # Query rows: carry the payload; count themselves into C; no deltas.
-    queries = base.select(
+    # ONE exchange for the whole operator: the previous-occurrence lag runs
+    # partitioned by the entity alone (ordered key-then-time, with a
+    # same-key guard), and each row then EXPLODES into its query event plus
+    # its pair-delta events — explode preserves hash partitioning, where a
+    # union of two branches would not (UnionExec reports unknown
+    # partitioning and forces a re-exchange AND re-executes the upstream
+    # scan per branch).  The running-sum window below then needs only a
+    # partition-local re-sort.  Skew note: partitioning the lag by entity
+    # (not (entity, key)) concentrates a whale entity in one partition — the
+    # same exposure as the final per-entity window itself, so it does not
+    # change the operator's skew class.
+    pre = base.select(
         F.col(entity_col).alias("__e"),
-        F.col("__t").alias("__time"),
-        F.lit(1).alias("__kind"),
-        F.col(key_col).isNotNull().cast("long").alias("__c"),
-        *[F.lit(0).cast("long").alias(c) for c in d_cols],
+        "__t",
+        F.col(key_col).alias("__k"),
         payload.alias("__p"),
     )
+    w_lag = Window.partitionBy("__e").orderBy("__k", "__t")
+    same_key = F.lag("__k").over(w_lag) == F.col("__k")
+    pre = pre.withColumn(
+        "__prev", F.when(same_key, F.lag("__t").over(w_lag))
+    )
 
-    # Pair rows -> delta events, ONE branch.  The lag partitions on
-    # (entity, key) — a different hash than the final window, but it spreads
-    # whale entities across partitions, and the union below needs a
-    # re-exchange regardless.
-    w_lag = Window.partitionBy("__e", "__k").orderBy("__t")
-    max_w = max(horizons.values())
-    paired = (
-        base.where(F.col(key_col).isNotNull())
-        .select(F.col(entity_col).alias("__e"), "__t", F.col(key_col).alias("__k"))
-        .withColumn("__prev", F.lag("__t").over(w_lag))
-        .where(F.col("__prev").isNotNull() & (F.col("__t") - F.col("__prev") <= max_w))
-    )
-    # One array element per delta event: the +1 at pair start (indicator per
-    # horizon the pair can ever hit), and a -1 at prev + w for each horizon
-    # the pair survives; dead elements are nulled then compacted.
+    # One array element per event: the query row itself (kind 1, carries the
+    # payload), a +1 pair-start at t (kind 0, indicator per horizon the pair
+    # can ever hit), and a -1 pair-end at prev + w per surviving horizon
+    # (kind 2); dead elements are nulled then compacted.
     gap = F.col("__t") - F.col("__prev")
-    elem_fields = lambda time, kind, ds: F.struct(  # noqa: E731
-        time.alias("t"), F.lit(kind).alias("k"),
-        *[d.cast("long").alias(c) for d, c in zip(ds, d_cols)],
+    max_w = max(horizons.values())
+    elem_fields = lambda time, kind, c, ds, p: F.struct(  # noqa: E731
+        time.alias("t"), F.lit(kind).alias("k"), c.cast("long").alias("c"),
+        *[d.cast("long").alias(col) for d, col in zip(ds, d_cols)],
+        p.alias("p"),
     )
-    plus = elem_fields(
-        F.col("__t"), 0, [(gap <= F.lit(w)).cast("long") for w in horizons.values()]
+    null_p = F.lit(None).cast(payload_type)
+    query_elem = elem_fields(
+        F.col("__t"), 1, F.col("__k").isNotNull().cast("long"),
+        [F.lit(0) for _ in d_cols], F.col("__p"),
+    )
+    pair_live = F.col("__prev").isNotNull() & (gap <= F.lit(max_w))
+    plus = F.when(
+        pair_live,
+        elem_fields(
+            F.col("__t"), 0, F.lit(0),
+            [(gap <= F.lit(w)).cast("long") for w in horizons.values()], null_p,
+        ),
     )
     minuses = [
         F.when(
-            gap <= F.lit(w_us),
+            F.col("__prev").isNotNull() & (gap <= F.lit(w_us)),
             elem_fields(
-                F.col("__prev") + F.lit(w_us), 2,
-                [F.lit(-1 if c2 == c else 0) for c2 in d_cols],
+                F.col("__prev") + F.lit(w_us), 2, F.lit(0),
+                [F.lit(-1 if c2 == c else 0) for c2 in d_cols], null_p,
             ),
         )
         for (s, w_us), c in zip(horizons.items(), d_cols)
     ]
-    deltas = (
-        paired.select(
+    u = (
+        pre.select(
             "__e",
             F.explode(
-                F.filter(F.array(plus, *minuses), lambda x: x.isNotNull())
+                F.filter(F.array(query_elem, plus, *minuses), lambda x: x.isNotNull())
             ).alias("__ev"),
         )
         .select(
             "__e",
             F.col("__ev.t").alias("__time"),
             F.col("__ev.k").alias("__kind"),
-            F.lit(0).cast("long").alias("__c"),
+            F.col("__ev.c").alias("__c"),
             *[F.col(f"__ev.{c}").alias(c) for c in d_cols],
-            F.lit(None).cast(payload_type).alias("__p"),
+            F.col("__ev.p").alias("__p"),
         )
     )
-
-    u = queries.unionByName(deltas)
 
     # All output frames share the (entity) exchange and the (time, kind)
     # sort; every frame below is evaluated incrementally.

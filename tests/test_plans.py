@@ -40,13 +40,24 @@ def test_normalize_prunes_columns(spark):
 
 
 def test_feature_view_single_exchange(spark):
-    """The whole W1-W6 family must reuse ONE shuffle on customer_id — extra
-    Exchange nodes mean the window frames stopped sharing partitioning."""
+    """The whole W1-W6 family — including the whale-safe interval-delta
+    distinct engine — must reuse ONE hash shuffle on the entity key (the
+    delta operator's ``__e`` alias): the W1-W5 range frames and tenure ride
+    the delta pass's exchange via alias-aware projection.  A second
+    non-broadcast Exchange means that layout sharing broke."""
     df = REGISTRY["feature_view_build"].fn(spark, SF)
     plan = formatted_plan(df)
-    # exchanges: one for the join (each side) + one hashpartitioning(customer_id)
-    n_entity_exchanges = plan.count("hashpartitioning(customer_id")
-    assert n_entity_exchanges == 1, plan[:2000]
+    # formatted mode prints each shuffle as "(N) Exchange" with an
+    # "Arguments: hashpartitioning(...)" detail line
+    n_hash_exchanges = plan.count("Arguments: hashpartitioning")
+    assert n_hash_exchanges == 1, plan[:2000]
+
+
+def test_feature_view_set_single_exchange(spark):
+    """The collect_set fast path keeps its single customer_id shuffle."""
+    df = REGISTRY["feature_view_build_set"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(customer_id") == 1, plan[:2000]
 
 
 def test_interval_labels_plan_has_no_join(spark):
