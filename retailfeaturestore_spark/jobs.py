@@ -126,18 +126,21 @@ def make_training(
     horizon_days: int = 30,
     time_cutoff: str | None = None,
     top_k_countries: int = 10,
+    max_driver_rows: int = 2_000_000,
+    sample_over_limit: bool = False,
 ):
-    """Labels (J2) -> training set (J1+J4) -> fit -> artifacts (S8).
+    """Labels (J2) -> training set (J1+J4) -> guarded collect -> fit ->
+    artifacts (S8).
 
     Divergences from the reference, by design (SURVEY.md §7.4): deduped label
     spine, true time-cutoff split, contract categories from a one-time top-k.
-    The model fit runs at the driver on the aggregated frame (toPandas) —
-    LightGBM-shaped work stays out of the Spark plan; here the protocol-typed
-    LinearStubModel stands in (lightgbm not installed).
+    The model fit runs at the driver on the aggregated frame via the
+    row-budgeted ``collect_training_frame`` (raises past ``max_driver_rows``
+    unless a deterministic hash-sample is opted into); ``fit_model`` trains
+    LightGBM where installed and the protocol-typed LinearStubModel
+    otherwise.
     """
-    import numpy as np
-
-    from .ml.scoring import LinearStubModel
+    from .ml.training import collect_training_frame, fit_model
 
     bronze = spark.read.parquet(bronze_path)
     gold = spark.read.parquet(gold_path)
@@ -170,14 +173,15 @@ def make_training(
         if c in numeric
         and c not in ("customer_id", "churn_30d", "is_train")
     ]
-    pdf = ts.select(*feature_names, "churn_30d").toPandas()
+    pdf = collect_training_frame(
+        ts,
+        [*feature_names, "churn_30d"],
+        max_driver_rows=max_driver_rows,
+        sample_over_limit=sample_over_limit,
+    )
     X = pdf[feature_names].to_numpy(dtype="float64", na_value=0.0)
     y = pdf["churn_30d"].to_numpy(dtype="float64")
-    # deterministic closed-form ridge-ish fit (stands in for LightGBM)
-    scale = np.abs(X).max(axis=0)
-    scale[scale == 0] = 1.0
-    w = (X / scale).T @ y / max(len(y), 1)
-    model = LinearStubModel(weights=tuple((w / scale).tolist()), bias=float(y.mean()) * 0.0)
-    metrics = {"n_rows": int(len(y)), "pos_rate": float(y.mean())}
+    model, flavor = fit_model(X, y)
+    metrics = {"n_rows": int(len(y)), "pos_rate": float(y.mean()), "flavor": flavor}
     paths = save_artifacts(model_dir, model, feature_names, metrics)
     return model, feature_names, paths

@@ -25,8 +25,20 @@ def read_feature_names(path: str) -> list[str]:
 
 
 def save_artifacts(
-    out_dir: str, model: object, feature_names: list[str], metrics: dict | None = None
+    out_dir: str,
+    model: object,
+    feature_names: list[str],
+    metrics: dict | None = None,
+    mlflow_experiment: str | None = None,
 ) -> dict[str, str]:
+    """Persist model + contract + metrics; optionally mirror to MLflow.
+
+    The MLflow hook (``jobs/make_training_and_train.py:87-93`` logs params/
+    metrics/model per run) is import-gated: pass ``mlflow_experiment`` where
+    the library and a tracking server exist and the same artifacts are
+    logged as a run; absent the import, the local registry is authoritative
+    and nothing else changes.
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     model_path = out / "model.pkl"
@@ -35,6 +47,21 @@ def save_artifacts(
     write_feature_names(str(out / "feature_names.txt"), feature_names)
     if metrics is not None:
         (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
+    if mlflow_experiment is not None:
+        try:
+            import mlflow
+        except ImportError:
+            mlflow = None
+        if mlflow is not None:
+            mlflow.set_experiment(mlflow_experiment)
+            with mlflow.start_run():
+                mlflow.log_params({"n_features": len(feature_names)})
+                if metrics is not None:
+                    mlflow.log_metrics(
+                        {k: v for k, v in metrics.items() if isinstance(v, (int, float))}
+                    )
+                mlflow.log_artifact(str(model_path))
+                mlflow.log_artifact(str(out / "feature_names.txt"))
     return {
         "model": str(model_path),
         "feature_names": str(out / "feature_names.txt"),

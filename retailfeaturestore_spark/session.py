@@ -66,7 +66,10 @@ def get_spark(
         # Broadcast threshold: dims (region/nation/supplier/part at any SF's
         # relative size) broadcast; fact-fact joins sort-merge.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # NOTE: spark.driver.memory is deliberately NOT set here — it only
+        # takes effect at JVM launch, so builder.config is a silent no-op in
+        # an already-running driver.  Size the driver via spark-submit
+        # --driver-memory / SPARK_DRIVER_MEMORY in the launch environment.
         .config("spark.ui.enabled", "false")
         # local metastore/warehouse for bucketed-table tests (static conf —
         # must be set before the first session in the JVM)
@@ -79,6 +82,28 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):
         builder = builder.master(f"local[{cpus}]")
-    for k, v in (extra_conf or {}).items():
+    requested = dict(extra_conf or {})
+    for k, v in requested.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate may return a PRE-EXISTING session, silently ignoring every
+    # builder conf (including static ones like the warehouse dir).  Surface
+    # the divergence instead of letting it masquerade as engine defaults.
+    diverged = []
+    for k, v in requested.items():
+        try:
+            actual = spark.conf.get(k)
+        except Exception:
+            continue
+        if actual != v:
+            diverged.append(f"{k}={actual!r} (requested {v!r})")
+    if diverged:
+        import warnings
+
+        warnings.warn(
+            "get_spark returned an existing SparkSession whose configuration "
+            "diverges from the request: " + "; ".join(diverged),
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return spark
