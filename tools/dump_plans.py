@@ -12,14 +12,15 @@ from retailfeaturestore_spark.queries import REGISTRY  # noqa: E402
 from retailfeaturestore_spark.session import get_spark  # noqa: E402
 
 SHOW = {
-    "feature_view_build": "ONE hashpartitioning(customer_id) exchange serves the whole W1-W6 family; orders side broadcasts.",
+    "feature_view_build": "ONE entity-hash exchange serves the whole W1-W6 family INCLUDING the whale-safe interval-delta distinct (lag + explode + running sums all partition-local); orders side broadcasts.",
     "churn_labels_orders": "J2 interval labels: NO Join node — union-window formulation.",
     "pricing_summary": "Filter pushed to the parquet scan (PushedFilters); partial_sum map-side combine before the exchange.",
     "revenue_by_nation": "Star join: every dimension a BroadcastHashJoin; no nested loops.",
     "knn_cosine_bruteforce": "Corpus never shuffles: broadcast queries x scan, per-query top-k window.",
     "discounted_revenue": "Q19 OR-of-ANDs: implied per-side filters pushed to BOTH scans before the broadcast join.",
     "nation_market_share": "Q8 five-way star: every dim broadcast; the only exchange is fact-fact + final agg.",
-    "feature_view_build_delta": "Interval-delta distinct: union of skinny delta rows, running-sum windows, O(1) state.",
+    "feature_view_build_set": "collect_set fast path: same single customer_id exchange, per-frame set state (opt-in for known-small cardinalities).",
+    "dedup_minhash": "Single-job pure-lineage minhash: postings -> map-side-combinable signature agg -> band self-join (ReusedExchange) -> Jaccard verify.",
 }
 
 
