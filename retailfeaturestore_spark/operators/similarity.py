@@ -30,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot_fixed", "cosine", "cosine_topk", "ivf_topk_label", "sign_lsh_neardup"]
+__all__ = [
+    "dot_fixed",
+    "cosine",
+    "cosine_topk",
+    "ivf_topk_label",
+    "kmeans_cells",
+    "ivf_topk_cells",
+    "sign_lsh_neardup",
+]
 
 FIXED_POINT_SCALE = 2**25
 
@@ -141,6 +149,138 @@ def ivf_topk_label(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def kmeans_cells(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic distributed Lloyd's KMeans -> ``(id, cell)`` coarse
+    quantizer assignment (the real IVF cell map; ``ivf_topk_label`` uses a
+    data column as a stand-in).
+
+    Engine-exact by construction, so a SQL oracle can replay it bit-for-bit:
+
+    - vectors quantized to int64 (``floor(x * 2^25)``), distances are pure
+      int64 sums of squared diffs (order-independent; 64 dims x (2^27)^2
+      stays < 2^61 — no overflow, no float summation anywhere);
+    - init = the ``k`` vectors with the smallest ids (deterministic seed);
+    - assignment tie-break: smallest cell id at equal distance;
+    - centroid update = per-dimension ``floor(sum/count)`` back onto the
+      integer grid (sum < 2^53, so the double division is exact-input and
+      correctly rounded — identical across engines);
+    - FIXED iteration count (no data-dependent convergence test), so the
+      oracle is ``iters`` unrolled CTEs.
+
+    Scale shape per iteration: one broadcast of k centroid rows against the
+    corpus (no corpus shuffle) for assignment + one (cell, dim) groupBy for
+    the update — both map-side combinable.  k and dims are small by IVF
+    design; the corpus is the only big thing and it only ever streams.
+    """
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+    )
+    # init: k smallest ids as seed centroids (cell = seed id)
+    centroids = (
+        q.where(F.col("id") < k)
+        .select(F.col("id").alias("cell"), F.col("__q").alias("__c"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with("__q", "__c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = q.crossJoin(F.broadcast(cents)).withColumn("__d", dist)
+        w = Window.partitionBy("id").orderBy("__d", "cell")
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "cell", "__q")
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        dims = assigned.select(
+            "cell", F.posexplode("__q").alias("i", "__qi")
+        )
+        centroids = (
+            dims.groupBy("cell", "i")
+            .agg(
+                F.floor(F.sum("__qi").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("__ci")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "__ci"))),
+                    lambda s: s["__ci"],
+                ).alias("__c")
+            )
+            # k tiny rows; truncating the lineage per iteration keeps the
+            # final plan O(1) deep instead of re-deriving every previous
+            # iteration's assignment inside one towering query (the same
+            # pattern as connected_components).
+            .localCheckpoint()
+        )
+
+    return assign(centroids).select("id", "cell")
+
+
+def ivf_topk_cells(
+    corpus: DataFrame,
+    query_ids,
+    k_neighbors: int = 3,
+    n_cells: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a REAL trained coarse quantizer: KMeans cells from
+    :func:`kmeans_cells`, then cell-restricted exact cosine top-k for the
+    query ids (nprobe=1 — the query searches its own cell).  The recall/
+    speed knob at scale is (n_cells, nprobe); the corpus never leaves its
+    cell partition."""
+    cells = kmeans_cells(corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col)
+    base = _with_norm(corpus, vec_col).join(
+        cells.withColumnRenamed("id", id_col), id_col
+    )
+    q = F.broadcast(
+        base.where(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col("cell").alias("__cell"),
+            F.col(vec_col).alias("__qv"),
+            F.col("__nn").alias("__qn"),
+        )
+    )
+    c = base.select(
+        F.col(id_col).alias("n_id"),
+        F.col("cell").alias("__ccell"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__nn").alias("__cn"),
+    )
+    scored = (
+        c.join(q, c["__ccell"] == q["__cell"])
+        .where(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            dot_fixed(F.col("__qv"), F.col("__cv")).cast("double")
+            / (F.sqrt("__qn") * F.sqrt("__cn")),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
         .select("q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 

@@ -922,6 +922,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.similarity import (  # noqa: E402
     cosine_topk,
+    ivf_topk_cells,
     ivf_topk_label,
     sign_lsh_neardup,
 )
@@ -1011,6 +1012,92 @@ def q_knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return ivf_topk_label(emb, queries, k=3)
+
+
+# Deterministic KMeans oracle: quantized int64 vectors, distances as pure
+# integer sums (order-independent), centroid update = per-dim
+# floor(sum/count), init = k smallest vec_ids, 2 unrolled Lloyd iterations.
+# Every step replays bit-for-bit in both engines (see
+# operators/similarity.py:kmeans_cells).
+_KM_K = 8
+_KM_QUERY_MAX = 10
+
+
+def _km_assign_cte(cent: str, out: str) -> str:
+    return f"""{out}_d AS (
+  SELECT f.vec_id, c.cell,
+         sum((f.q - c.c) * (f.q - c.c)) AS dist
+  FROM qflat f JOIN {cent} c ON c.i = f.i
+  GROUP BY f.vec_id, c.cell
+),
+{out} AS (
+  SELECT vec_id, cell FROM {out}_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) = 1
+)"""
+
+
+def _km_update_cte(assign: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT a.cell, f.i,
+         CAST(floor(CAST(sum(f.q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM qflat f JOIN {assign} a ON a.vec_id = f.vec_id
+  GROUP BY a.cell, f.i
+)"""
+
+
+_KNN_KMEANS_ORACLE = f"""
+WITH {_FLAT_CTE},
+qflat AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS q
+  FROM flat
+),
+c0 AS (
+  SELECT vec_id AS cell, i, q AS c FROM qflat WHERE vec_id < {_KM_K}
+),
+{_km_assign_cte("c0", "a1")},
+{_km_update_cte("a1", "c1")},
+{_km_assign_cte("c1", "a2")},
+{_km_update_cte("a2", "c2")},
+{_km_assign_cte("c2", "af")},
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM af q JOIN af c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_KM_QUERY_MAX}
+),
+dots AS (
+  SELECT p.q_id, p.n_id, CAST(sum(fq.q * fc.q) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN qflat fq ON fq.vec_id = p.q_id
+  JOIN qflat fc ON fc.vec_id = p.n_id AND fc.i = fq.i
+  GROUP BY p.q_id, p.n_id
+),
+scored AS (
+  SELECT d.q_id, d.n_id, d.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.n_id
+)
+SELECT q_id, n_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register("knn_ivf_kmeans", oracle=_KNN_KMEANS_ORACLE, tags=("similarity", "iterative", "scale"))
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a REAL trained coarse quantizer: deterministic
+    distributed KMeans (2 Lloyd iterations, integer-exact distances,
+    floor-div centroids) assigns every vector to a cell, then each query
+    searches only its own cell (nprobe=1).  The oracle replays the exact
+    same iterations as unrolled SQL CTEs — certifying a genuinely iterative
+    distributed algorithm bit-for-bit.  Scale: per iteration, k centroid
+    rows broadcast against the corpus (which never shuffles) plus one
+    (cell, dim) map-side-combinable groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_cells(
+        emb, query_ids=list(range(_KM_QUERY_MAX)), k_neighbors=3, n_cells=_KM_K, iters=2
+    )
 
 
 _SIGN_LSH_ORACLE = f"""
@@ -3059,7 +3146,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_edit_distance",
     "dedup_clusters",
     "embedding_neardup_lsh",
-    "knn_ivf_bucketed",
+    "knn_ivf_kmeans",
     "text_lang_id",
     "multimodal_payload_meta",
     # streaming batch-equivalents

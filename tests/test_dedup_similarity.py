@@ -86,3 +86,20 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_kmeans_cells_deterministic_and_partitioned(spark):
+    """KMeans assignment: every vector gets exactly one cell; the result is
+    identical under a different input partitioning (integer-exact distances
+    and floor-div centroids leave nothing order-dependent)."""
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = kmeans_cells(emb, k=4, iters=2)
+    assert a.count() == emb.count()
+    assert a.groupBy("id").count().where("count > 1").count() == 0
+    b = kmeans_cells(emb.repartition(7), k=4, iters=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the quantizer actually partitions the space: more than one cell in use
+    assert a.select("cell").distinct().count() > 1
