@@ -18,7 +18,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expect_not_null", "expect_between", "expect_unique_key", "run_checks"]
+__all__ = [
+    "expect_not_null",
+    "expect_between",
+    "expect_unique_key",
+    "run_checks",
+    "checks_report",
+]
 
 
 @dataclass
@@ -45,6 +51,21 @@ def expect_unique_key(*cols: str) -> Check:
     return Check(
         name=f"unique_key({','.join(cols)})",
         violations=F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]),
+    )
+
+
+def checks_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """The same one-pass suite as :func:`run_checks`, but fully declarative:
+    returns a DataFrame of ``(check, violations, n_rows)`` — no collect, so
+    the report itself can be a pipeline stage (sunk next to the data it
+    gates) and the whole suite still costs one partial+final aggregation."""
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[c.violations.cast("long").alias(f"__c{i}") for i, c in enumerate(checks)],
+    )
+    stack_expr = ", ".join(f"'{c.name}', __c{i}" for i, c in enumerate(checks))
+    return agg.selectExpr(
+        f"stack({len(checks)}, {stack_expr}) as (check, violations)", "__n as n_rows"
     )
 
 

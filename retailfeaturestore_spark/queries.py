@@ -3081,6 +3081,101 @@ def q_latest_order_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pipeline-boundary operators: declarative quality gate + stratified sampling
+# ---------------------------------------------------------------------------
+
+_QUALITY_REPORT_ORACLE = """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS c3
+  FROM lineitem
+)
+SELECT 'not_null(l_orderkey)' AS check, c0 AS violations, n_rows FROM agg
+UNION ALL
+SELECT 'between(l_discount,0.0,0.1)', c1, n_rows FROM agg
+UNION ALL
+SELECT 'between(l_quantity,1.0,50.0)', c2, n_rows FROM agg
+UNION ALL
+SELECT 'unique_key(l_orderkey,l_linenumber)', c3, n_rows FROM agg
+"""
+
+
+@register("data_quality_report", oracle=_QUALITY_REPORT_ORACLE, tags=("quality",))
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the real version of the reference's
+    never-imported great-expectations dependency): the whole expectation
+    suite — null checks, range checks, key uniqueness — compiles into ONE
+    partial+final aggregation over the table, then unpivots to a
+    (check, violations, n_rows) report.  100 TB cost = one scan, any number
+    of checks."""
+    from .operators.quality_checks import (
+        checks_report,
+        expect_between,
+        expect_not_null,
+        expect_unique_key,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return checks_report(
+        li,
+        [
+            expect_not_null("l_orderkey"),
+            expect_between("l_discount", 0.0, 0.1),
+            expect_between("l_quantity", 1.0, 50.0),
+            expect_unique_key("l_orderkey", "l_linenumber"),
+        ],
+    )
+
+
+_STRATIFIED_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_c FROM documents GROUP BY lang
+),
+floor_n AS (SELECT min(n_c) AS n_min FROM counts),
+u AS (
+  SELECT d.doc_id, d.lang, c.n_c, f.n_min,
+         CAST(concat('0x', substring(md5(concat('strat#', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM documents d
+  JOIN counts c USING (lang)
+  CROSS JOIN floor_n f
+)
+SELECT doc_id, lang FROM u
+WHERE h * n_c < 4294967296 * n_min
+"""
+
+
+@register("stratified_sample_balanced", oracle=_STRATIFIED_ORACLE, tags=("sampling",))
+def q_stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample to the minority class: keep each
+    document with probability ``n_min / n_class`` so every language ends up
+    ~equally represented — the class-balancing primitive of training-data
+    pipelines.  The keep decision is an md5-derived 32-bit uniform compared
+    by INTEGER cross-multiplication (``h * n_class < 2^32 * n_min`` — no
+    float rounding, engine-identical, reshard-stable).  Plan: one tiny
+    class-count aggregate broadcast back over the scan; no RNG, no shuffle
+    of the documents."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    n_min = counts.agg(F.min("n_c").alias("n_min"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat#"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .where(h * F.col("n_c") < F.lit(4294967296) * F.col("n_min"))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
 # operator families (grouping sets, max_by latest, navigation, rows-frame,
@@ -3133,7 +3228,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "shipping_priority",
     "revenue_by_nation",
-    "top_customers_by_revenue",
+    "data_quality_report",
     "nation_market_share",
     "promo_revenue_share",
     "order_count_distribution",
