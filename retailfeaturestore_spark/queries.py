@@ -3175,6 +3175,133 @@ def q_stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_PACK_BUDGET = 256
+
+_DOC_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, tok,
+         sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT lang,
+       CAST(floor(CAST(cum - tok AS DOUBLE) / {_DOC_PACK_BUDGET}.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY lang, bin
+"""
+
+
+@register("doc_pack_context_windows", oracle=_DOC_PACK_ORACLE, tags=("text", "packing"))
+def q_doc_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM context windows: greedy streaming fill of
+    token-budgeted bins, per language shard.  bin = floor(tokens-before-me /
+    budget) over a deterministic (doc_id) order — one running-sum window per
+    shard, no driver loop; a bin may overshoot the budget by at most one
+    document (standard streaming-pack semantics, split-free).  At 100 TB the
+    shard key partitions the work and the cumulative sum is the only state.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("doc_id", "lang", tok.alias("tok")).withColumn(
+        "cum", F.sum("tok").over(w)
+    )
+    return (
+        c.withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("tok")).cast("double") / F.lit(float(_DOC_PACK_BUDGET))),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+_CONTAMINATION_ORACLE = """
+WITH shingled AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+shs AS (
+  SELECT DISTINCT doc_id, source,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM (
+    SELECT doc_id, source, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+    FROM shingled
+  )
+),
+ref AS (SELECT DISTINCT sh FROM shs WHERE source = 'src0'),
+cand AS (SELECT doc_id, sh FROM shs WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM cand GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hit
+  FROM cand c JOIN ref r ON r.sh = c.sh
+  GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_sh, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS contamination
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("benchmark_contamination", oracle=_CONTAMINATION_ORACLE, tags=("text", "dedup"))
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: fraction of each training document's
+    distinct 3-gram shingles that appear ANYWHERE in the held-out set
+    (source 'src0' plays the benchmark).  Scale shape: the benchmark shingle
+    set is small by construction — broadcast it against the corpus postings,
+    so the corpus never shuffles on text; integer hit counts, one division
+    at the end.  This is the decontamination primitive of LLM training-data
+    pipelines (strip eval-set overlap before training)."""
+    from .functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = (
+        d.where(F.col("source") != "src0")
+        .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh"))
+    )
+    ref = (
+        d.where(F.col("source") == "src0")
+        .select(F.explode(shingles(F.col("text"), 3)).alias("sh"))
+        .distinct()
+    )
+    sizes = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        cand.join(F.broadcast(ref), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_sh").cast("double")
+            ).alias("contamination"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
@@ -3217,8 +3344,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_sequence_analytics",
     "order_navigation",
     "rows_rolling_spend",
-    "order_calendar_features",
-    "text_string_features",
+    "doc_pack_context_windows",
+    "benchmark_contamination",
     "value_percentiles",
     "hash_split_train_val",
     # feature-engineering staples
