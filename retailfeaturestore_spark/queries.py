@@ -3175,6 +3175,48 @@ def q_stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  || ' ' || string_split(text, ' ')[i+2]))) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_grams, n_distinct,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS repetition_ratio
+FROM t
+WHERE n_grams > 0
+"""
+
+
+@register("doc_repetition_ratio", oracle=_REPETITION_ORACLE, tags=("text", "quality"))
+def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word 3-grams — the
+    boilerplate/loop-detection quality signal LLM data pipelines filter on.
+    Pure per-row array expressions (no explode, no shuffle): total grams
+    from the token count, distinct grams from the shingle set."""
+    from .functions.text import shingles, words
+
+    d = load_table(spark, sf_dir, "documents")
+    n_grams = F.greatest(F.size(words(F.col("text"))) - F.lit(2), F.lit(0)).cast("long")
+    n_distinct = F.size(shingles(F.col("text"), 3)).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+        )
+        .where(F.col("n_grams") > 0)
+        .withColumn(
+            "repetition_ratio",
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
 _DOC_PACK_BUDGET = 256
 
 _DOC_PACK_ORACLE = f"""

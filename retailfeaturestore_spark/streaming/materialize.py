@@ -12,10 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..operators.incremental import upsert_latest
 from ..operators.pit import latest_per_key
 from ..sources.redis_sink import materialize_online
 
-__all__ = ["stream_materialize_online"]
+__all__ = ["stream_materialize_online", "stream_upsert_gold"]
 
 
 def stream_materialize_online(
@@ -50,6 +51,46 @@ def stream_materialize_online(
         )
 
     writer = snapshots_stream.writeStream.foreachBatch(publish)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_gold(
+    snapshots_stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    partition_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous incremental GOLD maintenance: each micro-batch MERGEs into
+    the offline table through ``operators.incremental.upsert_latest``
+    (latest-per-key wins; partition-scoped rewrite when ``partition_col`` is
+    set).  Streaming + incremental composed from the same batch pieces —
+    the lakehouse pattern (on a cluster, the foreachBatch body is a Delta
+    ``MERGE INTO``; the call site does not change).  Idempotent under
+    micro-batch replay: re-merging the same rows elects the same winners.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_latest(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            keys=keys,
+            ts_col=ts_col,
+            tiebreak_col=tiebreak_col,
+            partition_col=partition_col,
+        )
+
+    writer = snapshots_stream.writeStream.foreachBatch(merge)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

@@ -134,3 +134,55 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_upsert_gold_equals_batch_latest(spark, tmp_path):
+    """Two micro-batches foreachBatch-MERGE into a parquet gold table; the
+    result must equal a one-shot latest-per-key over the full input (the
+    incremental path converges to the batch answer)."""
+    from pyspark.sql import functions as F
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.pit import latest_per_key
+    from retailfeaturestore_spark.streaming.materialize import stream_upsert_gold
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "user_id", "value")
+    stage = tmp_path / "stream_in"
+    # two files -> two micro-batches (maxFilesPerTrigger=1), raw ns longs
+    # exactly like the testdata layout the stream reader expects
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    raw.where(F.col("event_id") % 2 == 0).write.parquet(str(stage / "a"))
+    raw.where(F.col("event_id") % 2 == 1).write.parquet(str(stage / "b"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(stage / "*" / "part-*.parquet")))):
+        shutil.copy(f, flat / f"file-{i}.parquet")
+
+    from retailfeaturestore_spark.streaming.events_stream import read_events_stream
+
+    stream = read_events_stream(spark, str(flat)).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    gold = tmp_path / "gold"
+    q = stream_upsert_gold(
+        stream,
+        str(gold),
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id): (r.event_id, r.ts, r.value)
+        for r in spark.read.parquet(str(gold)).collect()
+    }
+    want = {
+        (r.user_id): (r.event_id, r.ts, r.value)
+        for r in latest_per_key(ev, "user_id", "ts", "event_id").collect()
+    }
+    assert got == want
