@@ -38,6 +38,7 @@ from ..functions.text import (
 )
 
 __all__ = [
+    "spread_compute",
     "dedup_exact",
     "shingle_docs",
     "posting_lists",
@@ -50,7 +51,7 @@ __all__ = [
 ]
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def spread_compute(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the scan is under-partitioned.  Digest
     stages (shingle md5, simhash word hashing) are COMPUTE-bound: AQE sizes
     partitions by bytes, so a small single-row-group parquet file leaves the
@@ -78,7 +79,7 @@ def shingle_docs(
     / candidate / verification stages (shingling + md5 dominate the pipeline;
     recomputing it per stage tripled the wall time in bench).  Callers
     should ``.persist()`` this when feeding multiple consumers."""
-    return _spread(docs).select(
+    return spread_compute(docs).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("__sh")
     ).where(F.size("__sh") > 0)
 
@@ -98,7 +99,7 @@ def posting_lists(
     instead of array arithmetic behind an extra checkpoint.
     """
     return (
-        _spread(docs)
+        spread_compute(docs)
         .select(
             F.col(id_col).alias("id"),
             F.explode(shingles(F.col(text_col), n)).alias("sh"),
@@ -305,7 +306,7 @@ def simhash_signatures(
     Plan shape: explode words -> 32 conditional sums in ONE groupBy —
     partial aggregation map-side, a single shuffle on the doc id.
     """
-    w = _spread(docs).select(
+    w = spread_compute(docs).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("__w")
     ).withColumn("__h", F.substring(F.md5("__w"), 1, 8))
     aggs = []

@@ -3199,8 +3199,9 @@ def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure per-row array expressions (no explode, no shuffle): total grams
     from the token count, distinct grams from the shingle set."""
     from .functions.text import shingles, words
+    from .operators.dedup import spread_compute
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_compute(load_table(spark, sf_dir, "documents"))
     n_grams = F.greatest(F.size(words(F.col("text"))) - F.lit(2), F.lit(0)).cast("long")
     n_distinct = F.size(shingles(F.col("text"), 3)).cast("long")
     return (
@@ -3313,8 +3314,9 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end.  This is the decontamination primitive of LLM training-data
     pipelines (strip eval-set overlap before training)."""
     from .functions.text import shingles
+    from .operators.dedup import spread_compute
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_compute(load_table(spark, sf_dir, "documents"))
     cand = (
         d.where(F.col("source") != "src0")
         .select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh"))
