@@ -60,6 +60,12 @@ HEADLINE = [
     "decayed_user_value",
     "rfm_segments",
     "qty_price_correlation",
+    "knn_ivf_kmeans",
+    "data_quality_report",
+    "stratified_sample_balanced",
+    "doc_pack_context_windows",
+    "benchmark_contamination",
+    "doc_repetition_ratio",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and
