@@ -104,3 +104,30 @@ def test_order_count_distribution_keeps_left_join(spark):
     post-join WHERE would silently drop zero-order customers)."""
     plan = formatted_plan(REGISTRY["order_count_distribution"].fn(spark, SF))
     assert "LeftOuter" in plan or "left_outer" in plan.lower(), plan[:1500]
+
+
+def test_doc_pack_single_exchange(spark):
+    """Packing = one running-sum window + grouping on a prefix of the same
+    keys: the groupBy(lang, bin) must reuse the window's hashpartitioning
+    (lang) exchange (subset-clustering satisfaction) — ONE shuffle total."""
+    df = REGISTRY["doc_pack_context_windows"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    """The held-out shingle set must broadcast; the corpus postings must
+    never be cartesian-joined."""
+    df = REGISTRY["benchmark_contamination"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_corpus_never_sort_merges(spark):
+    """Each Lloyd iteration broadcasts k centroid rows against the corpus;
+    the vectors themselves must not be sort-merge-joined or cartesian-paired
+    with each other."""
+    df = REGISTRY["knn_ivf_kmeans"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
