@@ -186,3 +186,35 @@ def test_stream_upsert_gold_equals_batch_latest(spark, tmp_path):
         for r in latest_per_key(ev, "user_id", "ts", "event_id").collect()
     }
     assert got == want
+
+
+def test_windowed_counts_on_rocksdb_state_equal_batch(spark, tmp_path):
+    """The production state backend (RocksDB, disk-spilling) must produce
+    identical results to the default provider / batch formulation."""
+    from retailfeaturestore_spark.streaming.events_stream import use_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        stage = tmp_path / "events_rocks"
+        stage.mkdir()
+        shutil.copy(f"{SF}/events.parquet", stage / "part-0.parquet")
+        stream = read_events_stream(spark, str(stage))
+        result = windowed_event_counts(stream, window="1 day", watermark="1 hour")
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        q = stream_to_memory(result, name, output_mode="complete")
+        q.awaitTermination(120)
+        streamed = {
+            (r.window_start, r.event_type): (r.n_events, r.value_sum, r.n_errors)
+            for r in spark.table(name).collect()
+        }
+        batch = {
+            (r.window_start, r.event_type): (r.n_events, r.value_sum, r.n_errors)
+            for r in batch_equivalent_counts(spark, SF).collect()
+        }
+        assert streamed == batch
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
