@@ -3175,6 +3175,89 @@ def q_stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FORECAST_REVENUE_ORACLE = """
+SELECT
+  (CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS DOUBLE)
+   / 10000.0) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24.0
+"""
+
+
+@register("forecast_revenue_change", oracle=_FORECAST_REVENUE_ORACLE, tags=("agg", "filter"))
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: no joins, three range predicates ALL pushed to the
+    parquet scan, one global aggregate — the pure scan-throughput probe.
+    Revenue accumulates as exact long ten-thousandths (order-independent,
+    engine-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            from_cents(
+                F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"), 4)), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_RETURNED_ITEM_ORACLE = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  (CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT))
+        AS DOUBLE) / 10000.0) AS revenue,
+  c.c_acctbal,
+  n.n_name,
+  c.c_mktsegment
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("returned_item_ranking", oracle=_RETURNED_ITEM_ORACLE, tags=("join", "agg"))
+def q_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: which customers returned the most value — fact-fact
+    lineitem ⋈ orders with the returnflag filter pushed to the lineitem
+    scan, customer/nation broadcast, exact long-cents revenue, top-20 with a
+    deterministic custkey tiebreak (TakeOrderedAndProject, no global sort).
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(from_cents(F.sum(rev), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 _REPETITION_ORACLE = """
 WITH t AS (
   SELECT doc_id,
