@@ -806,22 +806,99 @@ WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0
 """
 
 
+def _minhash_spark_sql(view: str, spread: int, stop_at: str = "pairs") -> str:
+    """The full minhash->LSH->verify pipeline as ONE Spark SQL string.
+
+    Identical semantics to the composable operator path
+    (``posting_lists`` -> ``minhash_signatures`` -> ``minhash_candidate_pairs``
+    -> ``jaccard_pairs_exact``), but parsed JVM-side in a single call: the
+    DataFrame construction of this plan costs ~0.7-0.9 s of py4j round trips
+    (measured, 12 min-aggs + band structs + 4 joins), ~40% of the query's
+    wall time at sf0.1.  SQL and DataFrame paths produce bit-identical
+    results (same md5/conv arithmetic); the operator path remains the
+    library API and is exercised by tests/test_dedup_similarity.py.
+
+    ``stop_at="candidates"`` emits the LSH candidate pairs (pre-verification)
+    for consumers with their own confirmation stage (edit-distance).
+    """
+    r = _MINHASH_R
+    sig_cols = ", ".join(
+        f"min(h1 + {s + 1} * h2) AS g{s}" for s in range(_MINHASH_K)
+    )
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {cols}) AS band_key)".format(
+            b=b, cols=", ".join(f"g{b * r + i}" for i in range(r))
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    if stop_at == "candidates":
+        tail = "\nSELECT doc_a, doc_b FROM cand"
+    else:
+        tail = """,
+sizes AS (SELECT id, count(*) AS n_sh FROM post GROUP BY id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+  FROM cand c
+  JOIN post pa ON pa.id = c.doc_a
+  JOIN post pb ON pb.id = c.doc_b AND pb.sh = pa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.doc_a JOIN sizes sb ON sb.id = i.doc_b
+WHERE CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) >= 0.5
+"""
+    return f"""
+WITH post AS (
+  SELECT doc_id AS id, sh,
+         CAST(conv(substring(d, 1, 14), 16, 10) AS BIGINT) AS h1,
+         CAST(conv(substring(d, 15, 14), 16, 10) AS BIGINT) AS h2
+  FROM (
+    SELECT doc_id, sh, md5(sh) AS d FROM (
+      SELECT doc_id,
+             explode(array_distinct(transform(
+               sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+               i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS sh
+      FROM (SELECT /*+ REPARTITION({spread}) */ doc_id, text FROM {view})
+    )
+  )
+),
+sigs AS (SELECT id, {sig_cols} FROM post GROUP BY id),
+bands AS (
+  SELECT id, bb.band AS band, bb.band_key AS band_key
+  FROM sigs LATERAL VIEW explode(array({band_structs})) t AS bb
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+){tail}"""
+
+
 @register("dedup_minhash", oracle=_DEDUP_MINHASH_ORACLE, tags=("dedup", "lsh"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH banding (4 bands x 3 rows) -> candidate pairs ->
     exact-Jaccard verification at 0.5.  The scale path for near-dup dedup:
     candidate generation shuffles only short hash keys.
 
-    Pure lineage, no persist/checkpoint: every consumer derives from the
-    skinny ``posting_lists`` projection, the self-join's identical band
-    subtrees collapse via ReusedExchange, and the signature agg is map-side
-    combinable — one Spark job end to end (the earlier cached-array variant
-    spent more on columnar cache writes and extra jobs than it saved)."""
-    docs = load_table(spark, sf_dir, "documents")
-    post = posting_lists(docs)
-    sigs = minhash_signatures(docs, k=_MINHASH_K, postings=post)
-    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, materialize=False)
-    return jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, postings=post)
+    Declared as ONE Spark SQL statement (see :func:`_minhash_spark_sql`) —
+    same plan as the composable operator path, parsed JVM-side: DataFrame
+    construction of this 4-join pipeline costs ~0.8 s of py4j round trips,
+    which SQL parsing eliminates.  Pure lineage, no persist/checkpoint: the
+    self-join's identical band subtrees collapse via ReusedExchange and the
+    signature agg is map-side combinable."""
+    return _minhash_pipeline_df(spark, sf_dir)
+
+
+def _minhash_pipeline_df(
+    spark: SparkSession, sf_dir: str, stop_at: str = "pairs"
+) -> DataFrame:
+    """Run the shared minhash SQL pipeline over the documents table."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__rfs_documents"
+    )
+    spread = max(2, spark.sparkContext.defaultParallelism // 4)
+    return spark.sql(_minhash_spark_sql("__rfs_documents", spread, stop_at))
 
 
 _NGRAM_JACCARD_ORACLE = f"""
@@ -2021,9 +2098,7 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly re-spread across the cluster before the expensive projection
     (compute-bound rows need row-count parallelism, not byte balance)."""
     docs = load_table(spark, sf_dir, "documents")
-    post = posting_lists(docs)
-    sigs = minhash_signatures(docs, k=_MINHASH_K, postings=post)
-    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, materialize=False)
+    cand = _minhash_pipeline_df(spark, sf_dir, stop_at="candidates")
     cand = cand.repartition(spark.sparkContext.defaultParallelism)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
@@ -2387,11 +2462,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (``operators.dedup.connected_components``).  The oracle
     computes the same components with a recursive CTE — certifying a
     genuinely iterative distributed algorithm against declarative SQL."""
-    docs = load_table(spark, sf_dir, "documents")
-    post = posting_lists(docs)
-    sigs = minhash_signatures(docs, k=_MINHASH_K, postings=post)
-    cand = minhash_candidate_pairs(sigs, k=_MINHASH_K, bands=_MINHASH_BANDS, materialize=False)
-    dup = jaccard_pairs_exact(docs, candidates=cand, threshold=0.5, postings=post)
+    dup = _minhash_pipeline_df(spark, sf_dir)
     return connected_components(dup).select(
         F.col("id").alias("doc_id"), F.col("cluster_id")
     )
