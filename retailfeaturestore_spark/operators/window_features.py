@@ -63,6 +63,42 @@ MICROS_PER_DAY = 86_400 * 1_000_000
 _TS_US = "__ts_us"
 
 
+def _spread_entity(df: DataFrame, entity_col: str) -> DataFrame:
+    """Entity-hash repartition when the input is under-parallel.
+
+    A small local scan (or single-row-group file) arrives in ~1 partition;
+    the window family's own exchange would then be sized by AQE from the
+    tiny byte count and coalesced to a few partitions, serializing the
+    sort + frame evaluation (compute-bound, not byte-bound).  An explicit
+    hash repartition on the entity key at full parallelism is AQE-exempt,
+    satisfies every downstream window's ClusteredDistribution requirement
+    (so NO second exchange appears), and parallelizes the whole family:
+    measured 2.76 -> 1.75 s on the delta flagship at sf0.1.  On a cluster
+    the input already has >= defaultParallelism partitions and this is a
+    no-op.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    try:
+        jqe = df._jdf.queryExecution()
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = jqe.explainString(mode)
+    except Exception:  # pragma: no cover - defensive for exotic plans
+        plan = ""
+    if "Bucketed:" in plan:
+        # Input scans a bucketed table: the window's own exchange is elided
+        # against the at-rest clustering (tests/test_scale_paths.py asserts
+        # it) — a repartition here would reintroduce the shuffle bucketing
+        # exists to remove.  (A bare bucketed scan reports "Bucketed: false
+        # (disabled by query planner)" until a downstream operator requires
+        # the distribution, so match the spec line, not the enabled state.)
+        return df
+    return df.repartition(par, entity_col)
+
+
 def range_window(entity_col: str, days: int) -> WindowSpec:
     """``[t - days, t]`` both-closed event-time range frame (W1-W5 frame)."""
     return (
@@ -142,6 +178,7 @@ def build_customer_features(
             "__spend": spend,
         }
     )
+    df = _spread_entity(df, entity_col)
 
     # Delta W3 runs FIRST, emitting (entity, ts_us) as alias-aware columns:
     # the W1-W5 range frames below then reuse the delta pass's entity-hash
@@ -225,6 +262,7 @@ def user_activity_features(
     if amount_scale is not None:
         val = cents(val, amount_scale)
     df = events.withColumns({_TS_US: epoch_us("ts"), "__val": val})
+    df = _spread_entity(df, "user_id")
 
     def fam(w: WindowSpec) -> dict[str, Column]:
         n = F.count(F.lit(1)).over(w).cast("long")
