@@ -182,57 +182,74 @@ def kmeans_cells(
     the update — both map-side combinable.  k and dims are small by IVF
     design; the corpus is the only big thing and it only ever streams.
     """
+    import math
+
     q = vectors.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
     )
-    # init: k smallest ids as seed centroids (cell = seed id)
-    centroids = (
+    # init: k smallest ids as seed centroids (cell = seed id).  Centroids
+    # live DRIVER-SIDE as literals — k x dims values is tiny by IVF design
+    # (that is the whole point of a coarse quantizer), and embedding them in
+    # the assignment expression makes each Lloyd iteration a pure map over
+    # the corpus: no crossJoin, no per-row argmin window shuffle, no
+    # lineage checkpoint.  Per iteration the cluster does ONE map-side-
+    # combinable (cell, dim) aggregation; only k*dims summary rows return
+    # to the driver.  (The previous form broadcast a centroid DataFrame and
+    # ranked n*k scored rows through a Window per iteration — an extra
+    # corpus-sized shuffle each round that the literal form never pays.)
+    seed = (
         q.where(F.col("id") < k)
-        .select(F.col("id").alias("cell"), F.col("__q").alias("__c"))
+        .select(F.col("id").alias("cell"), "__q")
+        .collect()
     )
+    cents = sorted((int(r["cell"]), [int(x) for x in r["__q"]]) for r in seed)
 
-    def assign(cents: DataFrame) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with("__q", "__c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    def assign_col(cents) -> Column:
+        arr = ", ".join(
+            "named_struct('cell', {c}L, 'v', array({vs}))".format(
+                c=c, vs=", ".join(f"{x}L" for x in vec)
+            )
+            for c, vec in cents
         )
-        scored = q.crossJoin(F.broadcast(cents)).withColumn("__d", dist)
-        w = Window.partitionBy("id").orderBy("__d", "cell")
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("id", "cell", "__q")
+        # argmin over the centroid literal array: int64 distances, ties to
+        # the smallest cell id (same semantics as the ranked form).
+        return F.expr(
+            f"""
+            aggregate(
+              transform(array({arr}),
+                s -> named_struct(
+                  'd', aggregate(zip_with(__q, s.v, (a, b) -> (a - b) * (a - b)),
+                                 0L, (acc, x) -> acc + x),
+                  'cell', s.cell)),
+              cast(null as struct<d: bigint, cell: bigint>),
+              (best, x) -> if(best is null or x.d < best.d
+                              or (x.d = best.d and x.cell < best.cell), x, best)
+            ).cell
+            """
         )
 
     for _ in range(iters):
-        assigned = assign(centroids)
-        dims = assigned.select(
-            "cell", F.posexplode("__q").alias("i", "__qi")
+        stats = (
+            q.withColumn("cell", assign_col(cents))
+            .select("cell", F.posexplode("__q").alias("i", "__qi"))
+            .groupBy("cell", "i")
+            .agg(F.sum("__qi").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        centroids = (
-            dims.groupBy("cell", "i")
-            .agg(
-                F.floor(F.sum("__qi").cast("double") / F.count(F.lit(1)))
-                .cast("long")
-                .alias("__ci")
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in stats:
+            # floor(double(sum)/count): both engines' division is the same
+            # correctly-rounded IEEE op (sum < 2^53), so Python replays it.
+            by_cell.setdefault(int(r["cell"]), {})[int(r["i"])] = math.floor(
+                r["s"] / r["n"]
             )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "__ci"))),
-                    lambda s: s["__ci"],
-                ).alias("__c")
-            )
-            # k tiny rows; truncating the lineage per iteration keeps the
-            # final plan O(1) deep instead of re-deriving every previous
-            # iteration's assignment inside one towering query (the same
-            # pattern as connected_components).
-            .localCheckpoint()
+        cents = sorted(
+            (cell, [dims[i] for i in range(len(dims))])
+            for cell, dims in by_cell.items()
         )
 
-    return assign(centroids).select("id", "cell")
+    return q.withColumn("cell", assign_col(cents)).select("id", "cell")
 
 
 def ivf_topk_cells(
