@@ -66,6 +66,13 @@ HEADLINE = [
     "doc_pack_context_windows",
     "benchmark_contamination",
     "doc_repetition_ratio",
+    "brand_revenue_concentration",
+    "min_price_supplier_per_part",
+    "bulk_part_suppliers",
+    "returns_by_priority",
+    "linestatus_priority_counts",
+    "supplier_variety_by_part",
+    "tfidf_top_terms",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io import load_table, load_tables
@@ -3533,6 +3533,281 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Remaining TPC-H join/agg shapes (Q2/Q4/Q11/Q12/Q16/Q20 analogues on the
+# testdata star schema — no partsupp/shipmode columns, so each keeps the
+# SHAPE: correlated min, exists-then-group, conditional counts, global-share
+# threshold, anti-join + distinct count, nested-agg semi-join).
+# ---------------------------------------------------------------------------
+
+_BRAND_CONCENTRATION_ORACLE = """
+WITH b AS (
+  SELECT p.p_brand,
+         sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, CAST(c AS DOUBLE) / 10000.0 AS brand_revenue
+FROM b
+WHERE c * 25 > (SELECT sum(c) FROM b)
+"""
+
+
+@register("brand_revenue_concentration", oracle=_BRAND_CONCENTRATION_ORACLE, tags=("tpch", "agg"))
+def q_brand_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the
+    GLOBAL total (scalar correlated subquery).  Spark form: one fact-side
+    partial agg to ~|brands| rows, then the global total as an empty-
+    partition window over that tiny aggregate — the scalar never touches
+    the fact scan, so the only full shuffle is the brand agg itself.
+    Share test runs on exact cent longs (c*25 > total <=> share above the 1/25-brand uniform share)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    p = F.broadcast(t["part"].select("p_partkey", "p_brand"))
+    li = t["lineitem"].select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_brand = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(cents(rev, 4)).alias("c"))
+    )
+    total = F.sum("c").over(Window.partitionBy())
+    return (
+        per_brand.withColumn("total", total)
+        .where(F.col("c") * 25 > F.col("total"))
+        .select("p_brand", from_cents(F.col("c"), 4).alias("brand_revenue"))
+    )
+
+
+_RETURNS_BY_PRIORITY_ORACLE = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("returns_by_priority", oracle=_RETURNS_BY_PRIORITY_ORACLE, tags=("tpch", "join"))
+def q_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-filtered entity count per category.  LEFT SEMI
+    join (never duplicates orders on multi-line matches) with the return-flag
+    predicate pushed into the probe side, then a ~5-group count."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    returned = t["lineitem"].where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .join(returned, t["orders"].o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_LINESTATUS_PRIORITY_ORACLE = """
+SELECT
+  l.l_linestatus,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@register("linestatus_priority_counts", oracle=_LINESTATUS_PRIORITY_ORACLE, tags=("tpch", "join"))
+def q_linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts (urgent vs not) per line status
+    over a ship-date slice.  The date range pushes to the parquet scan; the
+    CASE sums are map-side-combinable integer aggregates."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = t["orders"].select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_MIN_PRICE_SUPPLIER_ORACLE = """
+SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_name, l.l_extendedprice AS min_price
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, min(l_extendedprice) AS m FROM lineitem GROUP BY l_partkey
+) t ON l.l_partkey = t.l_partkey AND l.l_extendedprice = t.m
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+@register("min_price_supplier_per_part", oracle=_MIN_PRICE_SUPPLIER_ORACLE, tags=("tpch", "window"))
+def q_min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: rows achieving the per-group minimum (correlated
+    scalar subquery), ties kept.  Spark form: window min over the part key —
+    ONE shuffle instead of the oracle's agg + self-join re-scan — then a
+    broadcast supplier decorate.  Equality on the raw double is exact (both
+    sides compare the same untouched parquet value)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    li = t["lineitem"].select("l_partkey", "l_suppkey", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    s = F.broadcast(t["supplier"].select("s_suppkey", "s_name"))
+    hits = (
+        li.withColumn("mn", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("mn"))
+        .select("l_partkey", "l_suppkey", F.col("l_extendedprice").alias("min_price"))
+        .distinct()
+    )
+    return hits.join(s, hits.l_suppkey == s.s_suppkey).select(
+        "l_partkey", "l_suppkey", "s_name", "min_price"
+    )
+
+
+_SUPPLIER_VARIETY_ORACLE = """
+SELECT p.p_brand, p.p_size, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0
+)
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+@register("supplier_variety_by_part", oracle=_SUPPLIER_VARIETY_ORACLE, tags=("tpch", "join"))
+def q_supplier_variety_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute pair,
+    excluding a supplier denylist (negative balance plays the complaints
+    filter).  LEFT ANTI against the tiny denylist (broadcast), part dim
+    broadcast, then the only shuffle is the distinct-count agg."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    bad = F.broadcast(
+        t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    p = F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size"))
+    li = t["lineitem"].select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_BULK_PART_SUPPLIERS_ORACLE = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey
+  HAVING sum(CAST(l.l_quantity AS BIGINT)) > 50
+)
+"""
+
+
+@register("bulk_part_suppliers", oracle=_BULK_PART_SUPPLIERS_ORACLE, tags=("tpch", "join"))
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped volume of a part family in a
+    year clears a threshold — nested aggregate inside a semi-join.  The part
+    family and date slice prune the fact scan before the supplier agg;
+    quantity sums on exact longs (l_quantity is integral in the testdata)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    red = F.broadcast(
+        t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    bulky = (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    sup = t["supplier"].select("s_suppkey", "s_name")
+    return sup.join(bulky, sup.s_suppkey == bulky.l_suppkey, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — the term-statistics primitive of LLM-data keyword
+# extraction / topic filtering, with an integer-exact ranking contract.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 GROUP BY doc_id, term
+),
+dfx AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok2 GROUP BY term
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok2)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * n.n AS DOUBLE) / CAST(d.df AS DOUBLE) AS score,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf * n.n AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, t.term
+         ) AS rn
+  FROM tf t JOIN dfx d USING (term) CROSS JOIN nd n
+) WHERE rn <= 5
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text", "llm"))
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by tf-idf.  The idf is kept as the exact
+    rational tf*N/df (single IEEE division — bit-identical across engines;
+    a log() idf would diverge at libm level, SURVEY.md §5.2 determinism
+    contract), ties broken by term.  Scale shape: term postings shuffle on
+    term once for the document-frequency agg; the df side is vocabulary-
+    sized (<< corpus) so it broadcast-joins back; the N-docs scalar is a
+    1-row broadcast cross join, never a driver collect."""
+    from .operators.dedup import spread_compute
+
+    d = spread_compute(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where(F.length("term") > 0)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = (
+        tok.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = tok.agg(F.countDistinct("doc_id").alias("n"))
+    score = (F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
 # operator families (grouping sets, max_by latest, navigation, rows-frame,
@@ -3548,7 +3823,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # core pipeline: normalize -> windows -> labels -> training set
     "normalize_lineitem",
     "feature_view_build",
-    "feature_view_build_set",
     "user_activity_features",
     "training_set_build",
     "churn_labels_orders",
@@ -3567,7 +3841,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "union_slices",
     # multi-grain aggregation
     "revenue_rollup",
-    "segment_priority_cube",
     "segment_priority_grouping_sets",
     "orders_priority_pivot",
     # window / navigation / scalar inventories
@@ -3584,8 +3857,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # join/agg shapes (TPC-H-derived)
     "pricing_summary",
     "shipping_priority",
-    "revenue_by_nation",
     "data_quality_report",
+    "brand_revenue_concentration",
+    "min_price_supplier_per_part",
+    "bulk_part_suppliers",
     "nation_market_share",
     "promo_revenue_share",
     "order_count_distribution",
@@ -3595,11 +3870,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "dedup_edit_distance",
     "dedup_clusters",
     "embedding_neardup_lsh",
     "knn_ivf_kmeans",
     "text_lang_id",
+    "tfidf_top_terms",
     "multimodal_payload_meta",
     # streaming batch-equivalents
     "events_session_windows",

@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.expressions import money_sum
+from ..io import ensure_scan_confs
 
 __all__ = [
     "read_events_stream",
@@ -55,17 +57,25 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream with the declared events schema.
 
-    ``ts`` may arrive as long nanoseconds (testdata parquet) — normalized to
+    ``ts`` has shipped as both long nanoseconds and µs timestamps across
+    testdata generations, so the physical dtype is sniffed with a batch
+    schema peek (metadata-only — no data read) and normalized to
     TimestampType exactly like the batch reader (io.load_table).
     """
+    ensure_scan_confs(spark)
+    peeked = spark.read.parquet(path).schema
+    ts_is_long = isinstance(dict(zip(peeked.names, peeked.fields))["ts"].dataType, T.LongType)
+    ts_decl = "long" if ts_is_long else "timestamp"
     stream = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, value double, props string"
+            f"event_id long, ts {ts_decl}, user_id long, event_type string, value double, props string"
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def windowed_event_counts(
