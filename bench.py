@@ -98,8 +98,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]
+        # Iterative queries (connected-components convergence loop, KMeans
+        # centroid training) do real distributed compute while BUILDING the
+        # plan; the prepared-plan cache would hide that work from runs 2-3
+        # and min-of-3 would time only the final cached projection.  Honest
+        # protocol: evict the cached plan so every run pays build + execute.
+        evict = "iterative" in qd.tags
         best = None
         for _ in range(RUNS):
+            if evict:
+                getattr(spark, "_rfs_plan_cache", {}).pop((name, sf_dir), None)
             t0 = time.time()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0

@@ -33,25 +33,24 @@ __all__ = [
 ]
 
 
-def read_excel_sheets(spark: SparkSession, xlsx_path: str) -> DataFrame:
-    """S1 Excel multi-sheet scan: every sheet, UNION ALL, Arrow-batched into
-    a DataFrame (``jobs/ingest_xlsx_to_parquet.py:8-11``).  xlsx parsing is
-    inherently single-node (openpyxl; import-gated — not installed here);
-    for real volume, land the xlsx as parquet first and let Spark scan that.
+def read_excel_sheets(
+    spark: SparkSession, xlsx_path: str, schema: str | None = None
+) -> DataFrame:
+    """S1 Excel multi-sheet scan: every sheet of every workbook, UNION ALL
+    (``jobs/ingest_xlsx_to_parquet.py:8-11``).  Parsed on EXECUTORS by the
+    dependency-free reader in :mod:`..sources.xlsx` (binaryFile ->
+    mapInPandas, one task per workbook) — no openpyxl needed, and unlike the
+    reference's driver-side ``pd.read_excel`` it scales with the number of
+    workbooks in the landing zone.  ``schema`` declares the output columns
+    (DDL string); defaults to the reference's retail invoice layout.
     """
-    try:
-        import pandas as pd
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("pandas required for excel ingest") from e
-    try:
-        xl = pd.ExcelFile(xlsx_path)
-    except ImportError as e:
-        raise RuntimeError(
-            "openpyxl not installed in this environment; provide the fixture "
-            "as parquet/DataFrame instead (FIXTURES.md §1 contract)"
-        ) from e
-    frames = [xl.parse(sheet) for sheet in xl.sheet_names]
-    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    from .sources.xlsx import read_xlsx
+
+    ddl = schema or (
+        "Invoice string, StockCode string, Description string, Quantity long, "
+        "InvoiceDate double, Price double, `Customer ID` double, Country string"
+    )
+    return read_xlsx(spark, xlsx_path, ddl, header=True)
 
 
 def ingest_to_bronze(spark: SparkSession, raw: DataFrame, bronze_path: str) -> None:

@@ -2845,7 +2845,11 @@ def q_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded sqrt) is bit-reproducible.  The built-in ``corr()``
     aggregates in floats and is NOT cross-engine stable — documented
     divergence, which is why the moments are explicit.  Scale: five
-    partial-aggregable sums, one tiny shuffle."""
+    partial-aggregable sums, one tiny shuffle.  (Measured: row-count
+    spreading the moment frame first is a LOSS here — the repartition
+    barrier + decimal ser/deser costs more than the one-core partial agg
+    saves at this scale; at real scale the scan arrives multi-partition
+    and the question disappears.)"""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = cents(F.col("l_extendedprice"), 2)
