@@ -838,8 +838,32 @@ WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0
 """
 
 
-def _minhash_spark_sql(view: str, spread: int, stop_at: str = "pairs") -> str:
-    """The full minhash->LSH->verify pipeline as ONE Spark SQL string.
+def _minhash_post_sql(view: str, spread: int) -> str:
+    """Shingle -> md5 -> (h1, h2) postings: the compute-bound front of the
+    minhash pipeline, emitted separately so the caller can persist it —
+    the main pipeline scans the postings THREE times (signature agg +
+    both sides of the intersection count), and Spark inlines CTEs, so
+    pure lineage would re-run the md5 pipeline per scan (DuckDB
+    materializes the CTE once; this persist is the same decision made
+    explicitly)."""
+    return f"""
+SELECT doc_id AS id, sh,
+       CAST(conv(substring(d, 1, 14), 16, 10) AS BIGINT) AS h1,
+       CAST(conv(substring(d, 15, 14), 16, 10) AS BIGINT) AS h2
+FROM (
+  SELECT doc_id, sh, md5(sh) AS d FROM (
+    SELECT doc_id,
+           explode(array_distinct(transform(
+             sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+             i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS sh
+    FROM (SELECT /*+ REPARTITION({spread}) */ doc_id, text FROM {view})
+  )
+)"""
+
+
+def _minhash_spark_sql(view: str, stop_at: str = "pairs") -> str:
+    """MinHash signatures -> LSH banding -> candidate pairs -> exact-Jaccard
+    verify, as ONE Spark SQL string over a (persisted) postings view.
 
     Identical semantics to the composable operator path
     (``posting_lists`` -> ``minhash_signatures`` -> ``minhash_candidate_pairs``
@@ -866,13 +890,13 @@ def _minhash_spark_sql(view: str, spread: int, stop_at: str = "pairs") -> str:
     if stop_at == "candidates":
         tail = "\nSELECT doc_a, doc_b FROM cand"
     else:
-        tail = """,
-sizes AS (SELECT id, count(*) AS n_sh FROM post GROUP BY id),
+        tail = f""",
+sizes AS (SELECT id, count(*) AS n_sh FROM {view} GROUP BY id),
 inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+  SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b, count(*) AS n_int
   FROM cand c
-  JOIN post pa ON pa.id = c.doc_a
-  JOIN post pb ON pb.id = c.doc_b AND pb.sh = pa.sh
+  JOIN {view} pa ON pa.id = c.doc_a
+  JOIN {view} pb ON pb.id = c.doc_b AND pb.sh = pa.sh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -881,21 +905,7 @@ FROM inter i JOIN sizes sa ON sa.id = i.doc_a JOIN sizes sb ON sb.id = i.doc_b
 WHERE CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) >= 0.5
 """
     return f"""
-WITH post AS (
-  SELECT doc_id AS id, sh,
-         CAST(conv(substring(d, 1, 14), 16, 10) AS BIGINT) AS h1,
-         CAST(conv(substring(d, 15, 14), 16, 10) AS BIGINT) AS h2
-  FROM (
-    SELECT doc_id, sh, md5(sh) AS d FROM (
-      SELECT doc_id,
-             explode(array_distinct(transform(
-               sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
-               i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS sh
-      FROM (SELECT /*+ REPARTITION({spread}) */ doc_id, text FROM {view})
-    )
-  )
-),
-sigs AS (SELECT id, {sig_cols} FROM post GROUP BY id),
+WITH sigs AS (SELECT id, {sig_cols} FROM {view} GROUP BY id),
 bands AS (
   SELECT id, bb.band AS band, bb.band_key AS band_key
   FROM sigs LATERAL VIEW explode(array({band_structs})) t AS bb
@@ -925,12 +935,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pipeline_df(
     spark: SparkSession, sf_dir: str, stop_at: str = "pairs"
 ) -> DataFrame:
-    """Run the shared minhash SQL pipeline over the documents table."""
+    """Run the shared minhash SQL pipeline over the documents table.
+
+    The postings frame (shingle md5) is persisted and shared by its three
+    downstream scans — and across the dedup queries that consume the same
+    pipeline (pairs + candidates for the edit-distance confirm stage).
+    Size is bounded: one row per distinct shingle per doc, short hashes —
+    at corpus scale this is the classic materialize-the-postings decision,
+    on disk-backed storage level."""
+    from pyspark import StorageLevel
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "__rfs_documents"
     )
-    spread = max(2, spark.sparkContext.defaultParallelism // 4)
-    return spark.sql(_minhash_spark_sql("__rfs_documents", spread, stop_at))
+    cache = getattr(spark, "_rfs_minhash_post", None)
+    if cache is None:
+        cache = spark._rfs_minhash_post = {}
+    post = cache.get(sf_dir)
+    if post is None:
+        spread = max(2, spark.sparkContext.defaultParallelism // 4)
+        post = spark.sql(_minhash_post_sql("__rfs_documents", spread)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cache[sf_dir] = post
+    view = f"__rfs_mh_post_{abs(hash(sf_dir)) % 10**8}"
+    post.createOrReplaceTempView(view)
+    return spark.sql(_minhash_spark_sql(view, stop_at))
 
 
 _NGRAM_JACCARD_ORACLE = f"""
