@@ -22,9 +22,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..functions.expressions import not_null_filter
 
-__all__ = ["normalize_orders_raw", "lineitem_to_bronze"]
+__all__ = ["normalize_orders_raw", "lineitem_to_bronze", "excel_serial_to_timestamp"]
+
+# Days between the Excel 1900-date-system epoch (1899-12-30, after the
+# lotus-123 leap-year bug offset) and the Unix epoch (1970-01-01).
+_EXCEL_UNIX_EPOCH_DELTA_DAYS = 25569
+
+
+def excel_serial_to_timestamp(col: F.Column) -> F.Column:
+    """Excel 1900-system serial day number (double) -> UTC timestamp.
+
+    ``round`` to whole seconds before ``timestamp_seconds`` because serials
+    carry sub-second float noise (40179.520833... for 12:30:00) that would
+    otherwise surface as .999999/.000001 second jitter.
+    """
+    return F.timestamp_seconds(
+        F.round((col - F.lit(_EXCEL_UNIX_EPOCH_DELTA_DAYS)) * F.lit(86400.0)).cast(
+            "long"
+        )
+    )
+
+
+def _invoice_date_expr(raw: DataFrame) -> F.Column:
+    """P2/P16 dtype-aware timestamp repair for ``InvoiceDate``.
+
+    The executor-side xlsx reader surfaces dates as Excel serial-number
+    doubles (``sources/xlsx.py`` module docstring: converting them is the
+    ingest contract's job).  The reference gets real datetimes from pandas
+    ``read_excel`` (``jobs/ingest_xlsx_to_parquet.py:26``), so conversion is
+    on us: numeric input -> serial->Unix conversion; string input -> coercing
+    ``try_cast`` (pandas ``errors="coerce"`` parity), with a serial-shaped
+    string fallback so a CSV re-export of a workbook still ingests.
+    """
+    dt = raw.schema["InvoiceDate"].dataType
+    col = F.col("InvoiceDate")
+    if isinstance(dt, T.NumericType):
+        return excel_serial_to_timestamp(col.cast("double"))
+    parsed = col.cast("string").try_cast("timestamp")
+    serial = col.cast("string").try_cast("double")
+    return F.coalesce(
+        parsed,
+        F.when(
+            serial.isNotNull() & (serial > 0) & (serial < 200_000),
+            excel_serial_to_timestamp(serial),
+        ),
+    )
+
+
+def _coerce_int(raw: DataFrame, name: str) -> F.Column:
+    """P2 int coercion, dtype-aware: the xlsx reader surfaces numeric columns
+    as doubles (``17850.0``), whose string form does not ``try_cast`` to int —
+    go through double first so both ``"6"`` and ``6.0`` land as 6 (pandas
+    ``to_numeric(errors="coerce")`` parity)."""
+    dt = raw.schema[name].dataType
+    col = F.col(f"`{name}`")
+    if isinstance(dt, T.NumericType):
+        return col.try_cast("int")
+    return col.cast("string").try_cast("double").try_cast("int")
 
 
 def normalize_orders_raw(raw: DataFrame) -> DataFrame:
@@ -40,10 +98,10 @@ def normalize_orders_raw(raw: DataFrame) -> DataFrame:
         F.trim(F.coalesce(F.col("Description").cast("string"), F.lit(""))).alias(
             "description"
         ),
-        F.col("Quantity").cast("string").try_cast("int").alias("quantity"),
-        F.col("InvoiceDate").cast("string").try_cast("timestamp").alias("invoice_date"),
+        _coerce_int(raw, "Quantity").alias("quantity"),
+        _invoice_date_expr(raw).alias("invoice_date"),
         F.col("Price").cast("string").try_cast("double").alias("unit_price"),
-        F.col("`Customer ID`").cast("string").try_cast("int").alias("customer_id"),
+        _coerce_int(raw, "Customer ID").alias("customer_id"),
         F.trim(F.col("Country").cast("string")).alias("country"),
     )
     df = df.withColumns(

@@ -2424,7 +2424,15 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("approx_distinct_users_daily", oracle=None, tags=("approx", "scale"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       approx_count_distinct(user_id) AS approx_users,
+       CAST(count(*) AS BIGINT)       AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@register("approx_distinct_users_daily", oracle=_APPROX_DISTINCT_ORACLE, tags=("approx", "scale"))
 def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ daily distinct users (rsd=1%).  At 100 TB the HLL
     sketch is THE distinct-count path: fixed-size state, partial-aggregable
@@ -2432,8 +2440,10 @@ def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     query does NOT carry an exact countDistinct next to it (that would
     reintroduce the expand + full id shuffle the sketch exists to avoid);
     the companion test computes the exact counts separately and asserts the
-    estimate lands within rsd bounds.  Sketch internals are engine-specific
-    -> rows-only driver check."""
+    estimate lands within rsd bounds.  The oracle runs DuckDB's own HLL so
+    rows+schema certify; the VALUE hash legitimately cannot match across two
+    different sketch implementations (the only such case in the registry,
+    with ``approx_value_percentiles``)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
@@ -2444,12 +2454,24 @@ def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("approx_value_percentiles", oracle=None, tags=("approx", "scale"))
+_APPROX_PCTS_ORACLE = """
+SELECT event_type,
+       approx_quantile(value, 0.5)  AS p50,
+       approx_quantile(value, 0.9)  AS p90,
+       approx_quantile(value, 0.99) AS p99,
+       CAST(count(*) AS BIGINT)     AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("approx_value_percentiles", oracle=_APPROX_PCTS_ORACLE, tags=("approx", "scale"))
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna via percentile_approx, accuracy
     10000) per event type — the scale path replacing exact percentile sorts:
-    mergeable fixed-size state instead of a full sort per group.  Engine-
-    specific sketch -> rows-only check; test asserts vs exact percentiles."""
+    mergeable fixed-size state instead of a full sort per group.  The oracle
+    runs DuckDB's t-digest so rows+schema certify; the value hash
+    legitimately cannot match across different sketch algorithms (companion
+    test asserts vs exact percentiles)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -3842,6 +3864,40 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1 end-to-end: executor-side xlsx parse -> ingest normalize (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+from .sources.xlsx_fixture import fixture_oracle_sql as _fixture_oracle_sql  # noqa: E402
+
+_XLSX_INGEST_ORACLE = _fixture_oracle_sql()
+
+
+@register("xlsx_ingest_normalize", oracle=_XLSX_INGEST_ORACLE, tags=("source", "projection"))
+def q_xlsx_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 -> P1-P8/P16 composed end-to-end: a two-sheet workbook (sheet 2
+    column-reordered, serial-number dates with fractional day parts, padded
+    strings, quarantine rows) is parsed ON EXECUTORS by the dependency-free
+    xlsx reader (binaryFile -> mapInPandas), then pushed through the full
+    ingest normalize contract — including the Excel-serial -> UTC timestamp
+    repair the reference gets for free from pandas ``read_excel``
+    (``jobs/ingest_xlsx_to_parquet.py:8-42``).  The oracle is a VALUES
+    relation generated from the same row source as the workbook bytes, so
+    this row is a true file-format-to-bronze differential check."""
+    from .operators.normalize import normalize_orders_raw
+    from .sources.xlsx import read_xlsx
+    from .sources.xlsx_fixture import ensure_fixture_workbook
+
+    path = ensure_fixture_workbook()
+    raw = read_xlsx(
+        spark,
+        path,
+        "Invoice string, StockCode string, Description string, Quantity long, "
+        "InvoiceDate double, Price double, `Customer ID` double, Country string",
+    )
+    return normalize_orders_raw(raw)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
 # operator families (grouping sets, max_by latest, navigation, rows-frame,
@@ -3854,65 +3910,66 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # core pipeline: normalize -> windows -> labels -> training set
-    "normalize_lineitem",
+    # --- r3 block 1: queries with NO green verdict across r1∪r2 (VERDICT.md
+    # round-2 item 2) — the four r1-FAIL events queries (NANOS-reader fix
+    # shipped r2, unverified) first, then the 18 never-driver-checked, plus
+    # the new end-to-end xlsx gate and the two approx queries now carrying
+    # rows+schema oracles.
+    "events_tumbling_daily",
+    "events_sliding_7d_daily",
+    "users_purchase_and_signup",
+    "user_days_view_no_purchase",
+    "xlsx_ingest_normalize",
+    "approx_distinct_users_daily",
+    "approx_value_percentiles",
+    "feature_view_build_set",
+    "top_revenue_supplier",
+    "small_qty_revenue",
+    "discounted_revenue",
+    "sole_return_supplier",
+    "qty_price_correlation",
+    "order_calendar_features",
+    "embedding_norms",
+    "text_string_features",
+    "stratified_sample_balanced",
+    "forecast_revenue_change",
+    "returned_item_ranking",
+    "doc_repetition_ratio",
+    "returns_by_priority",
+    "linestatus_priority_counts",
+    "supplier_variety_by_part",
+    # --- r3 block 2: green in r1 but outside r2's window — refresh so every
+    # query holds a CURRENT verdict.
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "dedup_ngram_jaccard",
+    "text_simhash",
+    "knn_cosine_bruteforce",
+    "knn_ivf_bucketed",
+    "text_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "customers_with_urgent_orders",
+    "customers_without_recent_orders",
+    "cross_nation_trade",
+    "brand_margin",
+    "daily_feature_snapshots",
+    "segment_priority_cube",
+    "dedup_edit_distance",
+    # --- r3 block 3: r2-green flagships whose implementations change this
+    # round (shared-bronze reuse, delta-engine payload trim, CC variant,
+    # kmeans probe pruning, minhash cache lifecycle) — must be re-proven.
     "feature_view_build",
-    "user_activity_features",
     "training_set_build",
-    "churn_labels_orders",
-    "purchase_labels_after_signup",
-    # point-in-time family
-    "asof_snapshot_lookup",
-    "asof_join_clicks_purchases",
-    "latest_event_per_user",
-    "latest_order_maxby",
-    "first_event_per_user",
-    # encodings + simple aggregates
-    "customer_onehot",
-    "topk_segments",
-    "priority_mode_per_customer",
-    "distinct_parts_per_customer",
-    "union_slices",
-    # multi-grain aggregation
-    "revenue_rollup",
-    "segment_priority_grouping_sets",
-    "orders_priority_pivot",
-    # window / navigation / scalar inventories
-    "order_sequence_analytics",
-    "order_navigation",
-    "rows_rolling_spend",
-    "doc_pack_context_windows",
-    "benchmark_contamination",
-    "value_percentiles",
-    "hash_split_train_val",
-    # feature-engineering staples
-    "rfm_segments",
-    "decayed_user_value",
-    # join/agg shapes (TPC-H-derived)
-    "pricing_summary",
-    "shipping_priority",
-    "data_quality_report",
-    "brand_revenue_concentration",
-    "min_price_supplier_per_part",
-    "bulk_part_suppliers",
-    "nation_market_share",
-    "promo_revenue_share",
-    "order_count_distribution",
-    "large_volume_orders",
-    "top_balance_inactive_customers",
-    # LLM-data-pipeline components
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
+    "normalize_lineitem",
     "dedup_clusters",
-    "embedding_neardup_lsh",
     "knn_ivf_kmeans",
-    "text_lang_id",
-    "tfidf_top_terms",
-    "multimodal_payload_meta",
-    # streaming batch-equivalents
+    "dedup_minhash",
+    "user_activity_features",
+    "churn_labels_orders",
     "events_session_windows",
     "events_props_json",
+    "data_quality_report",
 )
 
 

@@ -65,7 +65,12 @@ def _cell_value(cell: ET.Element, shared: list[str]):
         return v.text
     if t == "b":
         return v.text == "1"
-    return float(v.text)  # "n" numeric (dates = serial numbers)
+    if t == "e":  # error cell (#DIV/0!, #N/A, ...) -> null per coerce contract
+        return None
+    try:
+        return float(v.text)  # "n" numeric (dates = serial numbers)
+    except ValueError:
+        return None
 
 
 def parse_xlsx_bytes(

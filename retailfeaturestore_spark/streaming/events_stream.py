@@ -60,11 +60,22 @@ def read_events_stream(
     ``ts`` has shipped as both long nanoseconds and µs timestamps across
     testdata generations, so the physical dtype is sniffed with a batch
     schema peek (metadata-only — no data read) and normalized to
-    TimestampType exactly like the batch reader (io.load_table).
+    TimestampType exactly like the batch reader (io.load_table).  A stream
+    may legitimately be started on an empty/not-yet-created directory (files
+    arrive later): the peek then can't infer a schema, and we fall back to
+    the long-ns declaration — the current testdata generation's physical
+    dtype, and the shape the pre-sniffing reader always declared.
     """
+    from pyspark.errors import AnalysisException
+
     ensure_scan_confs(spark)
-    peeked = spark.read.parquet(path).schema
-    ts_is_long = isinstance(dict(zip(peeked.names, peeked.fields))["ts"].dataType, T.LongType)
+    try:
+        peeked = spark.read.parquet(path).schema
+        ts_is_long = isinstance(
+            dict(zip(peeked.names, peeked.fields))["ts"].dataType, T.LongType
+        )
+    except AnalysisException:
+        ts_is_long = True
     ts_decl = "long" if ts_is_long else "timestamp"
     stream = (
         spark.readStream.schema(

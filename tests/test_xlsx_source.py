@@ -88,3 +88,78 @@ def test_read_xlsx_sheet_filter(spark, workbook):
         sheets=["Year 2010-2011"],
     )
     assert [r.Invoice for r in df.collect()] == ["579001"]
+
+
+def test_error_cells_coerce_to_null():
+    """t="e" error cells (#DIV/0!, #N/A — common in exporter workbooks) and
+    malformed numerics null out instead of failing the executor task."""
+    import xml.etree.ElementTree as ET
+
+    from retailfeaturestore_spark.sources.xlsx import _cell_value
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    err = ET.fromstring(f'<c xmlns="{ns}" r="A1" t="e"><v>#DIV/0!</v></c>')
+    assert _cell_value(err, []) is None
+    bad = ET.fromstring(f'<c xmlns="{ns}" r="A1"><v>not-a-number</v></c>')
+    assert _cell_value(bad, []) is None
+
+
+@pytest.fixture(scope="module")
+def dated_workbook(tmp_path_factory):
+    """Workbook shaped like the real UCI export: serial-number dates,
+    float-typed Customer ID, a cancel invoice, and a quarantine row."""
+    path = str(tmp_path_factory.mktemp("xlsx") / "retail_dated.xlsx")
+    header = ["Invoice", "StockCode", "Description", "Quantity",
+              "InvoiceDate", "Price", "Customer ID", "Country"]
+    write_minimal_xlsx(
+        path,
+        {
+            "Year 2009-2010": [
+                header,
+                # serial 40179.25 = 2010-01-01 06:00:00 UTC
+                ["536365", "85123a", " box ", 6, 40179.25, 2.55, 17850.0, "United Kingdom"],
+                ["C536379", "22720", "cancel", 1, 40180.5, 1.0, 17850.0, "United Kingdom"],
+                # no customer id -> P6 quarantine
+                ["536380", "84406", "orphan", 2, 40181.0, 1.0, None, "France"],
+            ],
+        },
+    )
+    return path
+
+
+def test_ingest_serial_dates_end_to_end(spark, dated_workbook, tmp_path):
+    """The composed real path: executor xlsx parse -> normalize (serial-date
+    repair, double customer-id repair) -> bronze sink.  Regression for the
+    round-2 wiring bug where serial dates were nulled by try_cast(timestamp)
+    and P6 then dropped EVERY row of a real workbook."""
+    import datetime
+
+    from retailfeaturestore_spark.jobs import ingest_to_bronze, read_excel_sheets
+
+    bronze = str(tmp_path / "bronze")
+    ingest_to_bronze(spark, read_excel_sheets(spark, dated_workbook), bronze)
+    rows = {r.invoice: r for r in spark.read.parquet(bronze).collect()}
+    assert set(rows) == {"536365", "C536379"}  # nonzero; quarantine dropped
+    assert rows["536365"].invoice_date == datetime.datetime(2010, 1, 1, 6, 0, 0)
+    assert rows["536365"].customer_id == 17850  # 17850.0 double -> int
+    assert rows["536365"].stock_code == "85123A"
+    assert rows["536365"].description == "box"
+    assert rows["536365"].line_amount == 6 * 2.55
+    assert rows["C536379"].is_cancel is True
+    assert rows["C536379"].invoice_date == datetime.datetime(2010, 1, 2, 12, 0, 0)
+
+
+def test_fixture_workbook_matches_values_oracle(spark):
+    """The registered xlsx_ingest_normalize query returns exactly the rows
+    its VALUES oracle declares (driver-independent local differential)."""
+    import duckdb
+
+    from retailfeaturestore_spark.queries import REGISTRY
+
+    qd = REGISTRY["xlsx_ingest_normalize"]
+    got = qd.fn(spark, "/unused").toPandas().sort_values("invoice").reset_index(drop=True)
+    exp = duckdb.sql(qd.oracle).df().sort_values("invoice").reset_index(drop=True)
+    assert len(got) == len(exp) == 60
+    assert sorted(got.columns) == sorted(exp.columns)
+    for c in ("invoice", "quantity", "customer_id", "is_cancel", "line_amount"):
+        assert list(got[c]) == list(exp[c]), c
