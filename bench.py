@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from retailfeaturestore_spark.queries import REGISTRY  # noqa: E402
+from retailfeaturestore_spark.queries import REGISTRY, invalidate_caches  # noqa: E402
 from retailfeaturestore_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -102,12 +102,15 @@ def main() -> None:
         # centroid training) do real distributed compute while BUILDING the
         # plan; the prepared-plan cache would hide that work from runs 2-3
         # and min-of-3 would time only the final cached projection.  Honest
-        # protocol: evict the cached plan so every run pays build + execute.
+        # protocol: evict the cached plan AND every session-held persisted
+        # frame (minhash postings, KMeans quantized corpus) so every run
+        # pays the full build + execute (ADVICE round 2: plan eviction
+        # alone left persisted postings warm across runs).
         evict = "iterative" in qd.tags
         best = None
         for _ in range(RUNS):
             if evict:
-                getattr(spark, "_rfs_plan_cache", {}).pop((name, sf_dir), None)
+                invalidate_caches(spark, sf_dir=sf_dir, names=(name,))
             t0 = time.time()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -115,17 +118,47 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    # Round-over-round comparability: against the previous round's recorded
+    # bench (driver artifact BENCH_r{N}.json), report the shared-query-set
+    # totals so renames/additions never cost a round of comparability.
+    prev = _load_prev_bench()
+    if prev:
+        shared = sorted(set(timings) & set(prev))
+        out["versus_prev"] = {
+            "n_shared": len(shared),
+            "total_sec": round(sum(timings[q] for q in shared), 3),
+            "prev_total_sec": round(sum(prev[q] for q in shared), 3),
+        }
+    print(json.dumps(out))
+
+
+def _load_prev_bench() -> dict[str, float] | None:
+    """Latest BENCH_r{N}.json's per-query timings, if any."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest, latest_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > latest_n:
+            latest, latest_n = p, int(m.group(1))
+    if latest is None:
+        return None
+    try:
+        with open(latest) as f:
+            doc = json.load(f)
+        q = doc.get("parsed", doc).get("queries")
+        return {k: float(v) for k, v in q.items()} if q else None
+    except (OSError, ValueError, AttributeError):
+        return None
 
 
 if __name__ == "__main__":

@@ -152,16 +152,19 @@ def interval_existence_labels(
     inclusive).
 
     Union-window formulation (zero joins): tag event rows, union with the
-    (deduped) spine, and count events in the range frame
-    ``[t + 1us, t + horizon]`` — strictly-after via the +1us lower bound,
-    inclusive upper bound.  The reference's duplicate-label blowup
-    (SURVEY.md §7.4.3) is avoided by deduping the spine first.
+    spine, and count events in the range frame ``[t + 1us, t + horizon]`` —
+    strictly-after via the +1us lower bound, inclusive upper bound.  The
+    reference's duplicate-label blowup (SURVEY.md §7.4.3) is avoided by
+    deduping the spine — done AFTER the window pass via ``row_number`` over
+    ``(key, ts)``: hash(key) clustering already satisfies that partition
+    spec and the rows arrive (key, ts)-sorted, so the dedup costs one extra
+    frame pass instead of the full ``distinct()`` exchange a pre-dedup pays
+    (duplicate spine rows see identical frames, so any survivor carries the
+    same label).
     """
     horizon_us = horizon_days * 86_400 * MICROS
-    sp = (
-        spine.select(F.col(key), F.col(spine_ts).alias("__t"))
-        .distinct()
-        .withColumns({"__ts_us": epoch_us("__t"), "__ev": F.lit(0)})
+    sp = spine.select(F.col(key), F.col(spine_ts).alias("__t")).withColumns(
+        {"__ts_us": epoch_us("__t"), "__ev": F.lit(0)}
     )
     ev = events.select(
         F.col(key),
@@ -174,10 +177,13 @@ def interval_existence_labels(
         .orderBy("__ts_us")
         .rangeBetween(1, horizon_us)
     )
+    w_dedupe = Window.partitionBy(key, "__ts_us").orderBy("__ev")
     out = (
         sp.unionByName(ev)
         .withColumn("__n_future", F.sum("__ev").over(w))
         .where(F.col("__ev") == 0)
+        .withColumn("__rn", F.row_number().over(w_dedupe))
+        .where(F.col("__rn") == 1)
         .select(
             F.col(key),
             F.col("__t").alias("t_ref"),

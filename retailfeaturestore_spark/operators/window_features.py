@@ -137,6 +137,7 @@ def build_customer_features(
     approx_unique: bool = False,
     amount_scale: int | None = 4,
     unique_mode: str = "delta",
+    carry_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Bronze order lines -> gold per-line feature snapshots (W1-W6).
 
@@ -156,6 +157,15 @@ def build_customer_features(
     ``approx_unique=True``).  All three produce the same column names;
     "set" and "delta" the same values.  The default is the engine that
     cannot fall over — callers that know their cardinality opt into "set".
+
+    ``carry_cols`` (optional) names the bronze columns to carry into the
+    output besides the keys and features; the rest are dropped.  In delta
+    mode this trims the struct riding the interval-delta explode (Catalyst's
+    nested pruning cannot reach inside the Generate's array-of-struct, so an
+    untrimmed payload is materialized three-ish times per row); the event
+    timestamp is reconstructed exactly from the epoch-microseconds ordering
+    attribute (``timestamp_micros`` inverts ``unix_micros``) rather than
+    carried.  ``None`` preserves every input column (the generic contract).
     """
     windows = windows or {"1d": 1, "7d": 7, "30d": 30}
     if approx_unique:
@@ -185,13 +195,34 @@ def build_customer_features(
     # exchange and (entity, time, kind) sort — the sort order (entity, ts_us)
     # they require is a prefix of it — so the whole family still costs ONE
     # wide shuffle, same as the collect_set path.
+    reconstruct_ts = False
     if unique_mode == "delta":
+        from pyspark.sql import types as T
+
         from .windowed_distinct import exact_windowed_distinct
 
+        payload = None
+        if carry_cols is not None:
+            carry = [c for c in dict.fromkeys(carry_cols) if c != entity_col]
+            reconstruct_ts = (
+                isinstance(df.schema[ts_col].dataType, T.TimestampType)
+                and ts_col not in carry
+            )
+            if not reconstruct_ts and ts_col not in carry:
+                carry.append(ts_col)
+            payload = [*carry, "__txn", "__cancel", "__spend"]
         df = exact_windowed_distinct(
             df, entity_col, ts_col, sku_col, windows,
-            out_prefix="unique_skus", epoch_col=_TS_US,
+            out_prefix="unique_skus", epoch_col=_TS_US, payload_cols=payload,
         )
+        if reconstruct_ts:
+            df = df.withColumn(ts_col, F.timestamp_micros(F.col(_TS_US)))
+    elif carry_cols is not None:
+        keep = dict.fromkeys(
+            [entity_col, ts_col, sku_col, _TS_US, "__txn", "__cancel", "__spend",
+             *carry_cols]
+        )
+        df = df.select(*keep)
 
     def uniq(w: WindowSpec) -> Column:
         if unique_mode == "approx":
@@ -221,12 +252,20 @@ def build_customer_features(
 
     df = _windowed(df, entity_col, windows, fam)
 
-    # W6 tenure: whole-24h-period floor since first event (entity-wide frame;
-    # same partitioning => same single exchange).
-    w_all = Window.partitionBy(entity_col)
+    # W6 tenure: whole-24h-period floor since first event.  The entity-wide
+    # min is expressed as a RUNNING min over the same (entity, ts) ordering
+    # as the W1-W5 frames — identical value (ordered ascending, the running
+    # min IS the partition min seen so far = first event), but CollapseWindow
+    # then merges it into the family's WindowExec instead of paying a whole
+    # extra unordered-frame pass over the output rows.
+    w_cum0 = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(_TS_US))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
     df = df.withColumn(
         "tenure_days",
-        F.floor((F.col(_TS_US) - F.min(_TS_US).over(w_all)) / F.lit(MICROS_PER_DAY)),
+        F.floor((F.col(_TS_US) - F.min(_TS_US).over(w_cum0)) / F.lit(MICROS_PER_DAY)),
     )
 
     feature_cols = [f"{b}_{s}" for b in
@@ -278,10 +317,16 @@ def user_activity_features(
         }
 
     df = _windowed(df, "user_id", windows, fam)
-    w_all = Window.partitionBy("user_id")
+    # Running min == partition min under the ascending (user, ts) order the
+    # family already sorts by — CollapseWindow folds this into the same pass.
+    w_cum0 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col(_TS_US))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
     df = df.withColumn(
         "tenure_days",
-        F.floor((F.col(_TS_US) - F.min(_TS_US).over(w_all)) / F.lit(MICROS_PER_DAY)),
+        F.floor((F.col(_TS_US) - F.min(_TS_US).over(w_cum0)) / F.lit(MICROS_PER_DAY)),
     )
     float_cols = [f"{b}_{s}" for b in ("value_sum", "avg_value", "error_rate") for s in windows]
     if round_to is not None:

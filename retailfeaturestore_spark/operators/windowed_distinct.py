@@ -75,6 +75,7 @@ def exact_windowed_distinct(
     windows: dict[str, int],
     out_prefix: str = "unique",
     epoch_col: str | None = None,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append ``{out_prefix}_{suffix}`` = exact distinct ``key_col`` count
     over the both-closed range window ``[t - days, t]`` per entity.
@@ -91,16 +92,26 @@ def exact_windowed_distinct(
     partition on ``entity_col`` and order by ``epoch_col`` (e.g. the W1-W5
     range-frame family) reuse this operator's exchange and sort instead of
     shuffling again.
+
+    ``payload_cols`` (optional) trims the struct that rides each exploded
+    query event to exactly these columns — others are DROPPED from the
+    output.  Catalyst's nested-column pruning does not reach inside the
+    explode's array-of-struct construction (verified on the physical plan:
+    the Generate materializes every field even when downstream extracts a
+    subset), so callers that know their projection pass it explicitly; the
+    delta rows always stay skinny (key, time, kind, ±1 deltas, NULL
+    payload) either way.
     """
     horizons = {s: d * MICROS_PER_DAY for s, d in windows.items()}
     d_cols = [f"__d_{s}" for s in horizons]
 
     if epoch_col is None:
         base = df.withColumn("__t", epoch_us(ts_col))
-        payload_cols = df.columns
+        default_payload = df.columns
     else:
         base = df.withColumn("__t", F.col(epoch_col))
-        payload_cols = [c for c in df.columns if c not in (entity_col, epoch_col)]
+        default_payload = [c for c in df.columns if c not in (entity_col, epoch_col)]
+    payload_cols = default_payload if payload_cols is None else list(payload_cols)
     payload = F.struct(*payload_cols)
     payload_type = base.select(payload.alias("__p")).schema["__p"].dataType
 
@@ -161,13 +172,16 @@ def exact_windowed_distinct(
         )
         for (s, w_us), c in zip(horizons.items(), d_cols)
     ]
+    # Dead elements are exploded as NULL rows and dropped by a flat filter
+    # rather than compacted with the array ``filter`` higher-order function:
+    # HOF lambdas are evaluated outside whole-stage codegen, and this
+    # expression runs once per input row on the hot path.
     u = (
         pre.select(
             "__e",
-            F.explode(
-                F.filter(F.array(query_elem, plus, *minuses), lambda x: x.isNotNull())
-            ).alias("__ev"),
+            F.explode(F.array(query_elem, plus, *minuses)).alias("__ev"),
         )
+        .where(F.col("__ev").isNotNull())
         .select(
             "__e",
             F.col("__ev.t").alias("__time"),
@@ -179,11 +193,20 @@ def exact_windowed_distinct(
     )
 
     # All output frames share the (entity) exchange and the (time, kind)
-    # sort; every frame below is evaluated incrementally.
+    # sort; every frame below is evaluated incrementally.  The rows-frame
+    # running sums are computed FIRST (their (time, kind) sort is the
+    # operator's only post-explode sort), so the range frames' (time)
+    # ordering requirement is then satisfied as a sort prefix — emitting
+    # them in one withColumns lets Spark plan the range-frame WindowExec
+    # below the rows-frame one, which costs a second full sort of the
+    # exploded rows (measured on the physical plan).
     w_run = (
         Window.partitionBy("__e")
         .orderBy("__time", "__kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumns(
+        {f"__run_{c}": F.sum(c).over(w_run) for c in d_cols}
     )
     w_cum = Window.partitionBy("__e").orderBy("__time").rangeBetween(
         Window.unboundedPreceding, 0
@@ -196,7 +219,7 @@ def exact_windowed_distinct(
         c_in_window = F.sum("__c").over(w_cum) - F.coalesce(
             F.sum("__c").over(w_before), F.lit(0)
         )
-        out_cols[f"{out_prefix}_{s}"] = c_in_window - F.sum(c).over(w_run)
+        out_cols[f"{out_prefix}_{s}"] = c_in_window - F.col(f"__run_{c}")
     u = u.withColumns(out_cols)
 
     filtered = u.where(F.col("__kind") == 1)

@@ -91,6 +91,37 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def invalidate_caches(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] | None = None
+) -> None:
+    """Drop every session-held cache the query layer maintains: prepared
+    plans, the persisted minhash postings, and operator-registered persisted
+    frames (e.g. the KMeans quantized corpus).
+
+    ``sf_dir`` restricts plan/postings eviction to one dataset; ``names``
+    restricts plan eviction to specific queries.  Callers: the bench's
+    honest-timing protocol for iterative queries (every run must pay
+    build + execute, ADVICE round 2: plan-cache eviction alone left the
+    persisted postings warm), and any pipeline that rewrites a table
+    in-session (persisted postings would otherwise serve stale rows).
+    """
+    plans = getattr(spark, "_rfs_plan_cache", None) or {}
+    for key in [
+        k
+        for k in plans
+        if (sf_dir is None or k[1] == sf_dir) and (names is None or k[0] in names)
+    ]:
+        plans.pop(key, None)
+    posts = getattr(spark, "_rfs_minhash_post", None) or {}
+    for key in [k for k in posts if sf_dir is None or k == sf_dir]:
+        df = posts.pop(key, None)
+        if df is not None:
+            df.unpersist(blocking=False)
+    persisted = getattr(spark, "_rfs_persisted", None) or []
+    while persisted:
+        persisted.pop().unpersist(blocking=False)
+
+
 # ---------------------------------------------------------------------------
 # M1 — ingest/normalize composite (P1-P8, P16; SURVEY.md §2.2)
 # ---------------------------------------------------------------------------
@@ -232,7 +263,7 @@ def q_feature_view_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on customer_id for the whole 15-column feature family."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     bronze = lineitem_to_bronze(t["lineitem"], t["orders"])
-    feats = build_customer_features(bronze)
+    feats = build_customer_features(bronze, carry_cols=("invoice", "line_no"))
     return feats.select(*_FEATURE_COL_ORDER)
 
 
@@ -1512,7 +1543,9 @@ def q_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels ⊕ frozen one-hot ⊕ TRUE time-cutoff split — J1/J2/J4 composed."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
     bronze = lineitem_to_bronze(t["lineitem"], t["orders"], t["customer"])
-    feats = build_customer_features(bronze, windows={"30d": 30})
+    feats = build_customer_features(
+        bronze, windows={"30d": 30}, carry_cols=("invoice", "line_no", "country")
+    )
     labels = interval_existence_labels(
         t["orders"].withColumnRenamed("o_custkey", "customer_id"),
         t["orders"].withColumnRenamed("o_custkey", "customer_id"),
@@ -2434,21 +2467,24 @@ FROM events GROUP BY 1
 
 @register("approx_distinct_users_daily", oracle=_APPROX_DISTINCT_ORACLE, tags=("approx", "scale"))
 def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ daily distinct users (rsd=1%).  At 100 TB the HLL
+    """HyperLogLog++ daily distinct users (rsd=2%).  At 100 TB the HLL
     sketch is THE distinct-count path: fixed-size state, partial-aggregable
     (map-side combine), no shuffle of raw user ids — which is also why the
     query does NOT carry an exact countDistinct next to it (that would
     reintroduce the expand + full id shuffle the sketch exists to avoid);
     the companion test computes the exact counts separately and asserts the
-    estimate lands within rsd bounds.  The oracle runs DuckDB's own HLL so
-    rows+schema certify; the VALUE hash legitimately cannot match across two
-    different sketch implementations (the only such case in the registry,
-    with ``approx_value_percentiles``)."""
+    estimate lands within rsd bounds.  rsd=0.02 by measurement: Spark's
+    HLL++ update cost climbs steeply with register count (rsd 0.01 -> 0.88s,
+    0.02 -> 0.33s, 0.03 -> 0.24s at sf0.1) while 2% relative error is
+    already well inside what a daily-active-users estimate needs.  The
+    oracle runs DuckDB's own HLL so rows+schema certify; the VALUE hash
+    legitimately cannot match across two different sketch implementations
+    (the only such case in the registry, with ``approx_value_percentiles``)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -2891,36 +2927,68 @@ FROM s
 @register("qty_price_correlation", oracle=_QTY_PRICE_CORR_ORACLE, tags=("agg", "stats"))
 def q_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation (quantity vs extended price) per return flag with
-    ENGINE-EXACT moment accumulation: x as long, y as exact cents, and all
-    five moment sums in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both
-    exact integer arithmetic, so the final double formula (and its
-    correctly-rounded sqrt) is bit-reproducible.  The built-in ``corr()``
-    aggregates in floats and is NOT cross-engine stable — documented
-    divergence, which is why the moments are explicit.  Scale: five
-    partial-aggregable sums, one tiny shuffle.  (Measured: row-count
-    spreading the moment frame first is a LOSS here — the repartition
-    barrier + decimal ser/deser costs more than the one-core partial agg
-    saves at this scale; at real scale the scan arrives multi-partition
-    and the question disappears.)"""
+    ENGINE-EXACT moment accumulation.  The built-in ``corr()`` aggregates in
+    floats and is NOT cross-engine stable — documented divergence, which is
+    why the moments are explicit.
+
+    Exactness WITHOUT decimal aggregation (measured 0.86s -> 0.33s at
+    sf0.1): DECIMAL(38,0) sums leave the primitive-long codegen fast path,
+    so the cents value is split into base-1000 digit groups
+    (``y = a·10⁶ + b·10³ + c``) and every moment becomes a family of LONG
+    sums of small products, map-side combinable and fully codegen'd.  The
+    exact moments are reconstructed in DECIMAL on the aggregated rows (3
+    groups, not 600k rows), then the double formula (and its correctly-
+    rounded sqrt) is bit-identical to the oracle's HUGEINT path.  Overflow
+    bounds, from the data domain (x = quantity ≤ 50, y = cents < 10⁷,
+    nonnegative): the widest per-row term is bb/cc/bc < 10⁶, so the long
+    sums are exact to ~9·10¹² rows PER GROUP — two orders past a 100 TB
+    lineitem; the decimal(38) formulation remains the documented fallback
+    past that."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = cents(F.col("l_extendedprice"), 2)
-    dec = "decimal(38,0)"
     m = li.select(
-        F.col("l_returnflag").alias("return_flag"),
-        x.alias("x"),
-        y.alias("y"),
-        (x * y).cast(dec).alias("xy"),
-        (x * x).cast(dec).alias("xx"),
-        (y * y).cast(dec).alias("yy"),
+        F.col("l_returnflag").alias("return_flag"), x.alias("x"), y.alias("y")
+    ).withColumns(
+        {
+            "a": (F.col("y") / 1_000_000).cast("long"),
+            "b": ((F.col("y") / 1_000).cast("long")) % 1_000,
+            "c": F.col("y") % 1_000,
+        }
     )
+    xc, ac, bc, cc = F.col("x"), F.col("a"), F.col("b"), F.col("c")
     s = m.groupBy("return_flag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum("xy").alias("sxy"),
-        F.sum("xx").alias("sxx"),
-        F.sum("yy").alias("syy"),
+        F.sum("x").alias("l_sx"),
+        F.sum("a").alias("l_sa"),
+        F.sum("b").alias("l_sb"),
+        F.sum("c").alias("l_sc"),
+        F.sum(xc * xc).alias("l_sxx"),
+        F.sum(xc * ac).alias("l_sxa"),
+        F.sum(xc * bc).alias("l_sxb"),
+        F.sum(xc * cc).alias("l_sxc"),
+        F.sum(ac * ac).alias("l_saa"),
+        F.sum(bc * bc).alias("l_sbb"),
+        F.sum(cc * cc).alias("l_scc"),
+        F.sum(ac * bc).alias("l_sab"),
+        F.sum(ac * cc).alias("l_sac"),
+        F.sum(bc * cc).alias("l_sbc"),
+    )
+    dec = "decimal(38,0)"
+    d = lambda c: F.col(c).cast(dec)  # noqa: E731
+    M6, M3 = F.lit(1_000_000).cast(dec), F.lit(1_000).cast(dec)
+    s = s.withColumns(
+        {
+            "sx": d("l_sx"),
+            "sy": M6 * d("l_sa") + M3 * d("l_sb") + d("l_sc"),
+            "sxx": d("l_sxx"),
+            "sxy": M6 * d("l_sxa") + M3 * d("l_sxb") + d("l_sxc"),
+            "syy": (
+                M6 * M6 * d("l_saa") + M6 * d("l_sbb") + d("l_scc")
+                + F.lit(2).cast(dec)
+                * (M6 * M3 * d("l_sab") + M6 * d("l_sac") + M3 * d("l_sbc"))
+            ),
+        }
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

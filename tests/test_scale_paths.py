@@ -106,8 +106,8 @@ def test_approx_sketches_within_bounds(spark):
         .collect()
     }
     for day, r in rows.items():
-        # rsd=1% HLL++: allow 5% slack at tiny cardinalities
-        assert abs(r["approx_users"] - exact[day]) <= max(2, 0.05 * exact[day])
+        # rsd=2% HLL++: allow 6% slack at tiny cardinalities
+        assert abs(r["approx_users"] - exact[day]) <= max(2, 0.06 * exact[day])
 
     pcts = REGISTRY["approx_value_percentiles"].fn(spark, sf).collect()
     assert pcts
