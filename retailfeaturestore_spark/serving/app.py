@@ -10,29 +10,43 @@ contract reproduced here, once, without the dead duplicates):
    log_path, log_error}
 - ``GET /health``  -> {status, mode, rows|keys}
 - ``POST /refresh`` -> {rows} (offline cache reload)
+- ``POST /debug/write_test`` -> {wrote} (pred-log write-path probe,
+  reference ``serving/app.py:120-138``)
+- ``GET /debug/log_state`` -> {pred_files, feature_files} (reference
+  ``serving/app.py:141-146``)
 
 FastAPI/uvicorn are not installed in this environment, so ``create_app`` is
-import-gated; ``predict_once`` holds the full request pipeline (lookup ->
-align -> score -> log) and is directly testable + reused by the CLI
-(local_infer parity).
+import-gated; ``predict_once`` / ``debug_write_test`` / ``debug_log_state``
+hold the full request pipelines and are directly testable + reused by the
+CLI (local_infer parity).
+
+``ServingContext.service`` accepts any get_snapshot provider: offline-only,
+or the reference's online->offline ``FallbackFeatureService`` chain.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from pathlib import Path
 
 import numpy as np
 
 from ..sources.pred_log import log_prediction
 from .feature_service import OfflineFeatureService, row_to_vector
 
-__all__ = ["ServingContext", "predict_once", "create_app"]
+__all__ = [
+    "ServingContext",
+    "predict_once",
+    "debug_write_test",
+    "debug_log_state",
+    "create_app",
+]
 
 
 @dataclass
 class ServingContext:
-    service: OfflineFeatureService
+    service: object                    # get_snapshot(id, as_of=None) provider
     model: object                      # predict_proba protocol
     feature_names: list[str]
     model_artifact: str = "model"
@@ -86,6 +100,42 @@ def predict_once(
     }
 
 
+def debug_write_test(ctx: ServingContext) -> dict:
+    """Pred-log write-path probe (reference ``serving/app.py:120-138``): a
+    zeroed audit row through the real writer, so operators can confirm disk
+    permissions/layout without issuing a scoring request."""
+    if not ctx.pred_log_dir:
+        return {"error": "pred_log_dir not configured"}
+    path = log_prediction(
+        ctx.pred_log_dir,
+        customer_id=0,
+        probability=0.0,
+        threshold=ctx.threshold,
+        latency_ms=0.0,
+        model_artifact="test",
+    )
+    return {"wrote": path}
+
+
+def debug_log_state(ctx: ServingContext) -> dict:
+    """Operational state counts (reference ``serving/app.py:141-146``):
+    parquet file counts for the pred log and the offline feature snapshot."""
+    preds = (
+        len(list(Path(ctx.pred_log_dir).rglob("*.parquet")))
+        if ctx.pred_log_dir and Path(ctx.pred_log_dir).exists()
+        else 0
+    )
+    gold_dir = getattr(
+        ctx.service, "gold_dir", getattr(getattr(ctx.service, "offline", None), "gold_dir", None)
+    )
+    feats = (
+        len(list(Path(gold_dir).rglob("*.parquet")))
+        if gold_dir and Path(gold_dir).exists()
+        else 0
+    )
+    return {"pred_files": preds, "feature_files": feats}
+
+
 def create_app(ctx: ServingContext):
     """FastAPI app factory (import-gated: fastapi absent here by design)."""
     try:
@@ -114,5 +164,13 @@ def create_app(ctx: ServingContext):
     @app.post("/refresh")
     def refresh():
         return {"rows": ctx.service.refresh()}
+
+    @app.post("/debug/write_test")
+    def write_test():
+        return debug_write_test(ctx)
+
+    @app.get("/debug/log_state")
+    def log_state():
+        return debug_log_state(ctx)
 
     return app

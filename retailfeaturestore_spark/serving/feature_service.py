@@ -24,7 +24,12 @@ from pathlib import Path
 
 import pandas as pd
 
-__all__ = ["OfflineFeatureService", "OnlineFeatureService", "row_to_vector"]
+__all__ = [
+    "OfflineFeatureService",
+    "OnlineFeatureService",
+    "FallbackFeatureService",
+    "row_to_vector",
+]
 
 
 class OfflineFeatureService:
@@ -91,6 +96,43 @@ class OnlineFeatureService:
                 except (TypeError, ValueError):
                     out[k] = v  # string fallback (serving/feature_service.py:83-86)
         return out
+
+
+class FallbackFeatureService:
+    """Online-first lookup with offline fallback — the reference's composed
+    ``get_snapshot`` chain (``serving/feature_service.py:69-89``): the hash
+    store holds only the LATEST snapshot per entity, so a latest-request
+    tries it first; a miss OR a historical ``as_of`` falls through to the
+    offline parquet snapshot.  A cold key therefore serves from offline
+    instead of surfacing "customer not found"."""
+
+    def __init__(self, online: OnlineFeatureService, offline: OfflineFeatureService):
+        self.online = online
+        self.offline = offline
+
+    def get_snapshot(self, entity_id, as_of=None) -> dict | None:
+        if as_of is None:
+            raw = self.online.get_snapshot(entity_id)
+            if raw is not None:
+                # Decode the sink's meta:* contract to row shape (reference
+                # :74-86): meta:t_ref -> timestamp, meta:country -> country.
+                out = {"customer_id": entity_id}
+                for k, v in raw.items():
+                    if k == "meta:t_ref":
+                        ts = pd.to_datetime(v, utc=True, errors="coerce")
+                        out["t_ref"] = None if pd.isna(ts) else ts.tz_localize(None)
+                    elif k == "meta:country":
+                        out["country"] = v or None
+                    elif not k.startswith("meta:"):
+                        out[k] = v
+                return out
+        return self.offline.get_snapshot(entity_id, as_of=as_of)
+
+    def refresh(self) -> int:
+        return self.offline.refresh()
+
+    def row_count(self) -> int:
+        return self.offline.row_count()
 
 
 def row_to_vector(

@@ -34,7 +34,8 @@ KEY_PREFIX = "fs:customer:"
 
 class DictRedis:
     """In-memory stand-in implementing the subset of the redis-py surface the
-    sink uses (pipeline / hset mapping / expire / execute)."""
+    sink and the serving reader use (pipeline / hset mapping / expire /
+    execute / hgetall / scan_iter)."""
 
     def __init__(self, store: dict | None = None):
         self.store: dict[str, dict[str, str]] = store if store is not None else {}
@@ -51,6 +52,14 @@ class DictRedis:
 
     def execute(self):
         return None
+
+    def hgetall(self, key: str) -> dict[str, str]:
+        return dict(self.store.get(key, {}))
+
+    def scan_iter(self, match: str = "*"):
+        import fnmatch
+
+        yield from (k for k in self.store if fnmatch.fnmatch(k, match))
 
 
 def redis_client_factory(url: str | None = None) -> Callable[[], object]:
