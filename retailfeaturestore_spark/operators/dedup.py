@@ -384,27 +384,38 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Cluster the near-dup pair graph: (id, cluster_id) with cluster_id =
     the minimum id reachable through the undirected edge set.
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels; converges in O(graph
-    diameter) rounds (near-dup clusters are shallow — single-digit rounds in
-    practice).  Each round is one join + one partial-aggregating groupBy,
-    both shuffling only (id, label) longs; ``localCheckpoint`` truncates the
-    lineage so the plan stays O(1) per round instead of growing
-    exponentially.
+    Two engines behind one interface (select with ``algorithm``):
 
-    The driver-side loop reads ONE scalar per round (the changed-label
-    count) — the data never leaves the cluster.  At extreme scale swap the
-    propagation body for the large-star/small-star rewrite (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"), which bounds rounds by
-    O(log^2 n) on adversarial chain graphs; the interface stays the same.
+    - ``"propagation"`` (default): each round every vertex takes the min of
+      its own label and its neighbors' labels; converges in O(graph
+      diameter) rounds (near-dup clusters are shallow — single-digit rounds
+      in practice).  Each round is one join + one partial-aggregating
+      groupBy, both shuffling only (id, label) longs.
+    - ``"star"``: the large-star/small-star rewrite (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+      rewires edges toward per-neighborhood minima, halving component
+      diameter, so rounds are O(log^2 n) EVEN on adversarial chain graphs
+      where propagation needs O(n) rounds (tests/test_dedup_similarity.py
+      asserts the round counts on a path graph).
+
+    Both loops ``localCheckpoint`` per round so the plan stays O(1) per
+    round instead of growing exponentially, and the driver reads ONE scalar
+    per round (changed-count / edge-set fingerprint) — the data never
+    leaves the cluster.  The returned DataFrame carries the round count as
+    ``df._cc_rounds`` for observability.
 
     The dedup use: group mutually-similar documents, keep
     ``cluster_id == id`` as the canonical survivor.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, a_col, b_col, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # Materialize the edge set ONCE — it is consumed every round, and an
     # unmaterialized lineage would re-execute the whole upstream pipeline
     # (shingle -> minhash -> verify) per iteration.
@@ -422,7 +433,8 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    rounds = 0
+    for _round in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), F.col("label"))
@@ -441,6 +453,101 @@ def connected_components(
         ).localCheckpoint()
         changed = merged.agg(F.sum("__chg")).collect()[0][0]
         labels = merged.select("id", "label")
+        rounds = _round + 1
         if not changed:
             break
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out._cc_rounds = rounds
+    return out
+
+
+def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., SoCC'14).
+
+    Each round: LARGE-STAR links every neighbor larger than u to u's
+    neighborhood minimum; SMALL-STAR re-points u and its not-larger
+    neighbors at that minimum.  Alternating the two contracts component
+    diameter geometrically, so chains converge in O(log^2 n) rounds.  All
+    shuffles carry (long, long) edges; convergence is detected from a
+    (count, hash-sum) fingerprint of the edge set — one scalar row per
+    round to the driver, like the propagation loop's changed-counter.
+
+    At the fixpoint the edge set is a star forest (child -> component min),
+    so labels read off directly; roots (minima) label themselves.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def neighborhood_min(e: DataFrame) -> DataFrame:
+        return (
+            e.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", F.col("u")).alias("m"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = neighborhood_min(sym)
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = neighborhood_min(o)
+        return (
+            o.join(m, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("s"), F.col("m").alias("d")),
+                        F.struct(F.col("u").alias("s"), F.col("m").alias("d")),
+                    )
+                ).alias("__e")
+            )
+            .select(F.col("__e.s").alias("u"), F.col("__e.d").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        # xor-fold of row hashes: order-independent, cannot overflow (a sum
+        # of 64-bit hashes would, under ANSI arithmetic), sound on the
+        # distinct edge set.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(edges)
+    rounds = 0
+    for i in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        rounds = i + 1
+        fp2 = fingerprint(edges)
+        if fp2 == fp:
+            break
+        fp = fp2
+
+    lab = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("cluster_id"))
+    roots = nodes.join(lab, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    out = lab.unionByName(roots)
+    out._cc_rounds = rounds
+    return out

@@ -2588,6 +2588,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters_star", oracle=_DEDUP_CLUSTERS_ORACLE, tags=("dedup", "iterative"))
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME cluster assignment as ``dedup_clusters`` computed by the
+    large-star/small-star engine (Kiveris et al., SoCC'14) — O(log^2 n)
+    rounds on adversarial chain graphs where min-label propagation needs
+    O(diameter); certified against the identical recursive-CTE oracle."""
+    dup = _minhash_pipeline_df(spark, sf_dir)
+    return connected_components(dup, algorithm="star").select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
 _TOP_REVENUE_SUPPLIER_ORACLE = """
 WITH srev AS (
   SELECT l_suppkey,

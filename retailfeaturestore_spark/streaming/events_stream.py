@@ -94,18 +94,23 @@ def windowed_event_counts(
     window: str = "1 day",
     watermark: str = "1 hour",
     amount_decimal: tuple[int, int] = (18, 6),
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window aggregation with a watermark.
+    """Tumbling (default) or sliding (``slide`` < ``window``) event-time
+    window aggregation with a watermark.
 
     Same aggregate family as the batch window engine (count / exact-decimal
     value sum / error count per event_type) so streaming and batch results
-    are directly comparable — the streaming test asserts equality against
-    the batch formulation on a replayed file stream.
+    are directly comparable — the streaming tests assert equality against
+    the batch formulation on a replayed file stream for both shapes.  A
+    sliding window assigns each event to window/slide overlapping frames;
+    state is still bounded by the watermark exactly as in the tumbling case.
     """
     _, s = amount_decimal
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money_sum(F.col("value"), s).alias("value_sum"),
@@ -137,19 +142,22 @@ def stream_to_memory(
 
 
 def batch_equivalent_counts(
-    spark: SparkSession, sf_dir: str, window: str = "1 day"
+    spark: SparkSession, sf_dir: str, window: str = "1 day", slide: str | None = None
 ) -> DataFrame:
     """The SAME aggregation over a batch scan — used to verify streaming
     results replay-for-replay identical (and by the differential oracle:
     tumbling windows are date_trunc-expressible)."""
     from ..io import load_table
 
-    return _batch_counts(load_table(spark, sf_dir, "events"), window)
+    return _batch_counts(load_table(spark, sf_dir, "events"), window, slide)
 
 
-def _batch_counts(events: DataFrame, window: str = "1 day") -> DataFrame:
+def _batch_counts(
+    events: DataFrame, window: str = "1 day", slide: str | None = None
+) -> DataFrame:
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        events.groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        events.groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             money_sum(F.col("value"), 6).alias("value_sum"),

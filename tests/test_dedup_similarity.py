@@ -86,6 +86,34 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # the star engine produces identical clusters on the same graph
+    star = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == got
+
+
+def test_connected_components_star_bounds_rounds_on_chain(spark):
+    """Adversarial chain: a path graph of n nodes has diameter n-1, so
+    min-label propagation needs O(n) rounds; large-star/small-star halves
+    the diameter per round and must converge in O(log^2 n).  This is the
+    documented 100 TB-scale upgrade path (operators/dedup.py) — here the
+    bound is demonstrated, not just cited."""
+    from retailfeaturestore_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    star = connected_components(pairs, algorithm="star", max_iter=30)
+    labels = {r.id: r.cluster_id for r in star.collect()}
+    assert labels == {i: 0 for i in range(n)}
+    assert star._cc_rounds <= 10  # ~log2(64)=6 + slack; propagation needs 63
+
+    prop = connected_components(pairs, max_iter=100)
+    assert {r.id: r.cluster_id for r in prop.collect()} == labels
+    assert prop._cc_rounds > star._cc_rounds
 
 
 def test_kmeans_cells_deterministic_and_partitioned(spark):

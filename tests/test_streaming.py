@@ -41,6 +41,37 @@ def test_stream_replay_equals_batch(spark, tmp_path):
     assert len(streamed) > 0
 
 
+def test_sliding_stream_replay_equals_batch(spark, tmp_path):
+    """Sliding-window mirror of the tumbling replay test: 7-day windows
+    sliding daily (the events_sliding_7d_daily batch shape) over a file
+    replay must equal the batch formulation frame-for-frame."""
+    stage = tmp_path / "events_sliding"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage / "part-0.parquet")
+    stream = read_events_stream(spark, str(stage))
+    result = windowed_event_counts(
+        stream, window="7 days", watermark="1 hour", slide="1 day"
+    )
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(result, name, output_mode="complete")
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum, r.n_errors)
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.value_sum, r.n_errors)
+        for r in batch_equivalent_counts(spark, SF, window="7 days", slide="1 day").collect()
+    }
+    assert streamed == batch
+    # overlap sanity: a 7d/1d sliding shape yields more window starts than
+    # the 1d tumbling shape over the same data (each event lands in 7 frames)
+    tumbling_days = (
+        batch_equivalent_counts(spark, SF).select("window_start").distinct().count()
+    )
+    assert len({k[0] for k in streamed}) > tumbling_days
+
+
 def test_stream_dedup_drops_replayed_duplicates(spark, tmp_path):
     from retailfeaturestore_spark.streaming.events_stream import dedup_events_stream
 
