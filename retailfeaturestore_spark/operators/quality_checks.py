@@ -32,6 +32,8 @@ class Check:
     name: str
     # aggregate producing the number of VIOLATIONS
     violations: Column
+    # uniqueness checks carry the key instead (see _compile_suite)
+    unique_cols: tuple[str, ...] | None = None
 
 
 def expect_not_null(col: str) -> Check:
@@ -51,6 +53,52 @@ def expect_unique_key(*cols: str) -> Check:
     return Check(
         name=f"unique_key({','.join(cols)})",
         violations=F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]),
+        unique_cols=tuple(cols),
+    )
+
+
+def _compile_suite(df: DataFrame, checks: list[Check]):
+    """Compile the suite to ONE aggregation plan.
+
+    A ``count_distinct`` mixed with plain sums makes Spark EXPAND every
+    input row (one copy per distinct-aggregate branch) before the shuffle —
+    2x the shuffle volume for one uniqueness check.  When a unique-key
+    check is present, the suite instead aggregates in two levels sharing
+    one shuffle: partial sums per key group, then a final roll-up where
+    the duplicate count is ``sum(group_rows) - count(groups)``.  Without a
+    uniqueness check it stays a single scan-level aggregation (no shuffle
+    at all beyond the final single-row exchange).
+    """
+    uniq = [c for c in checks if c.unique_cols is not None]
+    if not uniq:
+        return df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                c.violations.cast("long").alias(f"__c{i}")
+                for i, c in enumerate(checks)
+            ],
+        )
+    if len(uniq) > 1:
+        raise ValueError("at most one unique_key check per suite")
+    key = [F.col(c) for c in uniq[0].unique_cols]
+    per_key = df.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("__rows"),
+        *[
+            c.violations.cast("long").alias(f"__c{i}")
+            for i, c in enumerate(checks)
+            if c.unique_cols is None
+        ],
+    )
+    return per_key.agg(
+        F.sum("__rows").alias("__n"),
+        *[
+            (
+                (F.sum("__rows") - F.count(F.lit(1)))
+                if c.unique_cols is not None
+                else F.sum(f"__c{i}")
+            ).cast("long").alias(f"__c{i}")
+            for i, c in enumerate(checks)
+        ],
     )
 
 
@@ -58,11 +106,8 @@ def checks_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     """The same one-pass suite as :func:`run_checks`, but fully declarative:
     returns a DataFrame of ``(check, violations, n_rows)`` — no collect, so
     the report itself can be a pipeline stage (sunk next to the data it
-    gates) and the whole suite still costs one partial+final aggregation."""
-    agg = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[c.violations.cast("long").alias(f"__c{i}") for i, c in enumerate(checks)],
-    )
+    gates) and the whole suite still costs one shuffle."""
+    agg = _compile_suite(df, checks)
     stack_expr = ", ".join(f"'{c.name}', __c{i}" for i, c in enumerate(checks))
     return agg.selectExpr(
         f"stack({len(checks)}, {stack_expr}) as (check, violations)", "__n as n_rows"
@@ -72,10 +117,7 @@ def checks_report(df: DataFrame, checks: list[Check]) -> DataFrame:
 def run_checks(df: DataFrame, checks: list[Check]) -> dict:
     """Evaluate the whole suite in one aggregation; returns
     {'passed': bool, 'n_rows': int, 'violations': {check: count}}."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[c.violations.alias(f"__c{i}") for i, c in enumerate(checks)],
-    ).collect()[0]
+    row = _compile_suite(df, checks).collect()[0]
     violations = {c.name: int(row[f"__c{i}"] or 0) for i, c in enumerate(checks)}
     return {
         "passed": all(v == 0 for v in violations.values()),

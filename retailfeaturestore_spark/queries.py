@@ -3648,23 +3648,20 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(shingles(F.col("text"), 3)).alias("sh"))
         .distinct()
     )
-    sizes = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hits = (
-        cand.join(F.broadcast(ref), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # One pass over the candidate postings: mark hits with a broadcast LEFT
+    # join, then count shingles and hits in a single doc_id aggregation —
+    # one shuffle total, where a separate sizes-agg + inner-join-hits-agg
+    # shape paid two grouping shuffles over the same exploded postings.
+    marked = cand.join(
+        F.broadcast(ref.withColumn("__hit", F.lit(1))), "sh", "left"
     )
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_sh",
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_sh").cast("double")
-            ).alias("contamination"),
-        )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contamination"),
     )
 
 
@@ -4049,7 +4046,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "churn_labels_orders",
     "events_session_windows",
     "events_props_json",
-    "data_quality_report",
+    "dedup_clusters_star",
 )
 
 
