@@ -18,11 +18,13 @@ interval-delta decomposition::
 For a key with m occurrences inside the window the m occurrences are
 consecutive in the key's full timeline, contributing m rows to C and m-1
 pairs to P — so C - P counts each present key exactly once.  Each pair is
-active for ``t in [b, a+w]``: encode it as a +1 event at time b and a -1
-event at time a+w (applied strictly after), and P(t) is a running sum.
-Pairs with ``b - a > w`` can never be active and are dropped at the source.
+active for ``t in [b, a+w]``: encode it as a +1 event at time ``b`` and a
+-1 event at time ``a+w+1µs`` (one tick past the inclusive upper bound), and
+P(t) is a cumulative sum.  Pairs with ``b - a > w`` can never be active and
+are dropped at the source.
 
-Physical shape (v3 — ONE exchange, every frame *incremental*):
+Physical shape (v4 — ONE exchange, ONE post-explode sort, every frame
+*incremental* inside ONE WindowExec):
 
 - One hash exchange on the entity key serves the entire operator.  The
   previous-same-key-occurrence lag runs over a partition-local
@@ -30,25 +32,29 @@ Physical shape (v3 — ONE exchange, every frame *incremental*):
   its query event plus its pair +1/-1 delta events.  Explode preserves the
   hash partitioning (a union of separate query/delta branches would not —
   UnionExec reports unknown partitioning, forcing a re-exchange and
-  re-executing the upstream scan per branch), so the running-sum pass needs
-  only a partition-local re-sort on ``(time, kind)``.
-- Output frames, all evaluated by incremental accumulation:
-  * ``P(t)``: running rows-frame sum of the deltas.
-  * ``C(t) = A(t) - B_w(t)``: two *growing* range frames
-    (``[unbounded, 0]`` and ``[unbounded, -w-1µs]``) — Spark evaluates
-    growing frames incrementally, while a sliding ``[-w, 0]`` frame
-    re-aggregates its buffer per row.
-  The rows-frame ordering ``(time, kind)`` satisfies the range frames'
-  ``(time)`` ordering prefix, so no further sort materializes.
+  re-executing the upstream scan per branch), so the frame pass needs only
+  a partition-local re-sort on ``(time)``.
+- The +1µs shift on the -1 events makes EVERY accumulation a growing range
+  frame over the single ``(time)`` ordering (growing frames evaluate
+  incrementally; a sliding ``[-w, 0]`` frame re-aggregates its buffer per
+  row):
+  * ``P(t)``: cumulative sum of the shifted deltas,
+  * ``C(t) = A(t) - B_w(t)``: ``[unbounded, 0]`` minus
+    ``[unbounded, -w-1µs]``,
+  and because all frames share one partition+order spec they evaluate in
+  ONE WindowExec.  (The previous (time, kind)-ordered rows-frame
+  formulation for P cost a second post-explode sort AND a second window
+  pass; the event kind now only tags query rows for the output filter.)
 
 The explode roughly triples the row count with skinny delta rows (payload
 NULL) — at 100 TB that is a 3x pass of long triples versus per-row set
 materialization, and it never falls over on skew.
 
 Tie semantics match SQL RANGE frames (all rows at the same timestamp see
-the same window): +1 events sort before query rows at the same instant
-(kind 0 < 1), -1 events after (kind 2 > 1), and delta rows at equal times
-never straddle a query row ambiguously.
+the same window): a +1 event at a query row's exact instant is inside the
+row's ``[unbounded, 0]`` frame (a pair is active from its start,
+inclusive); a -1 event never shares a boundary instant with a query row it
+should still count, thanks to the +1µs shift.
 
 Reference parity: the reference's pandas ``rolling(...).apply(nunique)``
 per-customer loop (``jobs/build_feature_views.py:44-47``) — same value,
@@ -162,11 +168,13 @@ def exact_windowed_distinct(
             [(gap <= F.lit(w)).cast("long") for w in horizons.values()], null_p,
         ),
     )
+    # -1 one tick past the inclusive activity bound a+w, so P(t) is a pure
+    # range-frame cumulative sum over (time) — see module docstring.
     minuses = [
         F.when(
             F.col("__prev").isNotNull() & (gap <= F.lit(w_us)),
             elem_fields(
-                F.col("__prev") + F.lit(w_us), 2, F.lit(0),
+                F.col("__prev") + F.lit(w_us + 1), 2, F.lit(0),
                 [F.lit(-1 if c2 == c else 0) for c2 in d_cols], null_p,
             ),
         )
@@ -192,22 +200,9 @@ def exact_windowed_distinct(
         )
     )
 
-    # All output frames share the (entity) exchange and the (time, kind)
-    # sort; every frame below is evaluated incrementally.  The rows-frame
-    # running sums are computed FIRST (their (time, kind) sort is the
-    # operator's only post-explode sort), so the range frames' (time)
-    # ordering requirement is then satisfied as a sort prefix — emitting
-    # them in one withColumns lets Spark plan the range-frame WindowExec
-    # below the rows-frame one, which costs a second full sort of the
-    # exploded rows (measured on the physical plan).
-    w_run = (
-        Window.partitionBy("__e")
-        .orderBy("__time", "__kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u.withColumns(
-        {f"__run_{c}": F.sum(c).over(w_run) for c in d_cols}
-    )
+    # Every frame is a growing range frame over the single (entity, time)
+    # ordering -> one sort, one WindowExec for the whole family (module
+    # docstring, v4 shape).
     w_cum = Window.partitionBy("__e").orderBy("__time").rangeBetween(
         Window.unboundedPreceding, 0
     )
@@ -219,7 +214,7 @@ def exact_windowed_distinct(
         c_in_window = F.sum("__c").over(w_cum) - F.coalesce(
             F.sum("__c").over(w_before), F.lit(0)
         )
-        out_cols[f"{out_prefix}_{s}"] = c_in_window - F.col(f"__run_{c}")
+        out_cols[f"{out_prefix}_{s}"] = c_in_window - F.sum(c).over(w_cum)
     u = u.withColumns(out_cols)
 
     filtered = u.where(F.col("__kind") == 1)
