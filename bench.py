@@ -73,6 +73,9 @@ HEADLINE = [
     "linestatus_priority_counts",
     "supplier_variety_by_part",
     "tfidf_top_terms",
+    "xlsx_ingest_normalize",
+    "dedup_clusters_star",
+    "doc_chunk_overlap",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

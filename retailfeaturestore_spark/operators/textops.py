@@ -108,6 +108,48 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token sequence into overlapping context chunks
+    (size ``chunk_tokens``, step ``stride`` — overlap = chunk - stride), the
+    standard windowing that feeds embedding indexes and packed training
+    sequences.  Output: one row per chunk with ``(id, chunk_id, chunk_text,
+    n_tokens)``; a document shorter than one chunk yields a single partial
+    chunk; trailing tokens get a final partial chunk unless they are already
+    covered by the previous window.
+
+    Scale shape: pure column algebra — the chunk starts are a per-row
+    ``sequence`` and the explode multiplies rows by ~n_tokens/stride without
+    any shuffle; downstream consumers (embedding UDFs, dedup) repartition on
+    their own keys.  Start positions, not text, drive the plan: no
+    quadratic substring work, one ``slice`` per chunk.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    # starts 1, 1+stride, ... <= n; an empty document yields NO chunks
+    # (null sequence -> posexplode emits nothing).
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride)))
+    chunked = docs.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    piece = F.slice(F.col("__ws"), F.col("__start"), chunk_tokens)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = 4
 ) -> DataFrame:

@@ -3940,6 +3940,36 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_CHUNK_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+st AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws), 24)) AS start
+  FROM w WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(ws, start, start + 31), ' ') AS chunk_text,
+       CAST(least(32, len(ws) - start + 1) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+
+@register("doc_chunk_overlap", oracle=_DOC_CHUNK_ORACLE, tags=("text", "llm"))
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (32-token chunks, stride 24 —
+    8-token overlap): the standard windowing that feeds embedding indexes
+    and packed training sequences.  Pure column algebra — per-row sequence
+    of starts + slice, no shuffle at all (the explain shows scan ->
+    generate -> project); chunk identity is (doc_id, chunk_id) so
+    downstream dedup/embedding stages key on it."""
+    from .operators.textops import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, stride=24)
+
+
 # ---------------------------------------------------------------------------
 # S1 end-to-end: executor-side xlsx parse -> ingest normalize (SURVEY.md §2.1)
 # ---------------------------------------------------------------------------
@@ -4045,7 +4075,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_activity_features",
     "churn_labels_orders",
     "events_session_windows",
-    "events_props_json",
+    "doc_chunk_overlap",
     "dedup_clusters_star",
 )
 
