@@ -116,6 +116,36 @@ def test_connected_components_star_bounds_rounds_on_chain(spark):
     assert prop._cc_rounds > star._cc_rounds
 
 
+def test_star_cc_equals_propagation_on_random_graphs(spark):
+    """Property: both CC engines produce identical min-label clusters on
+    arbitrary graphs (random edges over a small id space exercises merged
+    components, self-contained islands, and re-linking across rounds)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from retailfeaturestore_spark.operators.dedup import connected_components
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(edge, min_size=1, max_size=20))
+    def prop(edges):
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        prop_labels = {
+            r.id: r.cluster_id for r in connected_components(pairs).collect()
+        }
+        star_labels = {
+            r.id: r.cluster_id
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        assert star_labels == prop_labels
+
+    prop()
+
+
 def test_kmeans_cells_deterministic_and_partitioned(spark):
     """KMeans assignment: every vector gets exactly one cell; the result is
     identical under a different input partitioning (integer-exact distances

@@ -53,6 +53,25 @@ def test_feature_view_single_exchange(spark):
     assert n_hash_exchanges == 1, plan[:2000]
 
 
+def test_delta_engine_v4_one_sort_one_window_pass(spark):
+    """The interval-delta engine's v4 shape (windowed_distinct.py): exactly
+    TWO Sort nodes total — the lag's (e, key, t) pre-sort and the single
+    post-explode (e, time) sort (v3 paid a third sort for a (time, kind)
+    rows frame) — and exactly THREE WindowExec passes: the lag pre-pass,
+    the delta sums (all growing range frames in ONE pass), and the W1-W5 +
+    tenure family on the filtered rows (tenure folded in as a running min;
+    it used to be a fourth, unordered pass).  More of either means the
+    +1µs shift or the frame grouping regressed."""
+    import re
+
+    df = REGISTRY["feature_view_build"].fn(spark, SF)
+    plan = formatted_plan(df)
+    sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
+    windows = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert sorts == 2, f"expected 2 sorts, got {sorts}\n{plan[:2000]}"
+    assert windows == 3, f"expected 3 window passes, got {windows}\n{plan[:2000]}"
+
+
 def test_feature_view_set_single_exchange(spark):
     """The collect_set fast path keeps its single customer_id shuffle."""
     df = REGISTRY["feature_view_build_set"].fn(spark, SF)
