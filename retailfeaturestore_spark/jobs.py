@@ -161,7 +161,12 @@ def make_training(
         .collect()
     ]
     ts = build_training_set(
-        gold, labels, cat_col="country", cat_categories=sorted(cats), time_cutoff=time_cutoff
+        gold,
+        labels,
+        cat_col="country",
+        cat_categories=sorted(cats),
+        time_cutoff=time_cutoff,
+        labels_deduped=True,  # interval_existence_labels dedupes internally
     )
     numeric = {
         c for c, t in ts.dtypes if t in ("double", "int", "bigint", "float", "smallint")

@@ -32,11 +32,18 @@ def build_training_set(
     cat_col: str | None = None,
     cat_categories: list[str] | None = None,
     time_cutoff: str | None = None,
+    labels_deduped: bool = False,
 ) -> DataFrame:
     """J1 inner equi-join of the feature view with the (deduped) label spine,
     optional frozen-contract one-hot, optional ``is_train`` time-cutoff flag.
+
+    ``labels_deduped=True`` skips the defensive ``distinct()`` when the
+    caller guarantees unique ``keys`` (both interval-label operators dedupe
+    internally) — one fewer exchange on the label side.
     """
-    lab = labels.select(*keys, label_col).distinct()
+    lab = labels.select(*keys, label_col)
+    if not labels_deduped:
+        lab = lab.distinct()
     out = features.join(lab, list(keys), "inner")
     if cat_col is not None and cat_categories:
         out = onehot_encode(out, cat_col, cat_categories)

@@ -1541,17 +1541,19 @@ def q_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training pipeline (jobs/make_training_and_train.py parity,
     with SURVEY.md §7.4 corrections): window features ⊕ deduped interval
     labels ⊕ frozen one-hot ⊕ TRUE time-cutoff split — J1/J2/J4 composed."""
+    from .operators.pit import interval_existence_labels_self
+
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
     bronze = lineitem_to_bronze(t["lineitem"], t["orders"], t["customer"])
     feats = build_customer_features(
         bronze, windows={"30d": 30}, carry_cols=("invoice", "line_no", "country")
     )
-    labels = interval_existence_labels(
-        t["orders"].withColumnRenamed("o_custkey", "customer_id"),
+    # spine == event stream == orders: the self-window form halves the
+    # label build's window input (no spine/event union, one scan).
+    labels = interval_existence_labels_self(
         t["orders"].withColumnRenamed("o_custkey", "customer_id"),
         key="customer_id",
-        spine_ts="o_orderdate",
-        event_ts="o_orderdate",
+        ts_col="o_orderdate",
         horizon_days=30,
         label_col="churn_30d",
     )
@@ -1563,6 +1565,7 @@ def q_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat_col="country",
         cat_categories=list(MKTSEGMENTS),
         time_cutoff="2000-01-01 00:00:00",
+        labels_deduped=True,
     )
     return ts.select(
         "customer_id", "t_ref", "invoice", "line_no",

@@ -11,6 +11,7 @@ from pyspark.sql import types as T
 from retailfeaturestore_spark.operators.pit import (
     asof_join,
     interval_existence_labels,
+    interval_existence_labels_self,
     latest_per_key,
 )
 
@@ -63,6 +64,38 @@ def test_label_horizon_boundaries(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 0, 3: 1}
+
+
+def test_self_labels_equal_general_form(spark):
+    """The self-table label special case must equal the general union-window
+    form when spine == events, including duplicate (key, ts) dedup, horizon
+    boundaries, and equal-ts exclusion."""
+    rows = [
+        (1, 7, ts("2024-01-01 00:00:00"), 0.0),
+        (2, 7, ts("2024-01-01 00:00:00"), 0.0),   # duplicate ts: deduped, not an event
+        (3, 7, ts("2024-01-31 00:00:00"), 0.0),   # exactly t+30d: inclusive
+        (4, 8, ts("2024-01-01 00:00:00"), 0.0),   # singleton: churn=1
+        (5, 9, ts("2024-01-01 00:00:00"), 0.0),
+        (6, 9, ts("2024-02-15 00:00:00"), 0.0),   # past horizon: churn=1 for row 5
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    general = {
+        (r.user_id, r.t_ref): r.churn
+        for r in interval_existence_labels(
+            df, df, key="user_id", spine_ts="ts", event_ts="ts",
+            horizon_days=30, label_col="churn",
+        ).collect()
+    }
+    self_form = {
+        (r.user_id, r.t_ref): r.churn
+        for r in interval_existence_labels_self(
+            df, key="user_id", ts_col="ts", horizon_days=30, label_col="churn"
+        ).collect()
+    }
+    assert self_form == general
+    assert general[(7, ts("2024-01-01 00:00:00"))] == 0  # event at t+30d counts
+    assert general[(8, ts("2024-01-01 00:00:00"))] == 1
+    assert general[(9, ts("2024-02-15 00:00:00"))] == 1
 
 
 def test_asof_join_equal_ts_included_and_tiebreak(spark):
