@@ -28,6 +28,7 @@ __all__ = [
     "read_excel_sheets",
     "ingest_to_bronze",
     "build_feature_views",
+    "backfill_feature_views",
     "materialize_online_job",
     "make_training",
 ]
@@ -87,6 +88,89 @@ def build_feature_views(
         mode, "customer_id", "left"
     )
     write_date_partitioned(gold, gold_path, "t_ref")
+
+
+def backfill_feature_views(
+    spark: SparkSession,
+    bronze_path: str,
+    gold_path: str,
+    start_date: str,
+    end_date: str,
+    windows: dict[str, int] | None = None,
+) -> int:
+    """Incrementally recompute ONLY the gold date partitions in
+    ``[start_date, end_date]`` — the late-data / bug-fix repair path the
+    reference handles by full rebuild (its pipeline is rerun-from-scratch
+    idempotent, SURVEY.md §2.9; at 100 TB a full rebuild for one late day
+    is not an option).
+
+    Correctness requires two kinds of history beyond the target range:
+
+    - **window lookback**: every range frame sees up to ``max(windows)``
+      days before its row, so bronze is read from ``start - max_horizon``
+      (partition pruning keeps the scan at lookback+range days);
+    - **tenure epoch**: ``tenure_days`` is measured from the entity's FIRST
+      event EVER, outside any lookback — recomputed from a column-pruned
+      full-history scan of ``(entity, min(ts))`` and patched onto the
+      family output.  (In a production lakehouse this pair is a maintained
+      first-seen dimension; the full-column-pruned scan is the
+      dependency-free equivalent and reads two columns only.)
+
+    The write uses dynamic partition overwrite, so ONLY the recomputed
+    ``date=`` directories are replaced — partitions outside the range are
+    untouched (test-asserted byte-for-byte).  Returns the number of rows
+    written.
+    """
+    windows = windows or {"1d": 1, "7d": 7, "30d": 30}
+    lookback_days = max(windows.values())
+    start = F.lit(start_date).cast("date")
+    end = F.lit(end_date).cast("date")
+
+    bronze_all = spark.read.parquet(bronze_path)
+    ts_date = F.col("invoice_date").cast("date")
+    slice_df = bronze_all.where(
+        (ts_date >= F.date_sub(start, lookback_days)) & (ts_date <= end)
+    )
+    feats = build_customer_features(slice_df.drop("country"), windows=windows)
+    # patch tenure against the full-history first event (cheap 2-column scan)
+    first_seen = bronze_all.groupBy("customer_id").agg(
+        F.min("invoice_date").alias("__first_ts")
+    )
+    feats = (
+        feats.join(first_seen, "customer_id", "left")
+        .withColumn(
+            "tenure_days",
+            F.floor(
+                (F.unix_micros(F.col("t_ref")) - F.unix_micros(F.col("__first_ts")))
+                / F.lit(86_400_000_000)
+            ),
+        )
+        .drop("__first_ts")
+    )
+    # A2 mode country is a FULL-history profile attribute (like tenure), not
+    # a windowed one — computing it from the slice would diverge from the
+    # full rebuild; another two-column pruned scan.
+    mode = group_mode(bronze_all, "customer_id", "country").select(
+        "customer_id", F.col("country_mode").alias("country")
+    )
+    feature_cols = [
+        f"{base}_{w}"
+        for base in ("txn_count", "spend", "unique_skus", "avg_basket_value", "cancel_rate")
+        for w in windows
+    ]
+    gold = (
+        feats.where((F.col("t_ref").cast("date") >= start) & (F.col("t_ref").cast("date") <= end))
+        .select("customer_id", "t_ref", *feature_cols, "tenure_days")
+        .join(mode, "customer_id", "left")
+    )
+    n = gold.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_date_partitioned(gold, gold_path, "t_ref", mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
 
 
 def materialize_online_job(
