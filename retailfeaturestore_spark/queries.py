@@ -3943,6 +3943,61 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BUDGET_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(ws)) AS DOUBLE)
+           / CAST(greatest(len(ws), 1) AS DOUBLE) AS uniq_ratio
+  FROM w
+),
+r AS (
+  SELECT doc_id, source, n_tokens, uniq_ratio,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY uniq_ratio DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM m
+)
+SELECT doc_id, source, n_tokens, uniq_ratio, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= 800
+"""
+
+
+@register("corpus_token_budget_sample", oracle=_TOKEN_BUDGET_ORACLE, tags=("text", "llm", "sampling"))
+def q_corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix assembly under a token budget: per source, documents
+    are ranked by a quality proxy (unique-token ratio, deterministic double
+    with doc_id tiebreak) and admitted greedily until the source's token
+    budget (800 — binding at every scale factor) is exhausted — the standard way corpus mixtures are cut
+    to a target size.  One window per source partition (rows-frame running
+    sum), no shuffle beyond the source hash; at 100 TB the per-source
+    partitions are the natural unit and a whale source is split by salted
+    pre-ranking if needed."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(ws)).cast("double")
+            / F.greatest(F.size(ws), F.lit(1)).cast("double")
+        ).alias("uniq_ratio"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("uniq_ratio").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "uniq_ratio", "cum_tokens")
+    )
+
+
 _DOC_CHUNK_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
