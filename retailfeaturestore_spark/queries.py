@@ -4132,7 +4132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash",
     "user_activity_features",
     "churn_labels_orders",
-    "events_session_windows",
+    "corpus_token_budget_sample",
     "doc_chunk_overlap",
     "dedup_clusters_star",
 )
