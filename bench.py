@@ -76,6 +76,7 @@ HEADLINE = [
     "xlsx_ingest_normalize",
     "dedup_clusters_star",
     "doc_chunk_overlap",
+    "corpus_token_budget_sample",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and
