@@ -38,6 +38,7 @@ from .feature_service import OfflineFeatureService, row_to_vector
 __all__ = [
     "ServingContext",
     "predict_once",
+    "health_state",
     "debug_write_test",
     "debug_log_state",
     "create_app",
@@ -100,6 +101,29 @@ def predict_once(
     }
 
 
+def health_state(ctx: ServingContext) -> dict:
+    """The /health payload (reference ``serving/app.py:77-90``): online mode
+    reports a store ping + key count (SCAN over the key prefix, A7); offline
+    mode reports the snapshot row count; failures degrade to a status=error
+    payload instead of raising."""
+    online = getattr(ctx.service, "online", None)
+    try:
+        if online is not None:
+            client = online.client
+            pong = client.ping() if hasattr(client, "ping") else True
+            n_keys = sum(1 for _ in client.scan_iter(match=f"{online.key_prefix}*"))
+            return {
+                "status": "ok",
+                "mode": "online+offline",
+                "store_ping": bool(pong),
+                "online_keys": n_keys,
+                "offline_rows": ctx.service.row_count(),
+            }
+        return {"status": "ok", "mode": "offline", "rows": ctx.service.row_count()}
+    except Exception as e:  # pragma: no cover - backend failure path
+        return {"status": "error", "detail": str(e)}
+
+
 def debug_write_test(ctx: ServingContext) -> dict:
     """Pred-log write-path probe (reference ``serving/app.py:120-138``): a
     zeroed audit row through the real writer, so operators can confirm disk
@@ -159,7 +183,7 @@ def create_app(ctx: ServingContext):
 
     @app.get("/health")
     def health():
-        return {"status": "ok", "mode": "offline", "rows": ctx.service.row_count()}
+        return health_state(ctx)
 
     @app.post("/refresh")
     def refresh():

@@ -53,6 +53,9 @@ class DictRedis:
     def execute(self):
         return None
 
+    def ping(self) -> bool:
+        return True
+
     def hgetall(self, key: str) -> dict[str, str]:
         return dict(self.store.get(key, {}))
 

@@ -13,6 +13,7 @@ from retailfeaturestore_spark.serving.app import (
     ServingContext,
     debug_log_state,
     debug_write_test,
+    health_state,
     predict_once,
 )
 from retailfeaturestore_spark.serving.feature_service import (
@@ -98,6 +99,28 @@ def test_predict_through_fallback_chain(services, tmp_path):
     assert "error" not in cold
     missing = predict_once(ctx, 999)           # absent everywhere
     assert missing["error"] == "customer not found"
+
+
+def test_health_reports_online_and_offline_state(services, gold_dir):
+    fb, _, offline = services
+    ctx = ServingContext(
+        service=fb,
+        model=LinearStubModel(weights=(0.1,), bias=0.0),
+        feature_names=["spend_30d"],
+    )
+    h = health_state(ctx)
+    assert h["status"] == "ok" and h["mode"] == "online+offline"
+    assert h["store_ping"] is True and h["online_keys"] == 1  # only customer 1
+    assert h["offline_rows"] == offline.row_count()
+    # offline-only context degrades to the offline payload
+    h2 = health_state(
+        ServingContext(
+            service=OfflineFeatureService(gold_dir),
+            model=LinearStubModel(weights=(0.1,), bias=0.0),
+            feature_names=["spend_30d"],
+        )
+    )
+    assert h2 == {"status": "ok", "mode": "offline", "rows": offline.row_count()}
 
 
 def test_debug_endpoints(services, tmp_path):
