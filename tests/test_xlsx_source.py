@@ -90,6 +90,56 @@ def test_read_xlsx_sheet_filter(spark, workbook):
     assert [r.Invoice for r in df.collect()] == ["579001"]
 
 
+def test_workbook_roundtrip_property():
+    """Property: any grid of strings/numbers/bools/Nones written by the
+    minimal writer parses back cell-for-cell (strings via sharedStrings,
+    numbers as floats, None as sparse-omitted -> None)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=0,
+            max_size=12,
+        ),
+    )
+    grid = st.lists(st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=8)
+
+    @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(grid)
+    def prop(rows):
+        import os
+        import tempfile
+
+        width = max(len(r) for r in rows)
+        padded = [list(r) + [None] * (width - len(r)) for r in rows]
+        fd, path = tempfile.mkstemp(suffix=".xlsx")
+        os.close(fd)
+        try:
+            write_minimal_xlsx(path, {"S": padded})
+            with open(path, "rb") as f:
+                parsed = dict(parse_xlsx_bytes(f.read()))["S"]
+        finally:
+            os.unlink(path)
+        # all-None trailing columns narrow the parsed width; compare on the
+        # parsed grid padded back out
+        got = [list(r) + [None] * (width - len(r)) for r in parsed]
+        assert len(got) == len(padded)
+        for prow, grow in zip(padded, got):
+            for pv, gv in zip(prow, grow):
+                if pv is None or isinstance(pv, (bool, str)):
+                    assert gv == pv or (pv == "" and gv is None) or gv == (None if pv == "" else pv)
+                else:
+                    assert gv == float(pv)
+
+    prop()
+
+
 def test_error_cells_coerce_to_null():
     """t="e" error cells (#DIV/0!, #N/A — common in exporter workbooks) and
     malformed numerics null out instead of failing the executor task."""
