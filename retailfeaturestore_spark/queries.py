@@ -4121,15 +4121,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "daily_feature_snapshots",
     "segment_priority_cube",
     "dedup_edit_distance",
-    # --- r3 block 3: r2-green flagships whose implementations change this
-    # round (shared-bronze reuse, delta-engine payload trim, CC variant,
-    # kmeans probe pruning, minhash cache lifecycle) — must be re-proven.
+    # --- r3 block 3: queries whose IMPLEMENTATIONS changed this round
+    # (delta engine v4, label dedup rework, quality-suite two-level agg,
+    # one-pass contamination, kmeans persistence, CC star variant) plus the
+    # round's new queries — every changed/new code path gets a CURRENT
+    # verdict.  Code-unchanged r2-green queries (normalize_lineitem,
+    # dedup_minhash, events/asof families, ...) keep their standing r2
+    # verdicts and stay out of the 50-slot window.
     "feature_view_build",
     "training_set_build",
-    "normalize_lineitem",
+    "data_quality_report",
     "dedup_clusters",
     "knn_ivf_kmeans",
-    "dedup_minhash",
+    "benchmark_contamination",
     "user_activity_features",
     "churn_labels_orders",
     "corpus_token_budget_sample",
