@@ -138,6 +138,10 @@ def build_customer_features(
     amount_scale: int | None = 4,
     unique_mode: str = "delta",
     carry_cols: tuple[str, ...] | None = None,
+    label_events: DataFrame | None = None,
+    label_ts_col: str = "ts",
+    label_horizon_days: int = 30,
+    label_col: str = "churn_30d",
 ) -> DataFrame:
     """Bronze order lines -> gold per-line feature snapshots (W1-W6).
 
@@ -157,6 +161,22 @@ def build_customer_features(
     ``approx_unique=True``).  All three produce the same column names;
     "set" and "delta" the same values.  The default is the engine that
     cannot fall over — callers that know their cardinality opt into "set".
+
+    ``label_events`` (optional) folds an interval-existence churn label (J2,
+    ``operators.pit`` semantics: ``label = 1`` iff NO event in ``(t_ref,
+    t_ref + label_horizon_days]``) into the SAME WindowExec as W1-W6 instead
+    of a separate label pass + J1 join.  The frame must carry
+    ``(entity_col, label_ts_col)``; its rows are unioned in as zero-weight
+    markers (``__txn = __cancel = __spend = 0``, NULL sku — invisible to
+    every family aggregate and to tenure's running min, which skips marker
+    timestamps) and the label is one more running aggregate, a future range
+    frame ``sum(markers) OVER [t + 1µs, t + horizon]``, that CollapseWindow
+    merges into the family pass.  Marker rows are dropped before output.
+    The events come from their own frame (not the bronze rows) because an
+    event with no bronze line — e.g. an order with zero line items — must
+    still defeat the churn label (reference semantics
+    ``jobs/make_training_and_train.py:26-46``: the lookup is against the
+    full orders table).
 
     ``carry_cols`` (optional) names the bronze columns to carry into the
     output besides the keys and features; the rest are dropped.  In delta
@@ -188,6 +208,23 @@ def build_customer_features(
             "__spend": spend,
         }
     )
+    if label_events is not None:
+        df = df.withColumn("__lab", F.lit(0))
+        types = {f.name: f.dataType for f in df.schema.fields}
+        mk = label_events.select(
+            F.col(entity_col), epoch_us(label_ts_col).alias(_TS_US)
+        ).withColumns(
+            {
+                "__txn": F.lit(0).cast(types["__txn"]),
+                "__cancel": F.lit(0).cast(types["__cancel"]),
+                "__spend": F.lit(0).cast(types["__spend"]),
+                "__lab": F.lit(1),
+            }
+        )
+        mk = mk.withColumns(
+            {c: F.lit(None).cast(types[c]) for c in df.columns if c not in mk.columns}
+        )
+        df = df.unionByName(mk.select(df.columns))
     df = _spread_entity(df, entity_col)
 
     # Delta W3 runs FIRST, emitting (entity, ts_us) as alias-aware columns:
@@ -211,6 +248,8 @@ def build_customer_features(
             if not reconstruct_ts and ts_col not in carry:
                 carry.append(ts_col)
             payload = [*carry, "__txn", "__cancel", "__spend"]
+            if label_events is not None:
+                payload.append("__lab")
         df = exact_windowed_distinct(
             df, entity_col, ts_col, sku_col, windows,
             out_prefix="unique_skus", epoch_col=_TS_US, payload_cols=payload,
@@ -220,9 +259,18 @@ def build_customer_features(
     elif carry_cols is not None:
         keep = dict.fromkeys(
             [entity_col, ts_col, sku_col, _TS_US, "__txn", "__cancel", "__spend",
+             *(("__lab",) if label_events is not None else ()),
              *carry_cols]
         )
         df = df.select(*keep)
+
+    # The tenure min must skip marker rows.  Materialize the guarded
+    # timestamp as a plain column BEFORE the window block: a CASE inside the
+    # min() argument would be extracted into a Project BETWEEN the family
+    # Window and the tenure/label Window, blocking CollapseWindow from
+    # merging them into one WindowExec (measured: a whole extra frame pass).
+    if label_events is not None:
+        df = df.withColumn("__ts_lab", F.when(F.col("__lab") == 0, F.col(_TS_US)))
 
     def uniq(w: WindowSpec) -> Column:
         if unique_mode == "approx":
@@ -263,10 +311,33 @@ def build_customer_features(
         .orderBy(F.col(_TS_US))
         .rangeBetween(Window.unboundedPreceding, 0)
     )
+    # Marker rows (label_events) must not pull the first-event min earlier:
+    # min() skips the NULLed-out marker timestamps; every output row is a
+    # real event, so its own frame always holds >= 1 non-null value.
+    first_ts = (
+        F.min("__ts_lab").over(w_cum0)
+        if label_events is not None
+        else F.min(_TS_US).over(w_cum0)
+    )
     df = df.withColumn(
         "tenure_days",
-        F.floor((F.col(_TS_US) - F.min(_TS_US).over(w_cum0)) / F.lit(MICROS_PER_DAY)),
+        F.floor((F.col(_TS_US) - first_ts) / F.lit(MICROS_PER_DAY)),
     )
+
+    if label_events is not None:
+        w_fut = (
+            Window.partitionBy(entity_col)
+            .orderBy(F.col(_TS_US))
+            .rangeBetween(1, label_horizon_days * MICROS_PER_DAY)
+        )
+        df = (
+            df.withColumn(
+                label_col,
+                (F.coalesce(F.sum("__lab").over(w_fut), F.lit(0)) == 0).cast("int"),
+            )
+            .where(F.col("__lab") == 0)
+            .drop("__lab")
+        )
 
     feature_cols = [f"{b}_{s}" for b in
                     ("txn_count", "spend", "unique_skus", "avg_basket_value", "cancel_rate")
@@ -282,7 +353,7 @@ def build_customer_features(
     df = df.na.fill(0.0, subset=feature_cols)
 
     return df.withColumn("t_ref", F.col(ts_col)).drop(
-        _TS_US, "__txn", "__cancel", "__spend"
+        _TS_US, "__txn", "__cancel", "__spend", "__ts_lab"
     )
 
 

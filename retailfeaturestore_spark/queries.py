@@ -1539,33 +1539,34 @@ JOIN lab l ON l.customer_id = f.customer_id AND l.t_ref = f.t_ref
 @register("training_set_build", oracle=_TRAINING_SET_ORACLE, tags=("labels", "join", "flagship"))
 def q_training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training pipeline (jobs/make_training_and_train.py parity,
-    with SURVEY.md §7.4 corrections): window features ⊕ deduped interval
-    labels ⊕ frozen one-hot ⊕ TRUE time-cutoff split — J1/J2/J4 composed."""
-    from .operators.pit import interval_existence_labels_self
+    with SURVEY.md §7.4 corrections): window features ⊕ interval churn
+    labels ⊕ frozen one-hot ⊕ TRUE time-cutoff split — J2/J4 composed.
 
+    The churn-label lookahead is FOLDED into the feature family's single
+    WindowExec (``build_customer_features(label_events=orders)``): orders
+    ride along as zero-weight marker rows and the label is one more running
+    aggregate over the same (entity, ts) exchange+sort, so the whole
+    training set is ONE wide shuffle — no second label pass over orders and
+    no J1 join at all.  The generic two-table J1 form stays available in
+    ``ml.training.build_training_set`` for feature/label frames that really
+    are produced independently (jobs.py uses it)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
     bronze = lineitem_to_bronze(t["lineitem"], t["orders"], t["customer"])
-    feats = build_customer_features(
-        bronze, windows={"30d": 30}, carry_cols=("invoice", "line_no", "country")
-    )
-    # spine == event stream == orders: the self-window form halves the
-    # label build's window input (no spine/event union, one scan).
-    labels = interval_existence_labels_self(
-        t["orders"].withColumnRenamed("o_custkey", "customer_id"),
-        key="customer_id",
-        ts_col="o_orderdate",
-        horizon_days=30,
+    ts = build_customer_features(
+        bronze,
+        windows={"30d": 30},
+        carry_cols=("invoice", "line_no", "country"),
+        label_events=t["orders"].select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("__label_ts"),
+        ),
+        label_ts_col="__label_ts",
+        label_horizon_days=30,
         label_col="churn_30d",
     )
-    ts = build_training_set(
-        feats,
-        labels,
-        keys=("customer_id", "t_ref"),
-        label_col="churn_30d",
-        cat_col="country",
-        cat_categories=list(MKTSEGMENTS),
-        time_cutoff="2000-01-01 00:00:00",
-        labels_deduped=True,
+    ts = onehot_encode(ts, "country", list(MKTSEGMENTS)).withColumn(
+        "is_train",
+        (F.col("t_ref") < F.lit("2000-01-01 00:00:00").cast("timestamp")).cast("int"),
     )
     return ts.select(
         "customer_id", "t_ref", "invoice", "line_no",
