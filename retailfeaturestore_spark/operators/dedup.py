@@ -475,15 +475,15 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
     At the fixpoint the edge set is a star forest (child -> component min),
     so labels read off directly; roots (minima) label themselves.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # Node set from the UNFILTERED pairs: a doc appearing only in a
+    # degenerate self-pair (u == v) has no surviving edge but must still
+    # self-label, matching the propagation engine whose symmetrized edge
+    # set keeps src == dst rows (ADVICE r3).
     nodes = (
-        edges.select(F.col("u").alias("id"))
-        .unionByName(edges.select(F.col("v").alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint()
     )

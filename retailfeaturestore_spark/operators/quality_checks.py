@@ -34,6 +34,13 @@ class Check:
     violations: Column
     # uniqueness checks carry the key instead (see _compile_suite)
     unique_cols: tuple[str, ...] | None = None
+    # True iff ``violations`` is a SUM over per-row indicators.  The
+    # two-level plan used when a unique_key check is present evaluates the
+    # other checks per key group and sums the partials — only valid for
+    # sum-shaped aggregates.  Custom max/avg-style checks must set this
+    # False; combining one with a unique_key check raises at compile time
+    # instead of silently summing group-wise results.
+    sum_shaped: bool = True
 
 
 def expect_not_null(col: str) -> Check:
@@ -49,7 +56,11 @@ def expect_between(col: str, lo, hi) -> Check:
 
 
 def expect_unique_key(*cols: str) -> Check:
-    # distinct-count shortfall = duplicate key rows
+    # Distinct-count shortfall = duplicate key rows.  NULL semantics: a row
+    # with any NULL key component is ALWAYS a violation (count_distinct
+    # drops null tuples, so such rows land in the shortfall) — a key that
+    # can be null is not a key.  Both compile paths implement this
+    # (see _compile_suite's null-group handling).
     return Check(
         name=f"unique_key({','.join(cols)})",
         violations=F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]),
@@ -80,7 +91,22 @@ def _compile_suite(df: DataFrame, checks: list[Check]):
         )
     if len(uniq) > 1:
         raise ValueError("at most one unique_key check per suite")
+    bad = [c for c in checks if c.unique_cols is None and not c.sum_shaped]
+    if bad:
+        raise ValueError(
+            "unique_key suites aggregate other checks per key group and sum "
+            f"the partials; non-sum-shaped checks {[c.name for c in bad]} "
+            "would be silently wrong — run them in a separate suite"
+        )
     key = [F.col(c) for c in uniq[0].unique_cols]
+    # groupBy treats NULL as a regular group, but a null key component must
+    # stay a violation (matching count_distinct's null-tuple drop in the
+    # single-level form): duplicate shortfall per group is rows - 1 for
+    # real keys, ALL rows for null-component keys.
+    key_ok = None
+    for c in uniq[0].unique_cols:
+        nn = F.col(c).isNotNull()
+        key_ok = nn if key_ok is None else (key_ok & nn)
     per_key = df.groupBy(*key).agg(
         F.count(F.lit(1)).alias("__rows"),
         *[
@@ -88,12 +114,12 @@ def _compile_suite(df: DataFrame, checks: list[Check]):
             for i, c in enumerate(checks)
             if c.unique_cols is None
         ],
-    )
+    ).withColumn("__dup", F.when(key_ok, F.col("__rows") - 1).otherwise(F.col("__rows")))
     return per_key.agg(
         F.sum("__rows").alias("__n"),
         *[
             (
-                (F.sum("__rows") - F.count(F.lit(1)))
+                F.sum("__dup")
                 if c.unique_cols is not None
                 else F.sum(f"__c{i}")
             ).cast("long").alias(f"__c{i}")

@@ -159,6 +159,7 @@ def kmeans_cells(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """Deterministic distributed Lloyd's KMeans -> ``(id, cell)`` coarse
     quantizer assignment (the real IVF cell map; ``ivf_topk_label`` uses a
@@ -193,13 +194,21 @@ def kmeans_cells(
     # The quantized corpus is read once per Lloyd round plus once for the
     # final assignment — persist it for the duration (id + int64 array, far
     # smaller than the source vectors; disk-backed level, the standard MLlib
-    # iterative-working-set pattern).  Registered on the session so
-    # queries.invalidate_caches can evict it (bench honest-timing, staleness).
+    # iterative-working-set pattern).  Registered on the session keyed by
+    # (operator, cache_scope) so queries.invalidate_caches can evict it
+    # (bench honest-timing, staleness) scoped to one dataset; re-entering
+    # with the same key REPLACES the old frame (unpersisting it), so a
+    # long-lived session holds at most one quantized corpus per scope
+    # instead of accumulating one per call (ADVICE r3).
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
     reg = getattr(vectors.sparkSession, "_rfs_persisted", None)
-    if reg is None:
-        reg = vectors.sparkSession._rfs_persisted = []
-    reg.append(q)
+    if reg is None or isinstance(reg, list):
+        reg = vectors.sparkSession._rfs_persisted = {}
+    key = ("kmeans_quant_corpus", cache_scope)
+    old = reg.pop(key, None)
+    if old is not None:
+        old.unpersist(blocking=False)
+    reg[key] = q
     # init: k smallest ids as seed centroids (cell = seed id).  Centroids
     # live DRIVER-SIDE as literals — k x dims values is tiny by IVF design
     # (that is the whole point of a coarse quantizer), and embedding them in
@@ -278,13 +287,17 @@ def ivf_topk_cells(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """IVF ANN with a REAL trained coarse quantizer: KMeans cells from
     :func:`kmeans_cells`, then cell-restricted exact cosine top-k for the
     query ids (nprobe=1 — the query searches its own cell).  The recall/
     speed knob at scale is (n_cells, nprobe); the corpus never leaves its
     cell partition."""
-    cells = kmeans_cells(corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col)
+    cells = kmeans_cells(
+        corpus, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col,
+        cache_scope=cache_scope,
+    )
     base = _with_norm(corpus, vec_col).join(
         cells.withColumnRenamed("id", id_col), id_col
     )

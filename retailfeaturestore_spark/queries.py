@@ -117,9 +117,17 @@ def invalidate_caches(
         frames = posts.pop(key, None) or ()
         for df in frames if isinstance(frames, tuple) else (frames,):
             df.unpersist(blocking=False)
-    persisted = getattr(spark, "_rfs_persisted", None) or []
-    while persisted:
-        persisted.pop().unpersist(blocking=False)
+    # Operator-registered frames: dict keyed by (operator, scope) where
+    # scope is the sf_dir the frame derives from (None = unscoped).
+    # Targeted invalidation evicts only matching-scope entries, so one
+    # dataset's eviction never drops another's warm working set (ADVICE r3).
+    persisted = getattr(spark, "_rfs_persisted", None) or {}
+    for key in [
+        k for k in persisted if sf_dir is None or k[1] is None or k[1] == sf_dir
+    ]:
+        df = persisted.pop(key, None)
+        if df is not None:
+            df.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1296,7 +1304,8 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell, dim) map-side-combinable groupBy."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_cells(
-        emb, query_ids=list(range(_KM_QUERY_MAX)), k_neighbors=3, n_cells=_KM_K, iters=2
+        emb, query_ids=list(range(_KM_QUERY_MAX)), k_neighbors=3, n_cells=_KM_K,
+        iters=2, cache_scope=sf_dir,
     )
 
 

@@ -57,12 +57,21 @@ def fixture_raw_rows() -> list[list]:
 
 def ensure_fixture_workbook() -> str:
     """Write the two-sheet workbook (sheet 2 column-reordered) once to a
-    deterministic temp path; atomic rename so concurrent readers never see a
-    partial zip.  Returns the workbook path."""
+    content-addressed temp path; atomic rename so concurrent readers never
+    see a partial zip.  Returns the workbook path.
+
+    The filename embeds a digest of :func:`fixture_raw_rows`, so editing the
+    fixture rows can never serve a stale pre-edit workbook from a previous
+    process against a freshly-generated oracle (ADVICE r3: a pinned name
+    survived restarts and would silently desynchronize the differential
+    gate)."""
+    import hashlib
+
     from .xlsx import write_minimal_xlsx
 
+    digest = hashlib.md5(repr(fixture_raw_rows()).encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "rfs_fixtures")
-    path = os.path.join(d, "retail_v1.xlsx")
+    path = os.path.join(d, f"retail_{digest}.xlsx")
     if os.path.exists(path):
         return path
     os.makedirs(d, exist_ok=True)

@@ -74,6 +74,32 @@ def test_quality_checks_single_pass(spark):
     assert run_checks(clean, [expect_not_null("v"), expect_unique_key("id")])["passed"]
 
 
+def test_unique_key_null_components_are_violations(spark):
+    """NULL key rows violate uniqueness in BOTH compile paths: the
+    single-level count - count_distinct drops null tuples from the distinct
+    side, and the two-level groupBy path must not let them pass as regular
+    groups (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (None, 2.0), (None, 3.0), (2, 4.0), (2, 5.0)],
+        "id int, v double",
+    )
+    # 2 null-key rows + 1 duplicate of id=2, with and without co-checks
+    rep = run_checks(df, [expect_not_null("v"), expect_unique_key("id")])
+    assert rep["violations"]["unique_key(id)"] == 3
+    assert run_checks(df, [expect_unique_key("id")])["violations"]["unique_key(id)"] == 3
+
+
+def test_unique_key_suite_rejects_non_sum_checks(spark):
+    from retailfeaturestore_spark.operators.quality_checks import Check
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    mx = Check(name="max(v)<=1", violations=F.max("v"), sum_shaped=False)
+    with _pytest.raises(ValueError, match="sum"):
+        run_checks(df, [mx, expect_unique_key("id")])
+
+
 def test_stream_materialize_foreachbatch(spark, tmp_path):
     """readStream over gold-shaped parquet -> foreachBatch -> hash-store fake:
     the continuous online materialization path."""

@@ -94,6 +94,23 @@ def test_connected_components_chain_and_islands(spark):
     assert star == got
 
 
+def test_connected_components_self_pair_isolated_doc(spark):
+    """A doc appearing ONLY in a degenerate self-pair must self-label in
+    BOTH engines (ADVICE r3: the star engine's u != v filter used to drop
+    it from the node set while the propagation engine labeled it)."""
+    from retailfeaturestore_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7)], "doc_a long, doc_b long"
+    )
+    prop = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    star = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert prop == star == {1: 1, 2: 1, 7: 7}
+
+
 def test_connected_components_star_bounds_rounds_on_chain(spark):
     """Adversarial chain: a path graph of n nodes has diameter n-1, so
     min-label propagation needs O(n) rounds; large-star/small-star halves

@@ -72,12 +72,19 @@ def main() -> int:
         ok_rows = len(sdf) == len(ddf)
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
         ok_hash = ok_rows and ok_cols and canonical(sdf) == canonical(ddf)
-        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        # Sketch-backed queries ("approx" tag: HLL++/t-digest estimates) have
+        # legitimately engine-specific values — their oracle certifies rows +
+        # schema only, and the value hash is reported but never gates (the
+        # error bounds are pytest-asserted instead).
+        sketch = "approx" in qd.tags
+        passed = ok_rows and ok_cols and (ok_hash or sketch)
+        status = "OK" if passed else "FAIL"
+        note = " (sketch: rows+schema only)" if sketch else ""
         print(
             f"{name}: {status} rows={len(sdf)}/{len(ddf)} cols={ok_cols} "
-            f"hash={ok_hash} (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
+            f"hash={ok_hash}{note} (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
         )
-        if status == "FAIL":
+        if not passed:
             failures += 1
             if ok_rows and ok_cols:
                 # locate first differing column for debugging
