@@ -4115,70 +4115,71 @@ def q_xlsx_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r3 block 1: queries with NO green verdict across r1∪r2 (VERDICT.md
-    # round-2 item 2) — the four r1-FAIL events queries (NANOS-reader fix
-    # shipped r2, unverified) first, then the 18 never-driver-checked, plus
-    # the new end-to-end xlsx gate and the two approx queries now carrying
-    # rows+schema oracles.
-    "events_tumbling_daily",
-    "events_sliding_7d_daily",
-    "users_purchase_and_signup",
-    "user_days_view_no_purchase",
-    "xlsx_ingest_normalize",
-    "approx_distinct_users_daily",
-    "approx_value_percentiles",
-    "feature_view_build_set",
-    "top_revenue_supplier",
-    "small_qty_revenue",
-    "discounted_revenue",
-    "sole_return_supplier",
-    "qty_price_correlation",
-    "order_calendar_features",
-    "embedding_norms",
-    "text_string_features",
-    "stratified_sample_balanced",
-    "forecast_revenue_change",
-    "returned_item_ranking",
-    "doc_repetition_ratio",
-    "returns_by_priority",
-    "linestatus_priority_counts",
-    "supplier_variety_by_part",
-    # --- r3 block 2: green in r1 but outside r2's window — refresh so every
-    # query holds a CURRENT verdict.
-    "revenue_by_nation",
-    "top_customers_by_revenue",
-    "dedup_ngram_jaccard",
-    "text_simhash",
-    "knn_cosine_bruteforce",
-    "knn_ivf_bucketed",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "customers_with_urgent_orders",
-    "customers_without_recent_orders",
-    "cross_nation_trade",
-    "brand_margin",
-    "daily_feature_snapshots",
-    "segment_priority_cube",
-    "dedup_edit_distance",
-    # --- r3 block 3: queries whose IMPLEMENTATIONS changed this round
-    # (delta engine v4, label dedup rework, quality-suite two-level agg,
-    # one-pass contamination, kmeans persistence, CC star variant) plus the
-    # round's new queries — every changed/new code path gets a CURRENT
-    # verdict.  Code-unchanged r2-green queries (normalize_lineitem,
-    # dedup_minhash, events/asof families, ...) keep their standing r2
-    # verdicts and stay out of the 50-slot window.
+    # --- r4 block 1: queries whose IMPLEMENTATIONS changed this round —
+    # label-fold into the family WindowExec (training set + both feature
+    # view variants), the minhash signature-artifact rework (minhash +
+    # every pairs-pipeline consumer), the star-CC self-pair fix, the
+    # quality-suite null-key fix, the kmeans cache re-registration, and
+    # the digest-versioned xlsx fixture.
     "feature_view_build",
     "training_set_build",
-    "data_quality_report",
+    "feature_view_build_set",
+    "dedup_minhash",
+    "dedup_edit_distance",
     "dedup_clusters",
-    "knn_ivf_kmeans",
-    "benchmark_contamination",
-    "user_activity_features",
-    "churn_labels_orders",
-    "corpus_token_budget_sample",
-    "doc_chunk_overlap",
     "dedup_clusters_star",
+    "knn_ivf_kmeans",
+    "data_quality_report",
+    "xlsx_ingest_normalize",
+    # --- r4 block 2: every query whose LATEST green verdict is r1/r2
+    # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
+    # sketches are rotated OUT (their oracles certify rows+schema only and
+    # burned 2 slots forever; bounds remain pytest-asserted), and the
+    # stale set — including the round-3-named dedup/asof/events/percentile
+    # queries whose shared helpers changed in r3 — rotates IN.  Left out
+    # for lack of slots, judged safe on standing verdicts: union_slices
+    # (trivial UNION ALL, helpers untouched since its green) and
+    # user_activity_features (r3-green, code path untouched in r4).
+    "normalize_lineitem",
+    "latest_event_per_user",
+    "asof_snapshot_lookup",
+    "asof_join_clicks_purchases",
+    "purchase_labels_after_signup",
+    "customer_onehot",
+    "topk_segments",
+    "priority_mode_per_customer",
+    "distinct_parts_per_customer",
+    "pricing_summary",
+    "shipping_priority",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_neardup_lsh",
+    "text_lang_id",
+    "multimodal_payload_meta",
+    "events_props_json",
+    "revenue_rollup",
+    "first_event_per_user",
+    "value_percentiles",
+    "events_session_windows",
+    "order_sequence_analytics",
+    "orders_priority_pivot",
+    "hash_split_train_val",
+    "order_count_distribution",
+    "large_volume_orders",
+    "top_balance_inactive_customers",
+    "promo_revenue_share",
+    "nation_market_share",
+    "decayed_user_value",
+    "rfm_segments",
+    "rows_rolling_spend",
+    "order_navigation",
+    "segment_priority_grouping_sets",
+    "latest_order_maxby",
+    "doc_pack_context_windows",
+    "brand_revenue_concentration",
+    "min_price_supplier_per_part",
+    "bulk_part_suppliers",
+    "tfidf_top_terms",
 )
 
 
