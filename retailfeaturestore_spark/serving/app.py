@@ -198,3 +198,46 @@ def create_app(ctx: ServingContext):
         return debug_log_state(ctx)
 
     return app
+
+
+def app_from_env():
+    """Container/uvicorn entrypoint: build the ServingContext from the
+    reference's env contract (``serving/app.py:19`` FEATURE_BACKEND;
+    ``serving/feature_service.py:65-67`` REDIS_URL/REDIS_KEY_PREFIX) plus
+    MODEL_DIR / GOLD_DIR / PRED_LOG_DIR / THRESHOLD, then hand it to
+    :func:`create_app`.  ``FEATURE_BACKEND=redis`` wires the
+    online-with-offline-fallback chain; anything else serves offline-only.
+
+    Usage: ``uvicorn --factory retailfeaturestore_spark.serving.app:app_from_env``.
+    """
+    import os
+
+    from ..ml.artifacts import load_model
+    from .feature_service import (
+        FallbackFeatureService,
+        OfflineFeatureService,
+        OnlineFeatureService,
+    )
+
+    model, feature_names = load_model(os.getenv("MODEL_DIR", "artifacts/model"))
+    offline = OfflineFeatureService(os.getenv("GOLD_DIR", "data/gold"))
+    service = offline
+    if os.getenv("FEATURE_BACKEND", "offline").lower() == "redis":
+        import redis  # type: ignore[import-not-found]
+
+        client = redis.Redis.from_url(
+            os.getenv("REDIS_URL", "redis://localhost:6379/0"),
+            decode_responses=True,
+        )
+        online = OnlineFeatureService(
+            client, key_prefix=os.getenv("REDIS_KEY_PREFIX", "fs:customer:")
+        )
+        service = FallbackFeatureService(online, offline)
+    ctx = ServingContext(
+        service=service,
+        model=model,
+        feature_names=feature_names,
+        pred_log_dir=os.getenv("PRED_LOG_DIR") or None,
+        threshold=float(os.getenv("THRESHOLD", "0.5")),
+    )
+    return create_app(ctx)

@@ -12,6 +12,8 @@ from retailfeaturestore_spark.operators.dedup import (
 )
 from retailfeaturestore_spark.operators.similarity import cosine_topk, sign_lsh_neardup
 
+from conftest import requires_testdata
+
 
 def docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -163,6 +165,7 @@ def test_star_cc_equals_propagation_on_random_graphs(spark):
     prop()
 
 
+@requires_testdata
 def test_kmeans_cells_deterministic_and_partitioned(spark):
     """KMeans assignment: every vector gets exactly one cell; the result is
     identical under a different input partitioning (integer-exact distances

@@ -15,6 +15,10 @@ from retailfeaturestore_spark.plans import (
 )
 from retailfeaturestore_spark.queries import REGISTRY
 
+from conftest import requires_testdata
+
+pytestmark = requires_testdata
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -10,6 +10,8 @@ from retailfeaturestore_spark.operators.skew import salted_agg
 from retailfeaturestore_spark.operators.window_features import build_customer_features
 from retailfeaturestore_spark.plans import formatted_plan
 
+from conftest import requires_testdata
+
 
 def test_bucketed_bronze_elides_window_exchange(spark, tmp_path):
     """Window.partitionBy(customer_id) over a table bucketed by customer_id
@@ -86,6 +88,7 @@ def test_upsert_latest_merges_by_key(spark, tmp_path):
     assert out[2] == 25.0
 
 
+@requires_testdata
 def test_approx_sketches_within_bounds(spark):
     from retailfeaturestore_spark.queries import REGISTRY
 
@@ -115,6 +118,7 @@ def test_approx_sketches_within_bounds(spark):
         assert r["p50"] <= r["p90"] <= r["p99"]
 
 
+@requires_testdata
 def test_delta_distinct_matches_collect_set(spark):
     from retailfeaturestore_spark.io import load_table
     from retailfeaturestore_spark.operators.windowed_distinct import (

@@ -17,6 +17,8 @@ from retailfeaturestore_spark.sources.redis_sink import (
     materialize_online,
 )
 
+from conftest import requires_testdata
+
 
 def test_redis_field_contract():
     """Exact field map parity: stringified floats, one-hots, meta:* ISO."""
@@ -176,6 +178,7 @@ def test_weighted_mean_udaf_matches_builtin(spark):
     assert got == exp == {1: 25.0, 2: 0.0}
 
 
+@requires_testdata
 def test_word_ngrams_udtf_matches_column_shingles(spark):
     from retailfeaturestore_spark.functions.python_udfs import WordNGrams
     from retailfeaturestore_spark.functions.text import shingles

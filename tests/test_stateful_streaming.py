@@ -10,6 +10,10 @@ from pyspark.sql import functions as F
 
 from retailfeaturestore_spark.streaming.stateful import running_user_totals
 
+from conftest import requires_testdata
+
+pytestmark = requires_testdata
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -13,6 +13,10 @@ from retailfeaturestore_spark.streaming.events_stream import (
     windowed_event_counts,
 )
 
+from conftest import requires_testdata
+
+pytestmark = requires_testdata
+
 SF = "/root/testdata/sf0.001"
 
 
