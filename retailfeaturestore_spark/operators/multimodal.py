@@ -31,6 +31,7 @@ __all__ = [
     "extract_features",
     "frame_sample",
     "resize_stub",
+    "resize_ppm",
 ]
 
 FEATURE_DIM = 8
@@ -83,12 +84,36 @@ def extract_features(
 
     ``decode_stub='fake'``: deterministic FEATURE_DIM-vector derived from the
     payload bytes (byte-sum buckets) — exercises the full batch path.
-    ``decode_stub='raise'``: the seam where a real decoder (PIL/ffmpeg/...)
-    plugs in; raises NotImplementedError because media codecs are not
-    available in this environment.
+    ``decode_stub='ppm'``: a REAL decode — payloads are parsed as PPM (P6)
+    images with the pure-stdlib codec (``functions.ppm``) and the features
+    are actual image statistics ``[w, h, n_pixels, mean R, mean G, mean B,
+    min luma, max luma]`` — the end-to-end proof of the seam on real bytes.
+    ``decode_stub='raise'``: the seam where a general media decoder
+    (PIL/ffmpeg/...) plugs in; raises NotImplementedError because those
+    codec libraries are not available in this environment.
     """
-    if decode_stub not in ("fake", "raise"):
+    if decode_stub not in ("fake", "ppm", "raise"):
         raise ValueError(f"unknown decode_stub: {decode_stub}")
+
+    def _ppm_features(b: bytes) -> list[float]:
+        from ..functions.ppm import decode_ppm
+
+        w, h, rgb = decode_ppm(bytes(b))
+        n = w * h
+        sums = [0, 0, 0]
+        lo, hi = 255 * 3, 0
+        for p in range(0, len(rgb), 3):
+            r, g, bl = rgb[p], rgb[p + 1], rgb[p + 2]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += bl
+            luma = r + g + bl
+            lo, hi = min(lo, luma), max(hi, luma)
+        return [
+            float(w), float(h), float(n),
+            sums[0] / n, sums[1] / n, sums[2] / n,
+            lo / 3.0, hi / 3.0,
+        ]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -97,15 +122,18 @@ def extract_features(
                 # media library (unavailable here by design).
                 raise NotImplementedError(
                     "media decode requires codec libraries not present in "
-                    "this environment; use decode_stub='fake'"
+                    "this environment; use decode_stub='fake' or 'ppm'"
                 )
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
-            feats = payloads.map(
-                lambda b: [
-                    float(sum(b[j::FEATURE_DIM]) % 997) for j in range(FEATURE_DIM)
-                ]
-            )
+            if decode_stub == "ppm":
+                feats = payloads.map(_ppm_features)
+            else:
+                feats = payloads.map(
+                    lambda b: [
+                        float(sum(b[j::FEATURE_DIM]) % 997) for j in range(FEATURE_DIM)
+                    ]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -192,6 +220,37 @@ def resize_stub(
                 else:
                     step = max(len(b) // target_bytes, 1)
                     out.append(b[::step][:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "resized": out,
+                    "n_bytes_out": [len(x) for x in out],
+                }
+            )
+
+    return docs_with_payload.select(F.col(id_col), "payload").mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+def resize_ppm(
+    docs_with_payload: DataFrame,
+    id_col: str = "doc_id",
+    out_w: int = 4,
+    out_h: int = 4,
+) -> DataFrame:
+    """REAL image resize through the same mapInPandas seam as
+    :func:`resize_stub`: payloads are decoded as PPM (P6), nearest-neighbor
+    resampled to ``(out_w, out_h)``, and re-encoded — pure-stdlib codec
+    (``functions.ppm``), deterministic integer sampling, identical output
+    schema.  This is the filled-in version of the stub's documented plug
+    point; a JPEG pipeline swaps the codec functions and nothing else."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ppm import resize_ppm_bytes
+
+        for pdf in batches:
+            out = [resize_ppm_bytes(bytes(p), out_w, out_h) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
