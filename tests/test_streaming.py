@@ -253,3 +253,98 @@ def test_windowed_counts_on_rocksdb_state_equal_batch(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_to_online_to_serving_closes_the_loop(spark, tmp_path):
+    """Streaming -> online store -> serving read-back, end to end (VERDICT
+    r3 item 8): events replay in MULTIPLE micro-batches through
+    stream_materialize_online into a fake Redis, then FallbackFeatureService
+    serves each entity's snapshot — asserted equal to the BATCH
+    latest-per-key result over the same rows (cross-batch last-write-wins),
+    with a cold key falling back to the offline parquet.  The reference
+    runs this as two separate batch jobs (materialize_online + serving);
+    here one continuous pipeline feeds the same serving chain."""
+    import json
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.pit import latest_per_key
+    from retailfeaturestore_spark.serving.feature_service import (
+        FallbackFeatureService,
+        OfflineFeatureService,
+        OnlineFeatureService,
+    )
+    from retailfeaturestore_spark.sources.redis_sink import DictRedis
+    from retailfeaturestore_spark.streaming.materialize import (
+        stream_materialize_online,
+    )
+
+    # stage the events table as TWO files -> two micro-batches
+    # (read_events_stream defaults to maxFilesPerTrigger=1), so the
+    # last-write-wins contract is exercised ACROSS batches, not within one
+    stage = tmp_path / "events_2batch"
+    stage.mkdir()
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), stage / "part-0.parquet")
+    pq.write_table(tbl.slice(half), stage / "part-1.parquet")
+
+    # the sink closure runs in executor python workers, so the fake store
+    # must be file-backed to be visible to the test process (same pattern
+    # as test_stream_materialize_foreachbatch); per-key overwrite = the
+    # sink's full-mapping HSET last-write-wins
+    sink_dir = tmp_path / "online"
+    sink_dir.mkdir()
+
+    class FileRedis(DictRedis):
+        def hset(self, key, mapping):
+            with open(sink_dir / (key.replace(":", "_") + ".json"), "w") as f:
+                json.dump({"__key": key, **mapping}, f)
+
+    stream = read_events_stream(spark, str(stage))
+    q = stream_materialize_online(
+        stream,
+        feature_cols=["value"],
+        client_factory=FileRedis,
+        entity_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    # rebuild the hash store the serving chain reads from the sink files
+    store: dict = {}
+    for p in sink_dir.glob("*.json"):
+        rec = json.load(open(p))
+        store[rec.pop("__key")] = rec
+
+    # batch truth over the same rows
+    ev = load_table(spark, SF, "events")
+    expect = {
+        r.user_id: (r.ts, r.value)
+        for r in latest_per_key(ev, "user_id", "ts", "event_id").collect()
+    }
+    assert len(store) == len(expect) > 0
+
+    # offline gold with ONE cold entity the stream never published
+    cold_id = 10**9
+    gold = tmp_path / "gold"
+    gold.mkdir()
+    pd.DataFrame(
+        {"customer_id": [cold_id], "t_ref": [pd.Timestamp("2024-02-01")],
+         "value": [42.5]}
+    ).to_parquet(gold / "part-0.parquet")
+    svc = FallbackFeatureService(
+        OnlineFeatureService(DictRedis(store)), OfflineFeatureService(str(gold))
+    )
+
+    for uid, (ts, value) in expect.items():
+        snap = svc.get_snapshot(uid)
+        assert snap is not None
+        assert snap["value"] == float(value)
+        assert snap["t_ref"] == ts  # meta:t_ref decodes to the event time
+    cold = svc.get_snapshot(cold_id)
+    assert cold is not None and cold["value"] == 42.5  # offline fallback
