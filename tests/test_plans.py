@@ -154,3 +154,23 @@ def test_kmeans_corpus_never_sort_merges(spark):
     df = REGISTRY["knn_ivf_kmeans"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_training_set_build_single_exchange_no_join(spark):
+    """The folded-label training set (r4): orders ride the bronze window
+    input as marker rows, so the ENTIRE training set — features, tenure,
+    churn label, one-hot, split flag — is one wide shuffle with the same
+    window shape as the flagship (2 sorts, 3 WindowExec passes) and ZERO
+    join on the label side (the only joins are the broadcast dims inside
+    bronze).  A SortMergeJoin or a second hash exchange means the label
+    fold regressed to the old two-pass + J1 plan."""
+    import re
+
+    df = REGISTRY["training_set_build"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+    assert not has_sort_merge_join(df)
+    sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
+    windows = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert sorts == 2, f"expected 2 sorts, got {sorts}"
+    assert windows == 3, f"expected 3 window passes, got {windows}"
