@@ -107,9 +107,9 @@ def main() -> None:
         # plan; the prepared-plan cache would hide that work from runs 2-3
         # and min-of-3 would time only the final cached projection.  Honest
         # protocol: evict the cached plan AND every session-held persisted
-        # frame (minhash postings, KMeans quantized corpus) so every run
+        # frame (minhash signature artifact, KMeans quantized corpus) so every run
         # pays the full build + execute (ADVICE round 2: plan eviction
-        # alone left persisted postings warm across runs).
+        # alone left persisted frames warm across runs).
         evict = "iterative" in qd.tags
         best = None
         for _ in range(RUNS):

@@ -95,15 +95,15 @@ def invalidate_caches(
     spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] | None = None
 ) -> None:
     """Drop every session-held cache the query layer maintains: prepared
-    plans, the persisted minhash postings, and operator-registered persisted
-    frames (e.g. the KMeans quantized corpus).
+    plans, the persisted minhash signature artifact, and operator-registered
+    persisted frames (e.g. the KMeans quantized corpus).
 
-    ``sf_dir`` restricts plan/postings eviction to one dataset; ``names``
-    restricts plan eviction to specific queries.  Callers: the bench's
-    honest-timing protocol for iterative queries (every run must pay
-    build + execute, ADVICE round 2: plan-cache eviction alone left the
-    persisted postings warm), and any pipeline that rewrites a table
-    in-session (persisted postings would otherwise serve stale rows).
+    ``sf_dir`` restricts eviction to one dataset; ``names`` restricts plan
+    eviction to specific queries.  Callers: the bench's honest-timing
+    protocol for iterative queries (every run must pay build + execute,
+    ADVICE round 2: plan-cache eviction alone left the persisted frames
+    warm), and any pipeline that rewrites a table in-session (a persisted
+    artifact would otherwise serve stale rows).
     """
     plans = getattr(spark, "_rfs_plan_cache", None) or {}
     for key in [
