@@ -97,3 +97,99 @@ def test_one_row_per_input_line_and_contract_cols(spark):
         for w in ("1d", "7d", "30d"):
             assert f"{base}_{w}" in df.columns
     assert "tenure_days" in df.columns and "t_ref" in df.columns
+
+
+LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.IntegerType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+
+def build_labeled(spark, rows, label_rows, horizon=30, **kw):
+    df = spark.createDataFrame(rows, BRONZE_SCHEMA)
+    lab = spark.createDataFrame(label_rows, LABEL_SCHEMA)
+    return build_customer_features(
+        df, windows={"1d": 1}, label_events=lab, label_ts_col="event_ts",
+        label_horizon_days=horizon, label_col="churn", **kw
+    )
+
+
+def test_label_fold_interval_strictly_after_inclusive_upper(spark):
+    """churn = 1 iff NO marker event in (t, t + horizon]: a marker at the
+    row's exact timestamp does NOT count (strictly after), a marker exactly
+    at t + horizon DOES (inclusive upper), one microsecond past does not."""
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), "A", False, 1.0),  # marker at same ts only -> churn
+        (2, ts("2024-01-01 00:00:00"), "A", False, 1.0),  # marker at exactly +30d -> retained
+        (3, ts("2024-01-01 00:00:00"), "A", False, 1.0),  # marker 1us past +30d -> churn
+    ]
+    labels = [
+        (1, ts("2024-01-01 00:00:00")),
+        (2, ts("2024-01-31 00:00:00")),
+        (3, ts("2024-01-31 00:00:00.000001")),
+    ]
+    out = {r.customer_id: r.churn for r in build_labeled(spark, rows, labels).collect()}
+    assert out == {1: 1, 2: 0, 3: 1}
+
+
+def test_label_fold_markers_invisible_to_features_and_tenure(spark):
+    """Marker rows must not leak into W1-W5 or tenure: a customer whose
+    orders table has an EARLIER lineitem-less order keeps tenure anchored
+    at its first bronze line, counts/sums unchanged, and marker rows
+    produce no output rows."""
+    rows = [
+        (1, ts("2024-02-01 00:00:00"), "A", False, 10.0),
+        (1, ts("2024-02-01 06:00:00"), "B", False, 5.0),
+    ]
+    labels = [
+        (1, ts("2024-01-01 00:00:00")),   # lineitem-less order BEFORE first line
+        (1, ts("2024-02-01 03:00:00")),   # marker between the two lines
+    ]
+    out = build_labeled(spark, rows, labels).orderBy("t_ref").collect()
+    assert len(out) == 2  # markers emit no rows
+    assert [r.tenure_days for r in out] == [0, 0]  # not anchored at Jan 1
+    assert [r.txn_count_1d for r in out] == [1.0, 2.0]  # markers add no counts
+    assert [r.spend_1d for r in out] == [10.0, 15.0]
+    # second line has a marker strictly-after within horizon?  The Feb 1
+    # 03:00 marker is after line 1 (00:00) -> line 1 retained; nothing
+    # after 06:00 -> line 2 churns.
+    assert [r.churn for r in out] == [0, 1]
+
+
+def test_label_fold_matches_join_formulation(spark):
+    """Differential: the folded label equals interval_existence_labels_self
+    ⊕ J1 join on shared (key, ts) grids — the exact plan the fold replaced."""
+    import random
+
+    from retailfeaturestore_spark.ml.training import build_training_set
+    from retailfeaturestore_spark.operators.pit import interval_existence_labels_self
+
+    rnd = random.Random(11)
+    rows, labels = [], []
+    for cid in range(1, 15):
+        for _ in range(rnd.randint(1, 6)):
+            day = rnd.randint(1, 27)
+            t = ts(f"2024-01-{day:02d} 00:00:00")
+            rows.append((cid, t, f"S{rnd.randint(1, 4)}", False, 1.0))
+            labels.append((cid, t))  # every bronze line's order is an event
+        if rnd.random() < 0.5:  # some lineitem-less orders too
+            labels.append((cid, ts(f"2024-01-{rnd.randint(1, 27):02d} 12:00:00")))
+
+    folded = build_labeled(spark, rows, labels, horizon=7)
+    lab = interval_existence_labels_self(
+        spark.createDataFrame(labels, LABEL_SCHEMA),
+        key="customer_id", ts_col="event_ts", horizon_days=7, label_col="churn",
+    )
+    feats = build_customer_features(
+        spark.createDataFrame(rows, BRONZE_SCHEMA), windows={"1d": 1}
+    )
+    joined = build_training_set(
+        feats, lab, keys=("customer_id", "t_ref"), label_col="churn",
+        labels_deduped=True,
+    )
+    cols = ["customer_id", "t_ref", "txn_count_1d", "tenure_days", "churn"]
+    a = sorted(map(tuple, folded.select(cols).collect()))
+    b = sorted(map(tuple, joined.select(cols).collect()))
+    assert a == b and len(a) == len(rows)
