@@ -142,3 +142,42 @@ def test_debug_endpoints(services, tmp_path):
 
     row = pd.read_parquet(wrote["wrote"]).iloc[0]
     assert row["model_artifact"] == "test" and row["prediction"] == 0
+
+
+def test_app_from_env_builds_context_to_the_fastapi_gate(tmp_path, monkeypatch):
+    """The container entrypoint's env wiring (MODEL_DIR/GOLD_DIR/
+    FEATURE_BACKEND) must construct the full serving context and reach
+    create_app; with fastapi absent in this environment the factory's
+    import gate raises — proving everything BEFORE the gate (artifact
+    load, offline service, threshold parse) works from env alone."""
+    import pandas as pd
+    import pytest
+
+    from retailfeaturestore_spark.ml.artifacts import save_artifacts
+    from retailfeaturestore_spark.ml.scoring import LinearStubModel
+    from retailfeaturestore_spark.serving.app import app_from_env
+
+    model_dir = tmp_path / "model"
+    save_artifacts(
+        str(model_dir), LinearStubModel(weights=(0.1, 0.2), bias=0.0),
+        ["spend_30d", "txn_count_30d"], {"auc": 0.5},
+    )
+    gold = tmp_path / "gold"
+    gold.mkdir()
+    pd.DataFrame(
+        {"customer_id": [1], "t_ref": [pd.Timestamp("2024-01-01")],
+         "spend_30d": [1.0], "txn_count_30d": [2.0]}
+    ).to_parquet(gold / "part-0.parquet")
+
+    monkeypatch.setenv("MODEL_DIR", str(model_dir))
+    monkeypatch.setenv("GOLD_DIR", str(gold))
+    monkeypatch.setenv("FEATURE_BACKEND", "offline")
+    monkeypatch.setenv("THRESHOLD", "0.75")
+    try:
+        import fastapi  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="fastapi"):
+            app_from_env()
+    else:  # environments with the serving extra get the real app
+        app = app_from_env()
+        assert app is not None
