@@ -162,3 +162,53 @@ def doc_fingerprint(
         F.col(id_col),
         F.concat_ws(":", F.slice(hashes, 1, k)).alias("fingerprint"),
     ).where(F.col("fingerprint") != "")
+
+
+# PII patterns: conservative explicit character classes that parse
+# identically in Java regex (Spark) and RE2 (DuckDB) — no shorthand classes
+# whose semantics could diverge, no backreferences (RE2 has none).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    "phone": (
+        r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3}[-. ][0-9]{2,4}",
+        "<PHONE>",
+    ),
+    "ipv4": (
+        r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+        "<IP>",
+    ),
+}
+
+# Replacement order matters: phone before ipv4 (a dotted phone could
+# otherwise be half-eaten by the IP rule), email first (its local part may
+# contain digit runs).
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the standard pre-training scrub stage: emails, phone
+    numbers, and IPv4 literals replaced with typed placeholder tokens, plus
+    per-kind match counts for audit/measurement.  Pure column algebra
+    (``regexp_replace`` / ``regexp_extract_all`` are JVM-side, codegen); at
+    100 TB this is a map-only stage with zero shuffle.  Patterns are the
+    conservative, cross-engine-identical subset — a production deployment
+    extends PII_PATTERNS per policy (names/addresses need NER models, which
+    belong in the mapInPandas seam next to the multimodal codecs)."""
+    clean = F.col(text_col)
+    counts = {}
+    for kind in PII_ORDER:
+        pat, token = PII_PATTERNS[kind]
+        counts[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(clean, F.lit(pat), F.lit(0))
+        ).cast("long")
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        *[c.alias(n) for n, c in counts.items()],
+    )

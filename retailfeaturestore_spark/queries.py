@@ -1360,8 +1360,11 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.multimodal import attach_payload, payload_meta  # noqa: E402
 from .operators.textops import (  # noqa: E402
+    PII_ORDER,
+    PII_PATTERNS,
     doc_fingerprint,
     lang_id,
+    pii_scrub,
     text_quality,
     token_counts,
 )
@@ -1471,6 +1474,46 @@ FROM ranked GROUP BY doc_id
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style k-min shingle-hash fingerprint."""
     return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# Synthetic PII suffix built identically in both engines from doc_id (the
+# corpus text itself carries none) so the scrub is exercised on real
+# matches and the oracle is meaningful.
+_PII_SYNTH_SQL = (
+    "text || ' reach user' || CAST(doc_id AS STRING) || '@example.com via "
+    "10.0.' || CAST(doc_id % 256 AS STRING) || '.' || "
+    "CAST(doc_id % 100 AS STRING) || ' or +1 555 123 ' || "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+)
+
+def _pii_oracle() -> str:
+    clean = _PII_SYNTH_SQL
+    counts = []
+    for kind in PII_ORDER:
+        pat, token = PII_PATTERNS[kind]
+        lit = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({clean}, '{lit}')) AS BIGINT) AS n_{kind}"
+        )
+        clean = f"regexp_replace({clean}, '{lit}', '{token}', 'g')"
+    return (
+        f"SELECT doc_id, {clean} AS clean_text, {', '.join(counts)}\n"
+        "FROM documents"
+    )
+
+_PII_SCRUB_ORACLE = _pii_oracle()
+
+
+@register("text_pii_scrub", oracle=_PII_SCRUB_ORACLE, tags=("text", "llm"))
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents table (emails / phones / IPv4 ->
+    typed placeholders + per-kind audit counts) — map-only, zero shuffle;
+    the test corpus carries no PII, so a deterministic synthetic suffix is
+    appended from doc_id in BOTH engines before scrubbing."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_SYNTH_SQL)
+    )
+    return pii_scrub(d)
 
 
 _PAYLOAD_META_ORACLE = """
@@ -2159,7 +2202,7 @@ _HASH_SPLIT_ORACLE = """
 SELECT
   doc_id,
   CASE WHEN (strpos('0123456789abcdef',
-                    substring(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 2
+                    substring(md5('split#' || CAST(doc_id AS STRING)), 1, 1)) - 1) < 2
        THEN 'val' ELSE 'train' END AS split
 FROM documents
 """
@@ -3237,7 +3280,7 @@ SELECT doc_id,
        string_split(text, ' ')[3] AS third_word,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        regexp_matches(text, '[0-9]') AS has_digit,
-       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+       lpad(CAST(doc_id AS STRING), 8, '0') AS doc_key,
        upper(substr(text, 1, 12)) AS head_upper,
        reverse(substr(text, 1, 12)) AS head_rev,
        translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS head_devowel,

@@ -177,3 +177,27 @@ def test_resize_ppm_real_nearest_neighbor(spark):
     assert small == bytes(
         quad[(0, 0)] + quad[(1, 0)] + quad[(0, 1)] + quad[(1, 1)]
     )
+
+
+def test_pii_scrub_kinds_order_and_counts(spark):
+    """Emails, dotted/spaced phones, and IPv4 literals scrub to typed
+    placeholders with audit counts; replacement order protects dotted
+    phones from the IP rule; clean text stays untouched."""
+    from retailfeaturestore_spark.operators.textops import pii_scrub
+
+    rows = [
+        (1, "ask jo.doe+x@corp.io or b@x.org today"),
+        (2, "call +1 555 123 4567 or 44-555-321-99 now"),
+        (3, "host 192.168.0.1 and 10.0.255.254 up"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(d).collect()}
+    assert out[1].clean_text == "ask <EMAIL> or <EMAIL> today"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 0, 0)
+    assert out[2].clean_text == "call <PHONE> or <PHONE> now"
+    assert out[2].n_phone == 2
+    assert out[3].clean_text == "host <IP> and <IP> up"
+    assert out[3].n_ipv4 == 2
+    assert out[4].clean_text == rows[3][1]
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
