@@ -483,6 +483,52 @@ def q_purchase_labels_after_signup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_RANGE_JOIN_ORACLE = """
+SELECT
+  i.o_custkey  AS customer_id,
+  i.o_orderkey AS anchor_key,
+  p.o_orderkey AS follow_key,
+  i.o_orderdate AS anchor_date,
+  p.o_orderdate AS follow_date
+FROM orders i
+JOIN orders p
+  ON p.o_custkey = i.o_custkey
+ AND p.o_orderdate >  i.o_orderdate
+ AND p.o_orderdate <= i.o_orderdate + INTERVAL 14 DAY
+WHERE i.o_orderpriority = '1-URGENT'
+"""
+
+
+@register("orders_range_join_followups", oracle=_RANGE_JOIN_ORACLE, tags=("join", "range"))
+def q_orders_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General range join (pair-producing, unlike the J2 existence labels):
+    every follow-up order within 14 days after an urgent order by the same
+    customer.  Runs through ``operators.rangejoin.bucketed_range_join`` —
+    intervals explode into covering 7-day buckets and the join is a plain
+    (key, bucket) equi-join + exact filter, never the per-key nested-loop
+    Spark plans for a raw range predicate."""
+    from .operators.rangejoin import bucketed_range_join
+
+    o = load_table(spark, sf_dir, "orders")
+    points = o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("follow_key"),
+        F.col("o_orderdate").alias("follow_date"),
+    )
+    intervals = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("anchor_key"),
+        F.col("o_orderdate").alias("anchor_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("__end"),
+    )
+    return bucketed_range_join(
+        points, intervals,
+        key="customer_id", point_ts="follow_date",
+        start_ts="anchor_date", end_ts="__end",
+        bucket_days=7, closed="right",
+    ).select("customer_id", "anchor_key", "follow_key", "anchor_date", "follow_date")
+
+
 # ---------------------------------------------------------------------------
 # M3 — encoding + frequency (J4, A1, A2, A5)
 # ---------------------------------------------------------------------------

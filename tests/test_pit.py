@@ -121,3 +121,48 @@ def test_asof_join_no_prior_lookup_is_null(spark):
         spine, lookup, "user_id", "ts", "ts", ["value"], "event_id"
     ).collect()[0]
     assert out.asof_value is None
+
+
+def test_bucketed_range_join_boundaries_and_match_once(spark):
+    """Each (point, interval) match appears exactly once regardless of how
+    many buckets the interval spans; every `closed` convention puts the
+    boundary points on the documented side."""
+    from datetime import datetime
+
+    from retailfeaturestore_spark.operators.rangejoin import bucketed_range_join
+
+    ts = datetime.fromisoformat
+    points = spark.createDataFrame(
+        [
+            (1, "p_start", ts("2024-01-10 00:00:00")),
+            (1, "p_mid", ts("2024-01-20 00:00:00")),
+            (1, "p_end", ts("2024-02-09 00:00:00")),
+            (1, "p_out", ts("2024-02-09 00:00:01")),
+            (2, "p_other_key", ts("2024-01-20 00:00:00")),
+        ],
+        "k int, name string, pt timestamp",
+    )
+    # one 30-day interval -> spans 5+ weekly buckets
+    intervals = spark.createDataFrame(
+        [(1, ts("2024-01-10 00:00:00"), ts("2024-02-09 00:00:00"))],
+        "k int, lo timestamp, hi timestamp",
+    )
+
+    def names(closed):
+        out = bucketed_range_join(
+            points, intervals, key="k", point_ts="pt",
+            start_ts="lo", end_ts="hi", bucket_days=7, closed=closed,
+        )
+        return sorted(r.name for r in out.collect())
+
+    assert names("right") == ["p_end", "p_mid"]
+    assert names("both") == ["p_end", "p_mid", "p_start"]
+    assert names("left") == ["p_mid", "p_start"]
+    assert names("neither") == ["p_mid"]
+    # match-once: the mid point lies inside a multi-bucket interval yet
+    # appears exactly once (its own bucket), so no dedup pass is needed
+    out = bucketed_range_join(
+        points, intervals, key="k", point_ts="pt",
+        start_ts="lo", end_ts="hi", bucket_days=7, closed="both",
+    )
+    assert out.where("name = 'p_mid'").count() == 1
