@@ -77,6 +77,8 @@ HEADLINE = [
     "dedup_clusters_star",
     "doc_chunk_overlap",
     "corpus_token_budget_sample",
+    "text_pii_scrub",
+    "orders_range_join_followups",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and
