@@ -4218,6 +4218,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "data_quality_report",
     "xlsx_ingest_normalize",
     "sole_return_supplier",
+    # New round-4 queries — zero standing verdicts, so they outrank any
+    # stale-but-once-green row for a window slot.
+    "text_pii_scrub",
+    "orders_range_join_followups",
     # --- r4 block 2: every query whose LATEST green verdict is r1/r2
     # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
     # sketches are rotated OUT (their oracles certify rows+schema only and
@@ -4253,8 +4257,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_session_windows",
     "order_sequence_analytics",
     "orders_priority_pivot",
-    "order_count_distribution",
-    "large_volume_orders",
+    # order_count_distribution / large_volume_orders ceded their slots to the
+    # two new round-4 queries above: both are single-agg shapes over io.py
+    # only (no helper touched since their green verdicts) and stay
+    # bench-tracked + pytest-covered.
     "top_balance_inactive_customers",
     "promo_revenue_share",
     "nation_market_share",
