@@ -79,6 +79,10 @@ HEADLINE = [
     "corpus_token_budget_sample",
     "text_pii_scrub",
     "orders_range_join_followups",
+    "events_funnel_conversion",
+    "doc_quality_gopher",
+    "ngram_topk_global",
+    "supplier_profit_by_year",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -13,7 +13,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, words
 
-__all__ = ["LANG_MARKERS", "lang_id", "text_quality", "token_counts", "doc_fingerprint"]
+__all__ = [
+    "LANG_MARKERS",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "gopher_quality",
+]
 
 # Tiny stopword marker sets per language (heuristic n-gram/stopword lang-ID;
 # extend per corpus).  Precedence order breaks score ties deterministically.
@@ -105,6 +112,76 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.length(text_col).cast("long").alias("n_chars"),
         F.size(ws).cast("long").alias("n_ws_tokens"),
         subwords.alias("n_subword_est"),
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 — the published repetition/format
+    filter family), adapted to integer-exact arithmetic so the differential
+    oracle matches bit-for-bit:
+
+    - ``flag_word_count``:   min_words <= n_words <= max_words
+    - ``flag_mean_word_len``: mean word length in [3, 10] — compared as
+      ``3*n_words <= sum_len <= 10*n_words`` (pure integers, no division)
+    - ``flag_alpha_words``:  >= 80% of words contain an ASCII letter,
+      compared as ``5*n_alpha >= 4*n_words``
+    - ``flag_stopwords``:    >= 2 occurrences of the English marker set
+    - ``flag_symbol_ratio``: '#'-symbol count <= 10% of words
+      (``10*n_hash <= n_words``)
+    - ``gopher_pass``:       conjunction of all flags
+
+    ``mean_word_len`` is also emitted as a single IEEE division (audit
+    column).  Pure column algebra: a map-only stage, zero shuffle at any
+    scale.  The reference has no text surface; this is the extension the
+    100 TB training-data pipeline needs (SURVEY.md §7.1 M6).
+    """
+    ws = words(F.col(text_col))
+    n_words = F.size(ws).cast("long")
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*LANG_MARKERS["en"]))).cast("long")
+    n_hash = (F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "#", ""))).cast(
+        "long"
+    )
+    d = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_len.alias("__sum_len"),
+        n_alpha.alias("__n_alpha"),
+        n_stop.alias("n_stopword_hits"),
+        n_hash.alias("__n_hash"),
+    )
+    flags = {
+        "flag_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "flag_mean_word_len": (F.lit(3) * F.col("n_words") <= F.col("__sum_len"))
+        & (F.col("__sum_len") <= F.lit(10) * F.col("n_words")),
+        "flag_alpha_words": F.lit(5) * F.col("__n_alpha") >= F.lit(4) * F.col("n_words"),
+        "flag_stopwords": F.col("n_stopword_hits") >= 2,
+        "flag_symbol_ratio": F.lit(10) * F.col("__n_hash") <= F.col("n_words"),
+    }
+    out = d.withColumns(
+        {
+            "mean_word_len": F.col("__sum_len").cast("double")
+            / F.when(F.col("n_words") > 0, F.col("n_words")).otherwise(F.lit(1)).cast("double"),
+            **{name: c.cast("int") for name, c in flags.items()},
+        }
+    )
+    gopher_pass = None
+    for name in flags:
+        gopher_pass = F.col(name) if gopher_pass is None else (gopher_pass * F.col(name))
+    return out.withColumn("gopher_pass", gopher_pass.cast("int")).drop(
+        "__sum_len", "__n_alpha", "__n_hash"
     )
 
 
