@@ -306,15 +306,22 @@ def simhash_signatures(
     Plan shape: explode words -> 32 conditional sums in ONE groupBy —
     partial aggregation map-side, a single shuffle on the doc id.
     """
-    w = spread_compute(docs).select(
-        F.col(id_col), F.explode(words(F.col(text_col))).alias("__w")
-    ).withColumn("__h", F.substring(F.md5("__w"), 1, 8))
+    w = (
+        spread_compute(docs)
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
+        # parse the 8 hex chars ONCE into a 32-bit integer; each of the 32
+        # per-bit aggregates is then a shift+mask on that long instead of a
+        # substring+instr string scan (32 string ops per word occurrence
+        # was the dominant cost of the signature pass).
+        .withColumn(
+            "__v", F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("long")
+        )
+    )
     aggs = []
     for j in range(SIMHASH_BITS):
-        char_idx = j // 4 + 1
-        bit_in_char = 3 - (j % 4)  # high bit first within the hex digit
-        v = F.expr(f"instr('{HEX_DIGITS}', substring(__h, {char_idx}, 1))") - F.lit(1)
-        bit = F.floor(v / F.lit(2 ** bit_in_char)) % 2
+        # bit j = MSB-first bit of the 32-bit value (identical to the old
+        # per-hex-digit extraction: digit j//4, high bit first in digit).
+        bit = F.shiftright(F.col("__v"), SIMHASH_BITS - 1 - j) % 2
         aggs.append(
             F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
         )
@@ -326,24 +333,56 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash signatures.
 
-    Candidates: split the 32-bit signature into ``bands`` 8-bit bands; any
-    exact band match -> candidate (guarantees recall for hamming <= bands-1
-    by pigeonhole, probabilistic beyond).  Then exact Hamming filter.
+    Candidates: split the 32-bit signature into ``bands`` bands; any exact
+    band match -> candidate (guarantees recall for hamming <= bands-1 by
+    pigeonhole, probabilistic beyond).  Then exact Hamming filter.
+
+    Scale shape: the band rows come from ONE explode over the signature
+    table (not a bands-way union, which would re-run the signature
+    aggregation per band), and with ``cache_scope`` set the signature table
+    is persisted before the self-join so the explode-words + 32-sum pass
+    runs once, not once per join side (registered on the session keyed by
+    ("simhash_sigs", cache_scope) for scoped eviction, replace-on-re-entry
+    — the kmeans_cells pattern).  The Hamming filter is
+    ``bit_count(sig_a XOR sig_b)`` on the parsed 32-bit values — one
+    integer op per candidate instead of 32 per-character compares.
     """
     width = SIMHASH_BITS // bands
-    band_rows = None
-    for b in range(bands):
-        part = sigs.select(
-            F.lit(b).alias("band"),
-            F.substring("simhash", b * width + 1, width).alias("band_key"),
-            F.col(id_col).alias("id"),
-            F.col("simhash").alias("sig"),
-        )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    if cache_scope is not None:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        reg = getattr(sigs.sparkSession, "_rfs_persisted", None)
+        if reg is None or isinstance(reg, list):
+            reg = sigs.sparkSession._rfs_persisted = {}
+        key = ("simhash_sigs", cache_scope)
+        old = reg.pop(key, None)
+        if old is not None:
+            old.unpersist(blocking=False)
+        reg[key] = sigs
+    band_rows = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash").alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * width + 1, width).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("id", "sig", F.col("__bk.band").alias("band"), F.col("__bk.band_key").alias("band_key"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -361,16 +400,10 @@ def simhash_pairs(
         )
         .distinct()
     )
-    ham = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-            lambda i: F.when(
-                F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    ham = F.bit_count(
+        F.conv(F.col("sig_a"), 2, 10)
+        .cast("long")
+        .bitwiseXOR(F.conv(F.col("sig_b"), 2, 10).cast("long"))
     )
     return (
         cand.withColumn("hamming", ham.cast("long"))

@@ -1165,7 +1165,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary: 8-bit bands barely filter when signatures concentrate —
     measured 7.6x candidate reduction moving to 16-bit bands at sf0.1."""
     sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
-    return simhash_pairs(sigs, max_hamming=3, bands=2)
+    return simhash_pairs(sigs, max_hamming=3, bands=2, cache_scope=sf_dir)
 
 
 # ---------------------------------------------------------------------------
