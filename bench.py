@@ -83,6 +83,10 @@ HEADLINE = [
     "doc_quality_gopher",
     "ngram_topk_global",
     "supplier_profit_by_year",
+    "user_retention_cohorts",
+    "customer_priority_scd2",
+    "segment_spend_deciles",
+    "dedup_simhash",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4344,6 +4344,128 @@ def q_supplier_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(money_sum(rev, 4).alias("profit"), F.count(F.lit(1)).alias("n_lines"))
 
 
+_COHORT_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+act AS (
+  SELECT e.user_id,
+         CAST(f.first_ts AS DATE) AS cohort_day,
+         CAST(floor(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7)
+              AS INTEGER) AS week_offset
+  FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM act GROUP BY cohort_day, week_offset
+"""
+
+
+@register("user_retention_cohorts", oracle=_COHORT_ORACLE, tags=("window", "events"))
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, activity
+    counted per week offset since that day — the standard product-analytics
+    rollup.  Plan: one exchange on user_id (window min for the first-seen
+    timestamp), then the cohort aggregation's partial combine collapses the
+    event rows before the second (tiny, cohort-keyed) shuffle.  Cohort day
+    is emitted as a yyyy-MM-dd string (engine-portable date
+    representation)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn("__first", F.min("ts").over(w))
+    return (
+        d.select(
+            F.date_format(F.to_date("__first"), "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("__first")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+_SCD2_ORACLE = """
+SELECT
+  o_custkey AS customer_id,
+  o_orderpriority AS priority,
+  o_orderdate AS valid_from,
+  lead(o_orderdate) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ) AS valid_to,
+  CAST(CASE WHEN lead(o_orderdate) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ) IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+  o_orderkey AS version_key
+FROM orders
+WHERE o_custkey IS NOT NULL
+"""
+
+
+@register("customer_priority_scd2", oracle=_SCD2_ORACLE, tags=("window", "scd"))
+def q_customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each customer's order
+    priority becomes a versioned interval ``[valid_from, valid_to)`` via
+    ``lead`` over the per-customer order history (deterministic tiebreak on
+    the order key), with an ``is_current`` flag on the open interval — the
+    dimension-versioning operator a feature store needs for time-travel
+    joins against mutable entity attributes (the reference's gold table
+    keeps only latest-per-customer, ``jobs/materialize_online.py:19``).
+    One exchange, one sort, one WindowExec."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
+        F.col("o_orderkey").alias("version_key"),
+    )
+
+
+_SPEND_DECILES_ORACLE = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey AS customer_id,
+    (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+)
+SELECT segment, customer_id, total_spend,
+       CAST(ntile(10) OVER (
+         PARTITION BY segment ORDER BY total_spend DESC, customer_id ASC
+       ) AS INTEGER) AS spend_decile
+FROM spend
+"""
+
+
+@register("segment_spend_deciles", oracle=_SPEND_DECILES_ORACLE, tags=("window", "ml-prep"))
+def q_segment_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment customer spend deciles (ntile) — quantile feature binning
+    with a deterministic tiebreak, the ML-prep discretization step.  The
+    ranking window is PARTITIONED by segment (never a single global sort):
+    at 100 TB each segment ranks independently; for truly unpartitionable
+    rankings the documented escape is approx-quantile boundaries + a
+    broadcast bin join."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    spend = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("customer_id"),
+        )
+        .agg(money_sum(F.col("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("total_spend"), F.asc("customer_id")
+    )
+    return spend.withColumn("spend_decile", F.ntile(10).over(w).cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # S1 end-to-end: executor-side xlsx parse -> ingest normalize (SURVEY.md §2.1)
 # ---------------------------------------------------------------------------
@@ -4416,6 +4538,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_quality_gopher",
     "ngram_topk_global",
     "supplier_profit_by_year",
+    "user_retention_cohorts",
+    "customer_priority_scd2",
+    "segment_spend_deciles",
     # --- r4 block 2: every query whose LATEST green verdict is r1/r2
     # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
     # sketches are rotated OUT (their oracles certify rows+schema only and
@@ -4450,7 +4575,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "value_percentiles",
     "events_session_windows",
     "order_sequence_analytics",
-    "orders_priority_pivot",
     # order_count_distribution / large_volume_orders / promo_revenue_share /
     # nation_market_share / min_price_supplier_per_part / bulk_part_suppliers
     # ceded their slots to the six new round-4 queries above: all are
@@ -4459,12 +4583,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_balance_inactive_customers",
     "decayed_user_value",
     "rfm_segments",
-    "rows_rolling_spend",
+    # rows_rolling_spend / orders_priority_pivot / brand_revenue_concentration
+    # ceded slots to the three late-round-4 queries above — all three are
+    # queries.py-local code (no shared helper changed since their r2 greens).
     "order_navigation",
     "segment_priority_grouping_sets",
     "latest_order_maxby",
     "doc_pack_context_windows",
-    "brand_revenue_concentration",
     "tfidf_top_terms",
 )
 
