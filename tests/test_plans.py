@@ -174,3 +174,41 @@ def test_training_set_build_single_exchange_no_join(spark):
     windows = len(re.findall(r"\(\d+\) Window\b", plan))
     assert sorts == 2, f"expected 2 sorts, got {sorts}"
     assert windows == 3, f"expected 3 window passes, got {windows}"
+
+
+def test_funnel_single_exchange(spark):
+    """The three chained stage windows + the per-user collapse must share
+    ONE hash exchange on user_id — re-shuffling between stages would mean
+    the chain broke into separate exchanges."""
+    df = REGISTRY["events_funnel_conversion"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_scd2_one_exchange_one_sort(spark):
+    df = REGISTRY["customer_priority_scd2"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+    assert plan.count("+- Sort") == 1, plan[:2000]
+
+
+def test_supplier_profit_broadcasts_dims(spark):
+    df = REGISTRY["supplier_profit_by_year"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
+def test_deciles_ranking_is_partitioned(spark):
+    """ntile must run under PARTITION BY segment — a SinglePartition window
+    exchange would be the global-sort anti-pattern."""
+    df = REGISTRY["segment_spend_deciles"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_gopher_and_pii_are_map_only(spark):
+    """Quality flags and PII scrub are row-local column algebra: zero
+    exchanges of any kind in the plan."""
+    for name in ("doc_quality_gopher", "text_pii_scrub"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF))
+        assert "Exchange" not in plan, (name, plan[:1500])

@@ -22,6 +22,9 @@ SHOW = {
     "feature_view_build_set": "collect_set fast path: same single customer_id exchange, per-frame set state (opt-in for known-small cardinalities).",
     "dedup_minhash": "Minhash over the persisted per-doc signature artifact: banding reads cached min-hash longs; exact-Jaccard verifies via array_intersect on the cached shingle sets (no postings re-join).",
     "training_set_build": "Folded-label training set: ONE entity exchange, 2 sorts, 3 Window passes (labels as a future range frame over zero-weight order markers); no label join anywhere.",
+    "events_funnel_conversion": "Ordered funnel: three chained stage windows + per-user collapse over ONE user_id exchange; funnel state never leaves the executor.",
+    "customer_priority_scd2": "SCD2 validity intervals: one exchange, one sort, one WindowExec (lead + is_current).",
+    "segment_spend_deciles": "Quantile binning: ntile under PARTITION BY segment — no SinglePartition window, no global sort.",
 }
 
 
