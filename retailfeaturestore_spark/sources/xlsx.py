@@ -122,6 +122,58 @@ def parse_xlsx_bytes(
             yield name, rows
 
 
+def coerce_cell(v, dt: T.DataType):
+    """Coerce a raw cell value to the declared Spark type; uncoercible cells
+    become null (ingest never fails on a bad cell — type repair beyond this
+    is the normalize layer's contract)."""
+    if v is None:
+        return None
+    try:
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return float(v)
+        if isinstance(dt, (T.LongType, T.IntegerType)):
+            return int(float(v))
+        if isinstance(dt, T.BooleanType):
+            return bool(v)
+        if isinstance(dt, T.StringType):
+            if isinstance(v, float) and v.is_integer():
+                return str(int(v))  # '85123' not '85123.0' (id columns)
+            return str(v)
+        return v
+    except (TypeError, ValueError):
+        return None
+
+
+def iter_workbook_rows(
+    content: bytes,
+    names: list[str],
+    dtypes: list[T.DataType],
+    header: bool,
+    sheet_list: list[str] | None,
+) -> Iterator[tuple[list, str]]:
+    """Yield ``(coerced_row, sheet_name)`` for every data row of every
+    selected sheet — the shared per-file parse used by both the
+    mapInPandas reader and the Python DataSource."""
+    for sheet_name, rows in parse_xlsx_bytes(content, sheet_list):
+        if not rows:
+            continue
+        if header:
+            head = [str(c) if c is not None else "" for c in rows[0]]
+            pos = [head.index(n) if n in head else -1 for n in names]
+            body = rows[1:]
+        else:
+            pos = list(range(len(names)))
+            body = rows
+        for row in body:
+            yield (
+                [
+                    coerce_cell(row[p], dt) if 0 <= p < len(row) else None
+                    for p, dt in zip(pos, dtypes)
+                ],
+                sheet_name,
+            )
+
+
 def read_xlsx(
     spark: SparkSession,
     path: str,
@@ -157,24 +209,6 @@ def read_xlsx(
     dtypes = [f.dataType for f in out_schema.fields]
     sheet_list = list(sheets) if sheets is not None else None
 
-    def _coerce(v, dt: T.DataType):
-        if v is None:
-            return None
-        try:
-            if isinstance(dt, (T.DoubleType, T.FloatType)):
-                return float(v)
-            if isinstance(dt, (T.LongType, T.IntegerType)):
-                return int(float(v))
-            if isinstance(dt, T.BooleanType):
-                return bool(v)
-            if isinstance(dt, T.StringType):
-                if isinstance(v, float) and v.is_integer():
-                    return str(int(v))  # '85123' not '85123.0' (id columns)
-                return str(v)
-            return v
-        except (TypeError, ValueError):
-            return None
-
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -182,24 +216,11 @@ def read_xlsx(
             for file_path, content in zip(pdf["path"], pdf["content"]):
                 out_rows: list[list] = []
                 out_meta: list[tuple[str, str]] = []
-                for sheet_name, rows in parse_xlsx_bytes(bytes(content), sheet_list):
-                    if not rows:
-                        continue
-                    if header:
-                        head = [str(c) if c is not None else "" for c in rows[0]]
-                        pos = [head.index(n) if n in head else -1 for n in names]
-                        body = rows[1:]
-                    else:
-                        pos = list(range(len(names)))
-                        body = rows
-                    for row in body:
-                        out_rows.append(
-                            [
-                                _coerce(row[p], dt) if 0 <= p < len(row) else None
-                                for p, dt in zip(pos, dtypes)
-                            ]
-                        )
-                        out_meta.append((file_path, sheet_name))
+                for row, sheet_name in iter_workbook_rows(
+                    bytes(content), names, dtypes, header, sheet_list
+                ):
+                    out_rows.append(row)
+                    out_meta.append((file_path, sheet_name))
                 pdf_out = pd.DataFrame(out_rows, columns=names)
                 if add_source_columns:
                     pdf_out["_source_file"] = [m[0] for m in out_meta]

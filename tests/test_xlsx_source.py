@@ -213,3 +213,27 @@ def test_fixture_workbook_matches_values_oracle(spark):
     assert sorted(got.columns) == sorted(exp.columns)
     for c in ("invoice", "quantity", "customer_id", "is_cancel", "line_amount"):
         assert list(got[c]) == list(exp[c]), c
+
+
+def test_python_datasource_equals_mapinpandas_reader(spark):
+    """The Spark 4 Python DataSource (format('rfs_xlsx')) and the
+    binaryFile->mapInPandas reader must produce identical rows from the
+    fixture workbook."""
+    from retailfeaturestore_spark.sources.xlsx import read_xlsx
+    from retailfeaturestore_spark.sources.xlsx_datasource import XlsxDataSource
+    from retailfeaturestore_spark.sources.xlsx_fixture import ensure_fixture_workbook
+
+    path = ensure_fixture_workbook()
+    ddl = (
+        "Invoice string, StockCode string, Description string, Quantity long, "
+        "InvoiceDate double, Price double, `Customer ID` double, Country string"
+    )
+    spark.dataSource.register(XlsxDataSource)
+    via_ds = (
+        spark.read.format("rfs_xlsx").schema(ddl).option("header", "true").load(path)
+    )
+    via_mip = read_xlsx(spark, path, ddl)
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, via_mip.collect()))
+    assert a == b and len(a) > 0
+    assert via_ds.schema == via_mip.schema
