@@ -74,3 +74,59 @@ def test_running_totals_converge_to_batch(spark, tmp_path):
         assert got.n_events == exp.n_events, uid
         assert abs(got.value_sum - exp.value_sum) < 1e-9, uid
         assert got.last_ts == exp.last_ts, uid
+
+
+def test_streaming_funnel_replay_equals_batch(spark, tmp_path):
+    """Two in-order micro-batches (split at the median event time) through
+    the stateful funnel must converge to the batch funnel operator's stage
+    times for every user."""
+    import uuid
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.funnel import funnel_stage_times
+    from retailfeaturestore_spark.streaming.funnel_stream import (
+        FUNNEL_STAGES,
+        streaming_funnel_stages,
+    )
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_type")
+    cutoff = ev.selectExpr("percentile(cast(ts as double), 0.5) as c").collect()[0].c
+    stage = tmp_path / "funnel_stream"
+    # split BY EVENT TIME so each user's events arrive in order across
+    # batches — the regime where the bounded-state funnel is exact
+    ev.where(F.col("ts").cast("double") <= cutoff).coalesce(1).write.parquet(
+        str(stage), mode="append"
+    )
+    ev.where(F.col("ts").cast("double") > cutoff).coalesce(1).write.parquet(
+        str(stage), mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r.user_id: r
+        for r in spark.table(name)
+        .withColumn("__i", F.monotonically_increasing_id())
+        .orderBy("__i")
+        .collect()
+    }
+    expected = {r.user_id: r for r in funnel_stage_times(ev, FUNNEL_STAGES).collect()}
+    assert set(final) == set(expected)
+    for uid, exp in expected.items():
+        got = final[uid]
+        assert got.stage_view == exp.stage_view, uid
+        assert got.stage_click == exp.stage_click, uid
+        assert got.stage_purchase == exp.stage_purchase, uid
