@@ -87,6 +87,7 @@ HEADLINE = [
     "customer_priority_scd2",
     "segment_spend_deciles",
     "dedup_simhash",
+    "corpus_curation_pipeline",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -121,6 +121,7 @@ def gopher_quality(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, "Scaling
     Language Models: ... Gopher", §A1.1 — the published repetition/format
@@ -156,6 +157,7 @@ def gopher_quality(
     )
     d = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         n_words.alias("n_words"),
         sum_len.alias("__sum_len"),
         n_alpha.alias("__n_alpha"),

@@ -4466,6 +4466,135 @@ def q_segment_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.withColumn("spend_decile", F.ntile(10).over(w).cast("int"))
 
 
+_CURATION_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, source,
+    (doc_id = keep_id) AS is_canonical,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_len,
+    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT)
+      AS n_stop,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash
+  FROM base
+),
+shingled AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+shs AS (
+  SELECT DISTINCT doc_id, source,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM (
+    SELECT doc_id, source, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+    FROM shingled
+  )
+),
+ref AS (SELECT DISTINCT sh FROM shs WHERE source = 'src0'),
+cand AS (SELECT doc_id, sh FROM shs WHERE source <> 'src0'),
+contam AS (
+  SELECT c.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM cand c LEFT JOIN ref r ON r.sh = c.sh
+  GROUP BY c.doc_id
+),
+judged AS (
+  SELECT f.source,
+    CASE WHEN f.is_canonical
+          AND f.source <> 'src0'
+          AND (f.n_words BETWEEN 50 AND 100000)
+          AND (3 * f.n_words <= f.sum_len AND f.sum_len <= 10 * f.n_words)
+          AND (5 * f.n_alpha >= 4 * f.n_words)
+          AND (f.n_stop >= 2)
+          AND (10 * f.n_hash <= f.n_words)
+          AND (2 * coalesce(c.n_hit, 0) < coalesce(c.n_sh, 1))
+    THEN 1 ELSE 0 END AS kept,
+    f.n_words
+  FROM flags f LEFT JOIN contam c ON c.doc_id = f.doc_id
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(coalesce(sum(CASE WHEN kept = 1 THEN n_words END), 0) AS BIGINT) AS n_tokens_kept
+FROM judged GROUP BY source
+"""
+
+
+@register("corpus_curation_pipeline", oracle=_CURATION_ORACLE, tags=("text", "llm", "dedup"))
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pre-training curation pipeline as ONE query: exact
+    dedup (keep the canonical copy per content digest), Gopher quality
+    gates, and benchmark decontamination (shingle overlap vs the held-out
+    'src0' source < 50%), reduced to a per-source admission report — what a
+    corpus owner actually runs before a training job.
+
+    Plan shape: three exchanges total at any scale — (1) the dedup window
+    on the 32-byte content digest, (2) the contamination postings
+    aggregation on doc_id (benchmark set broadcast, corpus text never
+    shuffles), (3) the doc_id join of the two; the Gopher flags ride along
+    map-side and the final per-source rollup is a partial-agg over a
+    handful of groups."""
+    from .functions.text import shingles
+    from .operators.textops import gopher_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    flags = (
+        gopher_quality(d, carry_cols=("source", "text"))
+        .withColumn(
+            "__canon",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+            ).cast("int"),
+        )
+        .drop("text")
+    )
+    cand = d.where(F.col("source") != "src0").select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    )
+    ref = (
+        d.where(F.col("source") == "src0")
+        .select(F.explode(shingles(F.col("text"), 3)).alias("sh"))
+        .distinct()
+    )
+    contam = (
+        cand.join(F.broadcast(ref.withColumn("__hit", F.lit(1))), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_sh"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("__n_hit"),
+        )
+    )
+    judged = flags.join(contam, "doc_id", "left").withColumn(
+        "kept",
+        (
+            (F.col("__canon") == 1)
+            & (F.col("source") != "src0")
+            & (F.col("flag_word_count") == 1)
+            & (F.col("flag_mean_word_len") == 1)
+            & (F.col("flag_alpha_words") == 1)
+            & (F.col("flag_stopwords") == 1)
+            & (F.col("flag_symbol_ratio") == 1)
+            & (
+                F.lit(2) * F.coalesce(F.col("__n_hit"), F.lit(0))
+                < F.coalesce(F.col("__n_sh"), F.lit(1))
+            )
+        ).cast("int"),
+    )
+    return judged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept") == 1, F.col("n_words"))), F.lit(0)
+        ).cast("long").alias("n_tokens_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S1 end-to-end: executor-side xlsx parse -> ingest normalize (SURVEY.md §2.1)
 # ---------------------------------------------------------------------------
@@ -4541,6 +4670,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_retention_cohorts",
     "customer_priority_scd2",
     "segment_spend_deciles",
+    "corpus_curation_pipeline",
     # --- r4 block 2: every query whose LATEST green verdict is r1/r2
     # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
     # sketches are rotated OUT (their oracles certify rows+schema only and
@@ -4582,10 +4712,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r2 green verdicts) and stay bench-tracked + pytest-covered.
     "top_balance_inactive_customers",
     "decayed_user_value",
-    "rfm_segments",
     # rows_rolling_spend / orders_priority_pivot / brand_revenue_concentration
-    # ceded slots to the three late-round-4 queries above — all three are
-    # queries.py-local code (no shared helper changed since their r2 greens).
+    # / rfm_segments ceded slots to the four late-round-4 queries above — all
+    # are queries.py-local code (no shared helper changed since their r2
+    # greens).
     "order_navigation",
     "segment_priority_grouping_sets",
     "latest_order_maxby",
