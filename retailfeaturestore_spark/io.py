@@ -148,6 +148,89 @@ def write_bucketed_table(
     w.saveAsTable(table_name)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet at rest: rows globally range-partitioned and
+    sorted on ``cluster_cols``, so every file's row groups carry TIGHT
+    min/max statistics on those columns.
+
+    This is the path-level locality lever (Delta ZORDER / Iceberg
+    sort-order, without the table format): a reader filtering on the
+    cluster key prunes most files/row groups from footer stats alone —
+    at 100 TB the difference between scanning a key's ~1/n_files slice and
+    scanning everything.  Contrast with :func:`write_bucketed_table`, which
+    removes downstream shuffles; clustering removes SCAN IO.  The two
+    compose (bucket by entity, sort by time within buckets).
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    event_ts_col: str,
+) -> int:
+    """MERGE-style upsert into a ``date=`` partitioned parquet target
+    without a table format: rows in ``updates`` replace target rows with
+    the same ``keys``; new keys append; everything else is untouched.
+
+    Scale shape: only the ``date=`` partitions that ``updates`` touches are
+    read (partition pruning on the derived date) and rewritten (dynamic
+    partition overwrite) — the merge cost is proportional to the touched
+    partitions, never the table (the Delta/Iceberg MERGE INTO access
+    pattern, reproduced on plain parquet; ACIDity is per-partition
+    directory swap, the same guarantee the reference's overwrite-by-rerun
+    gives per run, SURVEY.md §2.9).
+
+    The surviving old rows are found with a LEFT ANTI join against the
+    update keys — updates are expected small relative to the table, so
+    Catalyst broadcasts the key set; the anti join never shuffles the
+    target slice.  Returns the number of rows written.
+    """
+    import os
+
+    date_of = F.date_format(F.col(event_ts_col), "yyyy-MM-dd")
+    if not os.path.exists(target_path):
+        write_date_partitioned(updates, target_path, event_ts_col)
+        return updates.count()
+
+    touched = [r[0] for r in updates.select(date_of.alias("d")).distinct().collect()]
+    target = spark.read.parquet(target_path)
+    # partition pruning: the `date` partition column exists on the read side
+    slice_old = target.where(F.col("date").isin(touched)).drop("date")
+    survivors = slice_old.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    # localCheckpoint materializes the merged slice BEFORE the overwrite —
+    # the write must not re-read the very files it is replacing (Spark
+    # rejects path self-overwrite; lineage truncation is the path-based
+    # equivalent of a table format's snapshot isolation for this swap)
+    merged = (
+        survivors.unionByName(updates.select(*survivors.columns))
+        .localCheckpoint(eager=True)
+    )
+    n = merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_date_partitioned(merged, target_path, event_ts_col, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7 CSV sink (``serving/local_infer.py:126-129`` batch-scores parity);
     header on, single directory of part files (coalesce(1) only for tiny

@@ -1,0 +1,101 @@
+"""merge_upsert partition-scoped semantics + write_clustered stats locality."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from retailfeaturestore_spark.io import merge_upsert, write_clustered
+
+from conftest import requires_testdata
+
+pytestmark = requires_testdata
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        rows, "customer_id long, t_ref string, score double"
+    ).withColumn("t_ref", F.col("t_ref").cast("timestamp"))
+
+
+def test_merge_upsert_updates_appends_preserves(spark, tmp_path):
+    tgt = str(tmp_path / "gold")
+    base = _snap(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (2, "2024-01-01 11:00:00", 2.0),
+            (3, "2024-01-02 10:00:00", 3.0),
+        ],
+    )
+    assert merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref") == 3
+
+    updates = _snap(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 10.0),  # update existing key
+            (9, "2024-01-01 12:00:00", 9.0),   # new key, touched partition
+        ],
+    )
+    merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+
+    out = {
+        (r.customer_id, str(r.t_ref)): r.score
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert out[(1, "2024-01-01 10:00:00")] == 10.0  # replaced
+    assert out[(2, "2024-01-01 11:00:00")] == 2.0   # untouched same partition
+    assert out[(9, "2024-01-01 12:00:00")] == 9.0   # appended
+    assert out[(3, "2024-01-02 10:00:00")] == 3.0   # untouched partition
+    assert len(out) == 4
+
+
+def test_merge_upsert_leaves_untouched_partitions_byte_stable(spark, tmp_path):
+    tgt = str(tmp_path / "gold2")
+    base = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 1.0), (3, "2024-01-02 10:00:00", 3.0)],
+    )
+    merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref")
+    day2 = sorted(glob.glob(os.path.join(tgt, "date=2024-01-02", "*.parquet")))
+    before = [(p, os.path.getmtime(p), os.path.getsize(p)) for p in day2]
+
+    updates = _snap(spark, [(1, "2024-01-01 10:00:00", 5.0)])
+    merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    after = [
+        (p, os.path.getmtime(p), os.path.getsize(p))
+        for p in sorted(glob.glob(os.path.join(tgt, "date=2024-01-02", "*.parquet")))
+    ]
+    assert before == after  # dynamic overwrite never rewrote day 2
+
+
+def test_write_clustered_tightens_rowgroup_stats(spark, tmp_path):
+    from retailfeaturestore_spark.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    write_clustered(li, clustered, ["l_orderkey"], n_files=8)
+    li.repartition(8).write.parquet(scattered)
+
+    def max_span(path):
+        spans = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(0)
+                st = col.statistics
+                spans.append(st.max - st.min)
+        return max(spans)
+
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    full = hi - lo
+    # every clustered row group covers a narrow key range; the scattered
+    # write's row groups each span ~the whole key domain
+    assert max_span(clustered) < full / 4
+    assert max_span(scattered) > full / 2
