@@ -88,6 +88,7 @@ HEADLINE = [
     "segment_spend_deciles",
     "dedup_simhash",
     "corpus_curation_pipeline",
+    "nation_daily_revenue_outliers",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

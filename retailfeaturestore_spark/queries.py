@@ -4466,6 +4466,80 @@ def q_segment_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.withColumn("spend_decile", F.ntile(10).over(w).cast("int"))
 
 
+_OUTLIER_ORACLE = """
+WITH day_rev AS (
+  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+         sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS rev_c
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, CAST(o.o_orderdate AS DATE)
+),
+stats AS (
+  SELECT n_name, d, rev_c,
+    CAST(count(*) OVER (PARTITION BY n_name) AS HUGEINT) AS n,
+    sum(CAST(rev_c AS HUGEINT)) OVER (PARTITION BY n_name) AS s,
+    sum(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT))
+      OVER (PARTITION BY n_name) AS ss
+  FROM day_rev
+)
+SELECT n_name, strftime(d, '%Y-%m-%d') AS day,
+  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+  CAST(CASE WHEN (n * CAST(rev_c AS HUGEINT) - s) * (n * CAST(rev_c AS HUGEINT) - s)
+                 > 4 * (n * ss - s * s)
+       THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+FROM stats
+"""
+
+
+@register(
+    "nation_daily_revenue_outliers", oracle=_OUTLIER_ORACLE, tags=("window", "quality")
+)
+def q_nation_daily_revenue_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact anomaly detection WITHOUT transcendentals: flag nation-days
+    whose daily revenue deviates more than 2 population standard deviations
+    from the nation's mean — but compared in SQUARED form,
+    ``(n*x - s)^2 > 4*(n*ss - s^2)``, so the whole predicate is exact
+    integer arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT) and the two
+    engines agree bit-for-bit; no sqrt, no float accumulation anywhere.
+    The technique generalizes to any z-score-style gate in a differential
+    harness.  Plan: one join+agg to nation-day grain, one window over the
+    tiny per-nation groups."""
+    from pyspark.sql.types import DecimalType
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    c = F.broadcast(t["customer"].select("c_custkey", "c_nationkey"))
+    n_ = F.broadcast(t["nation"].select("n_nationkey", "n_name"))
+    day_rev = (
+        t["orders"]
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n_, c.c_nationkey == n_.n_nationkey)
+        .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(cents(F.col("o_totalprice"), 2)).alias("rev_c"))
+    )
+    dec = DecimalType(38, 0)
+    w = Window.partitionBy("n_name")
+    stats = day_rev.select(
+        "n_name",
+        "d",
+        "rev_c",
+        F.count(F.lit(1)).over(w).cast(dec).alias("__n"),
+        F.sum(F.col("rev_c").cast(dec)).over(w).alias("__s"),
+        F.sum((F.col("rev_c").cast(dec) * F.col("rev_c").cast(dec))).over(w).alias("__ss"),
+    )
+    dev = F.col("__n") * F.col("rev_c").cast(dec) - F.col("__s")
+    lhs = dev * dev
+    rhs = F.lit(4).cast(dec) * (
+        F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    )
+    return stats.select(
+        "n_name",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.when(lhs > rhs, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_outlier"),
+    )
+
+
 _CURATION_ORACLE = """
 WITH base AS (
   SELECT doc_id, source, text,
@@ -4671,6 +4745,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_priority_scd2",
     "segment_spend_deciles",
     "corpus_curation_pipeline",
+    "nation_daily_revenue_outliers",
     # --- r4 block 2: every query whose LATEST green verdict is r1/r2
     # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
     # sketches are rotated OUT (their oracles certify rows+schema only and
@@ -4713,10 +4788,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_balance_inactive_customers",
     "decayed_user_value",
     # rows_rolling_spend / orders_priority_pivot / brand_revenue_concentration
-    # / rfm_segments ceded slots to the four late-round-4 queries above — all
-    # are queries.py-local code (no shared helper changed since their r2
-    # greens).
-    "order_navigation",
+    # / rfm_segments / order_navigation ceded slots to the five late-round-4
+    # queries above — all are queries.py-local code (no shared helper changed
+    # since their r2 greens; scd2 keeps the lead/lag family in-window).
     "segment_priority_grouping_sets",
     "latest_order_maxby",
     "doc_pack_context_windows",
