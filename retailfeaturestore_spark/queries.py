@@ -4213,6 +4213,65 @@ def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIME_TO_CONVERT_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS v
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id,
+         min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > v.v) AS c
+  FROM events e JOIN v ON v.user_id = e.user_id GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id,
+         min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > c.c) AS p
+  FROM events e JOIN c ON c.user_id = e.user_id GROUP BY e.user_id
+),
+conv AS (
+  SELECT CAST(v.v AS DATE) AS cohort_day,
+         epoch_us(p.p) - epoch_us(v.v) AS us_to_convert
+  FROM v JOIN p ON p.user_id = v.user_id
+  WHERE p.p IS NOT NULL
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+  CAST(count(*) AS BIGINT) AS n_converted,
+  CAST(sum(us_to_convert) AS BIGINT) AS total_us,
+  CAST(sum(us_to_convert) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 60000000.0
+    AS avg_minutes_to_convert
+FROM conv GROUP BY cohort_day
+"""
+
+
+@register(
+    "funnel_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE, tags=("window", "events")
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency per first-view cohort: among users who completed
+    the view->click->purchase funnel, the exact microsecond total and the
+    average minutes from first view to qualifying purchase.  The mean is a
+    single IEEE division chain over an exact integer sum (deterministic
+    cross-engine).  Reuses the one-exchange funnel stage operator."""
+    from .operators.funnel import funnel_stage_times
+
+    st = funnel_stage_times(load_table(spark, sf_dir, "events"), ("view", "click", "purchase"))
+    conv = st.where(F.col("stage_purchase").isNotNull()).select(
+        F.date_format(F.to_date("stage_view"), "yyyy-MM-dd").alias("cohort_day"),
+        (epoch_us(F.col("stage_purchase")) - epoch_us(F.col("stage_view"))).alias(
+            "us_to_convert"
+        ),
+    )
+    total = F.sum("us_to_convert").cast("long")
+    n = F.count(F.lit(1))
+    return conv.groupBy("cohort_day").agg(
+        n.alias("n_converted"),
+        total.alias("total_us"),
+        (total.cast("double") / n.cast("double") / F.lit(60_000_000.0)).alias(
+            "avg_minutes_to_convert"
+        ),
+    )
+
+
 _GOPHER_ORACLE = """
 WITH w AS (
   SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
