@@ -2732,6 +2732,70 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CANONICAL_QUALITY_ORACLE = _DEDUP_CLUSTERS_ORACLE.replace(
+    "SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u",
+    """, clus AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+qual AS (
+  SELECT doc_id,
+    LEAST(GREATEST(
+      0.2 * (CASE WHEN len(ws) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+      + 0.4 * LEAST(CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                    / CAST(CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END AS DOUBLE) * 4.0, 1.0)
+      + 0.4 * (CAST(len(list_distinct(ws)) AS DOUBLE)
+               / CAST(CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END AS DOUBLE)),
+    0.0), 1.0) AS quality_score
+  FROM shingled
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+    row_number() OVER (PARTITION BY c.cluster_id
+                       ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clus c JOIN qual q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       quality_score AS keep_quality
+FROM ranked WHERE rn = 1""",
+)
+
+
+@register(
+    "dedup_canonical_by_quality",
+    oracle=_CANONICAL_QUALITY_ORACLE,
+    tags=("dedup", "text", "iterative"),
+)
+def q_dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step AFTER near-dup clustering in a
+    real curation pipeline: within each connected component keep the
+    highest-quality member (deterministic tiebreak on doc_id), reporting
+    cluster size and the survivor's score.  Both engines compute identical
+    IEEE quality doubles (the text_quality arithmetic is hash-certified),
+    so the argmax agrees bit-for-bit.  Plan: the clusters frame (one row
+    per near-dup doc — tiny) joins the map-only quality projection, then
+    one window over per-cluster groups."""
+    from .operators.textops import text_quality
+
+    dup = _minhash_pipeline_df(spark, sf_dir)
+    clus = connected_components(dup).select(F.col("id").alias("doc_id"), "cluster_id")
+    qual = text_quality(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    j = clus.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("quality_score").alias("keep_quality"),
+    )
+
+
 _TOP_REVENUE_SUPPLIER_ORACLE = """
 WITH srev AS (
   SELECT l_suppkey,
