@@ -26,8 +26,11 @@ COPY tools /code/tools
 COPY tests /code/tests
 COPY __spark_entry__.py bench.py /code/
 
-# Online store config mirrors the reference's env contract
-# (REDIS_HOST/REDIS_PORT/REDIS_TTL_SECONDS; offline fallback when absent).
+# Online store config (app_from_env contract): FEATURE_BACKEND=redis reads
+# REDIS_URL (default redis://localhost:6379/0) + REDIS_KEY_PREFIX and falls
+# back to the offline parquet service per-request on miss/outage; set
+# FEATURE_BACKEND=offline to skip Redis entirely.  REDIS_TTL_SECONDS is the
+# MATERIALIZER's knob (sources/redis_sink.py), not a serving one.
 ENV FEATURE_BACKEND=redis
 EXPOSE 7860
 

@@ -48,6 +48,11 @@ def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
             pos += 1
         tokens.append(int(data[start:pos]))
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        # a zero/negative-pixel "image" must fail HERE like any other bad
+        # payload — letting it through gives downstream feature math a
+        # divide-by-zero that kills the whole mapInPandas task
+        raise ValueError(f"non-positive PPM dimensions {width}x{height}")
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     pos += 1  # exactly one whitespace byte separates header and pixels

@@ -198,18 +198,36 @@ def merge_upsert(
     update keys — updates are expected small relative to the table, so
     Catalyst broadcasts the key set; the anti join never shuffles the
     target slice.  Returns the number of rows written.
+
+    NULL semantics: rows whose ``event_ts_col`` is NULL live in the null
+    partition and are merged like any other; rows with NULL values in
+    ``keys`` are effectively append-only (SQL equality never matches NULL,
+    so an old null-key row survives next to a new one — supply surrogate
+    keys if null-key replacement is needed).
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     date_of = F.date_format(F.col(event_ts_col), "yyyy-MM-dd")
-    if not os.path.exists(target_path):
+    # Existence = "can Spark read it" — works on any Hadoop-visible URI
+    # (os.path.exists would silently take the fresh-write branch on
+    # hdfs://-or-s3a:// targets and truncate the table).
+    try:
+        target = spark.read.parquet(target_path)
+        target.schema  # force resolution
+    except AnalysisException:
         write_date_partitioned(updates, target_path, event_ts_col)
         return updates.count()
 
     touched = [r[0] for r in updates.select(date_of.alias("d")).distinct().collect()]
-    target = spark.read.parquet(target_path)
+    non_null = [d for d in touched if d is not None]
+    # NULL event timestamps land in the null (__HIVE_DEFAULT_PARTITION__)
+    # partition; isin() never matches NULL, so the null partition's old rows
+    # must be selected explicitly or the overwrite would drop them.
+    date_pred = F.col("date").isin(non_null)
+    if len(non_null) != len(touched):
+        date_pred = date_pred | F.col("date").isNull()
     # partition pruning: the `date` partition column exists on the read side
-    slice_old = target.where(F.col("date").isin(touched)).drop("date")
+    slice_old = target.where(date_pred).drop("date")
     survivors = slice_old.join(
         F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
     )

@@ -127,7 +127,16 @@ def extract_features(
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
             if decode_stub == "ppm":
-                feats = payloads.map(_ppm_features)
+                # per-ROW failure surface: a malformed payload yields null
+                # features for that row instead of aborting the whole task
+                # (one adversarial blob must not kill the batch)
+                def _safe(b):
+                    try:
+                        return _ppm_features(b)
+                    except ValueError:
+                        return None
+
+                feats = payloads.map(_safe)
             else:
                 feats = payloads.map(
                     lambda b: [

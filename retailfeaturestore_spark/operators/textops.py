@@ -251,8 +251,13 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
         "<EMAIL>",
     ),
+    # Separators deliberately exclude '.': a dotted phone pattern also
+    # matches IPv4 literals with 3-digit middle octets (192.168.100.12),
+    # which would be redacted as <PHONE> and miscounted in the audit.
+    # Dot-separated phone formats are out of scope by this choice — the
+    # rarer miss, vs. systematically misclassifying IPs.
     "phone": (
-        r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3}[-. ][0-9]{2,4}",
+        r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{2,4}",
         "<PHONE>",
     ),
     "ipv4": (
@@ -261,9 +266,9 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     ),
 }
 
-# Replacement order matters: phone before ipv4 (a dotted phone could
-# otherwise be half-eaten by the IP rule), email first (its local part may
-# contain digit runs).
+# Replacement order: email first (its local part may contain digit runs);
+# phone before ipv4 is safe because the phone separators exclude '.', so
+# the two rules' match sets are disjoint on dotted literals.
 PII_ORDER = ("email", "phone", "ipv4")
 
 

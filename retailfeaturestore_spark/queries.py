@@ -935,9 +935,14 @@ FROM (
   SELECT doc_id, sh, md5(sh) AS d FROM (
     SELECT doc_id,
            explode(array_distinct(transform(
-             sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+             sequence(1, size(split(text, ' ')) - 2),
              i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS sh
-    FROM (SELECT /*+ REPARTITION({spread}) */ doc_id, text FROM {view})
+    FROM (SELECT /*+ REPARTITION({spread}) */ doc_id, text FROM {view}
+          -- docs shorter than one 3-gram contribute no shingles (mirrors
+          -- the oracle's generate_series(1, greatest(len-2, 0)) and the
+          -- zip-form shingles()); without this guard sequence(1, 0) yields
+          -- the DESCENDING [1, 0] and slice(ws, 0, 3) aborts the job
+          WHERE size(split(text, ' ')) >= 3)
   )
 )"""
 

@@ -181,3 +181,17 @@ def test_kmeans_cells_deterministic_and_partitioned(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     # the quantizer actually partitions the space: more than one cell in use
     assert a.select("cell").distinct().count() > 1
+
+
+def test_minhash_sql_front_survives_short_docs(spark):
+    """Docs with fewer than 3 words must contribute zero shingles, not
+    abort the job (sequence(1, 0) yields DESCENDING [1, 0] and slice(ws,
+    0, 3) throws — the guard filters them before the gram transform)."""
+    from retailfeaturestore_spark.queries import _minhash_post_sql
+
+    spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "a b c d")], "doc_id long, text string"
+    ).createOrReplaceTempView("t_short_docs")
+    rows = spark.sql(_minhash_post_sql("t_short_docs", 2)).collect()
+    assert {r.id for r in rows} == {3}
+    assert {r.sh for r in rows} == {"a b c", "b c d"}

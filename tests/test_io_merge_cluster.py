@@ -5,14 +5,18 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from retailfeaturestore_spark.io import merge_upsert, write_clustered
 
-from conftest import requires_testdata
-
-pytestmark = requires_testdata
+# the merge_upsert tests build ALL their data via createDataFrame — no
+# testdata gate (they must run in CI); only the clustered-stats test reads
+# driver parquet, and it gates on the exact sf it reads.
+requires_sf001 = pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.01"), reason="sf0.01 testdata absent"
+)
 
 
 def _snap(spark, rows):
@@ -72,6 +76,7 @@ def test_merge_upsert_leaves_untouched_partitions_byte_stable(spark, tmp_path):
     assert before == after  # dynamic overwrite never rewrote day 2
 
 
+@requires_sf001
 def test_write_clustered_tightens_rowgroup_stats(spark, tmp_path):
     from retailfeaturestore_spark.io import load_table
 

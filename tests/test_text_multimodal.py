@@ -180,9 +180,10 @@ def test_resize_ppm_real_nearest_neighbor(spark):
 
 
 def test_pii_scrub_kinds_order_and_counts(spark):
-    """Emails, dotted/spaced phones, and IPv4 literals scrub to typed
-    placeholders with audit counts; replacement order protects dotted
-    phones from the IP rule; clean text stays untouched."""
+    """Emails, spaced/dashed phones, and IPv4 literals scrub to typed
+    placeholders with audit counts; the phone separators exclude '.' so
+    dotted quads (incl. 3-digit middle octets) always classify as <IP>;
+    clean text stays untouched."""
     from retailfeaturestore_spark.operators.textops import pii_scrub
 
     rows = [
@@ -190,6 +191,7 @@ def test_pii_scrub_kinds_order_and_counts(spark):
         (2, "call +1 555 123 4567 or 44-555-321-99 now"),
         (3, "host 192.168.0.1 and 10.0.255.254 up"),
         (4, "clean text with no identifiers at all"),
+        (5, "gateway 192.168.100.12 pinged"),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in pii_scrub(d).collect()}
@@ -201,3 +203,26 @@ def test_pii_scrub_kinds_order_and_counts(spark):
     assert out[3].n_ipv4 == 2
     assert out[4].clean_text == rows[3][1]
     assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
+    # 3-digit middle octets must NOT be eaten by the phone rule
+    assert out[5].clean_text == "gateway <IP> pinged"
+    assert (out[5].n_phone, out[5].n_ipv4) == (0, 1)
+
+
+def test_ppm_zero_dims_rejected_and_row_local(spark):
+    """A zero-pixel P6 payload must fail decode cleanly and surface as a
+    null-features ROW, never a task-killing ZeroDivisionError."""
+    import pytest as _pytest
+
+    from retailfeaturestore_spark.functions.ppm import decode_ppm
+
+    with _pytest.raises(ValueError, match="non-positive"):
+        decode_ppm(b"P6\n0 0\n255\n")
+
+    good = b"P6\n1 1\n255\n\xff\x00\x00"
+    d = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"P6\n0 5\n255\n"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in extract_features(d, decode_stub="ppm").collect()}
+    assert out[1].features is not None and out[1].features[0] == 1.0
+    assert out[2].features is None
