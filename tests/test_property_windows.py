@@ -106,3 +106,57 @@ def test_delta_distinct_matches_brute_force(spark, events):
         for r in feats.collect()
     )
     assert got == brute_force(rows, 7)
+
+
+# ---------------------------------------------------------------------------
+# Funnel property: stage times match a from-first-principles reference and
+# are invariant to input row order (window min is order-independent).
+# ---------------------------------------------------------------------------
+
+funnel_event = st.tuples(
+    st.integers(0, 2),                        # user
+    st.integers(0, 3600),                     # offset seconds
+    st.sampled_from(["view", "click", "purchase", "error"]),
+)
+
+
+def _funnel_reference(rows):
+    """Brute-force funnel: first view; first click strictly after it;
+    first purchase strictly after that."""
+    out = {}
+    for uid in {r[0] for r in rows}:
+        evs = sorted((t, k) for u, t, k in rows if u == uid)
+        v = min((t for t, k in evs if k == "view"), default=None)
+        c = (
+            min((t for t, k in evs if k == "click" and t > v), default=None)
+            if v is not None
+            else None
+        )
+        p = (
+            min((t for t, k in evs if k == "purchase" and t > c), default=None)
+            if c is not None
+            else None
+        )
+        out[uid] = (v, c, p)
+    return out
+
+
+@given(st.lists(funnel_event, min_size=1, max_size=25), st.randoms())
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_funnel_matches_reference_any_input_order(spark, rows, rnd):
+    from retailfeaturestore_spark.operators.funnel import funnel_stage_times
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(u, BASE + timedelta(seconds=t), k) for u, t, k in shuffled],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: tuple(
+            None if x is None else int((x - BASE).total_seconds())
+            for x in (r.stage_view, r.stage_click, r.stage_purchase)
+        )
+        for r in funnel_stage_times(df, ("view", "click", "purchase")).collect()
+    }
+    assert got == _funnel_reference(rows)
