@@ -89,6 +89,8 @@ HEADLINE = [
     "dedup_simhash",
     "corpus_curation_pipeline",
     "nation_daily_revenue_outliers",
+    "late_shipment_priority_check",
+    "dau_mau_stickiness",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4594,6 +4594,101 @@ def q_segment_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.withColumn("spend_decile", F.ntile(10).over(w).cast("int"))
 
 
+_LATE_SHIP_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("late_shipment_priority_check", oracle=_LATE_SHIP_ORACLE, tags=("join", "tpch"))
+def q_late_shipment_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the available columns: count orders per priority
+    having at least one line shipped more than 90 days after the order
+    date.  The existence test is a LEFT SEMI join with the range residual
+    riding on the orderkey equi-key (sort-merge, never a nested loop) —
+    the fact-fact EXISTS pattern Q4 exists to exercise."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_STICKINESS_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+bounds AS (SELECT max(d) AS max_d FROM du),
+expanded AS (
+  SELECT du.d + CAST(o AS INTEGER) AS target_day, du.user_id
+  FROM du, unnest(generate_series(0, 27)) AS t(o)
+  WHERE du.d + CAST(o AS INTEGER) <= (SELECT max_d FROM bounds)
+),
+mau AS (
+  SELECT target_day, count(DISTINCT user_id) AS mau_users
+  FROM expanded GROUP BY target_day
+),
+dau AS (
+  SELECT d AS target_day, count(DISTINCT user_id) AS dau_users
+  FROM du GROUP BY d
+)
+SELECT strftime(m.target_day, '%Y-%m-%d') AS day,
+  CAST(coalesce(d.dau_users, 0) AS BIGINT) AS dau,
+  CAST(m.mau_users AS BIGINT) AS mau,
+  CAST(coalesce(d.dau_users, 0) AS DOUBLE) / CAST(m.mau_users AS DOUBLE) AS stickiness
+FROM mau m LEFT JOIN dau d ON d.target_day = m.target_day
+"""
+
+
+@register("dau_mau_stickiness", oracle=_STICKINESS_ORACLE, tags=("window", "events"))
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness: per day, distinct active users that day over
+    distinct users in the trailing 28 days.  The trailing-window distinct
+    is computed WITHOUT a range join or windowed set state: each distinct
+    (day, user) pair explodes into the <=28 future days it supports
+    (`sequence(0, 27)`), and a plain groupBy-distinct does the rest — the
+    offset-explode trick turns a sliding distinct into an equi-aggregation
+    whose input is bounded by 28x the (tiny) distinct-day-user table, not
+    by raw event volume."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    max_d = du.agg(F.max("d")).collect()[0][0]
+    expanded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("o")).alias("target_day"), "user_id")
+    expanded = expanded.where(F.col("target_day") <= F.lit(max_d))
+    mau = expanded.groupBy("target_day").agg(
+        F.countDistinct("user_id").alias("mau_users")
+    )
+    dau = du.groupBy(F.col("d").alias("target_day")).agg(
+        F.countDistinct("user_id").alias("dau_users")
+    )
+    j = mau.join(dau, "target_day", "left")
+    return j.select(
+        F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("dau_users"), F.lit(0)).cast("long").alias("dau"),
+        F.col("mau_users").cast("long").alias("mau"),
+        (
+            F.coalesce(F.col("dau_users"), F.lit(0)).cast("double")
+            / F.col("mau_users").cast("double")
+        ).alias("stickiness"),
+    )
+
+
 _OUTLIER_ORACLE = """
 WITH day_rev AS (
   SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
