@@ -91,6 +91,7 @@ HEADLINE = [
     "nation_daily_revenue_outliers",
     "late_shipment_priority_check",
     "dau_mau_stickiness",
+    "feature_drift_bins",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

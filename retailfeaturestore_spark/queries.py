@@ -4689,6 +4689,77 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_ORACLE = """
+WITH binned AS (
+  SELECT
+    CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00' THEN 0 ELSE 1 END AS period,
+    LEAST(CAST(round(o_totalprice * 100.0) AS BIGINT) // 5000000, 9) AS bin_id
+  FROM orders
+),
+counts AS (
+  SELECT bin_id,
+    sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS n_base,
+    sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM binned GROUP BY bin_id
+),
+tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM counts)
+SELECT c.bin_id,
+  CAST(c.n_base AS BIGINT) AS n_base,
+  CAST(c.n_cur AS BIGINT) AS n_cur,
+  CAST(c.n_base AS DOUBLE) / CAST(t.tb AS DOUBLE) AS p_base,
+  CAST(c.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE) AS p_cur,
+  CAST(c.n_cur AS DOUBLE) / CAST(t.tc AS DOUBLE)
+    - CAST(c.n_base AS DOUBLE) / CAST(t.tb AS DOUBLE) AS p_shift
+FROM counts c, tot t
+"""
+
+
+@register("feature_drift_bins", oracle=_DRIFT_ORACLE, tags=("quality", "ml-prep"))
+def q_feature_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report for a feature between a baseline and a
+    current period (the reference DECLARES evidently for this intent but
+    never imports it, SURVEY.md §0) — order totals binned on an exact
+    integer grid (cents / 50k, capped at bin 9), per-bin counts and
+    proportion shift.  Everything compared is an integer count or a single
+    IEEE division of two longs, so the report is engine-exact; PSI/chi²
+    reductions (which need logs / cross-bin float sums) are left to the
+    consumer on this 10-row frame.  Plan: one scan, one 10-group agg, a
+    broadcast of the 1-row totals."""
+    o = load_table(spark, sf_dir, "orders")
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"), 0
+    ).otherwise(1)
+    # floor-division explicitly: Spark's `/` is float division and a
+    # double->long CAST truncates while DuckDB's rounds — `//` / floor()
+    # keep both engines on exact integer-division semantics
+    bin_id = F.least(
+        F.floor(cents(F.col("o_totalprice"), 2) / F.lit(5_000_000)).cast("long"),
+        F.lit(9).cast("long"),
+    )
+    counts = (
+        o.select(period.alias("period"), bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p_base = F.col("n_base").cast("double") / F.col("tb").cast("double")
+    p_cur = F.col("n_cur").cast("double") / F.col("tc").cast("double")
+    return j.select(
+        "bin_id",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        p_base.alias("p_base"),
+        p_cur.alias("p_cur"),
+        (p_cur - p_base).alias("p_shift"),
+    )
+
+
 _OUTLIER_ORACLE = """
 WITH day_rev AS (
   SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
