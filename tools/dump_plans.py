@@ -25,6 +25,8 @@ SHOW = {
     "events_funnel_conversion": "Ordered funnel: three chained stage windows + per-user collapse over ONE user_id exchange; funnel state never leaves the executor.",
     "customer_priority_scd2": "SCD2 validity intervals: one exchange, one sort, one WindowExec (lead + is_current).",
     "segment_spend_deciles": "Quantile binning: ntile under PARTITION BY segment — no SinglePartition window, no global sort.",
+    "corpus_curation_pipeline": "End-to-end curation: digest dedup window + broadcast-marked contamination agg + one doc_id join; Gopher flags ride map-side.",
+    "nation_daily_revenue_outliers": "Exact 2-sigma gate in squared form: DECIMAL(38,0) arithmetic, broadcast dims, one tiny per-nation window.",
 }
 
 
