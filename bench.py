@@ -92,6 +92,7 @@ HEADLINE = [
     "late_shipment_priority_check",
     "dau_mau_stickiness",
     "feature_drift_bins",
+    "session_event_transitions",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

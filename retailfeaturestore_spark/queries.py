@@ -4689,6 +4689,61 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type
+  FROM ordered
+  WHERE next_type IS NOT NULL AND next_ts - ts < INTERVAL 30 MINUTE
+),
+counted AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, sum(n) AS n_from FROM counted GROUP BY from_type)
+SELECT c.from_type, c.to_type,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p_transition
+FROM counted c JOIN tot t ON t.from_type = c.from_type
+"""
+
+
+@register("session_event_transitions", oracle=_TRANSITIONS_ORACLE, tags=("window", "events"))
+def q_session_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path Markov transitions: consecutive within-session event-type
+    pairs (same 30-minute gap rule as the session windows, same
+    deterministic (ts, event_id) ordering) counted globally with per-source
+    transition probabilities (one IEEE division of two longs).  Plan: one
+    exchange on user_id for the lead window, then a tiny 25-group agg —
+    path analysis at any scale is the window pass, not the rollup."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (epoch_us(F.lead("ts").over(w)) - epoch_us(F.col("ts"))).alias("__gap_us"),
+    ).where(
+        F.col("to_type").isNotNull() & (F.col("__gap_us") < F.lit(30 * 60 * 1_000_000))
+    )
+    counted = paired.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counted.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return counted.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p_transition"
+        ),
+    )
+
+
 _DRIFT_ORACLE = """
 WITH binned AS (
   SELECT
