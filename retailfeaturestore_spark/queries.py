@@ -4666,11 +4666,19 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     by raw event volume."""
     e = load_table(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    max_d = du.agg(F.max("d")).collect()[0][0]
-    expanded = du.select(
-        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"), "d", "user_id"
-    ).select(F.date_add(F.col("d"), F.col("o")).alias("target_day"), "user_id")
-    expanded = expanded.where(F.col("target_day") <= F.lit(max_d))
+    # the data's last day joins in LAZILY (broadcast 1-row frame) — an eager
+    # collect() here would bake a literal into the cached plan (stale after
+    # an in-session rewrite) and run a Spark job at plan-BUILD time
+    bounds = F.broadcast(du.agg(F.max("d").alias("__max_d")))
+    expanded = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"), "d", "user_id"
+        )
+        .select(F.date_add(F.col("d"), F.col("o")).alias("target_day"), "user_id")
+        .crossJoin(bounds)
+        .where(F.col("target_day") <= F.col("__max_d"))
+        .drop("__max_d")
+    )
     mau = expanded.groupBy("target_day").agg(
         F.countDistinct("user_id").alias("mau_users")
     )
@@ -5095,6 +5103,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "segment_spend_deciles",
     "corpus_curation_pipeline",
     "nation_daily_revenue_outliers",
+    "funnel_time_to_convert",
+    "dedup_canonical_by_quality",
+    "late_shipment_priority_check",
+    "dau_mau_stickiness",
+    "feature_drift_bins",
+    "session_event_transitions",
     # --- r4 block 2: every query whose LATEST green verdict is r1/r2
     # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
     # sketches are rotated OUT (their oracles certify rows+schema only and
@@ -5124,11 +5138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "multimodal_payload_meta",
     "events_props_json",
-    "revenue_rollup",
-    "first_event_per_user",
     "value_percentiles",
     "events_session_windows",
-    "order_sequence_analytics",
     # order_count_distribution / large_volume_orders / promo_revenue_share /
     # nation_market_share / min_price_supplier_per_part / bulk_part_suppliers
     # ceded their slots to the six new round-4 queries above: all are
@@ -5137,12 +5148,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_balance_inactive_customers",
     "decayed_user_value",
     # rows_rolling_spend / orders_priority_pivot / brand_revenue_concentration
-    # / rfm_segments / order_navigation ceded slots to the five late-round-4
-    # queries above — all are queries.py-local code (no shared helper changed
-    # since their r2 greens; scd2 keeps the lead/lag family in-window).
-    "segment_priority_grouping_sets",
-    "latest_order_maxby",
-    "doc_pack_context_windows",
+    # / rfm_segments / order_navigation / revenue_rollup / first_event_per_user
+    # / order_sequence_analytics / segment_priority_grouping_sets /
+    # latest_order_maxby / doc_pack_context_windows ceded slots to the
+    # late-round-4 zero-verdict queries above — all are queries.py-local code
+    # (no shared helper changed since their r2 greens); scd2 keeps the
+    # lead/lag family in-window, segment_priority_cube's r3 green keeps the
+    # grouping family covered, latest_event_per_user keeps A4.
     "tfidf_top_terms",
 )
 
