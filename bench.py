@@ -93,6 +93,8 @@ HEADLINE = [
     "dau_mau_stickiness",
     "feature_drift_bins",
     "session_event_transitions",
+    "brand_basket_affinity",
+    "order_interarrival_stats",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4697,6 +4697,95 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRAND_AFFINITY_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b
+  FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+)
+SELECT brand_a, brand_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY brand_a, brand_b
+ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+LIMIT 20
+"""
+
+
+@register("brand_basket_affinity", oracle=_BRAND_AFFINITY_ORACLE, tags=("join", "topk"))
+def q_brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 brand pairs co-occurring in an order.
+    The co-occurrence self-join runs on the DEDUPED (order, brand)
+    projection — its fan-out is bounded by brands-per-order squared (tiny),
+    never by line items; the brand dim broadcasts onto the lineitem scan
+    first.  Deterministic top-k tiebreak on the pair."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    p = F.broadcast(t["part"].select("p_partkey", "p_brand"))
+    ob = (
+        t["lineitem"].select("l_orderkey", "l_partkey")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")),
+    ).select(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(20)
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) - epoch_us(lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         )) AS gap_us
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+g AS (SELECT o_custkey, gap_us FROM seq WHERE gap_us IS NOT NULL)
+SELECT o_custkey AS customer_id,
+  CAST(count(*) AS BIGINT) AS n_gaps,
+  CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+  CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 86400000000.0
+    AS avg_gap_days,
+  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g GROUP BY o_custkey
+"""
+
+
+@register("order_interarrival_stats", oracle=_INTERARRIVAL_ORACLE, tags=("window", "ml-prep"))
+def q_order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival statistics (the recency-cadence
+    feature family): lag gaps in exact microseconds with deterministic
+    ordering, reduced to count/total/min/max and an average-days single
+    division chain.  One exchange, one sort, partition-local agg."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = epoch_us(F.col("o_orderdate")) - epoch_us(F.lag("o_orderdate").over(w))
+    g = o.select(F.col("o_custkey").alias("customer_id"), gap.alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    total = F.sum("gap_us").cast("long")
+    n = F.count(F.lit(1))
+    return g.groupBy("customer_id").agg(
+        n.alias("n_gaps"),
+        total.alias("total_gap_us"),
+        (total.cast("double") / n.cast("double") / F.lit(86_400_000_000.0)).alias(
+            "avg_gap_days"
+        ),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+
+
 _TRANSITIONS_ORACLE = """
 WITH ordered AS (
   SELECT user_id, ts, event_type,
