@@ -5198,6 +5198,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dau_mau_stickiness",
     "feature_drift_bins",
     "session_event_transitions",
+    "brand_basket_affinity",
+    "order_interarrival_stats",
     # --- r4 block 2: every query whose LATEST green verdict is r1/r2
     # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
     # sketches are rotated OUT (their oracles certify rows+schema only and
@@ -5215,12 +5217,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_snapshot_lookup",
     "asof_join_clicks_purchases",
     "purchase_labels_after_signup",
-    "customer_onehot",
+    # customer_onehot / shipping_priority ceded slots to the two newest
+    # zero-verdict queries: the J4 one-hot helper stays verified in-window
+    # through training_set_build, and shipping_priority is a queries.py-local
+    # join+agg with a standing r2 green.
     "topk_segments",
     "priority_mode_per_customer",
     "distinct_parts_per_customer",
     "pricing_summary",
-    "shipping_priority",
     "dedup_exact",
     "dedup_simhash",
     "embedding_neardup_lsh",
