@@ -95,6 +95,7 @@ HEADLINE = [
     "session_event_transitions",
     "brand_basket_affinity",
     "order_interarrival_stats",
+    "cohort_revenue_retention",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4515,6 +4515,54 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COHORT_REVENUE_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+),
+act AS (
+  SELECT e.user_id, e.value,
+         CAST(f.first_ts AS DATE) AS cohort_day,
+         CAST(floor(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7)
+              AS INTEGER) AS week_offset
+  FROM events e JOIN f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+       (CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0)
+         AS revenue
+FROM act GROUP BY cohort_day, week_offset
+"""
+
+
+@register("cohort_revenue_retention", oracle=_COHORT_REVENUE_ORACLE, tags=("window", "events"))
+def q_cohort_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted retention: purchase revenue per first-seen cohort x
+    week offset (the LTV-curve input), exact micro-unit money sums.  Same
+    one-exchange first-seen window as the activity cohort triangle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = e.withColumn("__first", F.min("ts").over(w)).where(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        d.select(
+            F.date_format(F.to_date("__first"), "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("__first")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+            "value",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            money_sum(F.col("value"), 6).alias("revenue"),
+        )
+    )
+
+
 _SCD2_ORACLE = """
 SELECT
   o_custkey AS customer_id,
