@@ -96,6 +96,7 @@ HEADLINE = [
     "brand_basket_affinity",
     "order_interarrival_stats",
     "cohort_revenue_retention",
+    "embedding_label_centroids",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4745,6 +4745,73 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LABEL_CENTROID_ORACLE = """
+WITH long_form AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                    * 1000000000000.0) AS BIGINT) AS xq2
+  FROM (
+    SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+),
+agg AS (
+  SELECT label, dim, count(*) AS n, sum(xq) AS s, sum(xq2) AS s2
+  FROM long_form GROUP BY label, dim
+)
+SELECT label, CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vecs,
+  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS centroid,
+  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS variance
+FROM agg
+"""
+
+
+@register(
+    "embedding_label_centroids", oracle=_LABEL_CENTROID_ORACLE, tags=("array", "similarity")
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding prototypes: centroid and per-dimension variance
+    for each label — the class-prototype statistics behind nearest-centroid
+    classifiers and embedding-drift monitors.  Components quantize to exact
+    1e-6 / 1e-12 longs BEFORE the sums (order-independent reduction); the
+    mean and E[x^2]-mean^2 variance are identical division/multiply chains
+    in both engines.  Plan: posexplode to (label, dim) long form, one
+    partial-aggregated shuffle on the (tiny) label x dim key space."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    lf = e.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.struct(
+                    F.round(xd(x) * F.lit(1e6)).cast("long").alias("xq"),
+                    F.round(xd(x) * xd(x) * F.lit(1e12)).cast("long").alias("xq2"),
+                ),
+            )
+        ).alias("dim", "q"),
+    )
+    agg = lf.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q.xq").alias("s"),
+        F.sum("q.xq2").alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e6)
+    return agg.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n_vecs"),
+        mean.alias("centroid"),
+        (
+            F.col("s2").cast("double") / F.col("n").cast("double") / F.lit(1e12)
+            - mean * mean
+        ).alias("variance"),
+    )
+
+
 _BRAND_AFFINITY_ORACLE = """
 WITH ob AS (
   SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
