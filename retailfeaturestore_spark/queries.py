@@ -5315,6 +5315,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "session_event_transitions",
     "brand_basket_affinity",
     "order_interarrival_stats",
+    "cohort_revenue_retention",
+    "embedding_label_centroids",
     # --- r4 block 2: every query whose LATEST green verdict is r1/r2
     # (VERDICT.md round-3 item 2/3): the two never-hashable approx_*
     # sketches are rotated OUT (their oracles certify rows+schema only and
@@ -5336,8 +5338,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # zero-verdict queries: the J4 one-hot helper stays verified in-window
     # through training_set_build, and shipping_priority is a queries.py-local
     # join+agg with a standing r2 green.
-    "topk_segments",
-    "priority_mode_per_customer",
+    # topk_segments / priority_mode_per_customer ceded slots to the two
+    # newest zero-verdict queries — encode.py is unchanged since their r2
+    # greens and the J4/A1 helper family stays verified in-window through
+    # training_set_build.
     "distinct_parts_per_customer",
     "pricing_summary",
     "dedup_exact",
