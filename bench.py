@@ -97,6 +97,7 @@ HEADLINE = [
     "order_interarrival_stats",
     "cohort_revenue_retention",
     "embedding_label_centroids",
+    "feature_rank_normalize",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4603,6 +4603,52 @@ def q_customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_NORMALIZE_ORACLE = """
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey AS customer_id,
+    (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+)
+SELECT segment, customer_id, total_spend,
+  CAST(rank() OVER w - 1 AS DOUBLE)
+    / CAST(CASE WHEN count(*) OVER (PARTITION BY segment) > 1
+                THEN count(*) OVER (PARTITION BY segment) - 1 ELSE 1 END AS DOUBLE)
+    AS spend_pctrank
+FROM spend
+WINDOW w AS (PARTITION BY segment ORDER BY total_spend ASC, customer_id ASC)
+"""
+
+
+@register("feature_rank_normalize", oracle=_RANK_NORMALIZE_ORACLE, tags=("window", "ml-prep"))
+def q_feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank normalization of a feature (the first stage of rank-gauss
+    transforms): per-segment percent rank computed EXPLICITLY as
+    (rank-1)/(n-1) with a deterministic tiebreak — exact integer inputs to
+    one division, engine-identical (built-in percent_rank would tie-break
+    nondeterministically on equal spends).  Partitioned ranking, never a
+    global sort."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    spend = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("customer_id"),
+        )
+        .agg(money_sum(F.col("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.asc("total_spend"), F.asc("customer_id"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("segment"))
+    denom = F.when(n > 1, n - 1).otherwise(F.lit(1)).cast("double")
+    return spend.select(
+        "segment",
+        "customer_id",
+        "total_spend",
+        ((F.rank().over(w) - F.lit(1)).cast("double") / denom).alias("spend_pctrank"),
+    )
+
+
 _SPEND_DECILES_ORACLE = """
 WITH spend AS (
   SELECT c.c_mktsegment AS segment, c.c_custkey AS customer_id,
