@@ -4931,12 +4931,15 @@ def q_order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gap = epoch_us(F.col("o_orderdate")) - epoch_us(F.lag("o_orderdate").over(w))
-    g = o.select(F.col("o_custkey").alias("customer_id"), gap.alias("gap_us")).where(
+    # group on the window's own key and alias AFTERWARD — renaming before
+    # the groupBy broke output-partitioning reuse and bought a second
+    # exchange (plan-asserted single exchange now)
+    g = o.select(F.col("o_custkey"), gap.alias("gap_us")).where(
         F.col("gap_us").isNotNull()
     )
     total = F.sum("gap_us").cast("long")
     n = F.count(F.lit(1))
-    return g.groupBy("customer_id").agg(
+    return g.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         n.alias("n_gaps"),
         total.alias("total_gap_us"),
         (total.cast("double") / n.cast("double") / F.lit(86_400_000_000.0)).alias(
@@ -5214,12 +5217,13 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     'src0' source < 50%), reduced to a per-source admission report — what a
     corpus owner actually runs before a training job.
 
-    Plan shape: three exchanges total at any scale — (1) the dedup window
-    on the 32-byte content digest, (2) the contamination postings
+    Plan shape: three data-scale exchanges at any scale — (1) the dedup
+    window on the 32-byte content digest, (2) the contamination postings
     aggregation on doc_id (benchmark set broadcast, corpus text never
-    shuffles), (3) the doc_id join of the two; the Gopher flags ride along
-    map-side and the final per-source rollup is a partial-agg over a
-    handful of groups."""
+    shuffles), (3) the doc_id join of the two — plus the final per-source
+    rollup's partial-agg exchange over a handful of (source) groups (four
+    hash exchanges in the plan, the fourth carrying ~n_sources rows); the
+    Gopher flags ride along map-side."""
     from .functions.text import shingles
     from .operators.textops import gopher_quality
 

@@ -212,3 +212,27 @@ def test_gopher_and_pii_are_map_only(spark):
     for name in ("doc_quality_gopher", "text_pii_scrub"):
         plan = formatted_plan(REGISTRY[name].fn(spark, SF))
         assert "Exchange" not in plan, (name, plan[:1500])
+
+
+def test_interarrival_single_exchange(spark):
+    """lag window + per-customer agg share ONE exchange (grouping on the
+    window's own key, aliased after)."""
+    df = REGISTRY["order_interarrival_stats"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_centroids_single_exchange(spark):
+    df = REGISTRY["embedding_label_centroids"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_curation_exchange_budget(spark):
+    """Digest window + contamination agg + doc_id join + tiny source
+    rollup: exactly four hash exchanges, no nested loops beyond broadcast
+    scalars, no single-partition windows."""
+    df = REGISTRY["corpus_curation_pipeline"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 4, plan[:2000]
+    assert "SinglePartition" not in plan
