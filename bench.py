@@ -98,6 +98,7 @@ HEADLINE = [
     "cohort_revenue_retention",
     "embedding_label_centroids",
     "feature_rank_normalize",
+    "doc_ngram_commonality",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4791,6 +4791,51 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_COMMONALITY_ORACLE = f"""
+WITH {_SH_CTE},
+df AS (
+  SELECT sh, count(*) AS n_docs FROM sh GROUP BY sh
+),
+marked AS (
+  SELECT s.doc_id,
+         CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END AS is_shared
+  FROM sh s JOIN df d ON d.sh = s.sh
+)
+SELECT m.doc_id,
+  CAST(count(*) AS BIGINT) AS n_sh,
+  CAST(sum(m.is_shared) AS BIGINT) AS n_shared,
+  CAST(sum(m.is_shared) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS commonality
+FROM marked m GROUP BY m.doc_id
+"""
+
+
+@register("doc_ngram_commonality", oracle=_NGRAM_COMMONALITY_ORACLE, tags=("text", "dedup"))
+def q_doc_ngram_commonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram commonality: the fraction of a doc's distinct
+    trigrams that appear in at least one OTHER document — the
+    memorization/boilerplate signal that tunes dedup thresholds and
+    max_df posting caps.  Plan: the shingle postings aggregate to a
+    document-frequency table (partial-aggregated on the gram), join back,
+    and reduce per doc — at 100 TB the df table is where the max_df cap
+    applies, exactly as in the inverted-index dedup path."""
+    from .functions.text import shingles
+    from .operators.dedup import spread_compute
+
+    d = spread_compute(load_table(spark, sf_dir, "documents"))
+    post = d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh"))
+    df_tab = post.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    marked = post.join(df_tab, "sh").select(
+        "doc_id", F.when(F.col("n_docs") >= 2, 1).otherwise(0).alias("is_shared")
+    )
+    n = F.count(F.lit(1))
+    shared = F.sum("is_shared").cast("long")
+    return marked.groupBy("doc_id").agg(
+        n.alias("n_sh"),
+        shared.alias("n_shared"),
+        (shared.cast("double") / n.cast("double")).alias("commonality"),
+    )
+
+
 _LABEL_CENTROID_ORACLE = """
 WITH long_form AS (
   SELECT label, i - 1 AS dim,
