@@ -4603,13 +4603,32 @@ def q_customer_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RANK_NORMALIZE_ORACLE = """
-WITH spend AS (
+# Shared per-segment customer spend: one derivation serves the deciles and
+# rank-normalization pair (oracle CTE + Spark builder kept in lockstep).
+_SPEND_CTE = """
+spend AS (
   SELECT c.c_mktsegment AS segment, c.c_custkey AS customer_id,
     (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_spend
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY c.c_mktsegment, c.c_custkey
-)
+)"""
+
+
+def _segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("customer_id"),
+        )
+        .agg(money_sum(F.col("o_totalprice"), 2).alias("total_spend"))
+    )
+
+
+_RANK_NORMALIZE_ORACLE = f"""
+WITH {_SPEND_CTE}
 SELECT segment, customer_id, total_spend,
   CAST(rank() OVER w - 1 AS DOUBLE)
     / CAST(CASE WHEN count(*) OVER (PARTITION BY segment) > 1
@@ -4628,16 +4647,7 @@ def q_feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division, engine-identical (built-in percent_rank would tie-break
     nondeterministically on equal spends).  Partitioned ranking, never a
     global sort."""
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
-    spend = (
-        t["customer"]
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("c_custkey").alias("customer_id"),
-        )
-        .agg(money_sum(F.col("o_totalprice"), 2).alias("total_spend"))
-    )
+    spend = _segment_spend(spark, sf_dir)
     w = Window.partitionBy("segment").orderBy(F.asc("total_spend"), F.asc("customer_id"))
     n = F.count(F.lit(1)).over(Window.partitionBy("segment"))
     denom = F.when(n > 1, n - 1).otherwise(F.lit(1)).cast("double")
@@ -4649,13 +4659,8 @@ def q_feature_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPEND_DECILES_ORACLE = """
-WITH spend AS (
-  SELECT c.c_mktsegment AS segment, c.c_custkey AS customer_id,
-    (CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_spend
-  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-  GROUP BY c.c_mktsegment, c.c_custkey
-)
+_SPEND_DECILES_ORACLE = f"""
+WITH {_SPEND_CTE}
 SELECT segment, customer_id, total_spend,
        CAST(ntile(10) OVER (
          PARTITION BY segment ORDER BY total_spend DESC, customer_id ASC
@@ -4672,16 +4677,7 @@ def q_segment_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB each segment ranks independently; for truly unpartitionable
     rankings the documented escape is approx-quantile boundaries + a
     broadcast bin join."""
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
-    spend = (
-        t["customer"]
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("c_custkey").alias("customer_id"),
-        )
-        .agg(money_sum(F.col("o_totalprice"), 2).alias("total_spend"))
-    )
+    spend = _segment_spend(spark, sf_dir)
     w = Window.partitionBy("segment").orderBy(
         F.desc("total_spend"), F.asc("customer_id")
     )
@@ -4885,10 +4881,18 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dim", "q"),
     )
+    # accumulate in DECIMAL(38,0): the 1e12-grained squares leave only
+    # ~9.2e6 near-unit components of int64 headroom per (label, dim) —
+    # a real class at corpus scale — while DuckDB's sum(BIGINT) already
+    # promotes to HUGEINT; decimal sums keep both engines exact and the
+    # final double casts identical
+    from pyspark.sql.types import DecimalType
+
+    d38 = DecimalType(38, 0)
     agg = lf.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("q.xq").alias("s"),
-        F.sum("q.xq2").alias("s2"),
+        F.sum(F.col("q.xq").cast(d38)).alias("s"),
+        F.sum(F.col("q.xq2").cast(d38)).alias("s2"),
     )
     mean = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(1e6)
     return agg.select(
