@@ -4926,23 +4926,37 @@ LIMIT 20
 @register("brand_basket_affinity", oracle=_BRAND_AFFINITY_ORACLE, tags=("join", "topk"))
 def q_brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top-20 brand pairs co-occurring in an order.
-    The co-occurrence self-join runs on the DEDUPED (order, brand)
-    projection — its fan-out is bounded by brands-per-order squared (tiny),
-    never by line items; the brand dim broadcasts onto the lineitem scan
+    Each order's sorted brand set is collected once and the C(k,2) pairs
+    are generated in-row, so the fan-out is bounded by brands-per-order
+    squared (tiny), never by line items, and the whole query costs ONE
+    data-scale exchange; the brand dim broadcasts onto the lineitem scan
     first.  Deterministic top-k tiebreak on the pair."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     p = F.broadcast(t["part"].select("p_partkey", "p_brand"))
-    ob = (
+    # ONE data-scale exchange: collect each order's sorted brand set, then
+    # generate the C(k,2) pairs IN-ROW (index-aware transform over the
+    # array) — the distinct + self-join formulation paid three exchanges
+    # (distinct on (order, brand), then both join sides re-hashed on the
+    # order key).  The pair explode is bounded by brands-per-order squared.
+    sets = (
         t["lineitem"].select("l_orderkey", "l_partkey")
         .join(p, F.col("l_partkey") == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")),
-    ).select(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+    arr = F.col("brands")
+    pair_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda b: F.struct(a.alias("brand_a"), b.alias("brand_b")),
+            ),
+        )
+    )
+    pairs = sets.select(F.explode(pair_arr).alias("pr")).select(
+        F.col("pr.brand_a").alias("brand_a"), F.col("pr.brand_b").alias("brand_b")
+    )
     return (
         pairs.groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
