@@ -99,6 +99,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "feature_rank_normalize",
     "doc_ngram_commonality",
+    "corpus_importance_sample",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -4787,6 +4787,56 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMPORTANCE_SAMPLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+q AS (
+  SELECT doc_id,
+    LEAST(GREATEST(
+      0.2 * (CASE WHEN len(ws) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+      + 0.4 * LEAST(CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                    / CAST(CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END AS DOUBLE) * 4.0, 1.0)
+      + 0.4 * (CAST(len(list_distinct(ws)) AS DOUBLE)
+               / CAST(CASE WHEN len(ws) > 0 THEN len(ws) ELSE 1 END AS DOUBLE)),
+    0.0), 1.0) AS quality_score
+  FROM t
+),
+u AS (
+  SELECT doc_id, quality_score,
+    CAST(concat('0x', substring(md5(concat('imp#', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+  FROM q
+)
+SELECT doc_id, quality_score FROM u
+WHERE CAST(h AS DOUBLE) < 4294967296.0 * 0.8 * quality_score
+"""
+
+
+@register("corpus_importance_sample", oracle=_IMPORTANCE_SAMPLE_ORACLE, tags=("sampling", "llm"))
+def q_corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each document is kept with
+    probability ``0.8 * quality_score`` — the probabilistic counterpart of
+    the token-budget greedy sampler (high-quality docs oversampled, junk
+    suppressed, no global sort or window).  The keep decision is the
+    md5-uniform deterministic-coin pattern (exact 32-bit integer uniform vs
+    a double threshold computed identically in both engines), so the
+    sample is reproducible across runs, partitionings, AND engines —
+    map-only, zero shuffle."""
+    from .operators.textops import text_quality
+
+    q = text_quality(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("imp#"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return q.where(
+        h.cast("double") < F.lit(4294967296.0) * F.lit(0.8) * F.col("quality_score")
+    )
+
+
 _NGRAM_COMMONALITY_ORACLE = f"""
 WITH {_SH_CTE},
 df AS (
