@@ -1,7 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Prints TWO JSON lines: first the FULL per-query map (also persisted to
+BENCH_FULL_r{N}.json so the record survives stdout tail truncation), then
+a compact final summary line — {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {slowest-12}, "sf": ..., "versus_prev": ...} —
+guaranteed under the driver's ~2 kB tail buffer at any query count.
 
 Method: each query materializes through the noop sink (forces evaluation of
 every output column — count() would let Catalyst prune the feature columns
@@ -145,47 +148,124 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-    }
     # Round-over-round comparability: against the previous round's recorded
-    # bench (driver artifact BENCH_r{N}.json), report the shared-query-set
-    # totals so renames/additions never cost a round of comparability.
+    # bench, report the shared-query-set totals so renames/additions never
+    # cost a round of comparability.
     prev = _load_prev_bench()
+    versus_prev = None
     if prev:
         shared = sorted(set(timings) & set(prev))
-        out["versus_prev"] = {
+        versus_prev = {
             "n_shared": len(shared),
             "total_sec": round(sum(timings[q] for q in shared), 3),
             "prev_total_sec": round(sum(prev[q] for q in shared), 3),
         }
+
+    # The driver's tail capture is ~2 kB; at 77+ headline queries one JSON
+    # line with the full per-query map outgrew it and BENCH_r04.json
+    # recorded `parsed: null` (VERDICT round 4, "What's wrong" #1).  So:
+    # (1) the full per-query map goes out FIRST on its own line (and is
+    # persisted to BENCH_FULL_r{N}.json so the per-query record survives
+    # any stdout truncation and feeds next round's versus_prev), and
+    # (2) the FINAL line is a compact summary — total, sf, versus_prev,
+    # and the slowest-12 sub-map — guaranteed well under 2 kB at any
+    # future query count.
+    full = {
+        "metric": "headline_queries_full",
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(full), flush=True)
+    _persist_full_record(full)
+
+    heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        # Slowest-12 only: the full map is on the FIRST stdout line and in
+        # BENCH_FULL_r{N}.json — this final line must stay under the
+        # driver's ~2 kB tail buffer at any future query count.
+        "queries": heavy,
+        "full_record": "BENCH_FULL_r{N}.json",
+    }
+    if versus_prev:
+        out["versus_prev"] = versus_prev
     print(json.dumps(out))
 
 
-def _load_prev_bench() -> dict[str, float] | None:
-    """Latest BENCH_r{N}.json's per-query timings, if any."""
+def _bench_round_files(pattern: str) -> list[tuple[int, str]]:
+    """(round, path) pairs for repo-root bench artifacts, newest first."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    latest, latest_n = None, -1
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > latest_n:
-            latest, latest_n = p, int(m.group(1))
-    if latest is None:
-        return None
+    out = []
+    for p in glob.glob(os.path.join(here, pattern)):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out, reverse=True)
+
+
+def _current_round() -> int:
+    """The in-progress round: the driver writes BENCH_r{N}.json AFTER running
+    bench, so at bench time the newest driver artifact on disk is round N-1."""
+    rounds = _bench_round_files("BENCH_r*.json")
+    return (rounds[0][0] + 1) if rounds else 1
+
+
+def _persist_full_record(full: dict) -> None:
+    """Write the full per-query map to BENCH_FULL_r{N}.json (driver-protocol
+    sf only, so dev runs at sf0.01 never clobber the round record)."""
+    if full["sf"] != 0.1:
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, f"BENCH_FULL_r{_current_round()}.json")
     try:
-        with open(latest) as f:
-            doc = json.load(f)
-        q = doc.get("parsed", doc).get("queries")
-        return {k: float(v) for k, v in q.items()} if q else None
-    except (OSError, ValueError, AttributeError):
-        return None
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+
+
+def _load_prev_bench() -> dict[str, float] | None:
+    """Previous round's per-query timings: prefer our own BENCH_FULL_r{N}.json
+    (complete by construction), fall back to the driver's BENCH_r{N}.json
+    (whose tail capture may be truncated — salvage what regex can extract)."""
+    import re
+
+    cur = _current_round()
+    full_by_round = dict(_bench_round_files("BENCH_FULL_r*.json"))
+    driver_by_round = dict(_bench_round_files("BENCH_r*.json"))
+    for n in range(cur - 1, 0, -1):
+        if n in full_by_round:
+            try:
+                with open(full_by_round[n]) as f:
+                    q = json.load(f).get("queries")
+                if q:
+                    return {k: float(v) for k, v in q.items()}
+            except (OSError, ValueError):
+                pass
+        if n in driver_by_round:
+            try:
+                with open(driver_by_round[n]) as f:
+                    doc = json.load(f)
+                parsed = doc.get("parsed") or {}
+                q = parsed.get("queries") if isinstance(parsed, dict) else None
+                if q:
+                    return {k: float(v) for k, v in q.items()}
+                # Truncated tail: extract whatever "name": float pairs survive.
+                tail = doc.get("tail") or ""
+                pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+                if len(pairs) >= 10:
+                    return {k: float(v) for k, v in pairs}
+            except (OSError, ValueError):
+                pass
+    return None
 
 
 if __name__ == "__main__":

@@ -239,8 +239,8 @@ def test_curation_exchange_budget(spark):
 
 
 def test_affinity_two_exchanges(spark):
-    """Per-order set collection + the tiny pair rollup: two hash
-    exchanges, no self-join re-shuffle."""
+    """Per-order brand bitmask accumulation + the tiny pair rollup: two
+    hash exchanges, no self-join re-shuffle."""
     df = REGISTRY["brand_basket_affinity"].fn(spark, SF)
     plan = formatted_plan(df)
     assert plan.count("Arguments: hashpartitioning") == 2, plan[:2000]
