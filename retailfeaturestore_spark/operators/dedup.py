@@ -508,17 +508,22 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
     At the fixpoint the edge set is a star forest (child -> component min),
     so labels read off directly; roots (minima) label themselves.
     """
-    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Materialize the raw pair projection ONCE: edges and nodes both
+    # derive from it, and checkpointing each separately executed the whole
+    # upstream candidate pipeline (shingle -> minhash -> verify) twice —
+    # that double execution, not the star rounds, was most of the
+    # star-vs-propagation gap on the bench graph.
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).localCheckpoint()
     edges = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
     # Node set from the UNFILTERED pairs: a doc appearing only in a
     # degenerate self-pair (u == v) has no surviving edge but must still
     # self-label, matching the propagation engine whose symmetrized edge
-    # set keeps src == dst rows (ADVICE r3).
+    # set keeps src == dst rows (ADVICE r3).  Lazy — read from the raw
+    # checkpoint once, at the final left-anti.
     nodes = (
         raw.select(F.col("u").alias("id"))
         .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
 
     # Neighborhood minimum as an unordered window over the edge list itself
@@ -531,6 +536,10 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
     w_u = Window.partitionBy("u")
 
     def large_star(e: DataFrame) -> DataFrame:
+        # No trailing distinct: the only consumer is small_star's window
+        # min, which is duplicate-insensitive — dropping it saves one
+        # (u, v) exchange per round; small_star's distinct dedups the
+        # round's output once.
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = F.least(F.min("v").over(w_u), F.col("u"))
         return (
@@ -538,7 +547,6 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -559,25 +567,40 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
             .distinct()
         )
 
-    def fingerprint(e: DataFrame) -> tuple:
-        # xor-fold of row hashes: order-independent, cannot overflow (a sum
-        # of 64-bit hashes would, under ANSI arithmetic), sound on the
-        # distinct edge set.
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    def is_star_forest(e: DataFrame) -> bool:
+        # The star rounds reach their fixpoint exactly when the (child >
+        # parent)-oriented edge set is a star forest: every child has ONE
+        # parent and no parent is itself a child.  Testing that property
+        # directly stops the loop the moment it holds — the fingerprint
+        # formulation (compare edge-set hash to last round's) only detects
+        # convergence AFTER paying one full no-op star round.  One
+        # grouped aggregate over (id tagged child/parent), one scalar to
+        # the driver.
+        bad = (
+            e.select(F.col("u").alias("id"), F.col("v").alias("pv"), F.lit(1).alias("c"))
+            .unionByName(
+                e.select(F.col("v").alias("id"), F.lit(None).cast("long").alias("pv"), F.lit(0).alias("c"))
+            )
+            .groupBy("id")
+            .agg(
+                F.max("c").alias("is_child"),
+                F.min("c").alias("min_c"),
+                F.count_distinct("pv").alias("n_parents"),
+            )
+            .where(
+                (F.col("n_parents") > 1)
+                | ((F.col("is_child") == 1) & (F.col("min_c") == 0))
+            )
+            .limit(1)
+        )
+        return not bad.take(1)
 
-    fp = fingerprint(edges)
     rounds = 0
     for i in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint()
         rounds = i + 1
-        fp2 = fingerprint(edges)
-        if fp2 == fp:
+        if is_star_forest(edges):
             break
-        fp = fp2
 
     lab = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("cluster_id"))
     roots = nodes.join(lab, "id", "left_anti").select(
