@@ -181,6 +181,8 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     event_ts_col: str,
+    broadcast_keys: bool | None = None,
+    broadcast_key_limit: int = 5_000_000,
 ) -> int:
     """MERGE-style upsert into a ``date=`` partitioned parquet target
     without a table format: rows in ``updates`` replace target rows with
@@ -195,9 +197,15 @@ def merge_upsert(
     gives per run, SURVEY.md §2.9).
 
     The surviving old rows are found with a LEFT ANTI join against the
-    update keys — updates are expected small relative to the table, so
-    Catalyst broadcasts the key set; the anti join never shuffles the
-    target slice.  Returns the number of rows written.
+    update keys — updates are usually small relative to the table, so the
+    key set broadcasts and the anti join never shuffles the target slice.
+    The forced broadcast is guarded (ADVICE r4): ``broadcast_keys=None``
+    (default) counts the distinct update keys and falls back to a shuffled
+    anti join above ``broadcast_key_limit`` (a driver/executor OOM guard —
+    5M long-ish keys is tens of MB serialized; Catalyst's own 8 GB / 512M
+    row broadcast ceilings are far past what a driver survives); pass
+    ``True``/``False`` to skip the count when the caller knows the size
+    class.  Returns the number of rows written.
 
     NULL semantics: rows whose ``event_ts_col`` is NULL live in the null
     partition and are merged like any other; rows with NULL values in
@@ -228,13 +236,23 @@ def merge_upsert(
         date_pred = date_pred | F.col("date").isNull()
     # partition pruning: the `date` partition column exists on the read side
     slice_old = target.where(date_pred).drop("date")
-    survivors = slice_old.join(
-        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
-    )
+    update_keys = updates.select(*keys).distinct()
+    if broadcast_keys is None:
+        broadcast_keys = update_keys.limit(broadcast_key_limit + 1).count() <= broadcast_key_limit
+    if broadcast_keys:
+        update_keys = F.broadcast(update_keys)
+    survivors = slice_old.join(update_keys, keys, "left_anti")
     # localCheckpoint materializes the merged slice BEFORE the overwrite —
     # the write must not re-read the very files it is replacing (Spark
     # rejects path self-overwrite; lineage truncation is the path-based
-    # equivalent of a table format's snapshot isolation for this swap)
+    # equivalent of a table format's snapshot isolation for this swap).
+    # Caveat (documented, ADVICE r4): localCheckpoint blocks live on
+    # executor block storage — an executor lost between the checkpoint and
+    # the overwrite fails the job, and because the overwrite may already
+    # have removed files, the rerun re-reads a partially-replaced slice.
+    # On a real cluster point spark.checkpoint.dir at reliable storage and
+    # swap this for df.checkpoint(), or stage the merged slice to a temp
+    # path and rename; in this single-JVM harness localCheckpoint is exact.
     merged = (
         survivors.unionByName(updates.select(*survivors.columns))
         .localCheckpoint(eager=True)

@@ -69,6 +69,15 @@ class XlsxReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("rfs_xlsx requires a path: .load('/dir/or/glob')")
+        # Driver-side glob is local/POSIX only: a URI-scheme path (s3a://,
+        # hdfs://, ...) would silently glob to an empty DataFrame — fail
+        # loudly and point at the Hadoop-listed path instead (ADVICE r4).
+        if "://" in path:
+            raise ValueError(
+                f"rfs_xlsx lists files with local glob; {path!r} has a URI "
+                "scheme — read object-store workbooks through "
+                "sources.xlsx.read_xlsx (binaryFile listing is Hadoop's)"
+            )
         if os.path.isdir(path):
             path = os.path.join(path, "*.xlsx")
         self._paths = sorted(glob.glob(path))

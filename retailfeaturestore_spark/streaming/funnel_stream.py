@@ -48,6 +48,11 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     v, c, p = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = batch[batch["event_type"].isin(FUNNEL_STAGES)]
+    # A null timestamp can't order within a funnel; dropping matches the
+    # batch operator's null tolerance — without this, NaT.astype('int64')
+    # raises under pandas 2.x and a single bad event would permanently
+    # fail the streaming query (ADVICE r4).
+    batch = batch.dropna(subset=["ts"])
     batch = batch.sort_values("ts", kind="mergesort")
     ts_us = batch["ts"].astype("int64") // 1000  # ns -> us
     for t, kind in zip(ts_us, batch["event_type"]):

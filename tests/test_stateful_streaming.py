@@ -90,13 +90,23 @@ def test_streaming_funnel_replay_equals_batch(spark, tmp_path):
     )
 
     ev = load_table(spark, SF, "events").select("user_id", "ts", "event_type")
+    # Inject a null-timestamp event for an existing user into BOTH engines:
+    # the stateful funnel must drop it (a NaT once crashed the micro-batch
+    # permanently, ADVICE r4), matching the batch operator's tolerance.
+    some_uid = ev.limit(1).collect()[0].user_id
+    null_row = spark.createDataFrame(
+        [(some_uid, None, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    ev = ev.unionByName(null_row)
     cutoff = ev.selectExpr("percentile(cast(ts as double), 0.5) as c").collect()[0].c
     stage = tmp_path / "funnel_stream"
     # split BY EVENT TIME so each user's events arrive in order across
     # batches — the regime where the bounded-state funnel is exact
-    ev.where(F.col("ts").cast("double") <= cutoff).coalesce(1).write.parquet(
-        str(stage), mode="append"
-    )
+    # (the null-ts row rides in the first file: cast(null) <= cutoff is
+    # NULL -> filtered, so place it explicitly)
+    ev.where(F.col("ts").cast("double") <= cutoff).unionByName(null_row).coalesce(
+        1
+    ).write.parquet(str(stage), mode="append")
     ev.where(F.col("ts").cast("double") > cutoff).coalesce(1).write.parquet(
         str(stage), mode="append"
     )
