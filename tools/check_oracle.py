@@ -43,13 +43,172 @@ def canonical(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+def changed_queries_since(rev: str) -> list[str]:
+    """Registry names whose behavior may differ from git revision ``rev``,
+    at NAME granularity: every package file's top-level defs/assigns are
+    AST-compared between revisions, and taint propagates (a) through each
+    file's internal reference graph (helper -> query, oracle-SQL constant
+    -> query) and (b) across files through ``from .x import name`` edges —
+    so a ``merge_upsert`` edit in io.py taints only its callers, not every
+    query that imports ``load_table`` from the same file.
+
+    Conservative fallbacks: a file that doesn't parse at ``rev`` (new or
+    renamed) taints all of its names; a ``*``-import or attribute-style
+    use taints via the whole source file's identifier set (functions are
+    matched by identifier reference, not call analysis).
+    """
+    import ast
+    import glob as _glob
+    import subprocess
+
+    repo = "/root/repo"
+    root = f"{repo}/retailfeaturestore_spark"
+
+    def run(*cmd):
+        return subprocess.run(
+            cmd, capture_output=True, text=True, cwd=repo, check=False
+        ).stdout
+
+    changed_files = [
+        p
+        for p in run(
+            "git", "diff", "--name-only", rev, "--", "retailfeaturestore_spark/"
+        ).split()
+        if p.endswith(".py")
+    ]
+    all_files = [
+        p[len(repo) + 1 :]
+        for p in _glob.glob(f"{root}/**/*.py", recursive=True)
+    ]
+    # module dotted path -> repo-relative file
+    by_mod = {}
+    for p in all_files:
+        mod = p[len("retailfeaturestore_spark/") : -3].replace("/", ".")
+        by_mod[mod.removesuffix(".__init__")] = p
+
+    def toplevel(src):
+        out = {}
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return None
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                names = [node.name]
+            elif isinstance(node, ast.Assign):
+                names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                names = [node.target.id]
+            else:
+                continue
+            d = ast.dump(node)
+            for n in names:
+                out[n] = (d, node)
+        return out
+
+    def resolve(level: int, module: str, this_file: str) -> str | None:
+        """'from .operators.dedup import X' inside this_file -> repo path."""
+        pkg_parts = this_file[len("retailfeaturestore_spark/") :].split("/")[:-1]
+        base = pkg_parts[: len(pkg_parts) - (level - 1)] if level > 1 else pkg_parts
+        dotted = ".".join([*base, *module.split(".")]) if module else ".".join(base)
+        return by_mod.get(dotted.strip("."))
+
+    info = {}  # file -> {names, refs, imports: ident -> (file, name)}
+    for p in all_files:
+        src = open(f"{repo}/{p}").read()
+        names = toplevel(src) or {}
+        imports = {}
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            tree = None
+        if tree:
+            for x in ast.walk(tree):
+                if isinstance(x, ast.ImportFrom) and x.level:
+                    target = resolve(x.level, x.module or "", p)
+                    for nm in x.names:
+                        if target:
+                            imports[nm.asname or nm.name] = (target, nm.name)
+                        else:
+                            # 'from .sources import xlsx' — module import
+                            tf = resolve(x.level, f"{x.module + '.' if x.module else ''}{nm.name}", p)
+                            if tf:
+                                imports[nm.asname or nm.name] = (tf, "*")
+        refs = {
+            n: {y.id for y in ast.walk(node) if isinstance(y, ast.Name)}
+            for n, (_, node) in names.items()
+        }
+        info[p] = {"names": names, "refs": refs, "imports": imports}
+
+    tainted: set[tuple] = set()
+    for p in changed_files:
+        if p not in info:  # deleted file: taint importers via fallback below
+            tainted.add((p, "*"))
+            continue
+        old = toplevel(run("git", "show", f"{rev}:{p}"))
+        if old is None:
+            tainted.update((p, n) for n in info[p]["names"])
+            tainted.add((p, "*"))
+        else:
+            for n, (d, _) in info[p]["names"].items():
+                if old.get(n, (None,))[0] != d:
+                    tainted.add((p, n))
+            for n in old:
+                if n not in info[p]["names"]:
+                    tainted.add((p, n))
+
+    def ident_tainted(p: str, ident: str) -> bool:
+        if (p, ident) in tainted:
+            return True
+        imp = info.get(p, {}).get("imports", {}).get(ident)
+        if imp:
+            tf, tn = imp
+            return (tf, tn) in tainted or (tf, "*") in tainted or tn == "*" and bool(
+                {t for t in tainted if t[0] == tf}
+            )
+        return False
+
+    grew = True
+    while grew:
+        grew = False
+        for p, d in info.items():
+            for n, used in d["refs"].items():
+                if (p, n) not in tainted and any(ident_tainted(p, u) for u in used):
+                    tainted.add((p, n))
+                    grew = True
+
+    qfile = "retailfeaturestore_spark/queries.py"
+    return [
+        name
+        for name, qd in REGISTRY.items()
+        if (qfile, qd.fn.__name__) in tainted or (qfile, "*") in tainted
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--changed-since",
+        metavar="GIT_REV",
+        help="only re-verify queries whose code (or any helper/module they "
+        "depend on) changed since GIT_REV — e.g. the previous round's last "
+        "commit; conservative (over-includes) by construction",
+    )
     args = ap.parse_args()
 
-    names = args.names or [n for n, qd in REGISTRY.items() if qd.oracle]
+    if args.changed_since:
+        names = [
+            n
+            for n in changed_queries_since(args.changed_since)
+            if not args.names or n in args.names
+        ]
+        print(f"# {len(names)} queries changed since {args.changed_since}")
+        if not names:
+            return 0
+    else:
+        names = args.names or [n for n, qd in REGISTRY.items() if qd.oracle]
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
