@@ -4747,33 +4747,65 @@ FROM mau m LEFT JOIN dau d ON d.target_day = m.target_day
 @register("dau_mau_stickiness", oracle=_STICKINESS_ORACLE, tags=("window", "events"))
 def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness: per day, distinct active users that day over
-    distinct users in the trailing 28 days.  The trailing-window distinct
-    is computed WITHOUT a range join or windowed set state: each distinct
-    (day, user) pair explodes into the <=28 future days it supports
-    (`sequence(0, 27)`), and a plain groupBy-distinct does the rest — the
-    offset-explode trick turns a sliding distinct into an equi-aggregation
-    whose input is bounded by 28x the (tiny) distinct-day-user table, not
-    by raw event volume."""
+    distinct users in the trailing 28 days.
+
+    The trailing sliding DISTINCT is exact with NO 28x explode and NO
+    distinct aggregation (the r4 offset-explode formulation shuffled
+    28x|day-user| rows into a countDistinct and stayed ~14x the embedded
+    anchor through sf5.0): for each user, an active day d covers target
+    days [d, min(d+27, next_active_day-1)] — within that span d is the
+    user's LATEST activity in the trailing window, so each (user, T) is
+    covered by EXACTLY ONE span and the sliding distinct becomes a plain
+    interval-coverage COUNT.  Coverage is materialized as a difference
+    array (+1 at span start, -1 past span end) summed per day, then a
+    running total over the day spine — a single-partition window over
+    ~hundreds of day rows, the classic scan-line trick.  Data-scale cost:
+    the day-user distinct exchange plus one per-user sort for lead();
+    everything after is day-grain.  DAU needs no distinct either: du is
+    already distinct, so it's a plain count per day."""
     e = load_table(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    # the data's last day joins in LAZILY (broadcast 1-row frame) — an eager
+    # the data's bounds join in LAZILY (broadcast 1-row frame) — an eager
     # collect() here would bake a literal into the cached plan (stale after
     # an in-session rewrite) and run a Spark job at plan-BUILD time
-    bounds = F.broadcast(du.agg(F.max("d").alias("__max_d")))
-    expanded = (
-        du.select(
-            F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"), "d", "user_id"
-        )
-        .select(F.date_add(F.col("d"), F.col("o")).alias("target_day"), "user_id")
-        .crossJoin(bounds)
-        .where(F.col("target_day") <= F.col("__max_d"))
-        .drop("__max_d")
+    bounds = F.broadcast(
+        du.agg(F.min("d").alias("__min_d"), F.max("d").alias("__max_d"))
     )
-    mau = expanded.groupBy("target_day").agg(
-        F.countDistinct("user_id").alias("mau_users")
+    nxt = F.lead("d").over(Window.partitionBy("user_id").orderBy("d"))
+    spans = du.select(
+        "d",
+        F.least(
+            F.date_add(F.col("d"), 27),
+            F.coalesce(F.date_sub(nxt, 1), F.date_add(F.col("d"), 27)),
+        ).alias("end"),
+    )
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d").alias("day"), F.lit(1).alias("delta")),
+                F.struct(F.date_add(F.col("end"), 1).alias("day"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x")
+    ).select("x.day", "x.delta")
+    day_deltas = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    spine = (
+        bounds.select(
+            F.explode(F.sequence(F.col("__min_d"), F.col("__max_d"))).alias("target_day")
+        )
+    )
+    mau = (
+        spine.join(day_deltas, spine.target_day == day_deltas.day, "left")
+        .select("target_day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select(
+            "target_day",
+            F.sum("delta")
+            .over(Window.orderBy("target_day").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("mau_users"),
+        )
+        .where(F.col("mau_users") > 0)
     )
     dau = du.groupBy(F.col("d").alias("target_day")).agg(
-        F.countDistinct("user_id").alias("dau_users")
+        F.count(F.lit(1)).alias("dau_users")
     )
     j = mau.join(dau, "target_day", "left")
     return j.select(
@@ -5481,6 +5513,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_canonical_by_quality",
+    # dau_mau rewritten late-r5 to the interval-coverage scan-line plan
+    # (took embedding_norms' slot — pure column algebra, r3-green,
+    # untouched).
+    "dau_mau_stickiness",
     # --- r5 block 2: the three late-r4 queries with ZERO driver verdicts
     # on record (VERDICT r4 "What's missing" #1).
     "corpus_importance_sample",
@@ -5540,7 +5576,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "daily_feature_snapshots",
     "order_calendar_features",
     "stratified_sample_balanced",
-    "embedding_norms",
 )
 
 
