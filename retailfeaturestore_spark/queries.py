@@ -4765,12 +4765,11 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     already distinct, so it's a plain count per day."""
     e = load_table(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    # the data's bounds join in LAZILY (broadcast 1-row frame) — an eager
-    # collect() here would bake a literal into the cached plan (stale after
-    # an in-session rewrite) and run a Spark job at plan-BUILD time
-    bounds = F.broadcast(
-        du.agg(F.min("d").alias("__min_d"), F.max("d").alias("__max_d"))
-    )
+    # The day-user frame is consumed ONCE: the span deltas AND the DAU
+    # marker ride the same explode into one day-grain aggregation (Spark's
+    # exchange reuse does not fire across the would-be du branches —
+    # verified on the executed plan — so single-consumption is structural,
+    # not an optimizer hope).  Everything after this agg is day-grain.
     nxt = F.lead("d").over(Window.partitionBy("user_id").orderBy("d"))
     spans = du.select(
         "d",
@@ -4782,32 +4781,57 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = spans.select(
         F.explode(
             F.array(
-                F.struct(F.col("d").alias("day"), F.lit(1).alias("delta")),
-                F.struct(F.date_add(F.col("end"), 1).alias("day"), F.lit(-1).alias("delta")),
+                F.struct(
+                    F.col("d").alias("day"),
+                    F.lit(1).alias("delta"),
+                    F.lit(1).alias("dau"),
+                ),
+                F.struct(
+                    F.date_add(F.col("end"), 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                    F.lit(0).alias("dau"),
+                ),
             )
         ).alias("x")
-    ).select("x.day", "x.delta")
-    day_deltas = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
-    spine = (
-        bounds.select(
-            F.explode(F.sequence(F.col("__min_d"), F.col("__max_d"))).alias("target_day")
-        )
+    ).select("x.day", "x.delta", "x.dau")
+    day_stats = deltas.groupBy("day").agg(
+        F.sum("delta").alias("delta"), F.sum("dau").alias("dau_users")
     )
-    mau = (
-        spine.join(day_deltas, spine.target_day == day_deltas.day, "left")
-        .select("target_day", F.coalesce("delta", F.lit(0)).alias("delta"))
-        .select(
-            "target_day",
-            F.sum("delta")
-            .over(Window.orderBy("target_day").rowsBetween(Window.unboundedPreceding, 0))
-            .alias("mau_users"),
-        )
-        .where(F.col("mau_users") > 0)
+    # Dense days WITHOUT a spine join or a bounds subquery (either would
+    # consume the day-grain frame a second time and re-execute the whole
+    # data-scale subtree): between consecutive delta days the running
+    # coverage is constant, so each sparse row expands into its
+    # constant-mau interval [day, next_delta_day - 1], clipped to the last
+    # ACTIVE day (the oracle's target_day <= max(active) bound; -1 markers
+    # can overshoot it).  All three window functions ride the same
+    # single-partition day-grain sort — hundreds of rows.
+    day_w = Window.orderBy("day")
+    w_cum = day_w.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = day_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = day_stats.select(
+        "day",
+        "dau_users",
+        F.sum("delta").over(w_cum).alias("mau_run"),
+        F.max(F.when(F.col("dau_users") > 0, F.col("day"))).over(w_all).alias("max_active"),
+        F.lead("day").over(day_w).alias("next_day"),
     )
-    dau = du.groupBy(F.col("d").alias("target_day")).agg(
-        F.count(F.lit(1)).alias("dau_users")
+    rows = s.where((F.col("mau_run") > 0) & (F.col("day") <= F.col("max_active")))
+    end = F.least(
+        F.coalesce(F.date_sub("next_day", 1), F.col("max_active")),
+        F.col("max_active"),
     )
-    j = mau.join(dau, "target_day", "left")
+    j = rows.select(
+        "day",
+        "dau_users",
+        "mau_run",
+        F.explode(F.sequence(F.col("day"), end)).alias("target_day"),
+    ).select(
+        "target_day",
+        F.when(F.col("target_day") == F.col("day"), F.col("dau_users"))
+        .otherwise(F.lit(0))
+        .alias("dau_users"),
+        F.col("mau_run").alias("mau_users"),
+    )
     return j.select(
         F.date_format("target_day", "yyyy-MM-dd").alias("day"),
         F.coalesce(F.col("dau_users"), F.lit(0)).cast("long").alias("dau"),

@@ -245,3 +245,33 @@ def test_affinity_two_exchanges(spark):
     plan = formatted_plan(df)
     assert plan.count("Arguments: hashpartitioning") == 2, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_stickiness_scanline_exchange_budget(spark):
+    """The interval-coverage stickiness plan: data-scale work is the
+    day-user distinct plus the per-user lead() sort — at most three hash
+    exchanges (distinct, user window, day rollup) and NO 28x offset
+    explode feeding an expand-based distinct aggregate.  The one
+    single-partition window is the day-spine running sum (day-grain by
+    construction)."""
+    df = REGISTRY["dau_mau_stickiness"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") <= 4, plan[:2000]
+    # the countDistinct expand operator must be gone
+    assert "Expand" not in plan, plan[:2000]
+    assert "SinglePartition" in plan  # day-spine cumsum, intentional
+    # day-grain sides broadcast: no sort-merge join anywhere
+    assert not has_sort_merge_join(df)
+
+
+def test_affinity_pair_explode_is_codegen(spark):
+    """Pair generation must run inside whole-stage codegen (the lambda-HOF
+    formulation ran interpreted, +0.7s at sf0.1): both explode(sequence)
+    generators sit inside codegen spans, and no higher-order-function
+    expression remains in the plan."""
+    df = REGISTRY["brand_basket_affinity"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "transform(" not in plan and "filter(lambda" not in plan, plan[:2000]
+    assert plan.count("Generate explode") == 2 or plan.count("explode") >= 2, plan[:2000]
+    df.collect()  # AQE: codegen spans appear in the executed (final) plan
+    assert wholestage_codegen_spans(df) >= 2
