@@ -358,14 +358,23 @@ def sign_lsh_neardup(
     base = _with_norm(vectors, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v"), F.col("__nn"), sig.alias("__sig")
     )
-    parts = None
-    for b in range(bands):
-        p = base.select(
-            F.lit(b).alias("band"),
-            F.substring("__sig", b * band_bits + 1, band_bits).alias("band_key"),
-            "id",
-        )
-        parts = p if parts is None else parts.unionByName(p)
+    # ONE explode, not a per-band union loop: the loop consumed `base`
+    # once per band and Spark does not reuse the duplicated subtrees, so
+    # 4 bands cost 4 corpus scans + 4 norm computations PER SELF-JOIN SIDE
+    # (audited: 20 parquet scans in the plan; 8 after this rewrite — same
+    # banding shape dedup.simhash_pairs already uses).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("__sig", b * band_bits + 1, band_bits).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    parts = base.select(F.explode(band_structs).alias("__b"), "id").select(
+        F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key"), "id"
+    )
     a = parts.alias("a")
     bb = parts.alias("b")
     # Dedup candidates on ids ONLY (short keys), then re-attach vectors —

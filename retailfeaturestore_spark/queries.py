@@ -5539,8 +5539,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_canonical_by_quality",
     # dau_mau rewritten late-r5 to the interval-coverage scan-line plan
     # (took embedding_norms' slot — pure column algebra, r3-green,
-    # untouched).
+    # untouched); neardup banding rewritten from a per-band union loop to
+    # one explode (took stratified_sample_balanced's slot — r3-green
+    # deterministic hash sampling, queries.py-local, untouched).
     "dau_mau_stickiness",
+    "embedding_neardup_lsh",
     # --- r5 block 2: the three late-r4 queries with ZERO driver verdicts
     # on record (VERDICT r4 "What's missing" #1).
     "corpus_importance_sample",
@@ -5599,7 +5602,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sliding_7d_daily",
     "daily_feature_snapshots",
     "order_calendar_features",
-    "stratified_sample_balanced",
 )
 
 
