@@ -190,7 +190,7 @@ def main() -> None:
         # BENCH_FULL_r{N}.json — this final line must stay under the
         # driver's ~2 kB tail buffer at any future query count.
         "queries": heavy,
-        "full_record": "BENCH_FULL_r{N}.json",
+        "full_record": f"BENCH_FULL_r{_current_round()}.json",
     }
     if versus_prev:
         out["versus_prev"] = versus_prev
@@ -233,15 +233,32 @@ def _persist_full_record(full: dict) -> None:
 
 
 def _load_prev_bench() -> dict[str, float] | None:
-    """Previous round's per-query timings: prefer our own BENCH_FULL_r{N}.json
-    (complete by construction), fall back to the driver's BENCH_r{N}.json
-    (whose tail capture may be truncated — salvage what regex can extract)."""
+    """Previous round's per-query timings, in trust order: the driver's
+    parsed BENCH_r{N}.json when it carries a full map (authoritative for
+    its round), then our own BENCH_FULL_r{N}.json (complete by
+    construction but can be a mislabeled post-driver confirmation run),
+    then regex salvage from a truncated driver tail."""
     import re
 
     cur = _current_round()
     full_by_round = dict(_bench_round_files("BENCH_FULL_r*.json"))
     driver_by_round = dict(_bench_round_files("BENCH_r*.json"))
     for n in range(cur - 1, 0, -1):
+        # The driver's parsed artifact is authoritative for round n (our
+        # FULL record for the same n can be a mislabeled confirmation run
+        # made after the driver already recorded BENCH_r{n}); fall back to
+        # the FULL record, then to tail salvage.
+        if n in driver_by_round:
+            try:
+                with open(driver_by_round[n]) as f:
+                    parsed = json.load(f).get("parsed") or {}
+                q = parsed.get("queries") if isinstance(parsed, dict) else None
+                # the compact final line carries only the slowest-12 —
+                # treat it as partial and prefer the FULL record below
+                if q and len(q) > 15:
+                    return {k: float(v) for k, v in q.items()}
+            except (OSError, ValueError):
+                pass
         if n in full_by_round:
             try:
                 with open(full_by_round[n]) as f:
@@ -254,10 +271,6 @@ def _load_prev_bench() -> dict[str, float] | None:
             try:
                 with open(driver_by_round[n]) as f:
                     doc = json.load(f)
-                parsed = doc.get("parsed") or {}
-                q = parsed.get("queries") if isinstance(parsed, dict) else None
-                if q:
-                    return {k: float(v) for k, v in q.items()}
                 # Truncated tail: extract whatever "name": float pairs survive.
                 tail = doc.get("tail") or ""
                 pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)

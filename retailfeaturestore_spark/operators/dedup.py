@@ -501,9 +501,12 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
     neighborhood minimum; SMALL-STAR re-points u and its not-larger
     neighbors at that minimum.  Alternating the two contracts component
     diameter geometrically, so chains converge in O(log^2 n) rounds.  All
-    shuffles carry (long, long) edges; convergence is detected from a
-    (count, hash-sum) fingerprint of the edge set — one scalar row per
-    round to the driver, like the propagation loop's changed-counter.
+    shuffles carry (long, long) edges; convergence is detected by testing
+    the star-forest property directly (every child one parent, no parent
+    itself a child) — the property holds exactly at the fixpoint, so the
+    loop stops the round it is reached instead of paying a no-op round
+    for an edge-set-compare to notice.  One scalar row per round to the
+    driver, like the propagation loop's changed-counter.
 
     At the fixpoint the edge set is a star forest (child -> component min),
     so labels read off directly; roots (minima) label themselves.

@@ -5055,8 +5055,12 @@ def q_brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands = sorted(
         r[0] for r in t["part"].select("p_brand").distinct().collect()
     )
-    if len(brands) > 64:  # pragma: no cover - TPC-H brand domain is 25
-        raise ValueError("bitmask path requires a <=64-value brand domain")
+    # 63, not 64: at nb=64 the b-explode can emit b=64 (descending-sequence
+    # edge) and Spark's BIGINT shiftright masks the shift count to 6 bits,
+    # so shiftright(mask, 64) wraps to shift 0 and fabricates a phantom
+    # pair; id 63 would also put the mask in the sign bit.  TPC-H has 25.
+    if len(brands) > 63:  # pragma: no cover - TPC-H brand domain is 25
+        raise ValueError("bitmask path requires a <=63-value brand domain")
     brand_id = F.create_map(
         *[lit for i, b in enumerate(brands) for lit in (F.lit(b), F.lit(i))]
     )

@@ -272,6 +272,11 @@ def test_affinity_pair_explode_is_codegen(spark):
     df = REGISTRY["brand_basket_affinity"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "transform(" not in plan and "filter(lambda" not in plan, plan[:2000]
-    assert plan.count("Generate explode") == 2 or plan.count("explode") >= 2, plan[:2000]
+    # exactly two Generate nodes, both explode (detail lines print the
+    # operator as "(N) Generate" with the explode in Arguments)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2, plan[:2000]
+    assert plan.count("Arguments: explode") == 2, plan[:2000]
     df.collect()  # AQE: codegen spans appear in the executed (final) plan
     assert wholestage_codegen_spans(df) >= 2
