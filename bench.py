@@ -103,6 +103,7 @@ HEADLINE = [
     "feature_rank_normalize",
     "doc_ngram_commonality",
     "corpus_importance_sample",
+    "embedding_dedup_clusters",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and
