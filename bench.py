@@ -104,6 +104,7 @@ HEADLINE = [
     "doc_ngram_commonality",
     "corpus_importance_sample",
     "embedding_dedup_clusters",
+    "dedup_cross_source_matrix",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

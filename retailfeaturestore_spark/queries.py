@@ -2843,6 +2843,64 @@ def q_dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The minhash pair oracle nests as a CTE; sources attach per side and the
+# pair collapses onto the unordered (source, source) key.  max(jaccard)
+# not avg: max of doubles is reduction-order-independent, an avg's
+# summation order is not (the §5.2 determinism contract).
+_CROSS_SOURCE_DUP_ORACLE = f"""
+WITH pairs AS ({_DEDUP_MINHASH_ORACLE}),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM lab GROUP BY source_a, source_b
+"""
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=_CROSS_SOURCE_DUP_ORACLE,
+    tags=("dedup", "text", "iterative"),
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — dedup OBSERVABILITY: which corpus
+    sources duplicate each other (mirror sites, re-crawls, cross-posted
+    boilerplate), per unordered source pair with the count of verified
+    near-dup pairs and the strongest overlap.  This is the report a
+    curation owner reads to decide which source to drop wholesale before
+    paying per-document dedup at full scale.  Plan: the verified pair
+    frame (tiny — it IS the dup set) broadcasts onto two passes of the
+    skinny (doc_id, source) projection, then a handful-of-rows rollup."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    p = _minhash_pipeline_df(spark, sf_dir)
+    # the pair-derived side stays the broadcast side of BOTH joins — the
+    # (doc_id, source) projection is corpus-sized and must never move
+    pa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")).join(
+        F.broadcast(p), "doc_a"
+    )
+    j = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")).join(
+        F.broadcast(pa), "doc_b"
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 _TOP_REVENUE_SUPPLIER_ORACLE = """
 WITH srev AS (
   SELECT l_suppkey,
@@ -5603,9 +5661,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # tfidf re-derived df from tf late-r5 (took order_calendar_features'
     # slot — r3-green date expressions, queries.py-local, untouched).
     "tfidf_top_terms",
-    # New r5 query (zero verdicts; took daily_feature_snapshots' slot —
-    # r3-green, min-of-5 re-measured r4, plan audited and unchanged).
+    # New r5 queries (zero verdicts; took daily_feature_snapshots' and
+    # events_sliding_7d_daily's slots — both r3-green with their families
+    # still represented in-window).
     "embedding_dedup_clusters",
+    "dedup_cross_source_matrix",
     # --- r5 block 2: the three late-r4 queries with ZERO driver verdicts
     # on record (VERDICT r4 "What's missing" #1).
     "corpus_importance_sample",
@@ -5661,7 +5721,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_activity_features",
     "churn_labels_orders",
     "events_tumbling_daily",
-    "events_sliding_7d_daily",
 )
 
 
