@@ -280,3 +280,15 @@ def test_affinity_pair_explode_is_codegen(spark):
     assert plan.count("Arguments: explode") == 2, plan[:2000]
     df.collect()  # AQE: codegen spans appear in the executed (final) plan
     assert wholestage_codegen_spans(df) >= 2
+
+
+def test_cross_source_matrix_broadcasts_pairs(spark):
+    """The corpus-sized (doc_id, source) projection must never shuffle:
+    the pair-derived frame is the broadcast side of both source-attach
+    joins, and nothing degenerates to a cartesian pairing."""
+    df = REGISTRY["dedup_cross_source_matrix"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # the only sort-merge allowed is none: both attaches are broadcast
+    assert not has_sort_merge_join(df), plan[:2000]
