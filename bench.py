@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_importance_sample",
     "embedding_dedup_clusters",
     "dedup_cross_source_matrix",
+    "source_token_divergence",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

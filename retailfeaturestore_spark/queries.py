@@ -2901,6 +2901,93 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-row chain (division / abs / floor / long-sum) is IDENTICAL in both
+# engines; the only sums are of quantized BIGINTs (order-independent).
+_SOURCE_DIVERGENCE_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT source, term FROM tok WHERE length(term) > 0),
+st AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM tok2 GROUP BY source, term
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM st),
+en AS (
+  SELECT source, term, c,
+         CAST(sum(c) OVER (PARTITION BY term) AS BIGINT) AS g,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS s_tot
+  FROM st
+),
+contrib AS (
+  SELECT e.source, e.s_tot,
+    CAST(floor(abs(CAST(e.c AS DOUBLE) / CAST(e.s_tot AS DOUBLE)
+                   - CAST(e.g AS DOUBLE) / CAST(n.t AS DOUBLE)) * 1000000000000.0)
+         AS BIGINT)
+      - CAST(floor((CAST(e.g AS DOUBLE) / CAST(n.t AS DOUBLE)) * 1000000000000.0)
+             AS BIGINT) AS q12
+  FROM en e CROSS JOIN tot n
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(max(s_tot) AS BIGINT) AS n_tokens,
+       0.5 * (CAST(sum(q12) AS DOUBLE) / 1000000000000.0 + 1.0) AS tv_distance
+FROM contrib GROUP BY source
+"""
+
+
+@register(
+    "source_token_divergence",
+    oracle=_SOURCE_DIVERGENCE_ORACLE,
+    tags=("text", "llm"),
+)
+def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: total-variation distance
+    between each source's unigram distribution and the whole corpus — the
+    curation signal for "which source changed / doesn't belong in this
+    mixture".  TV needs the FULL vocabulary per source, but the identity
+    ``TV = 0.5 * (sum_{t in src}(|p-q| - q) + 1)`` folds every term the
+    source lacks into the constant, so only the source's own (source,
+    term) rows are ever scanned.  Determinism: each |p-q| and q quantize
+    to 1e-12 longs BEFORE the order-independent BIGINT sum (a raw double
+    sum would be reduction-order-dependent, SURVEY §5.2).
+
+    Plan: one tokenize -> (source, term) agg; global term counts attach
+    via a term-partitioned window whose partitions are bounded by the
+    SOURCE COUNT (never a whale, unlike a term-window over postings);
+    per-source totals via a source-partitioned window; the grand total is
+    a 1-row broadcast (second consumption of the vocab-sized agg — at
+    real scale persist ``st``, same trade documented at tf-idf)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.length("term") > 0)
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(st.agg(F.sum("c").cast("long").alias("t")))
+    en = (
+        st.withColumn("g", F.sum("c").over(Window.partitionBy("term")).cast("long"))
+        .withColumn("s_tot", F.sum("c").over(Window.partitionBy("source")).cast("long"))
+        .crossJoin(tot)
+    )
+    p = F.col("c").cast("double") / F.col("s_tot").cast("double")
+    q = F.col("g").cast("double") / F.col("t").cast("double")
+    q12 = (
+        F.floor(F.abs(p - q) * F.lit(1e12)).cast("long")
+        - F.floor(q * F.lit(1e12)).cast("long")
+    )
+    return (
+        en.select("source", "s_tot", q12.alias("q12"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.max("s_tot").cast("long").alias("n_tokens"),
+            (
+                F.lit(0.5)
+                * (F.sum("q12").cast("double") / F.lit(1e12) + F.lit(1.0))
+            ).alias("tv_distance"),
+        )
+    )
+
+
 _TOP_REVENUE_SUPPLIER_ORACLE = """
 WITH srev AS (
   SELECT l_suppkey,
@@ -5666,6 +5753,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # still represented in-window).
     "embedding_dedup_clusters",
     "dedup_cross_source_matrix",
+    # (source_token_divergence took text_string_features' slot — r3-green
+    # pure column algebra, untouched.)
+    "source_token_divergence",
     # --- r5 block 2: the three late-r4 queries with ZERO driver verdicts
     # on record (VERDICT r4 "What's missing" #1).
     "corpus_importance_sample",
@@ -5713,7 +5803,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "token_count",
     "text_quality_score",
-    "text_string_features",
     "benchmark_contamination",
     "doc_repetition_ratio",
     "doc_chunk_overlap",
