@@ -2866,7 +2866,10 @@ FROM lab GROUP BY source_a, source_b
 @register(
     "dedup_cross_source_matrix",
     oracle=_CROSS_SOURCE_DUP_ORACLE,
-    tags=("dedup", "text", "iterative"),
+    # NOT "iterative": no convergence loop — like dedup_minhash and
+    # dedup_edit_distance it reads the persisted signature artifact, so
+    # bench's per-run eviction (meant for iterative builds) doesn't apply.
+    tags=("dedup", "text"),
 )
 def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix — dedup OBSERVABILITY: which corpus
