@@ -5813,6 +5813,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_activity_features",
     "churn_labels_orders",
     "events_tumbling_daily",
+    # --- r6 handoff: the rotation debt this window leaves is exactly the
+    # ~24 r3-green queries named above (simple single-join/column-algebra
+    # shapes: brand_margin, cross_nation_trade, customers_with[out]_*,
+    # discounted_revenue, forecast_revenue_change, linestatus_*,
+    # qty_price_correlation, returned_item_ranking, returns_by_priority,
+    # revenue_by_nation, segment_priority_cube, small_qty_revenue,
+    # supplier_variety_by_part, top_customers/top_revenue_supplier,
+    # user_days_view_no_purchase, users_purchase_and_signup) plus the six
+    # that ceded late-r5 slots (embedding_norms, stratified_sample_balanced,
+    # order_calendar_features, daily_feature_snapshots,
+    # events_sliding_7d_daily, text_string_features).  All fit r6's window
+    # with room for r6 changes — next round should rotate them in en bloc.
 )
 
 
