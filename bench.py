@@ -106,6 +106,8 @@ HEADLINE = [
     "embedding_dedup_clusters",
     "dedup_cross_source_matrix",
     "source_token_divergence",
+    "knn_ivf_pq",
+    "knn_mmr_diverse",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

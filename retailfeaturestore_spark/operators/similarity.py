@@ -37,6 +37,8 @@ __all__ = [
     "ivf_topk_label",
     "kmeans_cells",
     "ivf_topk_cells",
+    "pq_topk_adc",
+    "mmr_diverse_topk",
     "sign_lsh_neardup",
 ]
 
@@ -331,6 +333,316 @@ def ivf_topk_cells(
         .where(F.col("rank") <= k_neighbors)
         .select("q_id", "n_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _pq_code_expr(cents_s, offset: int, width: int) -> Column:
+    """Argmin codeword id for ONE subspace: integer squared distance from
+    ``slice(__q, offset, width)`` to each codeword literal, ties to the
+    smallest code id.  Same literal-centroid pattern as ``kmeans_cells`` —
+    a pure map expression, no join, no shuffle."""
+    arr = ", ".join(
+        "named_struct('cell', {c}L, 'v', array({vs}))".format(
+            c=c, vs=", ".join(f"{x}L" for x in vec)
+        )
+        for c, vec in cents_s
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          transform(array({arr}),
+            s -> named_struct(
+              'd', aggregate(zip_with(slice(__q, {offset}, {width}), s.v,
+                             (a, b) -> (a - b) * (a - b)),
+                             0L, (acc, x) -> acc + x),
+              'cell', s.cell)),
+          cast(null as struct<d: bigint, cell: bigint>),
+          (best, x) -> if(best is null or x.d < best.d
+                          or (x.d = best.d and x.cell < best.cell), x, best)
+        ).cell
+        """
+    )
+
+
+def pq_train_encode(
+    vectors: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_scope: str | None = None,
+):
+    """Product-quantization training + encoding: split each vector into
+    ``m`` subspaces, train an independent ``k_codes``-codeword codebook per
+    subspace (deterministic integer Lloyd's — same determinism contract as
+    :func:`kmeans_cells`: quantized int64 components, integer distances,
+    smallest-``m`` ids as seeds, ``floor(sum/count)`` centroid updates,
+    fixed iteration count), and encode every vector as ``m`` small code ids.
+
+    Returns ``(codebooks, coded, seed_vecs)`` where ``codebooks[s]`` is the
+    sorted ``(code_id, subvector_ints)`` list for subspace ``s``, ``coded``
+    is the corpus with a ``__codes`` array<bigint> column (and the quantized
+    ``__q`` vector), and ``seed_vecs`` maps the collected seed ids to their
+    quantized vectors (callers needing a few more driver-side vectors — ADC
+    query LUTs — can reuse them instead of paying another collect job).
+
+    Scale shape: the corpus is quantized ONCE and persisted; each Lloyd
+    round is a pure map (codebook literals embedded in the argmin
+    expression) plus ONE map-side-combinable ``(sub, code, dim)`` groupBy
+    whose result — ``m * k * d_sub`` summary longs — is all the driver ever
+    sees.  ALL subspaces train in the same pass, so ``m`` does not multiply
+    the number of jobs.  This is the memory-reduction path for 100 TB ANN:
+    the encoded corpus is ``m`` bytes-ish per vector instead of ``4 * dims``.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reg = getattr(vectors.sparkSession, "_rfs_persisted", None)
+    if reg is None or isinstance(reg, list):
+        reg = vectors.sparkSession._rfs_persisted = {}
+    key = ("pq_quant_corpus", cache_scope)
+    old = reg.pop(key, None)
+    if old is not None:
+        old.unpersist(blocking=False)
+    reg[key] = q
+
+    # Seed: the k_codes smallest ids; codebook s starts as their s-th
+    # subvectors (bounded k-row collect — control-plane sized by design).
+    seed = sorted(
+        ((int(r["id"]), [int(x) for x in r["__q"]]) for r in
+         q.where(F.col("id") < k_codes).collect())
+    )
+    dims = len(seed[0][1])
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    w = dims // m
+    cents = [
+        [(cid, vec[s * w : (s + 1) * w]) for cid, vec in seed]
+        for s in range(m)
+    ]
+
+    def sub_structs(cents) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    _pq_code_expr(cents[s], s * w + 1, w).alias("cell"),
+                    F.slice("__q", s * w + 1, w).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+
+    for _ in range(iters):
+        stats = (
+            q.select(F.explode(sub_structs(cents)).alias("e"))
+            .select("e.sub", "e.cell", F.posexplode("e.sv").alias("j", "qi"))
+            .groupBy("sub", "cell", "j")
+            .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_sub: dict[int, dict[int, dict[int, int]]] = {}
+        for r in stats:
+            # floor(double(sum)/count): exact-input, correctly-rounded IEEE
+            # division (|sum| < 2^53) — replays identically in SQL engines.
+            by_sub.setdefault(int(r["sub"]), {}).setdefault(int(r["cell"]), {})[
+                int(r["j"])
+            ] = math.floor(r["s"] / r["n"])
+        cents = [
+            sorted(
+                (cell, [dims_map[j] for j in range(w)])
+                for cell, dims_map in by_sub.get(s, {}).items()
+            )
+            for s in range(m)
+        ]
+
+    coded = q.withColumn(
+        "__codes", F.array(*[_pq_code_expr(cents[s], s * w + 1, w) for s in range(m)])
+    )
+    return cents, coded, dict(seed)
+
+
+def pq_topk_adc(
+    corpus: DataFrame,
+    query_ids,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_scope: str | None = None,
+) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance computation (ADC).
+
+    Jegou et al., "Product Quantization for Nearest Neighbor Search"
+    (TPAMI 2011) — the standard memory-bounded ANN scheme: the corpus is
+    stored as ``m`` code ids per vector; a query precomputes an ``m x k``
+    lookup table of exact squared distances from its subvectors to every
+    codeword, and a corpus vector's approximate distance is ``m`` table
+    lookups summed — no float math over the corpus at all.
+
+    Spark-first shape: codebooks and per-query LUTs are driver-side integer
+    literals (``m * k * d_sub`` and ``|Q| * m * k`` longs — tiny by PQ
+    design), so the scoring pass is a PURE MAP over the encoded corpus
+    (explode of |Q| scored structs per row), followed by the single
+    per-query top-k window exchange.  The corpus never joins and never
+    shuffles its vectors; only ``(q_id, n_id, dist)`` longs move.
+
+    Determinism: every distance is an int64 sum of squared int diffs;
+    ranking ties break on neighbor id — the SQL oracle replays training,
+    encoding, LUTs, and ADC bit-for-bit.
+    """
+    cents, coded, seed_vecs = pq_train_encode(
+        corpus, m=m, k_codes=k_codes, iters=iters, vec_col=vec_col,
+        id_col=id_col, cache_scope=cache_scope,
+    )
+    # Query vectors already pulled by the seed collect need no second job.
+    missing = [qid for qid in query_ids if qid not in seed_vecs]
+    fetched = {
+        int(r["id"]): [int(x) for x in r["__q"]]
+        for r in (
+            coded.where(F.col("id").isin(missing)).select("id", "__q").collect()
+            if missing
+            else ()
+        )
+    }
+    qrows = sorted(
+        (int(qid), seed_vecs.get(qid) or fetched[qid]) for qid in query_ids
+    )
+    w = len(qrows[0][1]) // m
+    lut_structs = []
+    for qid, vec in qrows:
+        per_sub = []
+        for s in range(m):
+            sub_v = vec[s * w : (s + 1) * w]
+            # Indexed by code id (0..k_codes-1); codes whose cluster emptied
+            # during training keep a 0 slot that no row can reference.
+            row = [0] * k_codes
+            for cid, cvec in cents[s]:
+                row[cid] = sum((a - b) * (a - b) for a, b in zip(sub_v, cvec))
+            per_sub.append("array({})".format(", ".join(f"{d}L" for d in row)))
+        lut_structs.append(
+            "named_struct('q', {q}L, 'l', array({ls}))".format(
+                q=qid, ls=", ".join(per_sub)
+            )
+        )
+    dist_terms = " + ".join(
+        f"element_at(element_at(t.l, {s + 1}), cast(element_at(__codes, {s + 1}) as int) + 1)"
+        for s in range(m)
+    )
+    scored = F.expr(
+        "transform(array({arr}), t -> named_struct('q_id', t.q, 'dist', {dist}))".format(
+            arr=", ".join(lut_structs), dist=dist_terms
+        )
+    )
+    flat = (
+        coded.select(F.col("id").alias("n_id"), F.explode(scored).alias("e"))
+        .select("n_id", F.col("e.q_id").alias("q_id"), F.col("e.dist").alias("dist"))
+        .where(F.col("n_id") != F.col("q_id"))
+    )
+    wnd = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
+    return (
+        flat.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= k_neighbors)
+        .select(
+            "q_id",
+            "n_id",
+            F.col("dist").cast("double").alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def mmr_diverse_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_select: int = 5,
+    k_candidates: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    diversified top-k: exact brute-force top-``k_candidates`` per query
+    (JVM-side — the corpus-scale stage), then the inherently-sequential
+    MMR selection loop runs per query group over the TINY candidate set
+    via Arrow-batched ``applyInPandas`` (the documented custom-operator
+    seam: ``k_select`` greedy steps cannot be expressed as a fixed
+    DataFrame plan without unrolling, and the data at that point is
+    ``|Q| * k_candidates`` rows regardless of corpus size).
+
+    Scoring: ``score(c) = 0.7 * rel(c) - 0.3 * max_{s in S} sim(c, s)``
+    (max over the empty set = 0.0), relevance and pairwise similarities
+    both fixed-point cosines, ties to the smallest neighbor id — every
+    float op is a correctly-rounded IEEE double op over engine-identical
+    inputs, so a SQL oracle replays the selection bit-for-bit.
+
+    At 100 TB: candidate generation is the only stage that touches the
+    corpus (broadcast queries, no corpus shuffle, per-query top-k); the
+    MMR stage shuffles ``|Q| * k_candidates`` short rows to ``|Q|``
+    groups — bounded by the query workload, not the data.
+    """
+    import pandas as pd
+
+    cand = cosine_topk(
+        corpus, queries, k=k_candidates, vec_col=vec_col, id_col=id_col
+    ).select("q_id", "n_id", F.col("cosine").alias("rel"))
+    qvec = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+    )
+    # candidates-to-vectors join: the candidate list is query-workload sized —
+    # broadcast it against the corpus scan, never shuffle the corpus.
+    with_vec = qvec.join(F.broadcast(cand), "n_id")
+
+    out_schema = (
+        "q_id long, n_id long, relevance double, mmr_score double, pick long"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = [int(x) for x in pdf["n_id"]]
+        rels = [float(x) for x in pdf["rel"]]
+        vecs = [[int(v) for v in arr] for arr in pdf["__q"]]
+        import math as _math
+
+        norms = [_math.sqrt(float(sum(v * v for v in vec))) for vec in vecs]
+
+        def sim(a: int, b: int) -> float:
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            return float(dot) / (norms[a] * norms[b])
+
+        selected: list[int] = []
+        rows = []
+        n = len(ids)
+        for pick in range(1, min(k_select, n) + 1):
+            best = None
+            for c in range(n):
+                if c in selected:
+                    continue
+                maxsim = max((sim(c, s) for s in selected), default=0.0)
+                score = 0.7 * rels[c] - 0.3 * maxsim
+                key = (score, -ids[c])
+                if best is None or key > best[0]:
+                    best = (key, c, score)
+            _, c, score = best
+            selected.append(c)
+            rows.append(
+                {
+                    "q_id": int(pdf["q_id"].iloc[0]),
+                    "n_id": ids[c],
+                    "relevance": rels[c],
+                    "mmr_score": score,
+                    "pick": pick,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return with_vec.groupBy("q_id").applyInPandas(_mmr, out_schema)
 
 
 def sign_lsh_neardup(

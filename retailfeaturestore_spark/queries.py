@@ -1183,6 +1183,8 @@ from .operators.similarity import (  # noqa: E402
     cosine_topk,
     ivf_topk_cells,
     ivf_topk_label,
+    mmr_diverse_topk,
+    pq_topk_adc,
     sign_lsh_neardup,
 )
 
@@ -1358,6 +1360,188 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_ids=list(range(_KM_QUERY_MAX)), k_neighbors=3, n_cells=_KM_K,
         iters=2, cache_scope=sf_dir,
     )
+
+
+# Product-quantization oracle: the same deterministic-Lloyd contract as the
+# KMeans oracle, but per SUBSPACE — 64 dims split into 4 x 16, an independent
+# 16-codeword codebook per subspace (seeds = the 16 smallest vec_ids'
+# subvectors, 2 unrolled iterations), then ADC: per-query LUT of exact integer
+# subspace distances joined to the corpus code assignments and summed.
+# Replays operators/similarity.py:pq_topk_adc bit-for-bit.
+_PQ_M = 4
+_PQ_W = 16
+_PQ_K = 16
+_PQ_QUERY_MAX = 10
+
+
+def _pq_assign_cte(cent: str, out: str) -> str:
+    return f"""{out}_d AS (
+  SELECT f.vec_id, f.sub, c.cell,
+         sum((f.q - c.c) * (f.q - c.c)) AS dist
+  FROM sflat f JOIN {cent} c ON c.sub = f.sub AND c.j = f.j
+  GROUP BY f.vec_id, f.sub, c.cell
+),
+{out} AS (
+  SELECT vec_id, sub, cell FROM {out}_d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cell ASC) = 1
+)"""
+
+
+def _pq_update_cte(assign: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT a.cell, f.sub, f.j,
+         CAST(floor(CAST(sum(f.q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM sflat f JOIN {assign} a ON a.vec_id = f.vec_id AND a.sub = f.sub
+  GROUP BY a.cell, f.sub, f.j
+)"""
+
+
+_KNN_PQ_ORACLE = f"""
+WITH {_FLAT_CTE},
+qflat AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS q
+  FROM flat
+),
+sflat AS (
+  SELECT vec_id, CAST(((i - 1) // {_PQ_W}) AS BIGINT) AS sub, ((i - 1) % {_PQ_W}) AS j, q
+  FROM qflat
+),
+pc0 AS (
+  SELECT vec_id AS cell, sub, j, q AS c FROM sflat WHERE vec_id < {_PQ_K}
+),
+{_pq_assign_cte("pc0", "pa1")},
+{_pq_update_cte("pa1", "pc1")},
+{_pq_assign_cte("pc1", "pa2")},
+{_pq_update_cte("pa2", "pc2")},
+{_pq_assign_cte("pc2", "paf")},
+lut AS (
+  SELECT f.vec_id AS q_id, f.sub, c.cell,
+         sum((f.q - c.c) * (f.q - c.c)) AS d
+  FROM sflat f JOIN pc2 c ON c.sub = f.sub AND c.j = f.j
+  WHERE f.vec_id < {_PQ_QUERY_MAX}
+  GROUP BY f.vec_id, f.sub, c.cell
+),
+adc AS (
+  SELECT l.q_id, a.vec_id AS n_id, sum(l.d) AS dist
+  FROM paf a JOIN lut l ON l.sub = a.sub AND l.cell = a.cell
+  WHERE a.vec_id <> l.q_id
+  GROUP BY l.q_id, a.vec_id
+)
+SELECT q_id, n_id, CAST(dist AS DOUBLE) AS adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= 5
+"""
+
+
+@register("knn_ivf_pq", oracle=_KNN_PQ_ORACLE, tags=("similarity", "iterative", "scale"))
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (Jegou et al. 2011) — the memory-bounded 100 TB
+    scale path: 4 per-subspace 16-codeword codebooks trained with the same
+    deterministic integer Lloyd contract as ``knn_ivf_kmeans``, corpus
+    encoded to 4 code ids/vector, queries scored via asymmetric-distance
+    LUTs embedded as literals.  The scoring pass is a pure map over the
+    encoded corpus (no join, no vector shuffle); the only exchange is the
+    per-query top-k window over ``(q_id, n_id, dist)`` longs.  The oracle
+    replays training, encoding, LUTs, and ADC as unrolled CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_adc(
+        emb, query_ids=list(range(_PQ_QUERY_MAX)), k_neighbors=5, m=_PQ_M,
+        k_codes=_PQ_K, iters=2, cache_scope=sf_dir,
+    )
+
+
+# MMR oracle: top-20 exact-cosine candidates per query, then the greedy
+# Maximal-Marginal-Relevance selection unrolled as one CTE pair per pick —
+# score = 0.7*rel - 0.3*max(sim to already-selected), ties to the smallest
+# neighbor id.  All floats are correctly-rounded IEEE doubles over identical
+# fixed-point integers, so the greedy argmax replays bit-for-bit.
+_MMR_PICKS = 5
+_MMR_CANDS = 20
+_MMR_QUERY_MAX = 10
+
+
+def _mmr_step_ctes(k: int) -> str:
+    p = k - 1
+    return f"""sc{k} AS (
+  SELECT c.q_id, c.n_id, c.rel,
+         CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * max(cs.sim) AS score
+  FROM cand c
+  JOIN csim cs ON cs.q_id = c.q_id AND cs.id_a = c.n_id
+  JOIN sel{p} s ON s.q_id = cs.q_id AND s.n_id = cs.id_b
+  LEFT JOIN sel{p} x ON x.q_id = c.q_id AND x.n_id = c.n_id
+  WHERE x.n_id IS NULL
+  GROUP BY c.q_id, c.n_id, c.rel
+),
+s{k} AS (
+  SELECT q_id, n_id, rel, score AS mmr_score, CAST({k} AS BIGINT) AS pick FROM sc{k}
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) = 1
+),
+sel{k} AS (
+  SELECT q_id, n_id, rel, mmr_score, pick FROM sel{p}
+  UNION ALL SELECT q_id, n_id, rel, mmr_score, pick FROM s{k}
+)"""
+
+
+_MMR_STEPS_SQL = ",\n".join(_mmr_step_ctes(k) for k in range(2, _MMR_PICKS + 1))
+
+_KNN_MMR_ORACLE = f"""
+WITH {_FLAT_CTE},
+qflat AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS q
+  FROM flat
+),
+dots AS (
+  SELECT fq.vec_id AS q_id, fc.vec_id AS n_id, CAST(sum(fq.q * fc.q) AS DOUBLE) AS dot
+  FROM qflat fq JOIN qflat fc ON fq.i = fc.i AND fq.vec_id <> fc.vec_id
+  WHERE fq.vec_id < {_MMR_QUERY_MAX}
+  GROUP BY fq.vec_id, fc.vec_id
+),
+cand AS (
+  SELECT d.q_id, d.n_id, d.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS rel
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.n_id
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id ASC) <= {_MMR_CANDS}
+),
+cpair AS (
+  SELECT a.q_id, a.n_id AS id_a, b.n_id AS id_b
+  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+),
+csim AS (
+  SELECT p.q_id, p.id_a, p.id_b,
+         CAST(sum(fa.q * fb.q) AS DOUBLE) / (sqrt(na.nn) * sqrt(nb.nn)) AS sim
+  FROM cpair p
+  JOIN qflat fa ON fa.vec_id = p.id_a
+  JOIN qflat fb ON fb.vec_id = p.id_b AND fb.i = fa.i
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+  GROUP BY p.q_id, p.id_a, p.id_b, na.nn, nb.nn
+),
+s1 AS (
+  SELECT q_id, n_id, rel,
+         CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr_score,
+         CAST(1 AS BIGINT) AS pick
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id ASC) = 1
+),
+sel1 AS (SELECT q_id, n_id, rel, mmr_score, pick FROM s1),
+{_MMR_STEPS_SQL}
+SELECT q_id, n_id, rel AS relevance, mmr_score, pick FROM sel{_MMR_PICKS}
+"""
+
+
+@register("knn_mmr_diverse", oracle=_KNN_MMR_ORACLE, tags=("similarity", "udf"))
+def q_knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval via Maximal Marginal Relevance: exact top-20
+    cosine candidates per query (broadcast-queries corpus scan, the only
+    corpus-scale stage), then the sequential greedy MMR pick loop per query
+    group via Arrow-batched ``applyInPandas`` over the tiny candidate set.
+    The oracle unrolls all five greedy picks as SQL CTEs and matches
+    bit-for-bit — certifying the Python selection against the declarative
+    replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MMR_QUERY_MAX)
+    return mmr_diverse_topk(emb, queries, k_select=_MMR_PICKS, k_candidates=_MMR_CANDS)
 
 
 _SIGN_LSH_ORACLE = f"""
@@ -5764,6 +5948,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_importance_sample",
     "doc_ngram_commonality",
     "feature_rank_normalize",
+    # New late-r5 similarity additions (zero verdicts): PQ/ADC compressed
+    # ANN and MMR diversified retrieval.  They took union_slices' and
+    # large_volume_orders' slots — the two most trivial queries.py-local
+    # shapes in the stale block (UNION ALL; filter+group-having), both
+    # re-verified green with tools/check_oracle.py at rotation time and
+    # handed to the r6 window below.
+    "knn_ivf_pq",
+    "knn_mmr_diverse",
     # --- r5 block 3: the full r2-stale set (latest green two+ rounds old;
     # VERDICT r4 "What's wrong" #3) — the 17 r4-new queries and the r4
     # heavies with fresh greens cede their slots to clear this debt in one
@@ -5780,13 +5972,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rows_rolling_spend",
     "segment_priority_grouping_sets",
     "shipping_priority",
-    "union_slices",
     "hash_split_train_val",
     "rfm_segments",
     "promo_revenue_share",
     "nation_market_share",
     "order_count_distribution",
-    "large_volume_orders",
     "min_price_supplier_per_part",
     "bulk_part_suppliers",
     "brand_revenue_concentration",
@@ -5823,8 +6013,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # user_days_view_no_purchase, users_purchase_and_signup) plus the six
     # that ceded late-r5 slots (embedding_norms, stratified_sample_balanced,
     # order_calendar_features, daily_feature_snapshots,
-    # events_sliding_7d_daily, text_string_features).  All fit r6's window
-    # with room for r6 changes — next round should rotate them in en bloc.
+    # events_sliding_7d_daily, text_string_features, union_slices,
+    # large_volume_orders).  All fit r6's window with room for r6 changes —
+    # next round should rotate them in en bloc.
 )
 
 

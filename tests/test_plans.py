@@ -292,3 +292,25 @@ def test_cross_source_matrix_broadcasts_pairs(spark):
     assert "CartesianProduct" not in plan
     # the only sort-merge allowed is none: both attaches are broadcast
     assert not has_sort_merge_join(df), plan[:2000]
+
+
+def test_pq_adc_scoring_is_join_free_single_exchange(spark):
+    """PQ/ADC promise: codebooks and LUTs are literals, so the scoring
+    pass is a pure map over the encoded corpus — NO join anywhere in the
+    final plan, and the only shuffle is the per-query top-k window."""
+    df = REGISTRY["knn_ivf_pq"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_mmr_broadcasts_candidates_never_shuffles_corpus(spark):
+    """MMR: the candidate list (query-workload sized) broadcasts against
+    the corpus scan for vector re-attachment — the corpus must never
+    sort-merge — and the selection loop runs as Arrow-batched
+    FlatMapGroupsInPandas."""
+    df = REGISTRY["knn_mmr_diverse"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+    assert "FlatMapGroupsInPandas" in plan
