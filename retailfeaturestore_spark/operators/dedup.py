@@ -43,6 +43,7 @@ __all__ = [
     "shingle_docs",
     "posting_lists",
     "minhash_signatures",
+    "band_rows",
     "minhash_candidate_pairs",
     "jaccard_pairs_exact",
     "simhash_signatures",
@@ -158,6 +159,30 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 12, bands: int = 4
+) -> DataFrame:
+    """Signature table -> ``(id, band, band_key)`` LSH band rows via a
+    single explode (shared by the batch self-join candidate stage and the
+    streaming ingest probe, which joins new-batch bands against an
+    accumulated band store instead of self-joining)."""
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * r + i}") for i in range(r)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("__bb")
+    ).select("id", F.col("__bb.band").alias("band"), F.col("__bb.band_key").alias("band_key"))
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -178,23 +203,9 @@ def minhash_candidate_pairs(
     BOTH sides of the self-join, so cutting its lineage halves the
     upstream shingle+digest work and stops cache-population races.
     """
-    r = k // bands
     if materialize:
         sigs = sigs.localCheckpoint()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * r + i}") for i in range(r)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    all_bands = sigs.select(
-        F.col(id_col).alias("id"), F.explode(band_structs).alias("__bb")
-    ).select("id", F.col("__bb.band").alias("band"), F.col("__bb.band_key").alias("band_key"))
+    all_bands = band_rows(sigs, id_col=id_col, k=k, bands=bands)
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (

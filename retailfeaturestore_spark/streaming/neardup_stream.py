@@ -1,0 +1,195 @@
+"""Incremental near-duplicate admission for continuous corpus ingestion.
+
+The batch dedup pipeline (``operators/dedup.py``) answers "which documents in
+THIS corpus are near-duplicates of each other".  A training-data pipeline at
+100 TB does not re-run that over the whole corpus per day — new documents
+arrive continuously and each must be admitted or rejected against everything
+already ingested.  This module is that operator: MinHash/LSH banding of each
+micro-batch probed against an ACCUMULATED band store, exact n-gram Jaccard
+verification against the stored shingle postings, and append-only state
+growth — the standard "dedup at ingestion time" shape (same MinHash-LSH
+construction as the batch path; cf. Lee et al., "Deduplicating Training Data
+Makes Language Models Better", ACL 2022).
+
+Admission policy (arrival-order semantics): a document is flagged as a
+near-duplicate iff it verifies (Jaccard >= threshold) against any document
+from an earlier batch, or against a same-batch document with a smaller id.
+When documents arrive in id order this is EXACTLY the batch greedy-by-id
+rule, which the replay-equals-batch test asserts.
+
+Scale shape per micro-batch (B = batch docs, S = accumulated state):
+- shingle/digest/signature work is O(B) and map-only;
+- the probe join shuffles only ``(band, band_key)`` short keys; the state
+  side is bucket-prunable (at scale: partition the band store by ``band``
+  and z-order/bucket by ``band_key`` so the probe reads only colliding
+  buckets — never the whole store);
+- Jaccard verification touches only the postings of CANDIDATE pairs;
+- state grows by O(B) rows per batch (bands + postings), appended once.
+
+Delivery semantics: the decision output is written BEFORE the state append
+and the state append is not transactional with it — a crash between the two
+replays the batch (at-least-once).  State reads dedupe defensively
+(``distinct()`` on re-read) so a replayed append never double-counts
+intersections; downstream consumers dedupe decisions by ``doc_id``.  (On a
+lakehouse table both writes become one transactional MERGE keyed by
+``batch_id`` — the standard foreachBatch idempotence pattern.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import band_rows, minhash_signatures, posting_lists
+
+__all__ = ["ingest_batch_neardup", "neardup_ingest_stream"]
+
+
+def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        # distinct(): a replayed (at-least-once) append must not
+        # double-count postings in the intersection counts.
+        return spark.read.schema(schema).parquet(path).distinct()
+    return spark.createDataFrame([], schema)
+
+
+def ingest_batch_neardup(
+    batch: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Admit one batch of documents against the accumulated state.
+
+    Returns the decision frame ``(doc_id, is_neardup, matched_id,
+    n_matches)`` — ``matched_id`` is the smallest verified witness (earlier
+    arrival, or smaller same-batch id), null for admitted docs.  Appends
+    this batch's bands and shingle postings to ``state_dir`` AFTER the
+    decisions are computed (the decisions must not see the batch's own
+    state rows except via the explicit within-batch probe).
+
+    The caller owns triggering: this is a plain batch function so the
+    foreachBatch wrapper and tests drive the identical code path.
+    """
+    spark = batch.sparkSession
+    bands_path = os.path.join(state_dir, "bands")
+    post_path = os.path.join(state_dir, "postings")
+
+    posts_b = posting_lists(batch, text_col, id_col, n).localCheckpoint()
+    sigs_b = minhash_signatures(None, id_col=id_col, k=k, postings=posts_b)
+    bands_b = band_rows(sigs_b, id_col=id_col, k=k, bands=bands).localCheckpoint()
+
+    state_bands = _read_state(
+        spark, bands_path, "id long, band int, band_key string"
+    )
+    state_posts = _read_state(spark, post_path, "id long, sh string")
+
+    cross = (
+        bands_b.alias("nw")
+        .join(
+            state_bands.alias("st"),
+            (F.col("nw.band") == F.col("st.band"))
+            & (F.col("nw.band_key") == F.col("st.band_key")),
+        )
+        .select(F.col("nw.id").alias("cand"), F.col("st.id").alias("witness"))
+    )
+    within = (
+        bands_b.alias("a")
+        .join(
+            bands_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") > F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("cand"), F.col("b.id").alias("witness"))
+    )
+    candidates = cross.unionByName(within).distinct()
+
+    cand_posts = posts_b.select("id", "sh")
+    wit_posts = state_posts.unionByName(posts_b.select("id", "sh"))
+    sizes_c = cand_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_c"))
+    sizes_w = wit_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_w"))
+    inter = (
+        candidates.join(
+            cand_posts.select(
+                F.col("id").alias("cand"), F.col("sh").alias("sh_c")
+            ),
+            "cand",
+        )
+        .join(
+            wit_posts.select(
+                F.col("id").alias("__wid"), F.col("sh").alias("sh_w")
+            ),
+            (F.col("witness") == F.col("__wid")) & (F.col("sh_c") == F.col("sh_w")),
+        )
+        .groupBy("cand", "witness")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    verified = (
+        inter.join(sizes_c.withColumnRenamed("id", "cand"), "cand")
+        .join(sizes_w.withColumnRenamed("id", "witness"), "witness")
+        .where(
+            F.col("n_i").cast("double")
+            / (F.col("n_c") + F.col("n_w") - F.col("n_i"))
+            >= F.lit(threshold)
+        )
+    )
+    matches = verified.groupBy("cand").agg(
+        F.min("witness").alias("matched_id"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    decisions = (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(matches.withColumnRenamed("cand", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("matched_id").isNotNull().alias("is_neardup"),
+            "matched_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+        .localCheckpoint()
+    )
+    bands_b.write.mode("append").parquet(bands_path)
+    posts_b.select("id", "sh").write.mode("append").parquet(post_path)
+    return decisions
+
+
+def neardup_ingest_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """Continuous near-dup admission: ``foreachBatch`` over a document
+    stream, each micro-batch admitted by :func:`ingest_batch_neardup`,
+    decisions appended to ``out_dir``."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = ingest_batch_neardup(
+            batch_df, state_dir, text_col=text_col, id_col=id_col,
+            n=n, k=k, bands=bands, threshold=threshold,
+        )
+        decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
