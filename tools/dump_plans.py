@@ -31,6 +31,8 @@ SHOW = {
     "dau_mau_stickiness": "Interval-coverage scan-line: day-user distinct + per-user lead() sort, +1/-1 deltas into ONE day-grain agg, dense days recovered by exploding constant-coverage intervals — 3 hash exchanges, zero joins, no Expand.",
     "dedup_cross_source_matrix": "Pair-derived frame broadcasts onto both source-attach passes; the corpus-sized (doc_id, source) projection never shuffles.",
     "source_token_divergence": "One tokenize; global term counts via a term-window whose partitions are bounded by SOURCE COUNT; 1e-12-quantized long sums keep the TV distance engine-exact.",
+    "knn_ivf_pq": "PQ/ADC: codebooks + per-query LUTs are literals, so scoring is a pure map over the encoded corpus - NO Join node; the only exchange is the per-query top-k window over (q_id, n_id, dist) longs.",
+    "knn_mmr_diverse": "MMR: broadcast-candidate vector re-attach (corpus never sort-merges) feeding the Arrow FlatMapGroupsInPandas greedy-selection stage, bounded by |Q| x k_candidates.",
 }
 
 
