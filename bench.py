@@ -108,6 +108,7 @@ HEADLINE = [
     "source_token_divergence",
     "knn_ivf_pq",
     "knn_mmr_diverse",
+    "corpus_temperature_mix",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and
