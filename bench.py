@@ -109,6 +109,7 @@ HEADLINE = [
     "knn_ivf_pq",
     "knn_mmr_diverse",
     "corpus_temperature_mix",
+    "user_daily_snapshot_spine",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -2437,6 +2437,106 @@ WINDOW w30 AS (PARTITION BY customer_id ORDER BY day
 """
 
 
+_SPINE_FFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS src_day,
+         CAST(count(*) AS BIGINT) AS d_events,
+         CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS BIGINT) AS d_value_cents
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+gmax AS (SELECT max(CAST(ts AS DATE)) AS gm FROM events WHERE ts IS NOT NULL),
+seg AS (
+  SELECT user_id, src_day, d_events, d_value_cents,
+         sum(d_value_cents) OVER (PARTITION BY user_id ORDER BY src_day) AS cum_value_cents,
+         sum(d_events) OVER (PARTITION BY user_id ORDER BY src_day) AS cum_events,
+         lead(src_day) OVER (PARTITION BY user_id ORDER BY src_day) AS next_day
+  FROM daily
+),
+sp AS (
+  SELECT s.user_id, s.src_day, s.d_events, s.cum_value_cents, s.cum_events,
+         unnest(generate_series(
+           0, date_diff('day', s.src_day, coalesce(s.next_day - 1, g.gm))
+         )) AS off
+  FROM seg s, gmax g
+)
+SELECT user_id,
+       strftime(src_day + CAST(off AS INTEGER), '%Y-%m-%d') AS day,
+       CAST(off AS BIGINT) AS days_since_active,
+       CAST(CASE WHEN off = 0 THEN d_events ELSE 0 END AS BIGINT) AS active_events,
+       CAST(cum_events AS BIGINT) AS cum_events,
+       CAST(cum_value_cents AS BIGINT) AS cum_value_cents
+FROM sp
+"""
+
+
+@register("user_daily_snapshot_spine", oracle=_SPINE_FFILL_ORACLE, tags=("window", "events", "scale"))
+def q_user_daily_snapshot_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily state spine with forward-carried state — the nightly
+    snapshot table a feature platform publishes: every user has a row for
+    EVERY day from their first activity to the corpus end, carrying
+    cumulative totals and days-since-last-activity across the inactive
+    gaps (the serving layer then point-reads any date without an as-of
+    scan).
+
+    Shape: ONE hash exchange on ``user_id`` serves the day-grain
+    aggregation (hash(user_id) clusters (user_id, day) too), both running
+    sums, and the lead() — the dense days then come from exploding
+    per-segment integer ranges (the same interval-coverage trick as the
+    DAU/MAU scan-line), so gap length never multiplies shuffled rows, only
+    generated ones."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", F.col("ts").cast("date").alias("src_day"))
+        .agg(
+            F.count(F.lit(1)).alias("d_events"),
+            F.sum(F.round(F.col("value") * F.lit(10000.0)).cast("long")).alias(
+                "d_value_cents"
+            ),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("src_day")
+    wcum = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    # Corpus-end day from a ts-only column-pruned scan (NOT from `daily`:
+    # Spark would re-execute the whole exchanged aggregate subtree for the
+    # one-row max — this side reads a single column and map-combines).
+    gmax = F.broadcast(ev.agg(F.max(F.col("ts").cast("date")).alias("gm")))
+    seg = (
+        daily.withColumns(
+            {
+                "cum_value_cents": F.sum("d_value_cents").over(wcum),
+                "cum_events": F.sum("d_events").over(wcum),
+                "next_day": F.lead("src_day").over(w),
+            }
+        )
+        .crossJoin(gmax)
+        .withColumn(
+            "off",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.datediff(
+                        F.coalesce(F.date_sub("next_day", 1), F.col("gm")),
+                        F.col("src_day"),
+                    ),
+                )
+            ),
+        )
+    )
+    return seg.select(
+        "user_id",
+        F.date_format(F.date_add("src_day", F.col("off")), "yyyy-MM-dd").alias("day"),
+        F.col("off").cast("long").alias("days_since_active"),
+        F.when(F.col("off") == 0, F.col("d_events"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("active_events"),
+        F.col("cum_events").cast("long").alias("cum_events"),
+        F.col("cum_value_cents").cast("long").alias("cum_value_cents"),
+    )
+
+
 @register("daily_feature_snapshots", oracle=_DAILY_SNAPSHOT_ORACLE, tags=("window", "scale"))
 def q_daily_feature_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain feature snapshots: the whale-scale pre-aggregation path
@@ -6019,6 +6119,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (corpus_temperature_mix took bulk_part_suppliers' slot — Q16-ish
     # group-having shape, re-verified green at rotation time, r6 handoff.)
     "corpus_temperature_mix",
+    # (user_daily_snapshot_spine took min_price_supplier_per_part's slot —
+    # Q2-ish min-per-group, family covered in-window by latest_order_maxby /
+    # first_event_per_user; re-verified green at rotation time, r6 handoff.)
+    "user_daily_snapshot_spine",
     # --- r5 block 3: the full r2-stale set (latest green two+ rounds old;
     # VERDICT r4 "What's wrong" #3) — the 17 r4-new queries and the r4
     # heavies with fresh greens cede their slots to clear this debt in one
@@ -6040,7 +6144,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue_share",
     "nation_market_share",
     "order_count_distribution",
-    "min_price_supplier_per_part",
     "brand_revenue_concentration",
     "doc_pack_context_windows",
     # --- r5 block 4: the most helper-entangled queries whose latest green
@@ -6076,8 +6179,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # that ceded late-r5 slots (embedding_norms, stratified_sample_balanced,
     # order_calendar_features, daily_feature_snapshots,
     # events_sliding_7d_daily, text_string_features, union_slices,
-    # large_volume_orders, bulk_part_suppliers).  All fit r6's window with
-    # room for r6 changes — next round should rotate them in en bloc.
+    # large_volume_orders, bulk_part_suppliers,
+    # min_price_supplier_per_part).  All fit r6's window with room for r6
+    # changes — next round should rotate them in en bloc.
 )
 
 

@@ -314,3 +314,14 @@ def test_mmr_broadcasts_candidates_never_shuffles_corpus(spark):
     assert has_broadcast_join(df)
     assert not has_sort_merge_join(df)
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_snapshot_spine_single_data_exchange(spark):
+    """Dense daily spine: hash(user_id) repartition serves the (user, day)
+    aggregation, both running sums, and lead() — exactly ONE
+    data-scale hash exchange; the corpus-end day rides a ts-only
+    single-row broadcast (no second data-sized exchange)."""
+    df = REGISTRY["user_daily_snapshot_spine"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:3000]
+    assert "SortMergeJoin" not in plan
