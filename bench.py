@@ -110,6 +110,7 @@ HEADLINE = [
     "knn_mmr_diverse",
     "corpus_temperature_mix",
     "user_daily_snapshot_spine",
+    "purchase_multitouch_attribution",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -499,6 +499,108 @@ WHERE i.o_orderpriority = '1-URGENT'
 """
 
 
+# Position-based multi-touch weights in integer parts-per-million: 1 touch
+# -> 1.0; 2 -> 0.5/0.5; n>=3 -> 0.4 first, 0.4 last, floor(0.2/(n-2)) each
+# middle (integer division; the dropped residual is deterministic).  All
+# value math is long arithmetic — engine-exact.
+_MULTITOUCH_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+         CAST(round(value * 10000.0) AS BIGINT) AS p_value_cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.purchase_id, p.user_id, p.p_value_cents, c.click_id,
+         CAST(row_number() OVER (
+           PARTITION BY p.purchase_id ORDER BY c.c_ts, c.click_id
+         ) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT) AS n_clicks
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+   AND c.c_ts < p.p_ts
+),
+weighted AS (
+  SELECT *,
+         CAST(CASE
+           WHEN n_clicks = 1 THEN 1000000
+           WHEN n_clicks = 2 THEN 500000
+           WHEN pos = 1 OR pos = n_clicks THEN 400000
+           ELSE CAST(floor(200000.0 / (n_clicks - 2)) AS BIGINT)
+         END AS BIGINT) AS w_ppm
+  FROM pairs
+)
+SELECT purchase_id, user_id, click_id, pos, n_clicks, w_ppm,
+       CAST(floor(CAST(p_value_cents * w_ppm AS DOUBLE) / 1000000.0) AS BIGINT)
+         AS attr_value_cents
+FROM weighted
+"""
+
+
+@register("purchase_multitouch_attribution", oracle=_MULTITOUCH_ORACLE, tags=("join", "range", "events"))
+def q_purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution: every click in the 7 days
+    before a purchase by the same user shares the purchase value —
+    40/20/40 first/middle/last (100% single touch, 50/50 two touches),
+    weights and value splits in integer ppm/cents arithmetic so both
+    engines agree to the bit.  Candidate pairs come from the bucketed
+    range join (equi-join on (user, 7-day bucket) + exact filter — never a
+    per-key nested loop); the per-purchase rank/count window is the only
+    other exchange, and it carries just the matched pairs."""
+    from .operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * F.lit(10000.0)).cast("long").alias("p_value_cents"),
+        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("__start"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = bucketed_range_join(
+        clicks, purchases,
+        key="user_id", point_ts="c_ts",
+        start_ts="__start", end_ts="p_ts",
+        bucket_days=7, closed="left",
+    )
+    wp = Window.partitionBy("purchase_id")
+    ranked = pairs.withColumns(
+        {
+            "pos": F.row_number()
+            .over(wp.orderBy(F.col("c_ts").asc(), F.col("click_id").asc()))
+            .cast("long"),
+            "n_clicks": F.count(F.lit(1)).over(wp).cast("long"),
+        }
+    )
+    w_ppm = (
+        F.when(F.col("n_clicks") == 1, F.lit(1000000))
+        .when(F.col("n_clicks") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_clicks")), F.lit(400000))
+        .otherwise(F.floor(F.lit(200000.0) / (F.col("n_clicks") - 2)))
+        .cast("long")
+    )
+    return ranked.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "pos",
+        "n_clicks",
+        w_ppm.alias("w_ppm"),
+        F.floor(
+            (F.col("p_value_cents") * w_ppm).cast("double") / F.lit(1000000.0)
+        ).cast("long").alias("attr_value_cents"),
+    )
+
+
 @register("orders_range_join_followups", oracle=_RANGE_JOIN_ORACLE, tags=("join", "range"))
 def q_orders_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General range join (pair-producing, unlike the J2 existence labels):
@@ -6123,6 +6225,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Q2-ish min-per-group, family covered in-window by latest_order_maxby /
     # first_event_per_user; re-verified green at rotation time, r6 handoff.)
     "user_daily_snapshot_spine",
+    # (purchase_multitouch_attribution took brand_revenue_concentration's
+    # slot — queries.py-local revenue rollup, family covered by
+    # promo_revenue_share/nation_market_share in-window; re-verified green
+    # at rotation time, r6 handoff.)
+    "purchase_multitouch_attribution",
     # --- r5 block 3: the full r2-stale set (latest green two+ rounds old;
     # VERDICT r4 "What's wrong" #3) — the 17 r4-new queries and the r4
     # heavies with fresh greens cede their slots to clear this debt in one
@@ -6144,7 +6251,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue_share",
     "nation_market_share",
     "order_count_distribution",
-    "brand_revenue_concentration",
     "doc_pack_context_windows",
     # --- r5 block 4: the most helper-entangled queries whose latest green
     # is r3 (one round from becoming the next staleness debt): the text /
@@ -6179,8 +6285,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # that ceded late-r5 slots (embedding_norms, stratified_sample_balanced,
     # order_calendar_features, daily_feature_snapshots,
     # events_sliding_7d_daily, text_string_features, union_slices,
-    # large_volume_orders, bulk_part_suppliers,
-    # min_price_supplier_per_part).  All fit r6's window with room for r6
+    # large_volume_orders, bulk_part_suppliers, min_price_supplier_per_part,
+    # brand_revenue_concentration).  All fit r6's window with room for r6
     # changes — next round should rotate them in en bloc.
 )
 
