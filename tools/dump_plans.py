@@ -33,6 +33,8 @@ SHOW = {
     "source_token_divergence": "One tokenize; global term counts via a term-window whose partitions are bounded by SOURCE COUNT; 1e-12-quantized long sums keep the TV distance engine-exact.",
     "knn_ivf_pq": "PQ/ADC: codebooks + per-query LUTs are literals, so scoring is a pure map over the encoded corpus - NO Join node; the only exchange is the per-query top-k window over (q_id, n_id, dist) longs.",
     "knn_mmr_diverse": "MMR: broadcast-candidate vector re-attach (corpus never sort-merges) feeding the Arrow FlatMapGroupsInPandas greedy-selection stage, bounded by |Q| x k_candidates.",
+    "user_daily_snapshot_spine": "Dense daily spine: ONE hash(user) exchange serves the (user, day) agg, both running sums and lead(); dense days explode from per-segment integer ranges; corpus-end day is a ts-only one-row broadcast.",
+    "purchase_multitouch_attribution": "Multi-touch: bucketed range join = plain (user, bucket) equi-join + exact filter; the per-purchase rank window carries only matched pairs.",
 }
 
 
