@@ -111,6 +111,7 @@ HEADLINE = [
     "corpus_temperature_mix",
     "user_daily_snapshot_spine",
     "purchase_multitouch_attribution",
+    "recs_negative_samples",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -2687,6 +2687,109 @@ FROM documents
 """
 
 
+# Deterministic negative sampling for recommender training: per customer,
+# 5 parts they never purchased, drawn by the md5-uniform coin (12 slots of
+# padding absorb purchased-part and duplicate-guess collisions; both
+# engines drop the same ones).  Scale shape: no customer-x-part cross
+# product anywhere — guesses are |C| x 12 generated rows, the anti join
+# keys on (customer, part), and the slot-rank window carries only the
+# surviving guesses.
+_NEG_SAMPLE_ORACLE = """
+WITH purchased AS (
+  SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+np AS (SELECT count(*) AS np FROM part),
+custs AS (SELECT DISTINCT customer_id FROM purchased),
+slots AS (
+  SELECT c.customer_id, n.np, unnest(generate_series(0, 11)) AS slot
+  FROM custs c, np n
+),
+g AS (
+  SELECT customer_id, slot,
+         CAST(concat('0x', substring(md5(concat('neg#', CAST(customer_id AS VARCHAR),
+              '#', CAST(slot AS VARCHAR))), 1, 8)) AS BIGINT) % np AS guess
+  FROM slots
+),
+g2 AS (
+  SELECT customer_id, guess, min(slot) AS slot
+  FROM g GROUP BY customer_id, guess
+),
+neg AS (
+  SELECT a.customer_id, a.guess, a.slot
+  FROM g2 a
+  LEFT JOIN purchased p ON p.customer_id = a.customer_id AND p.partkey = a.guess
+  WHERE p.partkey IS NULL
+)
+SELECT customer_id, CAST(guess AS BIGINT) AS neg_partkey,
+       CAST(row_number() OVER (PARTITION BY customer_id ORDER BY slot) AS BIGINT) AS slot_rank
+FROM neg QUALIFY slot_rank <= 5
+"""
+
+
+@register("recs_negative_samples", oracle=_NEG_SAMPLE_ORACLE, tags=("sampling", "join"))
+def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (recommender/ranking training): per
+    purchasing customer, 5 pseudo-random parts they never bought — md5
+    coin per (customer, slot), modulo the part count, padded slots, anti
+    join against the purchase set, first-5 by slot.  Reproducible across
+    runs, partitionings, and engines: no RNG, no cross product, no
+    candidate ever materialized beyond |C| x 12 short rows."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "part"))
+    purchased = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("l_partkey").alias("guess"),
+        )
+        .distinct()
+    )
+    nparts = F.broadcast(t["part"].agg(F.count(F.lit(1)).alias("np")))
+    slots = (
+        purchased.select("customer_id")
+        .distinct()
+        .crossJoin(nparts)
+        .select(
+            "customer_id",
+            "np",
+            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("slot"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg#"),
+                    F.col("customer_id").cast("string"),
+                    F.lit("#"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    g2 = (
+        slots.withColumn("guess", h % F.col("np"))
+        .groupBy("customer_id", "guess")
+        .agg(F.min("slot").alias("slot"))
+    )
+    neg = g2.join(purchased, ["customer_id", "guess"], "left_anti")
+    w = Window.partitionBy("customer_id").orderBy("slot")
+    return (
+        neg.withColumn("slot_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("slot_rank") <= 5)
+        .select(
+            "customer_id",
+            F.col("guess").cast("long").alias("neg_partkey"),
+            "slot_rank",
+        )
+    )
+
+
 @register("hash_split_train_val", oracle=_HASH_SPLIT_ORACLE, tags=("sampling",))
 def q_hash_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bucket train/val split (~12.5% val): the sampling
@@ -6230,6 +6333,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # promo_revenue_share/nation_market_share in-window; re-verified green
     # at rotation time, r6 handoff.)
     "purchase_multitouch_attribution",
+    # (recs_negative_samples took order_count_distribution's slot — Q13
+    # left-join histogram, plan-asserted independently; re-verified green
+    # at rotation time, r6 handoff.)
+    "recs_negative_samples",
     # --- r5 block 3: the full r2-stale set (latest green two+ rounds old;
     # VERDICT r4 "What's wrong" #3) — the 17 r4-new queries and the r4
     # heavies with fresh greens cede their slots to clear this debt in one
@@ -6250,7 +6357,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rfm_segments",
     "promo_revenue_share",
     "nation_market_share",
-    "order_count_distribution",
     "doc_pack_context_windows",
     # --- r5 block 4: the most helper-entangled queries whose latest green
     # is r3 (one round from becoming the next staleness debt): the text /
@@ -6286,8 +6392,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # order_calendar_features, daily_feature_snapshots,
     # events_sliding_7d_daily, text_string_features, union_slices,
     # large_volume_orders, bulk_part_suppliers, min_price_supplier_per_part,
-    # brand_revenue_concentration).  All fit r6's window with room for r6
-    # changes — next round should rotate them in en bloc.
+    # brand_revenue_concentration, order_count_distribution).  All fit r6's
+    # window with room for r6 changes — next round should rotate them in
+    # en bloc.
 )
 
 

@@ -150,3 +150,68 @@ def test_spark_affinity_self_pair_guard(spark):
     assert rows, "top-k must be non-empty on testdata"
     for r in rows:
         assert r.brand_a < r.brand_b, (r.brand_a, r.brand_b)
+
+
+@requires_testdata
+def test_multitouch_weights_partition_the_purchase(spark):
+    """Per purchase: positions dense 1..n, total attributed ppm <= 1e6
+    (equality unless integer middle-split residue), and every pair's
+    attributed value <= the purchase value share."""
+    from retailfeaturestore_spark.queries import REGISTRY
+
+    df = REGISTRY["purchase_multitouch_attribution"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    import pyspark.sql.functions as F
+
+    agg = (
+        df.groupBy("purchase_id", "n_clicks")
+        .agg(
+            F.sum("w_ppm").alias("w_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pos").alias("pmin"),
+            F.max("pos").alias("pmax"),
+        )
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        assert r["n_rows"] == r["n_clicks"]
+        assert r["pmin"] == 1 and r["pmax"] == r["n_clicks"]
+        assert r["w_sum"] <= 1_000_000
+        # residue only possible for n >= 3 (floor of the middle split)
+        if r["n_clicks"] <= 2:
+            assert r["w_sum"] == 1_000_000
+
+
+@requires_testdata
+def test_snapshot_spine_is_dense_and_monotone(spark):
+    """Every user's spine is a contiguous day range ending at the global
+    max day, cumulative columns are non-decreasing, and active rows carry
+    the day's events while gap rows carry zero."""
+    from retailfeaturestore_spark.queries import REGISTRY
+
+    rows = REGISTRY["user_daily_snapshot_spine"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_user: dict[int, list] = {}
+    gmax = max(r["day"] for r in rows)
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import datetime
+
+    def d(s):
+        return datetime.date.fromisoformat(s)
+
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        days = [d(r["day"]) for r in rs]
+        assert days[-1] == d(gmax), uid
+        assert all(
+            (b - a).days == 1 for a, b in zip(days, days[1:])
+        ), f"gap in spine for user {uid}"
+        cums = [(r["cum_events"], r["cum_value_cents"]) for r in rs]
+        assert all(b[0] >= a[0] for a, b in zip(cums, cums[1:]))
+        for r in rs:
+            if r["days_since_active"] > 0:
+                assert r["active_events"] == 0
