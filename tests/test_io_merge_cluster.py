@@ -104,3 +104,39 @@ def test_write_clustered_tightens_rowgroup_stats(spark, tmp_path):
     # write's row groups each span ~the whole key domain
     assert max_span(clustered) < full / 4
     assert max_span(scattered) > full / 2
+
+
+def test_table_diff_added_removed_changed(spark):
+    from retailfeaturestore_spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c2", None), (4, "d", 41.0), (5, "e", 50.0)],
+        "id long, name string, v double",
+    )
+    got = {r["id"]: (r["change"], list(r["changed_cols"]))
+           for r in table_diff(old, new, ["id"]).collect()}
+    assert got == {
+        1: ("removed", []),
+        3: ("changed", ["name"]),       # null v on both sides: null-safe equal
+        4: ("changed", ["v"]),
+        5: ("added", []),
+    }
+    # unchanged key 2 emits nothing (asserted by the exact dict above)
+
+
+def test_table_diff_multi_key_and_null_transitions(spark):
+    from retailfeaturestore_spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", None)], "a long, b string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None), (1, "y", None)], "a long, b string, v double"
+    )
+    got = {(r["a"], r["b"]): (r["change"], list(r["changed_cols"]))
+           for r in table_diff(old, new, ["a", "b"]).collect()}
+    assert got == {(1, "x"): ("changed", ["v"])}  # value -> null IS a change
