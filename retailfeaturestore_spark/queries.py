@@ -2736,6 +2736,10 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, partitionings, and engines: no RNG, no cross product, no
     candidate ever materialized beyond |C| x 12 short rows."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "part"))
+    # localCheckpoint: the distinct purchase set feeds BOTH the customer
+    # spine and the anti join — without it Spark re-executes the
+    # lineitem-join-orders-distinct subtree per consumer (audited: twice in
+    # the plan, 2x the sf5.0 wall time).  Skinny (cust, part) longs only.
     purchased = (
         t["lineitem"]
         .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
@@ -2744,6 +2748,7 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("guess"),
         )
         .distinct()
+        .localCheckpoint()
     )
     nparts = F.broadcast(t["part"].agg(F.count(F.lit(1)).alias("np")))
     slots = (
