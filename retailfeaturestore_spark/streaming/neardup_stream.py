@@ -30,9 +30,15 @@ Delivery semantics: the decision output is written BEFORE the state append
 and the state append is not transactional with it — a crash between the two
 replays the batch (at-least-once).  State reads dedupe defensively
 (``distinct()`` on re-read) so a replayed append never double-counts
-intersections; downstream consumers dedupe decisions by ``doc_id``.  (On a
-lakehouse table both writes become one transactional MERGE keyed by
-``batch_id`` — the standard foreachBatch idempotence pattern.)
+intersections, and self-pairs are excluded from the probe so a replayed doc
+never matches its own earlier append.  A replay can still OVER-flag: a
+same-batch near-dup pair (a < b; only b flagged originally) reappears with
+a's bands already in the store, so a is flagged too on the second pass —
+conservative in the safe direction for dedup.  Downstream consumers dedupe
+decisions by ``doc_id`` keeping the earliest batch's row.  (On a lakehouse
+table both writes become one transactional MERGE keyed by ``batch_id`` —
+the standard foreachBatch idempotence pattern — and the replay caveat
+disappears.)
 """
 
 from __future__ import annotations
@@ -97,7 +103,11 @@ def ingest_batch_neardup(
         .join(
             state_bands.alias("st"),
             (F.col("nw.band") == F.col("st.band"))
-            & (F.col("nw.band_key") == F.col("st.band_key")),
+            & (F.col("nw.band_key") == F.col("st.band_key"))
+            # A replayed batch (at-least-once retry AFTER its state append
+            # landed) finds its own ids in the store — a self-pair would
+            # flag every replayed doc as a duplicate of itself.
+            & (F.col("nw.id") != F.col("st.id")),
         )
         .select(F.col("nw.id").alias("cand"), F.col("st.id").alias("witness"))
     )

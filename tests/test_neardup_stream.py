@@ -97,3 +97,20 @@ def test_ingest_batch_core_cross_batch_witness(spark, tmp_path):
     d2 = {r["doc_id"]: r for r in ingest_batch_neardup(b2, str(tmp_path / "st")).collect()}
     assert d2[20]["is_neardup"] and d2[20]["matched_id"] == 10
     assert not d2[21]["is_neardup"] and d2[21]["matched_id"] is None
+
+
+def test_replayed_batch_never_self_matches(spark, tmp_path):
+    """At-least-once retry: re-admitting the same batch after its state
+    append landed must not flag docs as duplicates of THEMSELVES; unique
+    docs stay admitted on replay."""
+    b = spark.createDataFrame(
+        [(30, BASE), (31, "entirely distinct content on columnar shuffles")],
+        "doc_id long, text string",
+    )
+    first = {r["doc_id"]: r for r in ingest_batch_neardup(b, str(tmp_path / "st")).collect()}
+    assert not first[30]["is_neardup"] and not first[31]["is_neardup"]
+    # replay the identical batch (state now contains these ids)
+    again = {r["doc_id"]: r for r in ingest_batch_neardup(b, str(tmp_path / "st")).collect()}
+    for did in (30, 31):
+        assert again[did]["matched_id"] != did, "self-match on replay"
+        assert not again[did]["is_neardup"]
