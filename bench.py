@@ -112,6 +112,7 @@ HEADLINE = [
     "user_daily_snapshot_spine",
     "purchase_multitouch_attribution",
     "recs_negative_samples",
+    "source_length_ks_drift",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -3432,6 +3432,105 @@ FROM contrib GROUP BY source
 """
 
 
+# Exact two-sample Kolmogorov-Smirnov drift, per source vs the corpus:
+# KS = sup_v |CDF_s(v) - CDF_g(v)| over the doc-length support.  The
+# sup-norm is computed in INTEGER arithmetic — |cum_s*n_g - cum_g*n_s| —
+# and divided by the exact long product n_s*n_g once at the end, so both
+# engines agree to the bit (no per-point double CDFs).  Complements the
+# binned-PSI feature_drift_bins and the token TV distance with a
+# distribution-free sup-norm test.
+_KS_DRIFT_ORACLE = """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+),
+srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM counts GROUP BY source),
+gl AS (SELECT v, CAST(sum(c) AS BIGINT) AS gc FROM counts GROUP BY v),
+tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n_g FROM gl),
+gcum AS (SELECT v, sum(gc) OVER (ORDER BY v) AS cum_g FROM gl),
+grid AS (SELECT s.source, s.n_s, g.v FROM srcs s, gl g),
+scnt AS (
+  SELECT gr.source, gr.n_s, gr.v, coalesce(c.c, 0) AS c
+  FROM grid gr LEFT JOIN counts c ON c.source = gr.source AND c.v = gr.v
+),
+scum AS (
+  SELECT source, n_s, v,
+         sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_s
+  FROM scnt
+),
+nums AS (
+  SELECT sc.source, sc.n_s, t.n_g, sc.v,
+         abs(sc.cum_s * t.n_g - g.cum_g * sc.n_s) AS num
+  FROM scum sc JOIN gcum g ON g.v = sc.v CROSS JOIN tot t
+),
+mx AS (
+  SELECT source, n_s, n_g, max(num) AS mnum
+  FROM nums GROUP BY source, n_s, n_g
+)
+SELECT m.source, CAST(m.n_s AS BIGINT) AS n_docs,
+       CAST(m.mnum AS DOUBLE) / CAST(m.n_s * m.n_g AS DOUBLE) AS ks_stat,
+       CAST(min(n.v) AS BIGINT) AS ks_at_value
+FROM mx m JOIN nums n
+  ON n.source = m.source AND n.num = m.mnum
+GROUP BY m.source, m.n_s, m.n_g, m.mnum
+"""
+
+
+@register("source_length_ks_drift", oracle=_KS_DRIFT_ORACLE, tags=("text", "llm", "quality"))
+def q_source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kolmogorov-Smirnov doc-length drift per source vs the corpus
+    (sup-norm of the CDF gap, integer-exact; the reported value is where
+    the supremum is attained, smallest on ties).  Scale: everything after
+    the first (source, value) count is bounded by SUPPORT x SOURCES, not
+    by the corpus — for continuous columns at 100 TB, quantile-bin the
+    value first (feature_drift_bins' grid) to cap the support."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    srcs = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    gl = counts.groupBy("v").agg(F.sum("c").alias("gc"))
+    tot = F.broadcast(gl.agg(F.sum("gc").alias("n_g")))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gcum = F.broadcast(gl.select("v", F.sum("gc").over(wg).alias("cum_g")))
+    grid = srcs.crossJoin(F.broadcast(gl.select("v")))
+    scnt = grid.join(counts, ["source", "v"], "left").select(
+        "source", "n_s", "v", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    ws = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nums = (
+        scnt.withColumn("cum_s", F.sum("c").over(ws))
+        .join(gcum, "v")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "n_s",
+            "n_g",
+            "v",
+            F.abs(F.col("cum_s") * F.col("n_g") - F.col("cum_g") * F.col("n_s")).alias(
+                "num"
+            ),
+        )
+    )
+    wsrc = Window.partitionBy("source")
+    return (
+        nums.withColumn("mnum", F.max("num").over(wsrc))
+        .where(F.col("num") == F.col("mnum"))
+        .groupBy("source", "n_s", "n_g", "mnum")
+        .agg(F.min("v").cast("long").alias("ks_at_value"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            (F.col("mnum").cast("double") / (F.col("n_s") * F.col("n_g")).cast("double")).alias(
+                "ks_stat"
+            ),
+            "ks_at_value",
+        )
+    )
+
+
 @register(
     "source_token_divergence",
     oracle=_SOURCE_DIVERGENCE_ORACLE,
@@ -6342,6 +6441,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # left-join histogram, plan-asserted independently; re-verified green
     # at rotation time, r6 handoff.)
     "recs_negative_samples",
+    # (source_length_ks_drift took rows_rolling_spend's slot — simple
+    # rows-frame window, the W-family flagship covers the shape in-window;
+    # re-verified green at rotation time, r6 handoff.)
+    "source_length_ks_drift",
     # --- r5 block 3: the full r2-stale set (latest green two+ rounds old;
     # VERDICT r4 "What's wrong" #3) — the 17 r4-new queries and the r4
     # heavies with fresh greens cede their slots to clear this debt in one
@@ -6355,7 +6458,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_sequence_analytics",
     "order_navigation",
     "orders_priority_pivot",
-    "rows_rolling_spend",
     "segment_priority_grouping_sets",
     "shipping_priority",
     "hash_split_train_val",
@@ -6397,9 +6499,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # order_calendar_features, daily_feature_snapshots,
     # events_sliding_7d_daily, text_string_features, union_slices,
     # large_volume_orders, bulk_part_suppliers, min_price_supplier_per_part,
-    # brand_revenue_concentration, order_count_distribution).  All fit r6's
-    # window with room for r6 changes — next round should rotate them in
-    # en bloc.
+    # brand_revenue_concentration, order_count_distribution,
+    # rows_rolling_spend).  All fit r6's window with room for r6 changes —
+    # next round should rotate them in en bloc.
 )
 
 
