@@ -3485,8 +3485,14 @@ def q_source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the corpus — for continuous columns at 100 TB, quantile-bin the
     value first (feature_drift_bins' grid) to cap the support."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # localCheckpoint: every downstream frame (per-source totals, global
+    # support, global cumsum, the grid) derives from this (source, value)
+    # count — without the cut Spark re-executes the corpus scan per
+    # consumer (audited: 4 scans in the plan).  Support x sources rows.
+    counts = (
+        d.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     srcs = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
     gl = counts.groupBy("v").agg(F.sum("c").alias("gc"))
@@ -4990,9 +4996,16 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one scan; the per-source summary (tiny by construction) broadcasts
     against its own one-row total."""
     d = load_table(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    # localCheckpoint: the source-count summary (tiny — one row per source)
+    # feeds both the output and its own one-row total; without it Spark
+    # re-executes the corpus scan + tokenize for the broadcast side.
+    per_src = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint()
     )
     wq = per_src.withColumn(
         "wq",

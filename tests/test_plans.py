@@ -325,3 +325,34 @@ def test_snapshot_spine_single_data_exchange(spark):
     plan = formatted_plan(df)
     assert plan.count("Arguments: hashpartitioning") == 1, plan[:3000]
     assert "SortMergeJoin" not in plan
+
+
+def test_multitouch_range_join_is_equi_not_nested_loop(spark):
+    """The 7-day click window must run as the bucketed (user, bucket)
+    equi-join — never a nested-loop/cartesian range predicate — and the
+    per-purchase rank is the only data-scale hash exchange."""
+    df = REGISTRY["purchase_multitouch_attribution"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_negative_samples_anti_join_no_cartesian(spark):
+    """Negative sampling must never materialize a customer x part cross
+    product: the exclusion is a LeftAnti equi-join over the checkpointed
+    purchase set."""
+    df = REGISTRY["recs_negative_samples"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_summary_queries_scan_corpus_once(spark):
+    """temperature-mix and KS-drift derive several consumers from one
+    corpus-scan aggregate; the localCheckpoint cut must hold so the final
+    plan re-reads the tiny summary, not the parquet corpus."""
+    for name in ("corpus_temperature_mix", "source_length_ks_drift"):
+        df = REGISTRY[name].fn(spark, SF)
+        plan = formatted_plan(df)
+        assert plan.count("Scan parquet") == 0, (name, plan[:1500])

@@ -35,6 +35,7 @@ SHOW = {
     "knn_mmr_diverse": "MMR: broadcast-candidate vector re-attach (corpus never sort-merges) feeding the Arrow FlatMapGroupsInPandas greedy-selection stage, bounded by |Q| x k_candidates.",
     "user_daily_snapshot_spine": "Dense daily spine: ONE hash(user) exchange serves the (user, day) agg, both running sums and lead(); dense days explode from per-segment integer ranges; corpus-end day is a ts-only one-row broadcast.",
     "purchase_multitouch_attribution": "Multi-touch: bucketed range join = plain (user, bucket) equi-join + exact filter; the per-purchase rank window carries only matched pairs.",
+    "recs_negative_samples": "Negative sampling: no customer x part cross product anywhere - md5 guesses are |C| x 12 generated rows, exclusion is a LeftAnti equi-join over the checkpointed purchase set.",
 }
 
 
