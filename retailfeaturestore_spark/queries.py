@@ -6507,13 +6507,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # qty_price_correlation, returned_item_ranking, returns_by_priority,
     # revenue_by_nation, segment_priority_cube, small_qty_revenue,
     # supplier_variety_by_part, top_customers/top_revenue_supplier,
-    # user_days_view_no_purchase, users_purchase_and_signup) plus the six
-    # that ceded late-r5 slots (embedding_norms, stratified_sample_balanced,
-    # order_calendar_features, daily_feature_snapshots,
-    # events_sliding_7d_daily, text_string_features, union_slices,
-    # large_volume_orders, bulk_part_suppliers, min_price_supplier_per_part,
+    # user_days_view_no_purchase, users_purchase_and_signup) plus the
+    # THIRTEEN that ceded r5 slots — six to the late-r5 rewrites
+    # (embedding_norms, stratified_sample_balanced, order_calendar_features,
+    # daily_feature_snapshots, events_sliding_7d_daily,
+    # text_string_features) and seven to the continuation's new
+    # zero-verdict queries (union_slices, large_volume_orders,
+    # bulk_part_suppliers, min_price_supplier_per_part,
     # brand_revenue_concentration, order_count_distribution,
-    # rows_rolling_spend).  All fit r6's window with room for r6 changes —
+    # rows_rolling_spend — every cede re-verified green with
+    # tools/check_oracle.py at rotation time, logged above).  ~37 debt
+    # slots total: fits r6's 50-slot window with room for r6 changes —
     # next round should rotate them in en bloc.
 )
 
