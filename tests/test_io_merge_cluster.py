@@ -140,3 +140,44 @@ def test_table_diff_multi_key_and_null_transitions(spark):
     got = {(r["a"], r["b"]): (r["change"], list(r["changed_cols"]))
            for r in table_diff(old, new, ["a", "b"]).collect()}
     assert got == {(1, "x"): ("changed", ["v"])}  # value -> null IS a change
+
+
+def test_table_diff_matches_bruteforce_on_random_tables(spark):
+    """Differential vs a dict-based diff over randomized (seeded) tables:
+    every key classified identically, changed column sets identical."""
+    import random
+
+    rng = random.Random(20260814)
+    for _ in range(3):
+        def mk(n):
+            return [
+                (
+                    rng.randrange(12),
+                    rng.choice(["a", "b", None]),
+                    rng.choice([None, 1.0, 2.5]),
+                )
+                for _ in range(n)
+            ]
+
+        # unique keys per table (diff semantics are keyed)
+        old_rows = {r[0]: r for r in mk(10)}
+        new_rows = {r[0]: r for r in mk(10)}
+        from retailfeaturestore_spark.operators.incremental import table_diff
+
+        old = spark.createDataFrame(list(old_rows.values()), "id long, s string, v double")
+        new = spark.createDataFrame(list(new_rows.values()), "id long, s string, v double")
+        got = {r["id"]: (r["change"], list(r["changed_cols"]))
+               for r in table_diff(old, new, ["id"]).collect()}
+
+        want = {}
+        for k in set(old_rows) | set(new_rows):
+            if k not in old_rows:
+                want[k] = ("added", [])
+            elif k not in new_rows:
+                want[k] = ("removed", [])
+            else:
+                cols = [c for c, i in (("s", 1), ("v", 2))
+                        if old_rows[k][i] != new_rows[k][i]]
+                if cols:
+                    want[k] = ("changed", cols)
+        assert got == want
