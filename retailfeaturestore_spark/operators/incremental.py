@@ -86,9 +86,12 @@ def table_diff(
     bucket both versions by the key to elide the exchanges entirely
     (``io.write_bucketed_table``).
     """
-    compare_cols = compare_cols or [
-        c for c in new.columns if c in set(old.columns) and c not in set(keys)
-    ]
+    # `is None`, not truthiness: an explicit empty list means "classify
+    # added/removed only" and must not auto-derive the shared columns.
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in set(old.columns) and c not in set(keys)
+        ]
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
@@ -101,7 +104,10 @@ def table_diff(
     )
     cond = None
     for k in keys:
-        eq = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        # null-safe: a NULL key component must still match across versions
+        # (plain == leaves both sides unmatched and reports a phantom
+        # removed+added pair for an unchanged NULL-keyed row)
+        eq = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
     changed_cols = F.array_sort(

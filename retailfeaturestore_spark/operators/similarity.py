@@ -226,6 +226,12 @@ def kmeans_cells(
         .select(F.col("id").alias("cell"), "__q")
         .collect()
     )
+    if not seed:
+        raise ValueError(
+            f"no seed vectors with {id_col} < {k}: the deterministic seed "
+            "rule (shared with the SQL oracle) assumes a dense 0-based id "
+            "space — remap ids or lower k"
+        )
     cents = sorted((int(r["cell"]), [int(x) for x in r["__q"]]) for r in seed)
 
     def assign_col(cents) -> Column:
@@ -417,6 +423,12 @@ def pq_train_encode(
         ((int(r["id"]), [int(x) for x in r["__q"]]) for r in
          q.where(F.col("id") < k_codes).collect())
     )
+    if not seed:
+        raise ValueError(
+            f"no seed vectors with {id_col} < {k_codes}: the deterministic "
+            "seed rule (shared with the SQL oracle) assumes a dense 0-based "
+            "id space — remap ids or lower k_codes"
+        )
     dims = len(seed[0][1])
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
@@ -502,6 +514,9 @@ def pq_topk_adc(
         corpus, m=m, k_codes=k_codes, iters=iters, vec_col=vec_col,
         id_col=id_col, cache_scope=cache_scope,
     )
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
     # Query vectors already pulled by the seed collect need no second job.
     missing = [qid for qid in query_ids if qid not in seed_vecs]
     fetched = {
@@ -512,6 +527,9 @@ def pq_topk_adc(
             else ()
         )
     }
+    absent = [qid for qid in missing if qid not in fetched]
+    if absent:
+        raise ValueError(f"query ids not present in the corpus: {absent[:10]}")
     qrows = sorted(
         (int(qid), seed_vecs.get(qid) or fetched[qid]) for qid in query_ids
     )

@@ -2699,15 +2699,15 @@ WITH purchased AS (
   SELECT DISTINCT o.o_custkey AS customer_id, l.l_partkey AS partkey
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
-np AS (SELECT count(*) AS np FROM part),
+np AS (SELECT count(*) AS np, min(p_partkey) AS pmin FROM part),
 custs AS (SELECT DISTINCT customer_id FROM purchased),
 slots AS (
-  SELECT c.customer_id, n.np, unnest(generate_series(0, 11)) AS slot
+  SELECT c.customer_id, n.np, n.pmin, unnest(generate_series(0, 11)) AS slot
   FROM custs c, np n
 ),
 g AS (
   SELECT customer_id, slot,
-         CAST(concat('0x', substring(md5(concat('neg#', CAST(customer_id AS VARCHAR),
+         pmin + CAST(concat('0x', substring(md5(concat('neg#', CAST(customer_id AS VARCHAR),
               '#', CAST(slot AS VARCHAR))), 1, 8)) AS BIGINT) % np AS guess
   FROM slots
 ),
@@ -2750,7 +2750,15 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    nparts = F.broadcast(t["part"].agg(F.count(F.lit(1)).alias("np")))
+    # Guess domain anchored at the ACTUAL partkey range (count + min):
+    # the driver testdata is 0-based, the CI generator 1-based — a bare
+    # ``h % np`` would emit a nonexistent part 0 on 1-based data and never
+    # sample the largest key (review finding; both engines anchored).
+    nparts = F.broadcast(
+        t["part"].agg(
+            F.count(F.lit(1)).alias("np"), F.min("p_partkey").alias("pmin")
+        )
+    )
     slots = (
         purchased.select("customer_id")
         .distinct()
@@ -2758,6 +2766,7 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "customer_id",
             "np",
+            "pmin",
             F.explode(F.sequence(F.lit(0), F.lit(11))).alias("slot"),
         )
     )
@@ -2778,7 +2787,7 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     g2 = (
-        slots.withColumn("guess", h % F.col("np"))
+        slots.withColumn("guess", F.col("pmin") + h % F.col("np"))
         .groupBy("customer_id", "guess")
         .agg(F.min("slot").alias("slot"))
     )
@@ -3483,7 +3492,11 @@ def q_source_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supremum is attained, smallest on ties).  Scale: everything after
     the first (source, value) count is bounded by SUPPORT x SOURCES, not
     by the corpus — for continuous columns at 100 TB, quantile-bin the
-    value first (feature_drift_bins' grid) to cap the support."""
+    value first (feature_drift_bins' grid) to cap the support.  Exactness
+    bound: the int64 numerator ``cum_s * n_g`` requires ``n_s * n_g <
+    2^63`` — holds to ~3e9 docs per side; beyond that, pre-aggregate to a
+    sampled/binned grid or widen the numerator to DECIMAL(38,0) (both
+    engines, in lockstep)."""
     d = load_table(spark, sf_dir, "documents")
     # localCheckpoint: every downstream frame (per-source totals, global
     # support, global cumsum, the grid) derives from this (source, value)

@@ -26,12 +26,14 @@ Scale shape per micro-batch (B = batch docs, S = accumulated state):
 - Jaccard verification touches only the postings of CANDIDATE pairs;
 - state grows by O(B) rows per batch (bands + postings), appended once.
 
-Delivery semantics: the decision output is written BEFORE the state append
-and the state append is not transactional with it — a crash between the two
-replays the batch (at-least-once).  State reads dedupe defensively
-(``distinct()`` on re-read) so a replayed append never double-counts
-intersections, and self-pairs are excluded from the probe so a replayed doc
-never matches its own earlier append.  A replay can still OVER-flag: a
+Delivery semantics: the decisions are COMPUTED (eagerly materialized)
+against the pre-batch state, then the state append runs, then the caller's
+decision write — none of it transactional, so a crash replays the batch
+(at-least-once; the dangerous window is state-appended-but-decisions-
+unwritten).  Witness postings are deduped on the candidate-bounded re-read
+so a replayed append never double-counts intersections, and self-pairs are
+excluded from the probe so a replayed doc never matches its own earlier
+append.  A replay can still OVER-flag: a
 same-batch near-dup pair (a < b; only b flagged originally) reappears with
 a's bands already in the store, so a is flagged too on the second pass —
 conservative in the safe direction for dedup.  Downstream consumers dedupe
@@ -54,12 +56,21 @@ __all__ = ["ingest_batch_neardup", "neardup_ingest_stream"]
 
 
 def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    # Existence is probed with os.path, which is local/POSIX only — a
+    # URI-scheme state_dir would silently read empty state every batch
+    # and admit every cross-batch duplicate (same failure mode as the
+    # xlsx datasource's driver-side glob, ADVICE r4).  Fail fast instead;
+    # object-store state belongs on a lakehouse table (module docstring).
+    if "://" in path:
+        raise ValueError(
+            f"state path {path!r} has a URI scheme — the parquet-directory "
+            "state store is local-filesystem only; use a lakehouse table "
+            "for object-store state"
+        )
     if os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     ):
-        # distinct(): a replayed (at-least-once) append must not
-        # double-count postings in the intersection counts.
-        return spark.read.schema(schema).parquet(path).distinct()
+        return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
 
 
@@ -124,7 +135,19 @@ def ingest_batch_neardup(
     candidates = cross.unionByName(within).distinct()
 
     cand_posts = posts_b.select("id", "sh")
-    wit_posts = state_posts.unionByName(posts_b.select("id", "sh"))
+    # Bound the verification work by the CANDIDATE set, not the store:
+    # semi-join the accumulated postings down to actual witness ids first,
+    # THEN dedupe (the retry-safety distinct) and count — per batch this
+    # is O(candidate postings), never O(all postings ever ingested).
+    wit_ids = candidates.select(F.col("witness").alias("id")).distinct()
+    wit_posts = (
+        state_posts.join(wit_ids, "id", "left_semi")
+        # a replayed batch's ids are already in the store: the batch side
+        # below must be their only posting source, or sizes double
+        .join(posts_b.select("id").distinct(), "id", "left_anti")
+        .distinct()  # a replayed state append must not double-count
+        .unionByName(posts_b.select("id", "sh"))
+    )
     sizes_c = cand_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_c"))
     sizes_w = wit_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_w"))
     inter = (

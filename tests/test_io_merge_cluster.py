@@ -181,3 +181,17 @@ def test_table_diff_matches_bruteforce_on_random_tables(spark):
                 if cols:
                     want[k] = ("changed", cols)
         assert got == want
+
+
+def test_table_diff_null_keys_and_empty_compare(spark):
+    """NULL key components match null-safely (no phantom removed+added),
+    and compare_cols=[] classifies added/removed only."""
+    from retailfeaturestore_spark.operators.incremental import table_diff
+
+    old = spark.createDataFrame([(None, "a"), (1, "b")], "id long, s string")
+    new = spark.createDataFrame([(None, "a2"), (2, "c")], "id long, s string")
+    got = {r["id"]: r["change"] for r in table_diff(old, new, ["id"]).collect()}
+    assert got == {None: "changed", 1: "removed", 2: "added"}
+    only_keys = {r["id"]: r["change"]
+                 for r in table_diff(old, new, ["id"], compare_cols=[]).collect()}
+    assert only_keys == {1: "removed", 2: "added"}
