@@ -192,7 +192,7 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
 
 
 def purchase_attribution_stream(
-    events: DataFrame, within: str = "1 hour"
+    events: DataFrame, within: str = "1 hour", how: str = "inner"
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to the clicks of
     the same user in the preceding ``within`` interval.
@@ -201,6 +201,12 @@ def purchase_attribution_stream(
     evicted once the purchase-side watermark passes ``click.ts + within``.
     This is the streaming analogue of the batch as-of/interval join family
     (``operators/pit.py``) — same semantics, incrementally maintained.
+
+    ``how="left_outer"`` additionally emits UNATTRIBUTED purchases (null
+    click columns) — but only once the watermark has passed the end of the
+    purchase's join window, because until then a matching click could still
+    arrive.  That is the outer-join eviction contract: the null row is a
+    watermark-certified "no click existed", not a timing artifact.
     """
     clicks = (
         events.where(F.col("event_type") == "click")
@@ -226,6 +232,7 @@ def purchase_attribution_stream(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+        how,
     ).select(
         "purchase_id", "purchase_ts", "purchase_value",
         F.col("p_user").alias("user_id"), "click_id", "click_ts",

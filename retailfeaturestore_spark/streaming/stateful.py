@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals"]
+__all__ = ["running_user_totals", "inactivity_sessions"]
 
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, value_sum double, last_ts timestamp"
@@ -67,5 +67,85 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, vsum double"
+
+
+def inactivity_sessions(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
+) -> DataFrame:
+    """Custom gap-sessionizer with EVENT-TIME TIMEOUT eviction — the state
+    API surface ``running_user_totals`` doesn't exercise: a user's open
+    session closes EITHER when a later event arrives past the gap (update
+    path) or when the event-time watermark passes ``last_event + gap``
+    with no further events (timeout path: ``state.hasTimedOut``, state
+    removed).  Emits ONLY closed sessions (append semantics) — the same
+    result as the native ``session_window`` operator, re-expressed through
+    the custom-state seam so arbitrary per-session logic (abandonment
+    scoring, cart contents) can ride along.
+
+    State: one open-session tuple per user, evicted on close — bounded by
+    concurrently-active users, not history.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def closed_row(user_id, start_us, last_us, n, vsum):
+        return {
+            "user_id": user_id,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "n_events": n,
+            "value_sum": vsum,
+        }
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame([closed_row(user_id, start_us, last_us, n, vsum)])
+            return
+        open_s = list(state.get) if state.exists else None
+        closed = []
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames).sort_values("ts")
+            ts_us = (batch["ts"].astype("int64") // 1000).tolist()
+            cents = batch["value"].mul(100).round().astype("int64").tolist()
+            for t, c in zip(ts_us, cents):
+                if open_s is not None and t > open_s[1] + gap_us:
+                    closed.append(closed_row(user_id, *open_s))
+                    open_s = None
+                if open_s is None:
+                    open_s = [t, t, 0, 0.0]
+                open_s[1] = max(open_s[1], t)
+                open_s[2] += 1
+                open_s[3] += c / 100.0
+        if open_s is not None:
+            state.update(tuple(open_s))
+            # event-time timeout fires once the watermark passes last + gap
+            state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -1,0 +1,115 @@
+"""Watermark-driven state eviction: event-time-timeout sessions and
+outer stream-stream join null emission."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import shutil
+
+from retailfeaturestore_spark.streaming.events_stream import (
+    purchase_attribution_stream,
+)
+from retailfeaturestore_spark.streaming.stateful import inactivity_sessions
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _m(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+def _stage(spark, tmp_path, schema, batches):
+    """One parquet file per micro-batch, named so listing order == batch
+    order (the file source reads maxFilesPerTrigger=1 in listing order)."""
+    stage = tmp_path / "stream"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage / f"b{i}")
+        )
+        (part,) = glob.glob(str(stage / f"b{i}" / "*.parquet"))
+        shutil.move(part, str(stage / f"part-{i}.parquet"))
+        shutil.rmtree(str(stage / f"b{i}"))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+
+
+def test_inactivity_sessions_update_and_timeout_paths(spark, tmp_path):
+    """Session A closes on the update path (a later event past the gap);
+    session B and u2's session close on the EVENT-TIME TIMEOUT path once
+    pusher events advance the watermark.  Open sessions never emit."""
+    schema = "user_id long, ts timestamp, value double"
+    stream = _stage(
+        spark,
+        tmp_path,
+        schema,
+        [
+            [(1, _m(0), 1.0), (1, _m(5), 2.0), (2, _m(1), 3.0), (2, _m(10), 4.0)],
+            [(1, _m(120), 5.0), (700, _m(24 * 60), 0.5)],
+            [(701, _m(3 * 24 * 60), 0.25)],
+        ],
+    )
+    q = (
+        inactivity_sessions(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions_evict")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.table("sessions_evict").collect()
+    }
+    assert (1, _m(0), _m(5), 2, 3.0) in got          # update-path close
+    assert (1, _m(120), _m(120), 1, 5.0) in got      # timeout-path close
+    assert (2, _m(1), _m(10), 2, 7.0) in got         # timeout-path close
+    # first pusher's session also times out once the second pusher's event
+    # advances the watermark past +1day+gap (the final timeout batch)
+    assert (700, _m(24 * 60), _m(24 * 60), 1, 0.5) in got
+    # the last event's own session can never time out -> still open
+    assert not any(u == 701 for (u, *_) in got)
+    assert len(got) == 4
+
+
+def test_outer_attribution_emits_watermark_certified_nulls(spark, tmp_path):
+    """left_outer stream-stream join: an unattributed purchase appears
+    with null click columns only after the watermark certifies no click
+    can still arrive; attributed purchases match as in the inner join."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    stream = _stage(
+        spark,
+        tmp_path,
+        schema,
+        [
+            [
+                (10, _m(0), 1, "click", 0.0),
+                (11, _m(10), 1, "purchase", 9.99),
+                (12, _m(5), 2, "purchase", 5.0),  # no click for u2
+            ],
+            [
+                (20, _m(24 * 60), 700, "click", 0.0),
+                (21, _m(24 * 60 + 1), 700, "purchase", 7.0),
+            ],
+            [(30, _m(3 * 24 * 60), 701, "click", 0.0)],
+        ],
+    )
+    q = (
+        purchase_attribution_stream(stream, within="1 hour", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("attr_outer")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.purchase_id: r for r in spark.table("attr_outer").collect()}
+    assert rows[11].click_id == 10 and rows[11].user_id == 1
+    assert rows[12].click_id is None and rows[12].click_ts is None
+    assert rows[21].click_id == 20
