@@ -80,6 +80,13 @@ def table_diff(
     Unchanged keys produce NO row, so the output is |delta|-sized, not
     |table|-sized.
 
+    Precondition: the key is UNIQUE within each version (the contract of a
+    keyed table; a NULL key component counts as a value and is matched
+    null-safely).  Duplicate keys — including multiple NULL-keyed rows —
+    make the full-outer join many-to-many and the classification
+    undefined; run ``quality_checks.expect_unique_key`` first when the
+    upstream does not guarantee it.
+
     Shape: ONE full-outer join on the key (both sides shuffle once, the
     standard co-partitioned diff); per-column comparison is null-safe
     (``<=>``) column algebra — no row serialization, no UDF.  At scale,

@@ -510,13 +510,13 @@ def pq_topk_adc(
     ranking ties break on neighbor id — the SQL oracle replays training,
     encoding, LUTs, and ADC bit-for-bit.
     """
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
     cents, coded, seed_vecs = pq_train_encode(
         corpus, m=m, k_codes=k_codes, iters=iters, vec_col=vec_col,
         id_col=id_col, cache_scope=cache_scope,
     )
-    query_ids = list(query_ids)
-    if not query_ids:
-        raise ValueError("query_ids must be non-empty")
     # Query vectors already pulled by the seed collect need no second job.
     missing = [qid for qid in query_ids if qid not in seed_vecs]
     fetched = {

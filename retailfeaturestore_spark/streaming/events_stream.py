@@ -206,8 +206,16 @@ def purchase_attribution_stream(
     click columns) — but only once the watermark has passed the end of the
     purchase's join window, because until then a matching click could still
     arrive.  That is the outer-join eviction contract: the null row is a
-    watermark-certified "no click existed", not a timing artifact.
+    watermark-certified "no click existed", not a timing artifact.  Only
+    these two modes are supported: the output schema keys on the purchase
+    side (``user_id`` from ``p_user``), so a right/full outer would emit
+    null-keyed rows for unmatched clicks.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how={how!r}: purchase attribution supports 'inner' and "
+            "'left_outer' (the purchase side keys the output schema)"
+        )
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(

@@ -132,7 +132,10 @@ def ingest_batch_neardup(
         )
         .select(F.col("a.id").alias("cand"), F.col("b.id").alias("witness"))
     )
-    candidates = cross.unionByName(within).distinct()
+    # Materialized: the candidate set feeds both the witness-id semi-join
+    # and the intersection join — without the cut the probe joins (the
+    # batch's most expensive stage) execute once per consumer.
+    candidates = cross.unionByName(within).distinct().localCheckpoint()
 
     cand_posts = posts_b.select("id", "sh")
     # Bound the verification work by the CANDIDATE set, not the store:

@@ -86,16 +86,24 @@ def inactivity_sessions(
     session closes EITHER when a later event arrives past the gap (update
     path) or when the event-time watermark passes ``last_event + gap``
     with no further events (timeout path: ``state.hasTimedOut``, state
-    removed).  Emits ONLY closed sessions (append semantics) — the same
-    result as the native ``session_window`` operator, re-expressed through
-    the custom-state seam so arbitrary per-session logic (abandonment
-    scoring, cart contents) can ride along.
+    removed).  Emits ONLY closed sessions (append semantics) — the
+    in-order result matches the native ``session_window`` operator,
+    re-expressed through the custom-state seam so arbitrary per-session
+    logic (abandonment scoring, cart contents) can ride along.
+
+    Out-of-order caveat (where this diverges from ``session_window``'s
+    retroactive merge): a within-watermark late event for a user with an
+    OPEN session extends that session backward (``session_start`` takes
+    the min); a late event older than ``session_start - gap`` is emitted
+    immediately as its own closed singleton session — once a newer session
+    exists, no further event can legally join the older one, but two such
+    stragglers that would have shared one session are not re-merged.
+    Null ``ts`` rows are dropped (they carry no event time); null
+    ``value`` counts as 0.
 
     State: one open-session tuple per user, evicted on close — bounded by
     concurrently-active users, not history.
     """
-    import pandas as pd
-
     gap_us = gap_minutes * 60 * 1_000_000
 
     def closed_row(user_id, start_us, last_us, n, vsum):
@@ -118,15 +126,26 @@ def inactivity_sessions(
         closed = []
         frames = [p for p in pdfs if len(p)]
         if frames:
-            batch = pd.concat(frames).sort_values("ts")
+            # null-ts rows have no event time (the ADVICE-r4 NaT crash
+            # class); null value counts as 0 — astype on NaT/NaN raises
+            # and permanently wedges the query on checkpoint replay
+            batch = pd.concat(frames).dropna(subset=["ts"]).sort_values("ts")
             ts_us = (batch["ts"].astype("int64") // 1000).tolist()
-            cents = batch["value"].mul(100).round().astype("int64").tolist()
+            cents = (
+                batch["value"].fillna(0.0).mul(100).round().astype("int64").tolist()
+            )
             for t, c in zip(ts_us, cents):
+                if open_s is not None and t < open_s[0] - gap_us:
+                    # straggler older than any legal extension of the open
+                    # session: certainly closed — emit as its own session
+                    closed.append(closed_row(user_id, t, t, 1, c / 100.0))
+                    continue
                 if open_s is not None and t > open_s[1] + gap_us:
                     closed.append(closed_row(user_id, *open_s))
                     open_s = None
                 if open_s is None:
                     open_s = [t, t, 0, 0.0]
+                open_s[0] = min(open_s[0], t)
                 open_s[1] = max(open_s[1], t)
                 open_s[2] += 1
                 open_s[3] += c / 100.0

@@ -113,3 +113,37 @@ def test_outer_attribution_emits_watermark_certified_nulls(spark, tmp_path):
     assert rows[11].click_id == 10 and rows[11].user_id == 1
     assert rows[12].click_id is None and rows[12].click_ts is None
     assert rows[21].click_id == 20
+
+
+def test_inactivity_sessions_straggler_closes_as_singleton(spark, tmp_path):
+    """A within-watermark late event older than the open session's legal
+    extension (start - gap) closes immediately as its own singleton; the
+    open session is untouched and still times out later."""
+    schema = "user_id long, ts timestamp, value double"
+    stream = _stage(
+        spark,
+        tmp_path,
+        schema,
+        [
+            [(3, _m(120), 2.0)],
+            [(3, _m(0), 1.0), (800, _m(2 * 24 * 60), 0.1)],  # straggler + pusher
+            [(801, _m(4 * 24 * 60), 0.1)],
+        ],
+    )
+    q = (
+        inactivity_sessions(stream, gap_minutes=30, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("sessions_straggler")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.table("sessions_straggler").collect()
+        if r.user_id == 3
+    }
+    assert (3, _m(0), _m(0), 1, 1.0) in got      # straggler singleton
+    assert (3, _m(120), _m(120), 1, 2.0) in got  # main session (timeout)
+    assert len(got) == 2
