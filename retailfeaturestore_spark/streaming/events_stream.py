@@ -211,10 +211,13 @@ def purchase_attribution_stream(
     side (``user_id`` from ``p_user``), so a right/full outer would emit
     null-keyed rows for unmatched clicks.
     """
-    if how not in ("inner", "left_outer"):
+    canonical = how.lower().replace("_", "")
+    if canonical not in ("inner", "left", "leftouter"):
         raise ValueError(
             f"how={how!r}: purchase attribution supports 'inner' and "
-            "'left_outer' (the purchase side keys the output schema)"
+            "'left_outer' (and Spark's aliases 'left'/'leftouter') — the "
+            "purchase side keys the output schema, so right/full outer "
+            "would emit null-keyed rows for unmatched clicks"
         )
     clicks = (
         events.where(F.col("event_type") == "click")

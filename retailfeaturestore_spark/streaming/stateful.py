@@ -75,86 +75,93 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, value_sum double"
 )
-SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, vsum double"
+# PENDING sessions as parallel arrays (value sums in exact integer cents):
+# a session is held in state until the watermark certifies it closed.
+SESSION_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>, cents array<long>"
+)
 
 
 def inactivity_sessions(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
 ) -> DataFrame:
     """Custom gap-sessionizer with EVENT-TIME TIMEOUT eviction — the state
-    API surface ``running_user_totals`` doesn't exercise: a user's open
-    session closes EITHER when a later event arrives past the gap (update
-    path) or when the event-time watermark passes ``last_event + gap``
-    with no further events (timeout path: ``state.hasTimedOut``, state
-    removed).  Emits ONLY closed sessions (append semantics) — the
-    in-order result matches the native ``session_window`` operator,
-    re-expressed through the custom-state seam so arbitrary per-session
-    logic (abandonment scoring, cart contents) can ride along.
+    API surface ``running_user_totals`` doesn't exercise: per user, every
+    event becomes/extends a PENDING session (merge when within ``gap`` of
+    a neighbor — late within-watermark events merge exactly like the
+    native ``session_window``, backward included), and a pending session
+    is emitted as closed only once the event-time watermark passes its
+    ``end + gap`` — via the update path when the user has batch data, or
+    the timeout path (``state.hasTimedOut``) when it doesn't.  Append
+    semantics; emitted rows are watermark-certified, never provisional.
 
-    Out-of-order caveat (where this diverges from ``session_window``'s
-    retroactive merge): a within-watermark late event for a user with an
-    OPEN session extends that session backward (``session_start`` takes
-    the min); a late event older than ``session_start - gap`` is emitted
-    immediately as its own closed singleton session — once a newer session
-    exists, no further event can legally join the older one, but two such
-    stragglers that would have shared one session are not re-merged.
     Null ``ts`` rows are dropped (they carry no event time); null
-    ``value`` counts as 0.
-
-    State: one open-session tuple per user, evicted on close — bounded by
-    concurrently-active users, not history.
+    ``value`` counts as 0.  State: the user's within-watermark pending
+    sessions — the same bound as the native operator's window state.
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def closed_row(user_id, start_us, last_us, n, vsum):
+    def closed_row(user_id, s):
         return {
             "user_id": user_id,
-            "session_start": pd.Timestamp(start_us, unit="us"),
-            "session_end": pd.Timestamp(last_us, unit="us"),
-            "n_events": n,
-            "value_sum": vsum,
+            "session_start": pd.Timestamp(s[0], unit="us"),
+            "session_end": pd.Timestamp(s[1], unit="us"),
+            "n_events": s[2],
+            "value_sum": s[3] / 100.0,
         }
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            start_us, last_us, n, vsum = state.get
-            state.remove()
-            yield pd.DataFrame([closed_row(user_id, start_us, last_us, n, vsum)])
-            return
-        open_s = list(state.get) if state.exists else None
-        closed = []
-        frames = [p for p in pdfs if len(p)]
-        if frames:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pending = []
+        if state.exists:
+            starts, lasts, ns, cents = state.get
+            pending = [list(t) for t in zip(starts, lasts, ns, cents)]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
             # null-ts rows have no event time (the ADVICE-r4 NaT crash
             # class); null value counts as 0 — astype on NaT/NaN raises
             # and permanently wedges the query on checkpoint replay
-            batch = pd.concat(frames).dropna(subset=["ts"]).sort_values("ts")
-            ts_us = (batch["ts"].astype("int64") // 1000).tolist()
-            cents = (
-                batch["value"].fillna(0.0).mul(100).round().astype("int64").tolist()
+            pdf = pdf.dropna(subset=["ts"])
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            ev_cents = (
+                pdf["value"].fillna(0.0).mul(100).round().astype("int64").tolist()
             )
-            for t, c in zip(ts_us, cents):
-                if open_s is not None and t < open_s[0] - gap_us:
-                    # straggler older than any legal extension of the open
-                    # session: certainly closed — emit as its own session
-                    closed.append(closed_row(user_id, t, t, 1, c / 100.0))
-                    continue
-                if open_s is not None and t > open_s[1] + gap_us:
-                    closed.append(closed_row(user_id, *open_s))
-                    open_s = None
-                if open_s is None:
-                    open_s = [t, t, 0, 0.0]
-                open_s[0] = min(open_s[0], t)
-                open_s[1] = max(open_s[1], t)
-                open_s[2] += 1
-                open_s[3] += c / 100.0
-        if open_s is not None:
-            state.update(tuple(open_s))
-            # event-time timeout fires once the watermark passes last + gap
-            state.setTimeoutTimestamp((open_s[1] + gap_us) // 1000)
+            pending.extend([t, t, 1, c] for t, c in zip(ts_us, ev_cents))
+        if not pending:
+            if state.hasTimedOut:
+                state.remove()
+            return
+        pending.sort(key=lambda s: (s[0], s[1]))
+        merged = [pending[0]]
+        for s in pending[1:]:
+            cur = merged[-1]
+            if s[0] <= cur[1] + gap_us:
+                cur[1] = max(cur[1], s[1])
+                cur[2] += s[2]
+                cur[3] += s[3]
+            else:
+                merged.append(s)
+        closed = [s for s in merged if s[1] + gap_us < wm_us]
+        keep = [s for s in merged if s[1] + gap_us >= wm_us]
+        if keep:
+            state.update(
+                (
+                    [s[0] for s in keep],
+                    [s[1] for s in keep],
+                    [s[2] for s in keep],
+                    [s[3] for s in keep],
+                )
+            )
+            # fire when the earliest pending session can close; the +1 ms
+            # guard keeps the timestamp strictly above the watermark
+            expiry_ms = min(s[1] + gap_us for s in keep) // 1000
+            state.setTimeoutTimestamp(max(expiry_ms, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
         if closed:
-            yield pd.DataFrame(closed)
+            yield pd.DataFrame([closed_row(user_id, s) for s in closed])
 
     return (
         events.withWatermark("ts", watermark)

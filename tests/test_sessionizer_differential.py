@@ -5,11 +5,11 @@ sessionization for every session the final watermark closes."""
 from __future__ import annotations
 
 import datetime
-import glob
 import random
-import shutil
 
 from retailfeaturestore_spark.streaming.stateful import inactivity_sessions
+
+from conftest import stage_microbatches
 
 T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
 GAP_MIN = 30
@@ -59,21 +59,8 @@ def test_random_streams_equal_batch_sessionization(spark, tmp_path):
     pusher_ts = events[-1][1] + datetime.timedelta(days=2)
     batches.append([(999, pusher_ts, 0.0)])
 
-    stage = tmp_path / "stream"
     schema = "user_id long, ts timestamp, value double"
-    for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
-            str(stage / f"b{i}")
-        )
-        (part,) = glob.glob(str(stage / f"b{i}" / "*.parquet"))
-        shutil.move(part, str(stage / f"part-{i}.parquet"))
-        shutil.rmtree(str(stage / f"b{i}"))
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(stage))
-    )
+    stream = stage_microbatches(spark, tmp_path, schema, batches)
     q = (
         inactivity_sessions(stream, gap_minutes=GAP_MIN, watermark="1 minute")
         .writeStream.format("memory")

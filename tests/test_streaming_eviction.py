@@ -4,13 +4,13 @@ outer stream-stream join null emission."""
 from __future__ import annotations
 
 import datetime
-import glob
-import shutil
 
 from retailfeaturestore_spark.streaming.events_stream import (
     purchase_attribution_stream,
 )
 from retailfeaturestore_spark.streaming.stateful import inactivity_sessions
+
+from conftest import stage_microbatches
 
 T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -19,22 +19,7 @@ def _m(minutes):
     return T0 + datetime.timedelta(minutes=minutes)
 
 
-def _stage(spark, tmp_path, schema, batches):
-    """One parquet file per micro-batch, named so listing order == batch
-    order (the file source reads maxFilesPerTrigger=1 in listing order)."""
-    stage = tmp_path / "stream"
-    for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
-            str(stage / f"b{i}")
-        )
-        (part,) = glob.glob(str(stage / f"b{i}" / "*.parquet"))
-        shutil.move(part, str(stage / f"part-{i}.parquet"))
-        shutil.rmtree(str(stage / f"b{i}"))
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(stage))
-    )
+_stage = stage_microbatches
 
 
 def test_inactivity_sessions_update_and_timeout_paths(spark, tmp_path):
@@ -116,9 +101,9 @@ def test_outer_attribution_emits_watermark_certified_nulls(spark, tmp_path):
 
 
 def test_inactivity_sessions_straggler_closes_as_singleton(spark, tmp_path):
-    """A within-watermark late event older than the open session's legal
-    extension (start - gap) closes immediately as its own singleton; the
-    open session is untouched and still times out later."""
+    """A within-watermark late event more than a gap older than the
+    pending session stays its own pending singleton (never merged) and
+    both sessions emit once the watermark passes their end + gap."""
     schema = "user_id long, ts timestamp, value double"
     stream = _stage(
         spark,
@@ -147,3 +132,35 @@ def test_inactivity_sessions_straggler_closes_as_singleton(spark, tmp_path):
     assert (3, _m(0), _m(0), 1, 1.0) in got      # straggler singleton
     assert (3, _m(120), _m(120), 1, 2.0) in got  # main session (timeout)
     assert len(got) == 2
+
+
+def test_late_events_merge_into_pending_session(spark, tmp_path):
+    """The session_window-parity case: late within-watermark events that
+    BRIDGE backward into a pending session merge into ONE session (no
+    premature singleton splits) — emission is watermark-certified."""
+    schema = "user_id long, ts timestamp, value double"
+    stream = _stage(
+        spark,
+        tmp_path,
+        schema,
+        [
+            [(5, _m(100), 1.0)],
+            [(5, _m(65), 2.0), (5, _m(72), 4.0), (800, _m(3 * 24 * 60), 0.1)],
+            [(801, _m(6 * 24 * 60), 0.1)],
+        ],
+    )
+    q = (
+        inactivity_sessions(stream, gap_minutes=30, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("sessions_merge")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.table("sessions_merge").collect()
+        if r.user_id == 5
+    }
+    assert got == {(5, _m(65), _m(100), 3, 7.0)}
