@@ -6409,129 +6409,86 @@ def q_xlsx_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r5 block 1: queries whose IMPLEMENTATIONS changed this round —
-    # the bitmask/codegen-explode affinity rewrite, and the star-CC rework
-    # (single raw-checkpoint, star-forest convergence, dropped interim
-    # distinct) whose connected_components helper also backs the
-    # propagation query and canonical-by-quality.  Identified mechanically:
-    # `python tools/check_oracle.py --changed-since <r4-head>` flags
-    # exactly these four.
-    "brand_basket_affinity",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_canonical_by_quality",
-    # dau_mau rewritten late-r5 to the interval-coverage scan-line plan
-    # (took embedding_norms' slot — pure column algebra, r3-green,
-    # untouched); neardup banding rewritten from a per-band union loop to
-    # one explode (took stratified_sample_balanced's slot — r3-green
-    # deterministic hash sampling, queries.py-local, untouched).
-    "dau_mau_stickiness",
-    "embedding_neardup_lsh",
-    # tfidf re-derived df from tf late-r5 (took order_calendar_features'
-    # slot — r3-green date expressions, queries.py-local, untouched).
-    "tfidf_top_terms",
-    # New r5 queries (zero verdicts; took daily_feature_snapshots' and
-    # events_sliding_7d_daily's slots — both r3-green with their families
-    # still represented in-window).
-    "embedding_dedup_clusters",
-    "dedup_cross_source_matrix",
-    # (source_token_divergence took text_string_features' slot — r3-green
-    # pure column algebra, untouched.)
-    "source_token_divergence",
-    # --- r5 block 2: the three late-r4 queries with ZERO driver verdicts
-    # on record (VERDICT r4 "What's missing" #1).
-    "corpus_importance_sample",
-    "doc_ngram_commonality",
-    "feature_rank_normalize",
-    # New late-r5 similarity additions (zero verdicts): PQ/ADC compressed
-    # ANN and MMR diversified retrieval.  They took union_slices' and
-    # large_volume_orders' slots — the two most trivial queries.py-local
-    # shapes in the stale block (UNION ALL; filter+group-having), both
-    # re-verified green with tools/check_oracle.py at rotation time and
-    # handed to the r6 window below.
-    "knn_ivf_pq",
-    "knn_mmr_diverse",
-    # (corpus_temperature_mix took bulk_part_suppliers' slot — Q16-ish
-    # group-having shape, re-verified green at rotation time, r6 handoff.)
-    "corpus_temperature_mix",
-    # (user_daily_snapshot_spine took min_price_supplier_per_part's slot —
-    # Q2-ish min-per-group, family covered in-window by latest_order_maxby /
-    # first_event_per_user; re-verified green at rotation time, r6 handoff.)
-    "user_daily_snapshot_spine",
-    # (purchase_multitouch_attribution took brand_revenue_concentration's
-    # slot — queries.py-local revenue rollup, family covered by
-    # promo_revenue_share/nation_market_share in-window; re-verified green
-    # at rotation time, r6 handoff.)
-    "purchase_multitouch_attribution",
-    # (recs_negative_samples took order_count_distribution's slot — Q13
-    # left-join histogram, plan-asserted independently; re-verified green
-    # at rotation time, r6 handoff.)
+    # --- r6 block 1: queries whose IMPLEMENTATIONS change this round —
+    # the recs_negative_samples pad-slot fold (VERDICT r5 next-steps #4),
+    # the explicit broadcast in cosine_topk (#9), and the multimodal PNG
+    # decode seam (#6, shares the mapInPandas plumbing the payload query
+    # exercises).
     "recs_negative_samples",
-    # (source_length_ks_drift took rows_rolling_spend's slot — simple
-    # rows-frame window, the W-family flagship covers the shape in-window;
-    # re-verified green at rotation time, r6 handoff.)
-    "source_length_ks_drift",
-    # --- r5 block 3: the full r2-stale set (latest green two+ rounds old;
-    # VERDICT r4 "What's wrong" #3) — the 17 r4-new queries and the r4
-    # heavies with fresh greens cede their slots to clear this debt in one
-    # round.
-    "topk_segments",
-    "priority_mode_per_customer",
-    "customer_onehot",
-    "first_event_per_user",
-    "latest_order_maxby",
-    "revenue_rollup",
-    "order_sequence_analytics",
-    "order_navigation",
-    "orders_priority_pivot",
-    "segment_priority_grouping_sets",
-    "shipping_priority",
-    "hash_split_train_val",
-    "rfm_segments",
-    "promo_revenue_share",
-    "nation_market_share",
-    "doc_pack_context_windows",
-    # --- r5 block 4: the most helper-entangled queries whose latest green
-    # is r3 (one round from becoming the next staleness debt): the text /
-    # dedup / similarity / sampling / window families that share operator
-    # modules, ahead of the queries.py-local single-join shapes
-    # (brand_margin, cross_nation_trade, revenue_by_nation, ... — all
-    # r3-green, helpers untouched, bench-tracked) that wait for r6.  The
-    # two approx_* sketches stay rotated out by design (rows+schema-only
-    # oracles; bounds pytest-asserted).
-    "dedup_ngram_jaccard",
     "knn_cosine_bruteforce",
-    "knn_ivf_bucketed",
-    "text_simhash",
-    "doc_fingerprint",
-    "token_count",
-    "text_quality_score",
-    "benchmark_contamination",
-    "doc_repetition_ratio",
-    "doc_chunk_overlap",
-    "corpus_token_budget_sample",
-    "user_activity_features",
-    "churn_labels_orders",
-    "events_tumbling_daily",
-    # --- r6 handoff: the rotation debt this window leaves is exactly the
-    # ~24 r3-green queries named above (simple single-join/column-algebra
-    # shapes: brand_margin, cross_nation_trade, customers_with[out]_*,
-    # discounted_revenue, forecast_revenue_change, linestatus_*,
-    # qty_price_correlation, returned_item_ranking, returns_by_priority,
-    # revenue_by_nation, segment_priority_cube, small_qty_revenue,
-    # supplier_variety_by_part, top_customers/top_revenue_supplier,
-    # user_days_view_no_purchase, users_purchase_and_signup) plus the
-    # THIRTEEN that ceded r5 slots — six to the late-r5 rewrites
-    # (embedding_norms, stratified_sample_balanced, order_calendar_features,
-    # daily_feature_snapshots, events_sliding_7d_daily,
-    # text_string_features) and seven to the continuation's new
-    # zero-verdict queries (union_slices, large_volume_orders,
-    # bulk_part_suppliers, min_price_supplier_per_part,
-    # brand_revenue_concentration, order_count_distribution,
-    # rows_rolling_spend — every cede re-verified green with
-    # tools/check_oracle.py at rotation time, logged above).  ~37 debt
-    # slots total: fits r6's 50-slot window with room for r6 changes —
-    # next round should rotate them in en bloc.
+    "multimodal_payload_meta",
+    # --- r6 block 2: the FULL rotation debt from the r5 handoff, en bloc —
+    # every query whose latest driver green is r2/r3 (31 slots; the two
+    # approx_* sketches stay rotated out by design: rows+schema-only
+    # oracles, bounds pytest-asserted).  After this round no query's
+    # driver-green evidence is older than r4.
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "union_slices",
+    "events_sliding_7d_daily",
+    "customers_with_urgent_orders",
+    "customers_without_recent_orders",
+    "cross_nation_trade",
+    "brand_margin",
+    "users_purchase_and_signup",
+    "user_days_view_no_purchase",
+    "daily_feature_snapshots",
+    "segment_priority_cube",
+    "order_count_distribution",
+    "large_volume_orders",
+    "top_revenue_supplier",
+    "small_qty_revenue",
+    "discounted_revenue",
+    "qty_price_correlation",
+    "order_calendar_features",
+    "embedding_norms",
+    "rows_rolling_spend",
+    "text_string_features",
+    "stratified_sample_balanced",
+    "forecast_revenue_change",
+    "returned_item_ranking",
+    "brand_revenue_concentration",
+    "returns_by_priority",
+    "linestatus_priority_counts",
+    "min_price_supplier_per_part",
+    "supplier_variety_by_part",
+    "bulk_part_suppliers",
+    # --- r6 block 3: fill the remaining 16 slots with the OLDEST of the
+    # r4-green set (43 queries were last green r4), core families first:
+    # the flagship window build, normalize, PIT/as-of, the dedup trio,
+    # text ops, and the training-set join — the queries whose shared
+    # helper modules (window_features, pit, dedup, textops, ml.training)
+    # see the most churn and therefore stale fastest.
+    "normalize_lineitem",
+    "feature_view_build",
+    "latest_event_per_user",
+    "asof_snapshot_lookup",
+    "asof_join_clicks_purchases",
+    "purchase_labels_after_signup",
+    "orders_range_join_followups",
+    "distinct_parts_per_customer",
+    "pricing_summary",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "knn_ivf_kmeans",
+    "text_lang_id",
+    "text_pii_scrub",
+    "training_set_build",
+    # --- r7 handoff: the rotation debt this window leaves is the 26
+    # remaining r4-green queries (multimodal_payload_meta and the 16 in
+    # block 3 re-verify this round): feature_view_build_set, dedup_edit_
+    # distance, knn-adjacent embedding_label_centroids, events_props_json,
+    # value_percentiles, events_session_windows, top_balance_inactive_
+    # customers, sole_return_supplier, decayed_user_value, data_quality_
+    # report, events_funnel_conversion, funnel_time_to_convert,
+    # doc_quality_gopher, ngram_topk_global, supplier_profit_by_year,
+    # user_retention_cohorts, cohort_revenue_retention, customer_priority_
+    # scd2, segment_spend_deciles, late_shipment_priority_check,
+    # order_interarrival_stats, session_event_transitions, feature_drift_
+    # bins, nation_daily_revenue_outliers, corpus_curation_pipeline,
+    # xlsx_ingest_normalize — 26 fits r7's 50-slot window with ~24 slots
+    # to spare for r7 changes; rotate them in en bloc.
 )
 
 

@@ -54,7 +54,9 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     # fail the streaming query (ADVICE r4).
     batch = batch.dropna(subset=["ts"])
     batch = batch.sort_values("ts", kind="mergesort")
-    ts_us = batch["ts"].astype("int64") // 1000  # ns -> us
+    # normalize resolution before the integer cast: datetime64[us] input
+    # would mis-scale by 1000x (ADVICE r5)
+    ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
     for t, kind in zip(ts_us, batch["event_type"]):
         t = int(t)
         if kind == "view":

@@ -33,10 +33,16 @@ decision write — none of it transactional, so a crash replays the batch
 unwritten).  Witness postings are deduped on the candidate-bounded re-read
 so a replayed append never double-counts intersections, and self-pairs are
 excluded from the probe so a replayed doc never matches its own earlier
-append.  A replay can still OVER-flag: a
+append.  Under the streaming ``foreachBatch`` replay path a replay can
+still OVER-flag (never under-flag): a
 same-batch near-dup pair (a < b; only b flagged originally) reappears with
 a's bands already in the store, so a is flagged too on the second pass —
-conservative in the safe direction for dedup.  Downstream consumers dedupe
+conservative in the safe direction for dedup.  A caller driving
+:func:`ingest_batch_neardup` directly who SWALLOWS a partial-append failure
+and keeps ingesting is outside this guarantee — the postings-first write
+order plus the orphan-witness guard turn that misuse into a loud
+``RuntimeError`` rather than silent admission of true duplicates.
+Downstream consumers dedupe
 decisions by ``doc_id`` keeping the earliest batch's row.  (On a lakehouse
 table both writes become one transactional MERGE keyed by ``batch_id`` —
 the standard foreachBatch idempotence pattern — and the replay caveat
@@ -151,6 +157,27 @@ def ingest_batch_neardup(
         .distinct()  # a replayed state append must not double-count
         .unionByName(posts_b.select("id", "sh"))
     )
+    # State-integrity guard (ADVICE r5): every banded doc had >=1 shingle
+    # posting when its bands were written (zero-shingle docs produce no
+    # signature, hence no bands), so a band witness with NO postings means
+    # the state is corrupted — e.g. a caller swallowed a partial append.
+    # Silently dropping such a witness would ADMIT a true near-duplicate
+    # (under-flag, the unsafe direction); fail loudly instead.  The check
+    # is candidate-bounded: one anti-join over the witness ids only.
+    orphans = [
+        r[0]
+        for r in wit_ids.join(
+            wit_posts.select("id").distinct(), "id", "left_anti"
+        )
+        .limit(5)
+        .collect()
+    ]
+    if orphans:
+        raise RuntimeError(
+            f"near-dup state corrupted: band witnesses {orphans} have no "
+            f"shingle postings under {post_path!r} — a prior state append "
+            "was partial; restore the state directory or re-ingest"
+        )
     sizes_c = cand_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_c"))
     sizes_w = wit_posts.groupBy("id").agg(F.count(F.lit(1)).alias("n_w"))
     inter = (
@@ -193,8 +220,15 @@ def ingest_batch_neardup(
         )
         .localCheckpoint()
     )
-    bands_b.write.mode("append").parquet(bands_path)
+    # Postings FIRST, bands second: the two appends are not one atomic
+    # commit, and the failure modes are asymmetric.  Bands-without-postings
+    # creates witnesses that can never verify (silent under-flag — now also
+    # caught by the orphan guard above); postings-without-bands merely makes
+    # the batch invisible as a witness, indistinguishable from the append
+    # having failed entirely — the caller sees the exception and retries the
+    # batch, which is the documented at-least-once contract.
     posts_b.select("id", "sh").write.mode("append").parquet(post_path)
+    bands_b.write.mode("append").parquet(bands_path)
     return decisions
 
 

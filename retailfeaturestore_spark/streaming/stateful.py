@@ -41,7 +41,10 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         # exact integer-cents accumulation (values are 2-decimal) keeps the
         # running sum order-independent across batches
         vsum += float(pdf["value"].mul(100).round().sum()) / 100.0
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        # normalize to ns first: Arrow/pandas may deliver datetime64[us]
+        # series, and a bare int64 cast would then mis-scale by 1000x
+        # (ADVICE r5)
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
         last_us = max(last_us, int(ts_us.max()))
     state.update((n, vsum, last_us))
     yield pd.DataFrame(
@@ -124,7 +127,12 @@ def inactivity_sessions(
             # class); null value counts as 0 — astype on NaT/NaN raises
             # and permanently wedges the query on checkpoint replay
             pdf = pdf.dropna(subset=["ts"])
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            # explicit ns normalization before the integer cast — a
+            # datetime64[us] Arrow batch would otherwise mis-scale every
+            # event time by 1000x and close sessions instantly (ADVICE r5)
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).tolist()
             ev_cents = (
                 pdf["value"].fillna(0.0).mul(100).round().astype("int64").tolist()
             )

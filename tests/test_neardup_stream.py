@@ -114,3 +114,85 @@ def test_replayed_batch_never_self_matches(spark, tmp_path):
     for did in (30, 31):
         assert again[did]["matched_id"] != did, "self-match on replay"
         assert not again[did]["is_neardup"]
+
+
+def test_orphan_band_witness_fails_loudly(spark, tmp_path):
+    """ADVICE r5: bands-without-postings state (a caller swallowed a
+    partial append) must raise, not silently ADMIT a true near-duplicate."""
+    import shutil
+
+    import pytest
+
+    st = tmp_path / "st"
+    b1 = spark.createDataFrame([(40, BASE)], "doc_id long, text string")
+    ingest_batch_neardup(b1, str(st))
+    # corrupt the state: keep the bands, drop the shingle postings
+    shutil.rmtree(str(st / "postings"))
+    b2 = spark.createDataFrame(
+        [(41, BASE + " also")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="no.*postings|corrupted"):
+        ingest_batch_neardup(b2, str(st)).collect()
+
+
+def test_stream_recovery_after_midrun_crash_equals_uninterrupted(
+    spark, tmp_path
+):
+    """Kill/restart differential (VERDICT r5 #7): crash AFTER batch 0's
+    state append but BEFORE its checkpoint commit, restart the stream from
+    scratch — the replay must leave the SAME logical band/posting store as
+    an uninterrupted run (distinct rows; the append itself may duplicate,
+    which the probe's candidate-bounded distinct absorbs) and must never
+    UNDER-flag relative to it."""
+    in_dir = tmp_path / "in"
+    for name, rows in (("b0", DOCS[:3]), ("b1", DOCS[3:])):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(in_dir / name))
+
+    def run(state, out, ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir / "*"))
+        )
+        q = neardup_ingest_stream(
+            stream,
+            state_dir=str(state),
+            out_dir=str(out),
+            checkpoint_dir=str(ckpt),
+        )
+        q.awaitTermination(120)
+
+    # uninterrupted reference run
+    run(tmp_path / "stA", tmp_path / "outA", tmp_path / "ckptA")
+
+    # crashed run: batch 0's state append lands, its decisions and its
+    # checkpoint commit are lost (= crash inside/just after foreachBatch)
+    b0 = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    ingest_batch_neardup(b0, str(tmp_path / "stB"))
+    # restart: a fresh checkpoint replays batch 0, then processes batch 1
+    run(tmp_path / "stB", tmp_path / "outB", tmp_path / "ckptB")
+
+    for sub in ("bands", "postings"):
+        a = spark.read.parquet(str(tmp_path / "stA" / sub)).distinct()
+        b = spark.read.parquet(str(tmp_path / "stB" / sub)).distinct()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+            f"{sub} store diverged after crash-replay"
+        )
+
+    def flags(out):
+        # keep the earliest batch's row per doc (the documented consumer rule)
+        rows = spark.read.parquet(str(out)).collect()
+        best = {}
+        for r in rows:
+            key = int(r["doc_id"])
+            if key not in best or r["batch_id"] < best[key]["batch_id"]:
+                best[key] = r
+        return {k: bool(v["is_neardup"]) for k, v in best.items()}
+
+    fa, fb = flags(tmp_path / "outA"), flags(tmp_path / "outB")
+    assert set(fa) == set(fb) == {d[0] for d in DOCS}
+    for doc_id, dup_a in fa.items():
+        if dup_a:  # replay may over-flag, must never under-flag
+            assert fb[doc_id], f"doc {doc_id} under-flagged after replay"
