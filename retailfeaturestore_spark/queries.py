@@ -2700,7 +2700,7 @@ WITH purchased AS (
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
 np AS (SELECT count(*) AS np, min(p_partkey) AS pmin FROM part),
-custs AS (SELECT DISTINCT customer_id FROM purchased),
+custs AS (SELECT DISTINCT o_custkey AS customer_id FROM orders),
 slots AS (
   SELECT c.customer_id, n.np, n.pmin, unnest(generate_series(0, 11)) AS slot
   FROM custs c, np n
@@ -2730,26 +2730,28 @@ FROM neg QUALIFY slot_rank <= 5
 @register("recs_negative_samples", oracle=_NEG_SAMPLE_ORACLE, tags=("sampling", "join"))
 def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling (recommender/ranking training): per
-    purchasing customer, 5 pseudo-random parts they never bought — md5
+    customer with an order, 5 pseudo-random parts they never bought — md5
     coin per (customer, slot), modulo the part count, padded slots, anti
     join against the purchase set, first-5 by slot.  Reproducible across
-    runs, partitionings, and engines: no RNG, no cross product, no
-    candidate ever materialized beyond |C| x 12 short rows."""
+    runs, partitionings, and engines: no RNG, no cross product.
+
+    Plan (r6 fold, VERDICT r5 #4): the big side is touched ONCE.  The
+    customer spine comes from ``orders`` (map-side-combined distinct of a
+    long column), NOT from the purchase pairs, so the lineitem-join-orders
+    subtree has a single consumer (the anti-join probe) and the r5 plan's
+    localCheckpoint barrier plus its distinct pass over the raw pairs both
+    disappear — left-anti semantics are duplicate-tolerant, so the raw
+    (customer, part) join output probes directly.  The pad-slot duplicate
+    collapse folds into a lag() window whose clustering requirement is
+    already met by the spine's hashpartitioning(customer_id) (local sort,
+    no exchange), eliminating the r5 groupBy(customer, guess) shuffle.
+    Exchanges on data-proportional volume: the orderkey equi-join and the
+    (customer, guess) anti-join probe — everything else is |C|-sized.  (A
+    first r6 cut instead computed a 12-bit guess-hit mask per purchase row
+    and bit_or-aggregated it: 12 md5 evaluations per LINEITEM row is
+    data-proportional CPU that measured 25x worse than shuffling the
+    skinny pairs.)"""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "part"))
-    # localCheckpoint: the distinct purchase set feeds BOTH the customer
-    # spine and the anti join — without it Spark re-executes the
-    # lineitem-join-orders-distinct subtree per consumer (audited: twice in
-    # the plan, 2x the sf5.0 wall time).  Skinny (cust, part) longs only.
-    purchased = (
-        t["lineitem"]
-        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
-        .select(
-            F.col("o_custkey").alias("customer_id"),
-            F.col("l_partkey").alias("guess"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
     # Guess domain anchored at the ACTUAL partkey range (count + min):
     # the driver testdata is 0-based, the CI generator 1-based — a bare
     # ``h % np`` would emit a nonexistent part 0 on 1-based data and never
@@ -2757,17 +2759,6 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     nparts = F.broadcast(
         t["part"].agg(
             F.count(F.lit(1)).alias("np"), F.min("p_partkey").alias("pmin")
-        )
-    )
-    slots = (
-        purchased.select("customer_id")
-        .distinct()
-        .crossJoin(nparts)
-        .select(
-            "customer_id",
-            "np",
-            "pmin",
-            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("slot"),
         )
     )
     h = F.conv(
@@ -2786,15 +2777,39 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    g2 = (
-        slots.withColumn("guess", F.col("pmin") + h % F.col("np"))
-        .groupBy("customer_id", "guess")
-        .agg(F.min("slot").alias("slot"))
+    guesses = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("customer_id"))
+        .distinct()
+        .crossJoin(nparts)
+        .select(
+            "customer_id",
+            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("slot"),
+            "np",
+            "pmin",
+        )
+        .withColumn("guess", F.col("pmin") + h % F.col("np"))
     )
-    neg = g2.join(purchased, ["customer_id", "guess"], "left_anti")
-    w = Window.partitionBy("customer_id").orderBy("slot")
+    # duplicate-guess collapse (keep min slot) via lag over the spine's
+    # existing customer_id partitioning — no shuffle, unlike a
+    # groupBy(customer_id, guess)
+    w_dedup = Window.partitionBy("customer_id").orderBy("guess", "slot")
+    deduped = guesses.withColumn("__prev", F.lag("guess").over(w_dedup)).where(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("guess"))
+    )
+    purchased = (
+        t["lineitem"]
+        .select("l_orderkey", F.col("l_partkey").alias("guess"))
+        .join(
+            t["orders"].select("o_orderkey", F.col("o_custkey").alias("customer_id")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("customer_id", "guess")
+    )
+    neg = deduped.join(purchased, ["customer_id", "guess"], "left_anti")
+    w_rank = Window.partitionBy("customer_id").orderBy("slot")
     return (
-        neg.withColumn("slot_rank", F.row_number().over(w).cast("long"))
+        neg.withColumn("slot_rank", F.row_number().over(w_rank).cast("long"))
         .where(F.col("slot_rank") <= 5)
         .select(
             "customer_id",
