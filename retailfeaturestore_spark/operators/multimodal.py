@@ -88,17 +88,29 @@ def extract_features(
     images with the pure-stdlib codec (``functions.ppm``) and the features
     are actual image statistics ``[w, h, n_pixels, mean R, mean G, mean B,
     min luma, max luma]`` — the end-to-end proof of the seam on real bytes.
+    ``decode_stub='png'``: same REAL decode for the most common compressed
+    format — pure-stdlib zlib inflate + scanline unfiltering
+    (``functions.png``), identical feature statistics and failure surface.
+    ``decode_stub='image'``: magic-byte dispatch between the two real
+    codecs per row — the shape of a mixed-format media column at ingest.
     ``decode_stub='raise'``: the seam where a general media decoder
-    (PIL/ffmpeg/...) plugs in; raises NotImplementedError because those
-    codec libraries are not available in this environment.
+    (video/audio: ffmpeg et al.) plugs in; raises NotImplementedError
+    because those codec libraries are not available in this environment.
     """
-    if decode_stub not in ("fake", "ppm", "raise"):
+    if decode_stub not in ("fake", "ppm", "png", "image", "raise"):
         raise ValueError(f"unknown decode_stub: {decode_stub}")
 
-    def _ppm_features(b: bytes) -> list[float]:
+    def _rgb_features(b: bytes) -> list[float]:
+        from ..functions.png import png_to_rgb
         from ..functions.ppm import decode_ppm
 
-        w, h, rgb = decode_ppm(bytes(b))
+        b = bytes(b)
+        if decode_stub == "png" or (
+            decode_stub == "image" and b.startswith(b"\x89PNG")
+        ):
+            w, h, rgb = png_to_rgb(b)
+        else:
+            w, h, rgb = decode_ppm(b)
         n = w * h
         sums = [0, 0, 0]
         lo, hi = 255 * 3, 0
@@ -119,20 +131,23 @@ def extract_features(
         for pdf in batches:
             if decode_stub == "raise":
                 # STUB: real implementation decodes pdf["payload"] with a
-                # media library (unavailable here by design).
+                # media library (unavailable here by design).  Still-image
+                # formats are covered by the real stdlib codecs below; this
+                # seam remains only for video/audio containers.
                 raise NotImplementedError(
                     "media decode requires codec libraries not present in "
-                    "this environment; use decode_stub='fake' or 'ppm'"
+                    "this environment; use decode_stub='fake', 'ppm', "
+                    "'png', or 'image'"
                 )
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
-            if decode_stub == "ppm":
+            if decode_stub in ("ppm", "png", "image"):
                 # per-ROW failure surface: a malformed payload yields null
                 # features for that row instead of aborting the whole task
                 # (one adversarial blob must not kill the batch)
                 def _safe(b):
                     try:
-                        return _ppm_features(b)
+                        return _rgb_features(b)
                     except ValueError:
                         return None
 

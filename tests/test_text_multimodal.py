@@ -226,3 +226,140 @@ def test_ppm_zero_dims_rejected_and_row_local(spark):
     out = {r.doc_id: r for r in extract_features(d, decode_stub="ppm").collect()}
     assert out[1].features is not None and out[1].features[0] == 1.0
     assert out[2].features is None
+
+
+def test_png_codec_roundtrip_filters_and_errors():
+    """Pure-stdlib PNG codec (VERDICT r5 #6): encoder round-trip, every
+    scanline filter type unfiltered correctly, subset violations raise."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from retailfeaturestore_spark.functions.png import (
+        decode_png,
+        encode_png,
+        png_to_rgb,
+    )
+
+    rgb = bytes(range(4 * 3 * 3))  # 4x3 with distinct byte values
+    data = encode_png(4, 3, rgb)
+    assert decode_png(data) == (4, 3, 3, rgb)
+    assert png_to_rgb(data) == (4, 3, rgb)
+
+    # hand-build an image exercising filters 1-4 (one per scanline) and
+    # assert the unfiltered result matches the reference pixels
+    w, h, bpp = 3, 4, 3
+    ref = bytes((y * 40 + x * 7 + c) % 256 for y in range(h) for x in range(w) for c in range(bpp))
+    stride = w * bpp
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, ftype in enumerate((1, 2, 3, 4)):
+        row = ref[y * stride : (y + 1) * stride]
+        prev = ref[(y - 1) * stride : y * stride] if y else bytes(stride)
+        raw.append(ftype)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            pred = {1: left, 2: up, 3: (left + up) >> 1, 4: paeth(left, up, ul)}[ftype]
+            raw.append((row[x] - pred) & 0xFF)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    filtered = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(filtered) == (w, h, 3, ref)
+
+    # greyscale (type 0) and RGBA (type 6) normalize to RGB
+    grey = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x10\xf0"))
+        + chunk(b"IEND", b"")
+    )
+    assert png_to_rgb(grey) == (2, 1, bytes([16, 16, 16, 240, 240, 240]))
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03\xff"))
+        + chunk(b"IEND", b"")
+    )
+    assert png_to_rgb(rgba) == (1, 1, bytes([1, 2, 3]))
+    # palette (type 3) expands through PLTE
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([10, 20, 30, 40, 50, 60]))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x00"))
+        + chunk(b"IEND", b"")
+    )
+    assert png_to_rgb(pal) == (2, 1, bytes([40, 50, 60, 10, 20, 30]))
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    with _pytest.raises(ValueError, match="CRC"):
+        bad = bytearray(data)
+        bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+        decode_png(bytes(bad))
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_png(interlaced)
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        )
+
+
+def test_extract_features_decodes_real_png_distributed(spark):
+    """VERDICT r5 #6 done-criterion: real zlib-compressed PNG bytes decode
+    through the same Arrow mapInPandas seam as PPM, across partitions,
+    with exact image statistics; a malformed payload nulls only its row;
+    the 'image' dispatch handles a mixed PPM+PNG column."""
+    from retailfeaturestore_spark.functions.png import encode_png
+    from retailfeaturestore_spark.functions.ppm import encode_ppm
+    from retailfeaturestore_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        extract_features,
+    )
+
+    img1 = encode_png(2, 1, bytes([255, 0, 0, 0, 255, 0]))  # red + green
+    img2 = encode_png(1, 1, bytes([100, 100, 100]))
+    bad = b"\x89PNG\r\n\x1a\n" + b"garbage"
+    d = _ppm_frame(spark, [(1, img1), (2, img2), (3, bad)]).repartition(3)
+    out = extract_features(d, decode_stub="png")
+    assert out.schema == FEATURE_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_bytes == len(img1)
+    assert rows[1].features == [2.0, 1.0, 2.0, 127.5, 127.5, 0.0, 85.0, 85.0]
+    assert rows[2].features == [1.0, 1.0, 1.0, 100.0, 100.0, 100.0, 100.0, 100.0]
+    assert rows[3].features is None  # row-local failure, batch survives
+
+    mixed = _ppm_frame(
+        spark,
+        [(10, encode_ppm(1, 1, bytes([9, 9, 9]))), (11, img2)],
+    ).repartition(2)
+    got = {r.doc_id: r.features for r in extract_features(mixed, decode_stub="image").collect()}
+    assert got[10] == [1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 9.0, 9.0]
+    assert got[11] == [1.0, 1.0, 1.0, 100.0, 100.0, 100.0, 100.0, 100.0]
