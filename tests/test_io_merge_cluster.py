@@ -195,3 +195,109 @@ def test_table_diff_null_keys_and_empty_compare(spark):
     only_keys = {r["id"]: r["change"]
                  for r in table_diff(old, new, ["id"], compare_cols=[]).collect()}
     assert only_keys == {1: "removed", 2: "added"}
+
+
+def test_merge_upsert_crash_before_swap_leaves_target_intact(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-window bound (VERDICT r5 #2): a failure after the staging
+    write but before ANY rename leaves the table byte-identical to the
+    pre-merge state — readers never see the staging dir — and a plain
+    re-run converges."""
+    from retailfeaturestore_spark import io as rio
+
+    tgt = str(tmp_path / "gold3")
+    base = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)],
+    )
+    merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref")
+    before = {
+        (r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()
+    }
+
+    def boom(staging, target_path):
+        raise OSError("injected crash before the first rename")
+
+    monkeypatch.setattr(rio, "_swap_partition_dirs", boom)
+    updates = _snap(spark, [(1, "2024-01-01 10:00:00", 9.0)])
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    after = {
+        (r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()
+    }
+    assert after == before  # fully-old: the crash published nothing
+    assert any(
+        n.startswith("_staging_") for n in os.listdir(tgt)
+    )  # residue exists but is reader-invisible
+
+    monkeypatch.undo()
+    merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    final = {
+        (r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()
+    }
+    assert final == {(1, 9.0), (2, 2.0)}
+    assert not any(
+        n.startswith(("_staging_", "_trash_")) for n in os.listdir(tgt)
+    )  # re-run swept the crashed run's residue
+
+
+def test_merge_upsert_crash_mid_swap_is_per_partition_atomic(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-window bound, the mid-swap case: with TWO touched partitions,
+    dying between their renames leaves partition A fully-new and partition
+    B fully-old — never a half-written directory (the dynamic-overwrite
+    failure mode this staged swap replaces) — and re-running the identical
+    merge converges to the final state."""
+    tgt = str(tmp_path / "gold4")
+    base = _snap(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (2, "2024-01-02 10:00:00", 2.0),
+            (3, "2024-01-03 10:00:00", 3.0),
+        ],
+    )
+    merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        # each existing-partition swap is two renames (old->trash,
+        # staged->live); die on the 3rd = after partition 1 commits,
+        # before partition 2 starts
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError("injected crash between partition renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    updates = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 10.0), (2, "2024-01-02 10:00:00", 20.0)],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    monkeypatch.undo()
+
+    rows = {
+        (r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()
+    }
+    # date=2024-01-01 swapped (fully-new), date=2024-01-02 not yet
+    # (fully-old), untouched date=2024-01-03 untouched
+    assert rows == {(1, 10.0), (2, 2.0), (3, 3.0)}
+
+    merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    rows = {
+        (r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()
+    }
+    assert rows == {(1, 10.0), (2, 20.0), (3, 3.0)}
+    assert not any(
+        n.startswith(("_staging_", "_trash_")) for n in os.listdir(tgt)
+    )
