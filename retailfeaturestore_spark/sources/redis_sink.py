@@ -125,17 +125,45 @@ def materialize_online(
     cols = [entity_col, ts_col] + ([cat_col] if cat_col else []) + feature_cols
 
     def sink(rows):
-        client = factory()
-        pipe = client.pipeline()
-        n = 0
-        for row in rows:
-            key = f"{KEY_PREFIX}{row[entity_col]}"
-            pipe.hset(key, mapping=_row_fields(row, feature_cols, cats, ts_col, cat_col))
-            if ttl:
-                pipe.expire(key, ttl)
-            n += 1
-            if n % pipeline_batch == 0:
-                pipe.execute()
-        pipe.execute()
+        publish_rows(
+            rows, factory, feature_cols, cats,
+            ts_col=ts_col, cat_col=cat_col, entity_col=entity_col,
+            ttl=ttl, pipeline_batch=pipeline_batch,
+        )
 
     snapshots.select(*cols).foreachPartition(sink)
+
+
+def publish_rows(
+    rows,
+    factory: Callable[[], object],
+    feature_cols: list[str],
+    onehot_categories: list[str],
+    ts_col: str = "t_ref",
+    cat_col: str | None = "country",
+    entity_col: str = "customer_id",
+    ttl: int | None = None,
+    pipeline_batch: int = 500,
+) -> None:
+    """One partition's publish: connect, pipeline, flush per batch.
+
+    Module-level (not a closure) so the real-deps test leg can drive the
+    EXACT production call sequence against a faithful redis client
+    (fakeredis) in-process — foreachPartition runs in Python worker
+    subprocesses where an in-memory fake's writes are invisible to the
+    asserting test."""
+    client = factory()
+    pipe = client.pipeline()
+    n = 0
+    for row in rows:
+        key = f"{KEY_PREFIX}{row[entity_col]}"
+        pipe.hset(
+            key,
+            mapping=_row_fields(row, feature_cols, onehot_categories, ts_col, cat_col),
+        )
+        if ttl:
+            pipe.expire(key, ttl)
+        n += 1
+        if n % pipeline_batch == 0:
+            pipe.execute()
+    pipe.execute()
