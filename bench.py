@@ -76,6 +76,7 @@ HEADLINE = [
     "linestatus_priority_counts",
     "supplier_variety_by_part",
     "tfidf_top_terms",
+    "doc_lm_score",
     "xlsx_ingest_normalize",
     "dedup_clusters_star",
     "doc_chunk_overlap",

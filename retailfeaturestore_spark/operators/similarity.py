@@ -27,6 +27,8 @@ Scale paths:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +40,9 @@ __all__ = [
     "kmeans_cells",
     "ivf_topk_cells",
     "pq_topk_adc",
+    "build_pq_index",
+    "load_pq_index",
+    "search_pq_index",
     "mmr_diverse_topk",
     "sign_lsh_neardup",
 ]
@@ -533,6 +538,27 @@ def pq_topk_adc(
     qrows = sorted(
         (int(qid), seed_vecs.get(qid) or fetched[qid]) for qid in query_ids
     )
+    return _adc_scored_topk(
+        coded, cents, qrows, m=m, k_codes=k_codes,
+        k_neighbors=k_neighbors, exclude_self=True,
+    )
+
+
+def _adc_scored_topk(
+    coded: DataFrame,
+    cents,
+    qrows,
+    m: int,
+    k_codes: int,
+    k_neighbors: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """ADC scoring core shared by the in-session path (:func:`pq_topk_adc`)
+    and the persisted-index path (:func:`search_pq_index`): driver-side
+    per-query LUT literals, one pure-map explode over the encoded corpus,
+    one per-query top-k window exchange.  ``exclude_self`` drops
+    ``n_id == q_id`` matches — correct when queries are corpus members,
+    wrong for an external query id space."""
     w = len(qrows[0][1]) // m
     lut_structs = []
     for qid, vec in qrows:
@@ -559,11 +585,11 @@ def pq_topk_adc(
             arr=", ".join(lut_structs), dist=dist_terms
         )
     )
-    flat = (
-        coded.select(F.col("id").alias("n_id"), F.explode(scored).alias("e"))
-        .select("n_id", F.col("e.q_id").alias("q_id"), F.col("e.dist").alias("dist"))
-        .where(F.col("n_id") != F.col("q_id"))
+    flat = coded.select(F.col("id").alias("n_id"), F.explode(scored).alias("e")).select(
+        "n_id", F.col("e.q_id").alias("q_id"), F.col("e.dist").alias("dist")
     )
+    if exclude_self:
+        flat = flat.where(F.col("n_id") != F.col("q_id"))
     wnd = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("n_id").asc())
     return (
         flat.withColumn("rank", F.row_number().over(wnd))
@@ -574,6 +600,110 @@ def pq_topk_adc(
             F.col("dist").cast("double").alias("adc_dist"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Train PQ once and PERSIST the index: the production ANN lifecycle
+    (index build is a batch job; queries are served without ever touching
+    the float corpus again).
+
+    Layout: ``index_dir/codes/`` — the encoded corpus as parquet
+    ``(id, __codes array<bigint>)``, m smallints-worth per vector, the
+    entire scan surface of a search; ``index_dir/codebooks.json`` — the
+    ``m x k_codes x d_sub`` integer codebooks plus parameters, driver-side
+    tiny by PQ design, written LAST as the commit marker
+    (:func:`load_pq_index` refuses an index without it, so a crashed build
+    is never served).  Re-building overwrites in place; point queries at a
+    versioned path for zero-downtime swaps at scale.
+
+    Returns the metadata dict that was written."""
+    import json
+
+    cents, coded, _seed = pq_train_encode(
+        corpus, m=m, k_codes=k_codes, iters=iters,
+        vec_col=vec_col, id_col=id_col, cache_scope=f"build:{index_dir}",
+    )
+    coded.select("id", "__codes").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    meta = {
+        "m": m,
+        "k_codes": k_codes,
+        "iters": iters,
+        "d_sub": len(cents[0][0][1]),
+        "fixed_point_scale": FIXED_POINT_SCALE,
+        "codebooks": [[[cid, list(vec)] for cid, vec in sub] for sub in cents],
+    }
+    tmp = os.path.join(index_dir, "codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "codebooks.json"))  # atomic commit
+    return meta
+
+
+def load_pq_index(spark, index_dir: str):
+    """-> ``(cents, codes_df, meta)``; raises if the build never committed."""
+    import json
+
+    marker = os.path.join(index_dir, "codebooks.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"no committed PQ index at {index_dir!r}: codebooks.json absent "
+            "(incomplete or crashed build_pq_index run)"
+        )
+    with open(marker) as f:
+        meta = json.load(f)
+    cents = [
+        [(int(cid), [int(x) for x in vec]) for cid, vec in sub]
+        for sub in meta["codebooks"]
+    ]
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    return cents, codes, meta
+
+
+def search_pq_index(
+    spark,
+    index_dir: str,
+    queries,
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """Serve ANN queries from a persisted PQ index — NO training jobs, no
+    float corpus access: load codebooks (driver-side JSON), quantize the
+    request's query vectors driver-side with the same floor(x * 2^25)
+    fixed-point rule the build used, and run the ADC scoring map over the
+    compressed codes.
+
+    ``queries``: ``[(query_id, [float, ...]), ...]`` — request-sized by
+    definition (this is the serving path), so driver-side LUT construction
+    is control-plane work, same as :func:`pq_topk_adc`'s.  External query
+    ids are NOT corpus ids: no self-exclusion is applied."""
+    import math
+
+    queries = list(queries)
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    cents, codes, meta = load_pq_index(spark, index_dir)
+    scale = float(meta["fixed_point_scale"])
+    dims = meta["d_sub"] * meta["m"]
+    qrows = []
+    for qid, vec in sorted((int(q), list(v)) for q, v in queries):
+        if len(vec) != dims:
+            raise ValueError(
+                f"query {qid} has {len(vec)} dims, index expects {dims}"
+            )
+        qrows.append((qid, [math.floor(float(x) * scale) for x in vec]))
+    return _adc_scored_topk(
+        codes, cents, qrows, m=meta["m"], k_codes=meta["k_codes"],
+        k_neighbors=k_neighbors, exclude_self=False,
     )
 
 

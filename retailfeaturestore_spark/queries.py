@@ -4965,6 +4965,109 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SCORE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+    FROM w
+  )
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(1000000.0 * (CAST(g.c2 + 1 AS DOUBLE)
+               / CAST(u.c1 + x.v AS DOUBLE))) AS BIGINT) AS q
+  FROM pairs p
+  JOIN c2 g USING (w1, w2)
+  JOIN c1 u USING (w1)
+  CROSS JOIN v x
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(q) AS BIGINT) AS lm_micro_sum,
+       CAST(floor(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         AS lm_micro_avg
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("doc_lm_score", oracle=_LM_SCORE_ORACLE, tags=("text", "llm"))
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score — the perplexity-filter
+    shape of CCNet/Gopher-style corpus curation (score each document by
+    how predictable its text is under a LM trained on the corpus itself;
+    low scores flag gibberish, boilerplate, and OCR noise).
+
+    The model is an add-one-smoothed bigram LM estimated from the SAME
+    corpus: ``p(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)``.  Determinism
+    contract (SURVEY.md §5.2): no log() (libm-divergent across engines) —
+    each conditional probability is ONE correctly-rounded IEEE division,
+    quantized to an exact micro-integer before summing (a double sum's
+    value depends on aggregation order; a long sum does not), and the
+    per-doc average uses the engines' identical double-divide + floor.
+    Docs with fewer than two tokens have no bigrams and are excluded.
+
+    Scale shape: the skinny (doc_id, w1, w2) pair projection is
+    localCheckpointed once and feeds (a) the bigram-count aggregate
+    (map-side combine, one exchange on the pair) and (b) the scoring join;
+    the count tables are vocabulary-sized (<< corpus) and pre-joined to
+    each other before meeting the data-scale pairs ONCE; V is a one-row
+    broadcast cross join, never a driver collect.  The final rollup is one
+    exchange on doc_id.  No token ever rides a shuffle wider than the pair
+    itself."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w1"),
+                    F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint()
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = F.broadcast(c1.agg(F.count(F.lit(1)).alias("v")))
+    model = c2.join(c1, "w1").crossJoin(v)
+    q = F.round(
+        F.lit(1000000.0)
+        * ((F.col("c2") + F.lit(1)).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+    ).cast("long")
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("lm_micro_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "lm_micro_sum",
+            F.floor(
+                F.col("lm_micro_sum").cast("double") / F.col("n_bigrams").cast("double")
+            ).cast("long").alias("lm_micro_avg"),
+        )
+    )
+
+
 _TOKEN_BUDGET_ORACLE = """
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
@@ -6432,6 +6535,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "recs_negative_samples",
     "knn_cosine_bruteforce",
     "multimodal_payload_meta",
+    # new r6 query (zero verdicts): bigram-LM quality score.  It takes
+    # text_pii_scrub's block-3 slot (r4-green, map-only textops family
+    # already represented in-window by text_lang_id).
+    "doc_lm_score",
     # --- r6 block 2: the FULL rotation debt from the r5 handoff, en bloc —
     # every query whose latest driver green is r2/r3 (31 slots; the two
     # approx_* sketches stay rotated out by design: rows+schema-only
@@ -6488,7 +6595,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "knn_ivf_kmeans",
     "text_lang_id",
-    "text_pii_scrub",
     "training_set_build",
     # --- r7 handoff: the rotation debt this window leaves is the 26
     # remaining r4-green queries (multimodal_payload_meta and the 16 in

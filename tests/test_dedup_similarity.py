@@ -292,3 +292,88 @@ def test_mmr_matches_local_greedy(spark):
                     best = (n, r, score)
             selected.append(best)
             assert got[(q, pick)] == best, (q, pick, got[(q, pick)], best)
+
+
+def test_pq_index_build_persist_search_lifecycle(spark, tmp_path):
+    """Persisted PQ index (r6): build once -> codes parquet + committed
+    codebooks.json -> serve searches with NO training jobs.  Corpus-member
+    queries through the persisted path must match the in-session
+    pq_topk_adc exactly (modulo its self-exclusion); an external query
+    vector scores by the same ADC arithmetic (verified in Python over the
+    loaded codes); an uncommitted index refuses to load."""
+    import math
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.similarity import (
+        build_pq_index,
+        load_pq_index,
+        pq_topk_adc,
+        search_pq_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "pq_index")
+    meta = build_pq_index(emb, idx, m=4, k_codes=8, iters=2)
+    assert os.path.exists(os.path.join(idx, "codebooks.json"))
+
+    # corpus-member queries: persisted-path results == in-session results
+    qids = [0, 1, 2]
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(qids)).collect()
+    }
+    served = search_pq_index(
+        spark, idx, [(q, qvecs[q]) for q in qids], k_neighbors=4
+    )
+    # drop self-matches (external path doesn't exclude them) then compare
+    served_rows = {
+        (r.q_id, r.rank - 1): (r.n_id, r.adc_dist)
+        for r in served.where(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy("adc_dist", "n_id")
+            ),
+        )
+        .where(F.col("rank") <= 3)
+        .collect()
+    }
+    insession = pq_topk_adc(emb, qids, k_neighbors=3, m=4, k_codes=8, iters=2)
+    for r in insession.collect():
+        assert served_rows[(r.q_id, r.rank - 1)] == (r.n_id, r.adc_dist), r
+
+    # external (non-corpus) query: verify the served ADC distances in
+    # Python over the loaded index — no self-exclusion, exact integers
+    cents, codes_df, meta2 = load_pq_index(spark, idx)
+    ext = [0.25] * (meta2["d_sub"] * meta2["m"])
+    out = search_pq_index(spark, idx, [(999_999, ext)], k_neighbors=3).collect()
+    scale = float(meta2["fixed_point_scale"])
+    qq = [math.floor(x * scale) for x in ext]
+    w = meta2["d_sub"]
+    luts = []
+    for s in range(meta2["m"]):
+        row = [0] * meta2["k_codes"]
+        for cid, cvec in cents[s]:
+            row[cid] = sum(
+                (a - b) * (a - b) for a, b in zip(qq[s * w : (s + 1) * w], cvec)
+            )
+        luts.append(row)
+    dist = {}
+    for r in codes_df.collect():
+        dist[int(r["id"])] = float(
+            sum(luts[s][int(r["__codes"][s])] for s in range(meta2["m"]))
+        )
+    want = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:3]
+    got = [(r.n_id, r.adc_dist) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(n, d) for n, d in want]
+
+    # crashed build (no commit marker) refuses to serve
+    os.remove(os.path.join(idx, "codebooks.json"))
+    with _pytest.raises(ValueError, match="codebooks.json absent"):
+        load_pq_index(spark, idx)
