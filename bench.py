@@ -77,6 +77,7 @@ HEADLINE = [
     "supplier_variety_by_part",
     "tfidf_top_terms",
     "doc_lm_score",
+    "bpe_token_count",
     "xlsx_ingest_normalize",
     "dedup_clusters_star",
     "doc_chunk_overlap",

@@ -19,6 +19,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5068,6 +5070,76 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_token_count", oracle=None, tags=("text", "llm"))
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TOKENIZER token counts under a BPE vocabulary trained
+    on the corpus itself — the quantity an LLM data pipeline actually
+    budgets/packs by (whitespace words under-count ~1.3-1.5x).
+
+    Non-SQL-expressible (iterative merge learning), so no DuckDB oracle:
+    the driver records the rows-only check and the pytest differential
+    (tests/test_text_multimodal.py) verifies the distributed path equals a
+    pure-Python replay on the same corpus, plus hand-computed merges on a
+    classic fixture.
+
+    Scale shape (functions/bpe.py header): corpus-scale work is ONE
+    map-side-combinable word-frequency exchange; merge learning is
+    driver-side over the deterministic top-``max_vocab`` truncation
+    (control-plane by construction — the collect is vocabulary-bounded,
+    never corpus-bounded); tokenization broadcasts the merge ranks into an
+    Arrow-batched pandas UDF, pure map, zero shuffle, with a per-batch
+    word-encoding memo so repeated words cost one encode."""
+    from .functions.bpe import encode_word, learn_bpe
+
+    # 40 merges: enough to learn real subword structure on the synthetic
+    # 31-word corpus without fully collapsing every word to one token
+    # (tokens/word measured 3.1 at sf0.001); production vocabularies pass
+    # larger values through the same path
+    num_merges, max_vocab = 40, 4000
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = [
+        (r["w"], int(r["n"]))
+        for r in wc.orderBy(F.col("n").desc(), F.col("w")).limit(max_vocab).collect()
+    ]
+    merges = learn_bpe(vocab, num_merges)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc_ranks = spark.sparkContext.broadcast(ranks)
+
+    @F.pandas_udf("long")
+    def bpe_count(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        rk = bc_ranks.value
+
+        def count_doc(t):
+            total = 0
+            for w in (t or "").split(" "):
+                if not w:
+                    continue
+                c = memo.get(w)
+                if c is None:
+                    c = memo[w] = len(encode_word(w, rk))
+                total += c
+            return total
+
+        return texts.map(count_doc)
+
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        bpe_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 _TOKEN_BUDGET_ORACLE = """
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
@@ -6535,10 +6607,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "recs_negative_samples",
     "knn_cosine_bruteforce",
     "multimodal_payload_meta",
-    # new r6 query (zero verdicts): bigram-LM quality score.  It takes
-    # text_pii_scrub's block-3 slot (r4-green, map-only textops family
-    # already represented in-window by text_lang_id).
+    # new r6 queries (zero verdicts): bigram-LM quality score and the
+    # BPE tokenizer counts (rows-only check — no SQL oracle for iterative
+    # merge learning; pytest differential covers values).  They take
+    # text_pii_scrub's and dedup_simhash's block-3 slots (both r4-green,
+    # families still represented in-window by text_lang_id and
+    # dedup_exact/dedup_minhash).
     "doc_lm_score",
+    "bpe_token_count",
     # --- r6 block 2: the FULL rotation debt from the r5 handoff, en bloc —
     # every query whose latest driver green is r2/r3 (31 slots; the two
     # approx_* sketches stay rotated out by design: rows+schema-only
@@ -6592,7 +6668,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_simhash",
     "knn_ivf_kmeans",
     "text_lang_id",
     "training_set_build",

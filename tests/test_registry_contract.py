@@ -25,7 +25,14 @@ def test_window_holds_no_unhashable_sketches():
 
 
 def test_every_query_has_an_oracle():
-    no_oracle = [n for n, qd in REGISTRY.items() if not qd.oracle]
+    """Every registered query carries a DuckDB oracle, except the
+    explicitly allowed non-SQL-expressible set (iterative algorithms the
+    driver checks rows-only and pytest checks by differential)."""
+    ALLOWED_NO_ORACLE = {"bpe_token_count"}  # iterative BPE merge learning
+    no_oracle = [
+        n for n, qd in REGISTRY.items()
+        if not qd.oracle and n not in ALLOWED_NO_ORACLE
+    ]
     assert not no_oracle, no_oracle
 
 

@@ -363,3 +363,71 @@ def test_extract_features_decodes_real_png_distributed(spark):
     got = {r.doc_id: r.features for r in extract_features(mixed, decode_stub="image").collect()}
     assert got[10] == [1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 9.0, 9.0]
     assert got[11] == [1.0, 1.0, 1.0, 100.0, 100.0, 100.0, 100.0, 100.0]
+
+
+def test_bpe_learn_and_encode_classic_fixture():
+    """Hand-verifiable BPE on the canonical low/lower/newest/widest corpus
+    (Sennrich et al. ACL 2016, fig. 1 shape): merge order and encodings
+    are deterministic and exactly the classic result."""
+    from retailfeaturestore_spark.functions.bpe import (
+        END_OF_WORD,
+        encode_word,
+        learn_bpe,
+    )
+
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_bpe(wc, 4)
+    # counts: ('e','s')=9, ('s','t')=9, ('t','</w>')=9, ... tie broken
+    # lexicographically -> ('e','s') first, then ('es','t'), ('est','</w>'),
+    # then ('l','o')=7
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", END_OF_WORD),
+        ("l", "o"),
+    ]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert encode_word("lowest", ranks) == ["lo", "w", "est</w>"]
+    assert encode_word("low", ranks) == ["lo", "w", END_OF_WORD]
+    # unseen symbols pass through untouched
+    assert encode_word("xyz", ranks) == ["x", "y", "z", END_OF_WORD]
+
+
+def test_bpe_token_count_distributed_equals_python_replay(spark):
+    """The registry query's distributed path (word-count exchange ->
+    driver merge learning -> broadcast-ranks pandas UDF) must equal a
+    pure-Python replay of the same algorithm over the same corpus."""
+    from retailfeaturestore_spark.functions.bpe import encode_word, learn_bpe
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in REGISTRY["bpe_token_count"].fn(spark, sf).collect()
+    }
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    from collections import Counter
+
+    wc = Counter()
+    for t in docs.values():
+        for w in (t or "").split(" "):
+            if w:
+                wc[w] += 1
+    vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:4000]
+    ranks = {p: i for i, p in enumerate(learn_bpe(vocab, 40))}
+    assert len(got) == len(docs)
+    nontrivial = 0
+    for doc_id, text in docs.items():
+        words = [w for w in (text or "").split(" ") if w]
+        want = sum(len(encode_word(w, ranks)) for w in words)
+        assert got[doc_id] == (len(words), want), doc_id
+        if want > len(words):
+            nontrivial += 1
+    # the statistic must be non-degenerate: BPE tokens != word count
+    assert nontrivial > len(docs) // 2
