@@ -154,6 +154,7 @@ def write_clustered(
     cluster_cols: list[str],
     n_files: int = 32,
     mode: str = "overwrite",
+    zorder: bool = False,
 ) -> None:
     """Range-clustered parquet at rest: rows globally range-partitioned and
     sorted on ``cluster_cols``, so every file's row groups carry TIGHT
@@ -166,10 +167,62 @@ def write_clustered(
     scanning everything.  Contrast with :func:`write_bucketed_table`, which
     removes downstream shuffles; clustering removes SCAN IO.  The two
     compose (bucket by entity, sort by time within buckets).
+
+    ``zorder=True`` (r6): lexicographic multi-column sort gives the FIRST
+    column tight stats and later columns nothing — a filter on the second
+    column alone prunes zero files.  Z-ordering interleaves the bits of
+    each column's 16-bit range-bucket id into one space-filling-curve key
+    and clusters on THAT, so every participating column's per-file span
+    shrinks (by ~sqrt for two uniform columns) and single-column filters
+    on ANY of them prune.  Bucketing is linear over the [min, max] range
+    (one tiny agg job; exact and deterministic) — the documented
+    difference from Delta's quantile-bucketed ZORDER, which equalizes
+    bucket POPULATIONS under skew; on skewed columns pre-transform (e.g.
+    log) or stay with lexicographic.  Numeric columns only in z-mode.
     """
+    if not zorder:
+        (
+            df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode(mode)
+            .parquet(path)
+        )
+        return
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cluster_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cluster_cols],
+    ).collect()[0]
+    bits = 16
+    buckets = []
+    for c in cluster_cols:
+        mn = float(bounds[f"mn_{c}"])
+        span = float(bounds[f"mx_{c}"]) - mn
+        # ((x - min) * 65535) / span, floored: linear range bucket in
+        # [0, 2^16); constant-width span==0 degenerates to bucket 0
+        b = (
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn))
+                * F.lit(float((1 << bits) - 1))
+                / F.lit(span)
+            ).cast("long")
+            if span > 0
+            else F.lit(0).cast("long")
+        )
+        buckets.append(b)
+    # interleave: output bit (i * n_cols + j) takes bucket j's bit i —
+    # a flat codegen sum of shifted single-bit masks, no UDF
+    n = len(buckets)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+            ).cast("long")
     (
-        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
-        .sortWithinPartitions(*cluster_cols)
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode(mode)
         .parquet(path)
     )

@@ -301,3 +301,46 @@ def test_merge_upsert_crash_mid_swap_is_per_partition_atomic(
     assert not any(
         n.startswith(("_staging_", "_trash_")) for n in os.listdir(tgt)
     )
+
+
+def test_zorder_clustering_tightens_both_columns(spark, tmp_path):
+    """Z-order (r6): lexicographic clustering on [a, b] gives column b
+    nothing (its per-file span stays ~the full domain); interleaved-bit
+    z-values shrink BOTH columns' spans, so single-column filters on
+    either prune files from footer stats alone."""
+    import pyarrow.parquet as pq
+
+    from retailfeaturestore_spark.io import write_clustered
+
+    n = 200_000
+    # two independent uniform dimensions (md5-derived, deterministic)
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("za#"), F.col("id").cast("string"))), 1, 8), 16, 10).cast("long") % 100_000).alias("a"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("zb#"), F.col("id").cast("string"))), 1, 8), 16, 10).cast("long") % 100_000).alias("b"),
+    )
+    lexi, zord = str(tmp_path / "lexi"), str(tmp_path / "zord")
+    write_clustered(df, lexi, ["a", "b"], n_files=16)
+    write_clustered(df, zord, ["a", "b"], n_files=16, zorder=True)
+
+    def mean_file_span(path, col_name):
+        spans = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            meta = pq.ParquetFile(f)
+            idx = meta.schema_arrow.names.index(col_name)
+            lo, hi = None, None
+            for rg in range(meta.metadata.num_row_groups):
+                st = meta.metadata.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    full = 100_000
+    # lexicographic: a tight, b useless
+    assert mean_file_span(lexi, "a") < full / 8
+    assert mean_file_span(lexi, "b") > full * 0.8
+    # z-order: BOTH columns meaningfully tighter than the full domain
+    # (16 files over 2 dims -> ~1/4 of the domain per dim ideally)
+    assert mean_file_span(zord, "a") < full * 0.45
+    assert mean_file_span(zord, "b") < full * 0.45
