@@ -431,3 +431,70 @@ def test_bpe_token_count_distributed_equals_python_replay(spark):
             nontrivial += 1
     # the statistic must be non-degenerate: BPE tokens != word count
     assert nontrivial > len(docs) // 2
+
+
+def test_wav_codec_roundtrip_and_errors():
+    """Pure-stdlib PCM16 WAV codec: round-trip, subset rejections."""
+    import struct
+
+    import pytest as _pytest
+
+    from retailfeaturestore_spark.functions.wav import decode_wav, encode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 5, -5, 9]
+    data = encode_wav(8000, 2, samples)
+    assert decode_wav(data) == (8000, 2, samples)
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    # format code 2 (ADPCM) = compressed -> the documented plug point
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 16000, 2, 16)
+    adpcm = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with _pytest.raises(ValueError, match="compressed WAV"):
+        decode_wav(adpcm)
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_wav(encode_wav(8000, 1, [1, 2]).replace(
+            struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+            struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 8),
+        ))
+
+
+def test_extract_audio_features_real_wav_distributed(spark):
+    """Real audio bytes through the Arrow mapInPandas seam: exact sample
+    statistics across partitions, malformed rows null only themselves."""
+    import math
+
+    from retailfeaturestore_spark.functions.wav import encode_wav
+    from retailfeaturestore_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        extract_audio_features,
+    )
+
+    # 1 second of a loud square-ish mono signal at 8 Hz "rate" (8 frames)
+    s1 = [16384, -16384] * 4
+    wav1 = encode_wav(8, 1, s1)
+    # stereo, quiet
+    s2 = [100, -100, 50, -50]
+    wav2 = encode_wav(4, 2, s2)
+    d = _ppm_frame(
+        spark, [(1, wav1), (2, wav2), (3, b"not audio at all")]
+    ).repartition(3)
+    out = extract_audio_features(d)
+    assert out.schema == AUDIO_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+
+    r1 = rows[1]
+    assert (r1.sample_rate, r1.n_channels, r1.n_samples) == (8, 1, 8)
+    assert r1.duration_ms == 1000
+    assert r1.peak == 16384
+    assert r1.rms_milli == math.floor(1000.0 * 16384.0 / 32768.0)  # 500
+
+    r2 = rows[2]
+    assert (r2.sample_rate, r2.n_channels, r2.n_samples) == (4, 2, 4)
+    assert r2.duration_ms == 500  # 2 frames at 4 Hz
+    assert r2.peak == 100
+
+    assert rows[3].sample_rate is None and rows[3].n_bytes == 16
