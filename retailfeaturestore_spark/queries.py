@@ -5043,7 +5043,15 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .localCheckpoint()
     )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # c2 feeds BOTH the prefix rollup and the scoring join; vocabulary-
+    # sized, so the second cut is a cheap materialization that stops the
+    # data-scale pair-count exchange from executing twice (plan-audited:
+    # without it the groupBy subtree appears twice)
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = F.broadcast(c1.agg(F.count(F.lit(1)).alias("v")))
     model = c2.join(c1, "w1").crossJoin(v)

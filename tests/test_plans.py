@@ -363,3 +363,18 @@ def test_summary_queries_scan_corpus_once(spark):
         df = REGISTRY[name].fn(spark, SF)
         plan = formatted_plan(df)
         assert plan.count("Scan parquet") == 0, (name, plan[:1500])
+
+
+def test_lm_score_single_pair_count_exchange(spark):
+    """doc_lm_score's scale contract: the data-scale pair projection is
+    materialized once, the pair-count aggregate executes once (c2 is
+    checkpointed before its two consumers), the vocabulary-sized model
+    side broadcasts, and no cartesian product exists beyond the one-row
+    V broadcast."""
+    df = REGISTRY["doc_lm_score"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # exchanges: doc-rollup + (at most) the pairs side of the scoring
+    # join; the c2 groupBy must NOT appear as a second full aggregate
+    # subtree over the pairs scan
+    assert plan.count("Arguments: hashpartitioning") <= 3, plan[:2500]
