@@ -78,6 +78,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "doc_lm_score",
     "bpe_token_count",
+    "model_eval_auc",
     "xlsx_ingest_normalize",
     "dedup_clusters_star",
     "doc_chunk_overlap",

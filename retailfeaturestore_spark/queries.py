@@ -5148,6 +5148,69 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT CAST(round(c.c_acctbal * 100.0) AS BIGINT) AS s,
+         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') o
+    ON o.o_custkey = c.c_custkey
+),
+per_score AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS n_pos, CAST(count(*) AS BIGINT) AS n
+  FROM scored GROUP BY s
+),
+ranked AS (
+  SELECT n_pos, n,
+         sum(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_score
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
+         CAST(sum(n_pos * (2 * (cum - n) + n + 1))
+              - sum(n_pos) * (sum(n_pos) + 1) AS BIGINT) AS u2
+  FROM ranked
+)
+SELECT n_pos, n_neg, u2,
+       CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+FROM tot
+"""
+
+
+@register("model_eval_auc", oracle=_AUC_ORACLE, tags=("ml", "metric"))
+def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact ROC-AUC (``ml/metrics.exact_auc``): does account
+    balance rank urgent-order customers above the rest?  The reference
+    computes AUC on the driver with sklearn over an in-memory matrix
+    (``jobs/make_training_and_train.py:79``); this is the same
+    tie-corrected Mann-Whitney quantity as distributed integer algebra —
+    per-score-cents counts, one cumulative window over the score-value
+    AGGREGATE (never the corpus), a doubled midrank sum that stays an
+    exact long, and one final IEEE division.  Scores are balance cents so
+    grouping keys are integers in both engines."""
+    from .ml.metrics import exact_auc
+
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    lab = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    scored = (
+        t["customer"]
+        .join(lab, t["customer"]["c_custkey"] == lab["o_custkey"], "left")
+        .select(
+            F.round(F.col("c_acctbal") * F.lit(100.0)).cast("long").alias("s"),
+            F.col("o_custkey").isNotNull().cast("long").alias("y"),
+        )
+    )
+    return exact_auc(scored, "s", "y")
+
+
 _TOKEN_BUDGET_ORACLE = """
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
@@ -6623,6 +6686,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup_exact/dedup_minhash).
     "doc_lm_score",
     "bpe_token_count",
+    # new r6 query (zero verdicts): distributed exact ROC-AUC.  Takes
+    # knn_ivf_kmeans' block-3 slot (r4-green; the kmeans helper also backs
+    # knn_ivf_pq which sits in the r5-green set with fresh evidence).
+    "model_eval_auc",
     # --- r6 block 2: the FULL rotation debt from the r5 handoff, en bloc —
     # every query whose latest driver green is r2/r3 (31 slots; the two
     # approx_* sketches stay rotated out by design: rows+schema-only
@@ -6676,7 +6743,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "dedup_exact",
     "dedup_minhash",
-    "knn_ivf_kmeans",
     "text_lang_id",
     "training_set_build",
     # --- r7 handoff: the rotation debt this window leaves is the 26
