@@ -6745,20 +6745,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash",
     "text_lang_id",
     "training_set_build",
-    # --- r7 handoff: the rotation debt this window leaves is the 26
-    # remaining r4-green queries (multimodal_payload_meta and the 16 in
-    # block 3 re-verify this round): feature_view_build_set, dedup_edit_
-    # distance, knn-adjacent embedding_label_centroids, events_props_json,
-    # value_percentiles, events_session_windows, top_balance_inactive_
-    # customers, sole_return_supplier, decayed_user_value, data_quality_
-    # report, events_funnel_conversion, funnel_time_to_convert,
-    # doc_quality_gopher, ngram_topk_global, supplier_profit_by_year,
-    # user_retention_cohorts, cohort_revenue_retention, customer_priority_
-    # scd2, segment_spend_deciles, late_shipment_priority_check,
-    # order_interarrival_stats, session_event_transitions, feature_drift_
-    # bins, nation_daily_revenue_outliers, corpus_curation_pipeline,
-    # xlsx_ingest_normalize — 26 fits r7's 50-slot window with ~24 slots
-    # to spare for r7 changes; rotate them in en bloc.
+    # --- r7 handoff: the rotation debt this window leaves is the 29
+    # r4-green queries not re-verified this round (the original 26 named
+    # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans,
+    # whose fill slots went to the three new r6 queries doc_lm_score /
+    # bpe_token_count / model_eval_auc):
+    # cohort_revenue_retention, corpus_curation_pipeline,
+    # customer_priority_scd2, data_quality_report, decayed_user_value,
+    # dedup_edit_distance, dedup_simhash, doc_quality_gopher,
+    # embedding_label_centroids, events_funnel_conversion,
+    # events_props_json, events_session_windows, feature_drift_bins,
+    # feature_view_build_set, funnel_time_to_convert, knn_ivf_kmeans,
+    # late_shipment_priority_check, nation_daily_revenue_outliers,
+    # ngram_topk_global, order_interarrival_stats, segment_spend_deciles,
+    # session_event_transitions, sole_return_supplier,
+    # supplier_profit_by_year, text_pii_scrub,
+    # top_balance_inactive_customers, user_retention_cohorts,
+    # value_percentiles, xlsx_ingest_normalize — 29 fits r7's 50-slot
+    # window with ~21 slots to spare for r7 changes; rotate them in en
+    # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
+    # minus this window; the two approx_* sketches stay rotated out by
+    # design.)
 )
 
 
