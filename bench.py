@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_lm_score",
     "bpe_token_count",
     "model_eval_auc",
+    "model_calibration_bins",
     "xlsx_ingest_normalize",
     "dedup_clusters_star",
     "doc_chunk_overlap",

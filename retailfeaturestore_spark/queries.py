@@ -5211,6 +5211,77 @@ def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_auc(scored, "s", "y")
 
 
+_CALIBRATION_ORACLE = """
+WITH scored AS (
+  SELECT c.c_custkey,
+         CAST(round(c.c_acctbal * 100.0) AS BIGINT) AS s,
+         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') o
+    ON o.o_custkey = c.c_custkey
+),
+binned AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY s, c_custkey) AS BIGINT) AS bin, s, y
+  FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(min(s) AS BIGINT) AS s_min,
+       CAST(max(s) AS BIGINT) AS s_max,
+       (CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS pos_rate
+FROM binned GROUP BY bin
+"""
+
+
+@register("model_calibration_bins", oracle=_CALIBRATION_ORACLE, tags=("ml", "metric"))
+def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data: score deciles vs observed positive rate —
+    the calibration check that pairs with ``model_eval_auc`` (AUC measures
+    ranking, calibration measures probability faithfulness; the reference
+    logs neither beyond a point AUC).  Deterministic ntile tiebreak on
+    (score, entity id) — built-in ntile ties are partition-order-dependent
+    without it (same rule as segment_spend_deciles).  The global decile
+    window sorts (score, id) pairs only; the per-bin rollup is map-side
+    combinable and the one division per bin is exact-input IEEE."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    lab = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    scored = (
+        t["customer"]
+        .join(lab, t["customer"]["c_custkey"] == lab["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * F.lit(100.0)).cast("long").alias("s"),
+            F.col("o_custkey").isNotNull().cast("long").alias("y"),
+        )
+    )
+    w = Window.orderBy("s", "c_custkey")
+    return (
+        scored.withColumn("bin", F.ntile(10).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.min("s").alias("s_min"),
+            F.max("s").alias("s_max"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "s_min",
+            "s_max",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias("pos_rate"),
+        )
+    )
+
+
 _TOKEN_BUDGET_ORACLE = """
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
@@ -6686,10 +6757,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup_exact/dedup_minhash).
     "doc_lm_score",
     "bpe_token_count",
-    # new r6 query (zero verdicts): distributed exact ROC-AUC.  Takes
-    # knn_ivf_kmeans' block-3 slot (r4-green; the kmeans helper also backs
-    # knn_ivf_pq which sits in the r5-green set with fresh evidence).
+    # new r6 queries (zero verdicts): distributed exact ROC-AUC and the
+    # paired calibration deciles.  They take knn_ivf_kmeans' and
+    # dedup_exact's block-3 slots (both r4-green; kmeans backs knn_ivf_pq
+    # which has fresh r5 evidence, and the dedup family keeps
+    # dedup_minhash in-window).
     "model_eval_auc",
+    "model_calibration_bins",
     # --- r6 block 2: the FULL rotation debt from the r5 handoff, en bloc —
     # every query whose latest driver green is r2/r3 (31 slots; the two
     # approx_* sketches stay rotated out by design: rows+schema-only
@@ -6741,7 +6815,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "orders_range_join_followups",
     "distinct_parts_per_customer",
     "pricing_summary",
-    "dedup_exact",
     "dedup_minhash",
     "text_lang_id",
     "training_set_build",
