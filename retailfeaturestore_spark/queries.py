@@ -6818,12 +6818,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash",
     "text_lang_id",
     "training_set_build",
-    # --- r7 handoff: the rotation debt this window leaves is the 29
+    # --- r7 handoff: the rotation debt this window leaves is the 30
     # r4-green queries not re-verified this round (the original 26 named
-    # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans,
-    # whose fill slots went to the three new r6 queries doc_lm_score /
-    # bpe_token_count / model_eval_auc):
-    # cohort_revenue_retention, corpus_curation_pipeline,
+    # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans
+    # / dedup_exact, whose fill slots went to the four new r6 queries
+    # doc_lm_score / bpe_token_count / model_eval_auc /
+    # model_calibration_bins):
+    # dedup_exact, cohort_revenue_retention, corpus_curation_pipeline,
     # customer_priority_scd2, data_quality_report, decayed_user_value,
     # dedup_edit_distance, dedup_simhash, doc_quality_gopher,
     # embedding_label_centroids, events_funnel_conversion,
@@ -6834,8 +6835,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session_event_transitions, sole_return_supplier,
     # supplier_profit_by_year, text_pii_scrub,
     # top_balance_inactive_customers, user_retention_cohorts,
-    # value_percentiles, xlsx_ingest_normalize — 29 fits r7's 50-slot
-    # window with ~21 slots to spare for r7 changes; rotate them in en
+    # value_percentiles, xlsx_ingest_normalize — 30 fits r7's 50-slot
+    # window with ~20 slots to spare for r7 changes; rotate them in en
     # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)
