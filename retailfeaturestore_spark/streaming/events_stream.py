@@ -177,18 +177,27 @@ def _batch_counts(
 def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Exactly-once event dedup on the event id with watermark-bounded state.
 
-    ``dropDuplicates`` in a stream keeps every seen key in the state store
-    forever unless a watermark bounds it: with one, ids older than the
-    watermark are evicted — O(watermark-horizon event volume) state instead
-    of O(stream lifetime).  The at-least-once upstream (replayed files,
-    Kafka redeliveries) becomes exactly-once downstream, the precondition
-    for incremental feature materialization.
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT plain
+    ``dropDuplicates``: with a key subset that excludes the event-time
+    column, plain ``dropDuplicates`` never evicts its state even under a
+    watermark (the eviction rule requires the watermark column inside the
+    subset — exactly the gap SPARK-42931 added this operator for), so
+    state would grow O(stream lifetime).  Here ids are evicted once the
+    watermark passes their first sighting — O(watermark-horizon event
+    volume) state — AND a redelivery whose event time was jittered inside
+    the watermark window still dedups (a ``(event_id, ts)`` subset, the
+    plain-API workaround, would treat it as a new event).  The
+    at-least-once upstream (replayed files, Kafka redeliveries) becomes
+    exactly-once downstream, the precondition for incremental feature
+    materialization.
 
     The reference gets this implicitly by full-batch rebuilds
     (``jobs/build_feature_views.py`` reprocesses everything); here it is an
     incremental operator.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def purchase_attribution_stream(

@@ -348,3 +348,43 @@ def test_stream_to_online_to_serving_closes_the_loop(spark, tmp_path):
         assert snap["t_ref"] == ts  # meta:t_ref decodes to the event time
     cold = svc.get_snapshot(cold_id)
     assert cold is not None and cold["value"] == 42.5  # offline fallback
+
+
+def test_stream_dedup_catches_time_jittered_redelivery(spark, tmp_path):
+    """The dropDuplicatesWithinWatermark upgrade (r6): a redelivered event
+    whose timestamp was jittered (clock skew between redeliveries — common
+    with at-least-once producers) must still dedup on the id.  A plain
+    dropDuplicates([event_id, ts]) — the old workaround that keeps state
+    eviction — would pass both copies through."""
+    import pandas as pd
+
+    stage = tmp_path / "jitter_stream"
+    stage.mkdir()
+    base = pd.read_parquet(f"{SF}/events.parquet").head(50)
+    # testdata generations ship ts as long-ns or timestamp; normalize both
+    # staged files to one timestamp physical type so the stream schema is
+    # consistent across them
+    if not str(base["ts"].dtype).startswith("datetime64"):
+        base["ts"] = pd.to_datetime(base["ts"], unit="ns")
+    base["ts"] = base["ts"].astype("datetime64[us]")
+    jit = base.copy()
+    # cast AFTER the addition: pandas timedelta arithmetic silently
+    # promotes datetime64[us] back to [ns], and two different parquet
+    # physical types in one stream fail the fixed stream schema
+    jit["ts"] = (jit["ts"] + pd.Timedelta(seconds=7)).astype("datetime64[us]")
+    base.to_parquet(stage / "part-0.parquet")
+    jit.to_parquet(stage / "part-1.parquet")
+
+    from retailfeaturestore_spark.streaming.events_stream import (
+        dedup_events_stream,
+    )
+
+    stream = read_events_stream(spark, str(stage))
+    name = f"jitter_{uuid.uuid4().hex[:8]}"
+    q = stream_to_memory(
+        dedup_events_stream(stream), name, output_mode="append"
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    assert got.count() == 50  # one row per id, jittered copies dropped
+    assert got.select("event_id").distinct().count() == 50
