@@ -117,6 +117,8 @@ HEADLINE = [
     "purchase_multitouch_attribution",
     "recs_negative_samples",
     "source_length_ks_drift",
+    "seq_packing_chunks",
+    "seq_packing_ffd",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

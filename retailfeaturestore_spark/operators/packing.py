@@ -1,0 +1,181 @@
+"""Sequence packing: assemble tokenized documents into fixed-length training
+sequences — the last mile of an LLM data pipeline (after dedup/quality the
+corpus must become uniform ``max_tokens`` training rows).
+
+Two packing disciplines, both deterministic and seedless so results are
+engine-portable and retry-stable:
+
+- ``pack_chunks``: concat-and-chunk (the GPT-style pretraining layout) —
+  documents are concatenated in ``doc_id`` order within a shard and the
+  token stream is cut every ``max_tokens``.  Pure column algebra + one
+  window, integer-exact, so it carries a bit-exact DuckDB oracle.
+- ``pack_bins_ffd``: first-fit-decreasing bin packing (the SFT layout where
+  documents must NOT be split) — greedy per shard via ``applyInPandas``.
+  Inherently sequential per shard, so the shard is the parallel grain.
+
+Scale shape: the shard is the unit of packing AND the unit of output (one
+shard ≙ one training-data file), exactly how a 100 TB packing job is laid
+out — shards are md5-uniform over documents, so 100 TB / n_shards stays
+bounded per worker by choosing n_shards, and no stage ever sees the whole
+corpus in one task.  The reference has no text surface (it is a retail
+feature-store, SURVEY.md §0); this extends the engine per the
+training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+
+__all__ = ["pack_chunks", "pack_bins_ffd"]
+
+
+def _shard_col(id_col: str, n_shards: int):
+    """md5-uniform shard id (first byte of md5('pack#'||id) mod n_shards) —
+    the engine-portable coin used throughout (cf. hash_split, negative
+    sampling): DuckDB computes the identical value, so oracles survive."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack#"), F.col(id_col).cast("string"))), 1, 2), 16, 10)
+        .cast("long")
+        % F.lit(n_shards)
+    )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing statistics: per (shard, chunk) — how many
+    document fragments land in the chunk, how many documents *start* there,
+    and the token fill (== ``max_tokens`` everywhere except each shard's
+    final chunk).
+
+    Within a shard documents are laid head-to-tail in ``doc_id`` order; a
+    document occupying token interval [start, end) intersects chunks
+    ``start div max_tokens .. (end-1) div max_tokens``.  The per-chunk
+    attribution is interval arithmetic on longs — no floats anywhere, so
+    the DuckDB oracle is hash-exact.
+
+    Plan: ONE hash exchange (shard) for the running-offset window; the
+    fragment explode is bounded by ``total_tokens/max_tokens + n_docs``
+    rows (each document adds at most its chunk-span), then a partial-agg
+    rollup on (shard, chunk_id).  Nothing is quadratic and no stage holds
+    more than a shard's token ledger.
+    """
+    if max_tokens <= 0 or n_shards <= 0:
+        raise ValueError("max_tokens and n_shards must be positive")
+    n_tok = F.size(words(F.col(text_col))).cast("long")
+    t = docs.select(
+        F.col(id_col),
+        n_tok.alias("__n_tokens"),
+        _shard_col(id_col, n_shards).alias("shard"),
+    ).where(F.col("__n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    pos = t.select(
+        "shard",
+        "__n_tokens",
+        (F.sum("__n_tokens").over(w) - F.col("__n_tokens")).alias("__start"),
+    )
+    first_chunk = F.expr(f"__start div {max_tokens}")
+    last_chunk = F.expr(f"(__start + __n_tokens - 1) div {max_tokens}")
+    frag = pos.select(
+        "shard",
+        "__start",
+        "__n_tokens",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("__start"), F.col("chunk_id") * F.lit(max_tokens))
+    hi = F.least(
+        F.col("__start") + F.col("__n_tokens"),
+        (F.col("chunk_id") + F.lit(1)) * F.lit(max_tokens),
+    )
+    started = F.when(F.col("__start") >= F.col("chunk_id") * F.lit(max_tokens), 1).otherwise(0)
+    return (
+        frag.groupBy("shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(started).cast("long").alias("n_docs_started"),
+            F.sum(hi - lo).cast("long").alias("n_tokens"),
+        )
+        .select("shard", F.col("chunk_id").cast("long").alias("chunk_id"), "n_docs", "n_docs_started", "n_tokens")
+    )
+
+
+def _ffd_pack(lengths: Iterable[tuple[int, int]], max_tokens: int) -> dict[int, int]:
+    """Deterministic first-fit-decreasing: items (doc_id, n_tokens) sorted by
+    (-n_tokens, doc_id), each placed in the lowest-numbered bin with room;
+    an oversized document gets a bin of its own (never split, never
+    dropped).  Returns {doc_id: bin_id}.  Pure python on ONE shard's
+    ledger — (id, length) pairs only, never text."""
+    order = sorted(lengths, key=lambda p: (-p[1], p[0]))
+    free: list[int] = []  # free[b] = remaining capacity of bin b
+    out: dict[int, int] = {}
+    for doc_id, n in order:
+        placed = None
+        for b, cap in enumerate(free):
+            if n <= cap:
+                placed = b
+                break
+        if placed is None:
+            free.append(max_tokens)
+            placed = len(free) - 1
+            if n > max_tokens:
+                free[placed] = 0
+                out[doc_id] = placed
+                continue
+        free[placed] -= n
+        out[doc_id] = placed
+    return out
+
+
+def pack_bins_ffd(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit-decreasing packing (documents kept whole): per (shard,
+    bin) — document count, token fill, and the largest member.  The greedy
+    is per-shard ``applyInPandas`` over the (doc_id, n_tokens) LEDGER only
+    — text never crosses the Arrow boundary, so a shard's batch is a few
+    MB even when its documents are GBs.
+
+    Deterministic (sort by (-n_tokens, doc_id), lowest-bin-first placement,
+    oversized docs isolated in their own bin), hence retry/partition-order
+    stable — but order-dependent greedy state is not SQL-expressible, so
+    this surface is pytest-verified (differential vs an independent python
+    packer) rather than oracle-backed, like the streaming operators.
+    """
+    if max_tokens <= 0 or n_shards <= 0:
+        raise ValueError("max_tokens and n_shards must be positive")
+    n_tok = F.size(words(F.col(text_col))).cast("long")
+    ledger = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        _shard_col(id_col, n_shards).alias("shard"),
+    ).where(F.col("n_tokens") > 0)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        assign = _ffd_pack(zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist()), max_tokens)
+        pdf = pdf.assign(bin_id=pdf["doc_id"].map(assign))
+        g = pdf.groupby(["shard", "bin_id"], as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            n_tokens=("n_tokens", "sum"),
+            max_doc_tokens=("n_tokens", "max"),
+        )
+        return g[["shard", "bin_id", "n_docs", "n_tokens", "max_doc_tokens"]]
+
+    return ledger.groupBy("shard").applyInPandas(
+        pack,
+        "shard long, bin_id long, n_docs long, n_tokens long, max_doc_tokens long",
+    )

@@ -6728,6 +6728,67 @@ def q_xlsx_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_orders_raw(raw)
 
 
+# Concat-and-chunk packing is integer interval arithmetic over a per-shard
+# running token offset — engine-exact, so the oracle hashes bit-for-bit.
+_SEQ_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 8
+           AS shard
+  FROM documents
+),
+pos AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS s0
+  FROM t WHERE n_tokens > 0
+),
+frag AS (
+  SELECT shard, s0, n_tokens,
+         unnest(generate_series(s0 // 512, (s0 + n_tokens - 1) // 512)) AS chunk_id
+  FROM pos
+)
+SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN s0 >= chunk_id * 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_started,
+  CAST(sum(LEAST(s0 + n_tokens, (chunk_id + 1) * 512) - GREATEST(s0, chunk_id * 512)) AS BIGINT)
+    AS n_tokens
+FROM frag
+GROUP BY shard, chunk_id
+"""
+
+
+@register("seq_packing_chunks", oracle=_SEQ_PACK_ORACLE, tags=("text", "ml-prep", "packing"))
+def q_seq_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (concat-and-chunk): documents laid
+    head-to-tail per md5-uniform shard in doc_id order, the token stream cut
+    every 512 tokens; per (shard, chunk) — fragment count, documents
+    started, token fill.  The shard is both the packing and the output-file
+    grain, so the layout is exactly a 100 TB packing job's: one window
+    exchange on shard, a fragment explode bounded by total_tokens/512 +
+    n_docs, one partial-agg rollup.  The reference has no text surface;
+    this is brief-mandated extension surface (training-data pipeline)."""
+    from .operators.packing import pack_chunks
+
+    return pack_chunks(load_table(spark, sf_dir, "documents"), max_tokens=512, n_shards=8)
+
+
+@register("seq_packing_ffd", oracle=None, tags=("text", "ml-prep", "packing"))
+def q_seq_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-style packing (documents kept whole): deterministic first-fit-
+    decreasing per shard over the (doc_id, n_tokens) ledger — text never
+    crosses the Arrow boundary.  Rows-only driver check BY DESIGN:
+    order-dependent greedy bin state is not SQL-expressible (same category
+    as bpe_token_count); values are pytest-verified against an independent
+    python packer plus capacity/conservation invariants
+    (tests/test_packing.py)."""
+    from .operators.packing import pack_bins_ffd
+
+    return pack_bins_ffd(load_table(spark, sf_dir, "documents"), max_tokens=512, n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
@@ -6813,20 +6874,29 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_clicks_purchases",
     "purchase_labels_after_signup",
     "orders_range_join_followups",
-    "distinct_parts_per_customer",
-    "pricing_summary",
+    # session-continuation swap: the two NEW packing queries (zero verdicts,
+    # one oracle-backed + one rows-only-by-design) take the slots of
+    # pricing_summary / distinct_parts_per_customer (both r4-green; the
+    # scan-agg family keeps revenue_by_nation/discounted_revenue in-window
+    # and the distinct family keeps feature_view_build) — displaced pair
+    # joins the r7 debt below.
+    "seq_packing_chunks",
+    "seq_packing_ffd",
     "dedup_minhash",
     "text_lang_id",
     "training_set_build",
-    # --- r7 handoff: the rotation debt this window leaves is the 30
+    # --- r7 handoff: the rotation debt this window leaves is the 32
     # r4-green queries not re-verified this round (the original 26 named
     # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans
     # / dedup_exact, whose fill slots went to the four new r6 queries
     # doc_lm_score / bpe_token_count / model_eval_auc /
-    # model_calibration_bins):
+    # model_calibration_bins, plus pricing_summary /
+    # distinct_parts_per_customer, whose fill slots went to the two new
+    # packing queries seq_packing_chunks / seq_packing_ffd):
     # dedup_exact, cohort_revenue_retention, corpus_curation_pipeline,
     # customer_priority_scd2, data_quality_report, decayed_user_value,
-    # dedup_edit_distance, dedup_simhash, doc_quality_gopher,
+    # dedup_edit_distance, dedup_simhash, distinct_parts_per_customer,
+    # doc_quality_gopher, pricing_summary,
     # embedding_label_centroids, events_funnel_conversion,
     # events_props_json, events_session_windows, feature_drift_bins,
     # feature_view_build_set, funnel_time_to_convert, knn_ivf_kmeans,
@@ -6835,8 +6905,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session_event_transitions, sole_return_supplier,
     # supplier_profit_by_year, text_pii_scrub,
     # top_balance_inactive_customers, user_retention_cohorts,
-    # value_percentiles, xlsx_ingest_normalize — 30 fits r7's 50-slot
-    # window with ~20 slots to spare for r7 changes; rotate them in en
+    # value_percentiles, xlsx_ingest_normalize — 32 fits r7's 50-slot
+    # window with ~18 slots to spare for r7 changes; rotate them in en
     # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)

@@ -1,0 +1,168 @@
+"""Sequence packing (operators/packing.py): concat-and-chunk differential
+vs a brute-force python packer, FFD invariants + independent-packer
+differential, determinism under repartitioning."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from retailfeaturestore_spark.operators.packing import (
+    _ffd_pack,
+    pack_bins_ffd,
+    pack_chunks,
+)
+
+from conftest import TESTDATA_SF, requires_testdata
+
+MAX_TOKENS = 64
+N_SHARDS = 4
+
+
+def _shard(doc_id: int) -> int:
+    h = hashlib.md5(f"pack#{doc_id}".encode()).hexdigest()
+    return int(h[:2], 16) % N_SHARDS
+
+
+def _docs(spark):
+    rows = [
+        (0, "a " * 9 + "end"),          # 10 tokens
+        (1, "b " * 99 + "end"),         # 100 tokens — spans chunks
+        (2, "word " * 199 + "end"),     # 200 tokens — bigger than MAX_TOKENS
+        (3, "x"),                       # 1 token
+        (4, "y z"),                     # 2 tokens
+        (5, "q " * 63 + "end"),         # exactly MAX_TOKENS
+        (7, "r " * 30 + "end"),         # 31 tokens
+        (11, "s " * 40 + "end"),        # 41 tokens
+    ]
+    return spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+
+
+def _brute_chunks(rows: list[tuple[int, int]]) -> dict[tuple[int, int], tuple[int, int, int]]:
+    """Reference concat-and-chunk: walk each shard's docs in id order over a
+    literal token stream; returns {(shard, chunk): (n_docs, n_started,
+    n_tokens)}."""
+    out: dict[tuple[int, int], list[int]] = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, n in sorted(rows):
+        by_shard.setdefault(_shard(doc_id), []).append((doc_id, n))
+    for shard, docs in by_shard.items():
+        pos = 0
+        for _doc_id, n in docs:
+            start, end = pos, pos + n
+            pos = end
+            for c in range(start // MAX_TOKENS, (end - 1) // MAX_TOKENS + 1):
+                cell = out.setdefault((shard, c), [0, 0, 0])
+                cell[0] += 1
+                cell[1] += 1 if start >= c * MAX_TOKENS else 0
+                cell[2] += min(end, (c + 1) * MAX_TOKENS) - max(start, c * MAX_TOKENS)
+    return {k: tuple(v) for k, v in out.items()}
+
+
+def test_pack_chunks_matches_bruteforce(spark):
+    docs = _docs(spark)
+    got = {
+        (r["shard"], r["chunk_id"]): (r["n_docs"], r["n_docs_started"], r["n_tokens"])
+        for r in pack_chunks(docs, max_tokens=MAX_TOKENS, n_shards=N_SHARDS).collect()
+    }
+    lens = {r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()}
+    assert got == _brute_chunks(list(lens.items()))
+    # every chunk except each shard's last is exactly full
+    last = {s: max(c for (s2, c) in got if s2 == s) for s in {s for (s, _) in got}}
+    for (s, c), (_, _, n_tok) in got.items():
+        if c != last[s]:
+            assert n_tok == MAX_TOKENS
+    # token conservation
+    assert sum(v[2] for v in got.values()) == sum(lens.values())
+
+
+def test_pack_chunks_partition_invariant(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, pack_chunks(docs, MAX_TOKENS, N_SHARDS).collect()))
+    b = sorted(map(tuple, pack_chunks(docs.repartition(7), MAX_TOKENS, N_SHARDS).collect()))
+    assert a == b
+
+
+def _independent_ffd(items: list[tuple[int, int]], cap: int) -> dict[int, int]:
+    """Second implementation (different data structure: explicit bin list of
+    (remaining, id)) to differentially check _ffd_pack."""
+    bins: list[int] = []
+    where: dict[int, int] = {}
+    for doc_id, n in sorted(items, key=lambda p: (-p[1], p[0])):
+        for b in range(len(bins)):
+            if bins[b] >= n:
+                bins[b] -= n
+                where[doc_id] = b
+                break
+        else:
+            bins.append(0 if n > cap else cap - n)
+            where[doc_id] = len(bins) - 1
+    return where
+
+
+def test_ffd_pack_differential_and_invariants(spark):
+    docs = _docs(spark)
+    lens = {r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()}
+    # unit: the greedy itself vs the independent packer
+    items = list(lens.items())
+    assert _ffd_pack(items, MAX_TOKENS) == _independent_ffd(items, MAX_TOKENS)
+
+    out = pack_bins_ffd(docs, max_tokens=MAX_TOKENS, n_shards=N_SHARDS).collect()
+    # doc + token conservation
+    assert sum(r["n_docs"] for r in out) == len(lens)
+    assert sum(r["n_tokens"] for r in out) == sum(lens.values())
+    for r in out:
+        # capacity: a bin exceeds max_tokens only as a single oversized doc
+        if r["n_tokens"] > MAX_TOKENS:
+            assert r["n_docs"] == 1 and r["max_doc_tokens"] == r["n_tokens"]
+        # expected shard assignment
+        assert r["shard"] in range(N_SHARDS)
+    # distributed result == local greedy per shard
+    per_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, n in lens.items():
+        per_shard.setdefault(_shard(doc_id), []).append((doc_id, n))
+    for shard, its in per_shard.items():
+        want = _ffd_pack(its, MAX_TOKENS)
+        want_bins = {}
+        for doc_id, b in want.items():
+            cell = want_bins.setdefault(b, [0, 0, 0])
+            cell[0] += 1
+            cell[1] += lens[doc_id]
+            cell[2] = max(cell[2], lens[doc_id])
+        got_bins = {
+            r["bin_id"]: [r["n_docs"], r["n_tokens"], r["max_doc_tokens"]]
+            for r in out
+            if r["shard"] == shard
+        }
+        assert got_bins == want_bins
+
+
+def test_ffd_partition_invariant(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, pack_bins_ffd(docs, MAX_TOKENS, N_SHARDS).collect()))
+    b = sorted(map(tuple, pack_bins_ffd(docs.repartition(5), MAX_TOKENS, N_SHARDS).collect()))
+    assert a == b
+
+
+@requires_testdata
+def test_pack_chunks_on_testdata_fill_property(spark):
+    from retailfeaturestore_spark.io import load_table
+
+    docs = load_table(spark, TESTDATA_SF, "documents")
+    out = pack_chunks(docs, max_tokens=512, n_shards=8)
+    rows = out.collect()
+    last = {}
+    for r in rows:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["chunk_id"])
+    for r in rows:
+        assert r["n_tokens"] == 512 or r["chunk_id"] == last[r["shard"]]
+        assert r["n_docs_started"] <= r["n_docs"]
+
+
+def test_pack_rejects_bad_params(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        pack_chunks(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        pack_bins_ffd(docs, n_shards=0)

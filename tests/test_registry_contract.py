@@ -28,7 +28,9 @@ def test_every_query_has_an_oracle():
     """Every registered query carries a DuckDB oracle, except the
     explicitly allowed non-SQL-expressible set (iterative algorithms the
     driver checks rows-only and pytest checks by differential)."""
-    ALLOWED_NO_ORACLE = {"bpe_token_count"}  # iterative BPE merge learning
+    # iterative BPE merge learning; order-dependent FFD greedy bin state —
+    # both pytest-differential-verified, neither SQL-expressible
+    ALLOWED_NO_ORACLE = {"bpe_token_count", "seq_packing_ffd"}
     no_oracle = [
         n for n, qd in REGISTRY.items()
         if not qd.oracle and n not in ALLOWED_NO_ORACLE
