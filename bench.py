@@ -119,6 +119,7 @@ HEADLINE = [
     "source_length_ks_drift",
     "seq_packing_chunks",
     "seq_packing_ffd",
+    "knn_recall_eval",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -6775,6 +6775,116 @@ def q_seq_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(load_table(spark, sf_dir, "documents"), max_tokens=512, n_shards=8)
 
 
+# Index-quality evaluation: recall@3 of the trained-KMeans IVF index vs the
+# exact brute-force neighbors, per query.  Both sides replay bit-for-bit in
+# DuckDB (the unrolled-Lloyd CTEs and the quantized-int brute force already
+# certify the two underlying queries), so even the RECALL of the
+# approximate index is hash-exact across engines.
+_KNN_RECALL_ORACLE = f"""
+WITH {_FLAT_CTE},
+qflat AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS q
+  FROM flat
+),
+c0 AS (
+  SELECT vec_id AS cell, i, q AS c FROM qflat WHERE vec_id < {_KM_K}
+),
+{_km_assign_cte("c0", "a1")},
+{_km_update_cte("a1", "c1")},
+{_km_assign_cte("c1", "a2")},
+{_km_update_cte("a2", "c2")},
+{_km_assign_cte("c2", "af")},
+apairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM af q JOIN af c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_KM_QUERY_MAX}
+),
+adots AS (
+  SELECT p.q_id, p.n_id, CAST(sum(fq.q * fc.q) AS DOUBLE) AS dot
+  FROM apairs p
+  JOIN qflat fq ON fq.vec_id = p.q_id
+  JOIN qflat fc ON fc.vec_id = p.n_id AND fc.i = fq.i
+  GROUP BY p.q_id, p.n_id
+),
+ascored AS (
+  SELECT d.q_id, d.n_id, d.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+  FROM adots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.n_id
+),
+approx AS (
+  SELECT q_id, n_id FROM ascored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) <= 3
+),
+epairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {_KM_QUERY_MAX}) q
+  JOIN (SELECT DISTINCT vec_id FROM embeddings) c ON q.vec_id <> c.vec_id
+),
+edots AS (
+  SELECT p.q_id, p.n_id, CAST(sum(fq.q * fc.q) AS DOUBLE) AS dot
+  FROM epairs p
+  JOIN qflat fq ON fq.vec_id = p.q_id
+  JOIN qflat fc ON fc.vec_id = p.n_id AND fc.i = fq.i
+  GROUP BY p.q_id, p.n_id
+),
+escored AS (
+  SELECT d.q_id, d.n_id, d.dot / (sqrt(nq.nn) * sqrt(nc.nn)) AS cosine
+  FROM edots d
+  JOIN norms nq ON nq.vec_id = d.q_id
+  JOIN norms nc ON nc.vec_id = d.n_id
+),
+exact AS (
+  SELECT q_id, n_id FROM escored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) <= 3
+)
+SELECT e.q_id,
+  CAST(count(a.n_id) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(a.n_id) AS DOUBLE) / 3.0 AS recall_at_3
+FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+"""
+
+
+@register("knn_recall_eval", oracle=_KNN_RECALL_ORACLE, tags=("similarity", "eval", "iterative"))
+def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality report: per-query recall@3 of the trained-KMeans
+    IVF index (nprobe=1) against the exact brute-force neighbors — the
+    measurement that decides the (n_cells, nprobe) knob before an index
+    ships.  Composes the two certified retrieval paths and reduces them
+    with one inner-probe join; integer hit counts + one IEEE division, so
+    the report is engine-exact.  Scale: the brute-force side is the
+    documented eval-only baseline (run over a query SAMPLE at 100 TB — the
+    standard recall-estimation protocol); the IVF side is the production
+    path."""
+    from .operators.similarity import cosine_topk, ivf_topk_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, emb.where(F.col("vec_id") < _KM_QUERY_MAX), k=3).select(
+        "q_id", "n_id"
+    )
+    appx = ivf_topk_cells(
+        emb, query_ids=list(range(_KM_QUERY_MAX)), k_neighbors=3, n_cells=_KM_K,
+        iters=2, cache_scope=sf_dir,
+    ).select("q_id", F.col("n_id").alias("__a_id"))
+    hit = F.when(F.col("__a_id").isNotNull(), 1).otherwise(0)
+    return (
+        exact.join(
+            appx,
+            (exact["q_id"] == appx["q_id"]) & (exact["n_id"] == appx["__a_id"]),
+            "left",
+        )
+        .select(exact["q_id"].alias("q_id"), hit.alias("__hit"))
+        .groupBy("q_id")
+        .agg(
+            F.sum("__hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            (F.sum("__hit").cast("double") / F.lit(3.0)).alias("recall_at_3"),
+        )
+    )
+
+
 @register("seq_packing_ffd", oracle=None, tags=("text", "ml-prep", "packing"))
 def q_seq_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT-style packing (documents kept whole): deterministic first-fit-
@@ -6870,29 +6980,33 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "normalize_lineitem",
     "feature_view_build",
     "latest_event_per_user",
-    "asof_snapshot_lookup",
     "asof_join_clicks_purchases",
     "purchase_labels_after_signup",
     "orders_range_join_followups",
-    # session-continuation swap: the two NEW packing queries (zero verdicts,
-    # one oracle-backed + one rows-only-by-design) take the slots of
-    # pricing_summary / distinct_parts_per_customer (both r4-green; the
-    # scan-agg family keeps revenue_by_nation/discounted_revenue in-window
-    # and the distinct family keeps feature_view_build) — displaced pair
-    # joins the r7 debt below.
+    # session-continuation swap: the three NEW queries (zero verdicts; two
+    # oracle-backed + one rows-only-by-design) take the slots of
+    # pricing_summary / distinct_parts_per_customer / asof_snapshot_lookup
+    # (all r4-green; the scan-agg family keeps revenue_by_nation /
+    # discounted_revenue in-window, the distinct family keeps
+    # feature_view_build, and the PIT family keeps asof_join_clicks_purchases
+    # + purchase_labels_after_signup) — the displaced trio joins the r7
+    # debt below.
     "seq_packing_chunks",
     "seq_packing_ffd",
+    "knn_recall_eval",
     "dedup_minhash",
     "text_lang_id",
     "training_set_build",
-    # --- r7 handoff: the rotation debt this window leaves is the 32
+    # --- r7 handoff: the rotation debt this window leaves is the 33
     # r4-green queries not re-verified this round (the original 26 named
     # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans
     # / dedup_exact, whose fill slots went to the four new r6 queries
     # doc_lm_score / bpe_token_count / model_eval_auc /
     # model_calibration_bins, plus pricing_summary /
-    # distinct_parts_per_customer, whose fill slots went to the two new
-    # packing queries seq_packing_chunks / seq_packing_ffd):
+    # distinct_parts_per_customer / asof_snapshot_lookup, whose fill slots
+    # went to the three new queries seq_packing_chunks / seq_packing_ffd /
+    # knn_recall_eval):
+    # asof_snapshot_lookup,
     # dedup_exact, cohort_revenue_retention, corpus_curation_pipeline,
     # customer_priority_scd2, data_quality_report, decayed_user_value,
     # dedup_edit_distance, dedup_simhash, distinct_parts_per_customer,
@@ -6905,8 +7019,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session_event_transitions, sole_return_supplier,
     # supplier_profit_by_year, text_pii_scrub,
     # top_balance_inactive_customers, user_retention_cohorts,
-    # value_percentiles, xlsx_ingest_normalize — 32 fits r7's 50-slot
-    # window with ~18 slots to spare for r7 changes; rotate them in en
+    # value_percentiles, xlsx_ingest_normalize — 33 fits r7's 50-slot
+    # window with ~17 slots to spare for r7 changes; rotate them in en
     # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)
