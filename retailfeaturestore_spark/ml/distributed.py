@@ -32,7 +32,15 @@ from pyspark.sql import functions as F
 
 from .scoring import ScoredModel
 
-__all__ = ["LogisticModel", "fit_lr_distributed"]
+__all__ = [
+    "LogisticModel",
+    "fit_lr_distributed",
+    "SparkModelBundle",
+    "fit_gbt_distributed",
+    "score_batch_spark",
+    "save_spark_bundle",
+    "load_spark_bundle",
+]
 
 
 @dataclass
@@ -98,3 +106,124 @@ def fit_lr_distributed(
         bias=float(fitted.intercept),
     )
     return ScoredModel(model=model, feature_names=tuple(feature_cols))
+
+
+@dataclass
+class SparkModelBundle:
+    """A fitted pyspark.ml model + the ordered feature contract.
+
+    Unlike :class:`LogisticModel`, a tree ensemble does NOT collapse to a
+    coefficient vector, so the JVM model object itself is the artifact and
+    scoring goes through ``Model.transform`` (:func:`score_batch_spark`) —
+    still fully distributed and JVM-side (no Python boundary at all, one
+    better than the Arrow-batched pandas_udf path).
+    """
+
+    model: object
+    feature_names: tuple[str, ...]
+
+
+def _assemble(df: DataFrame, feature_cols, label_col: str | None):
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = [F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in feature_cols]
+    passthrough = [c for c in df.columns if c not in feature_cols]
+    prepared = df.select(*cols, *[F.col(c) for c in passthrough])
+    if label_col is not None:
+        prepared = prepared.withColumn("__label", F.col(label_col).cast("double"))
+    return VectorAssembler(inputCols=list(feature_cols), outputCol="__features").transform(
+        prepared
+    )
+
+
+def fit_gbt_distributed(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_iter: int = 30,
+    max_depth: int = 5,
+    step_size: float = 0.1,
+    seed: int = 42,
+) -> SparkModelBundle:
+    """Distributed gradient-boosted trees — the LightGBM-analog path when
+    the training matrix cannot sit on a driver (the reference's
+    ``lgb.LGBMClassifier``, ``jobs/make_training_and_train.py:62-85``,
+    scaled out).  Fixed seed => deterministic refits on a fixed frame."""
+    from pyspark.ml.classification import GBTClassifier
+
+    assembled = _assemble(train, feature_cols, label_col)
+    gbt = GBTClassifier(
+        featuresCol="__features",
+        labelCol="__label",
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        seed=seed,
+    )
+    return SparkModelBundle(model=gbt.fit(assembled), feature_names=tuple(feature_cols))
+
+
+def score_batch_spark(
+    bundle: SparkModelBundle,
+    features: DataFrame,
+    threshold: float = 0.5,
+    proba_col: str = "probability",
+) -> DataFrame:
+    """``score_batch``'s output contract (probability double + prediction
+    int appended; missing contract columns zero-filled), produced by the
+    JVM model's own ``transform`` — whole plan stays JVM-side."""
+    from pyspark.ml.functions import vector_to_array
+
+    df = features
+    for n in bundle.feature_names:
+        if n not in df.columns:
+            df = df.withColumn(n, F.lit(0.0))
+    out = bundle.model.transform(_assemble(df, list(bundle.feature_names), None))
+    p1 = vector_to_array(F.col("probability")).getItem(1)
+    return (
+        out.withColumn("__p1", p1)
+        # drop the transform's own vector/raw/prediction columns: the output
+        # contract is score_batch's (scalar proba + int decision)
+        .drop("probability", "rawPrediction", "prediction", "__features")
+        .withColumnRenamed("__p1", proba_col)
+        .withColumn("prediction", (F.col(proba_col) >= F.lit(threshold)).cast("int"))
+    )
+
+
+def save_spark_bundle(bundle: SparkModelBundle, out_dir: str) -> dict[str, str]:
+    """Persist the JVM model via its own writer + the feature contract +
+    a class pointer for load-time dispatch (mirrors ``ml/artifacts.py``'s
+    pickle registry for driver-side models)."""
+    import json
+    from pathlib import Path
+
+    from .artifacts import write_feature_names
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    model_dir = out / "spark_model"
+    bundle.model.write().overwrite().save(str(model_dir))
+    write_feature_names(str(out / "feature_names.txt"), list(bundle.feature_names))
+    cls = type(bundle.model)
+    (out / "bundle.json").write_text(
+        json.dumps({"model_class": f"{cls.__module__}.{cls.__name__}"}, indent=2)
+    )
+    return {"model": str(model_dir), "feature_names": str(out / "feature_names.txt")}
+
+
+def load_spark_bundle(spark, out_dir: str) -> SparkModelBundle:
+    import importlib
+    import json
+    from pathlib import Path
+
+    from .artifacts import read_feature_names
+
+    out = Path(out_dir)
+    meta = json.loads((out / "bundle.json").read_text())
+    module, _, name = meta["model_class"].rpartition(".")
+    cls = getattr(importlib.import_module(module), name)
+    model = cls.load(str(out / "spark_model"))
+    return SparkModelBundle(
+        model=model,
+        feature_names=tuple(read_feature_names(str(out / "feature_names.txt"))),
+    )

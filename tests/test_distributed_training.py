@@ -89,6 +89,68 @@ def test_null_features_zero_filled(spark):
     assert all(np.isfinite(scored_model.model.weights)) and np.isfinite(scored_model.model.bias)
 
 
+def _xor_frame(spark, n=1200):
+    """Nonlinear boundary y = [x1*x2 > 0]: linearly inseparable by
+    construction — the case that motivates the tree path."""
+    df = spark.range(n).select(
+        ((F.col("id") * 37 % 100) / 10.0 - 5.0).alias("x1"),
+        ((F.col("id") * 53 % 100) / 10.0 - 5.0).alias("x2"),
+    )
+    return df.withColumn("y", ((F.col("x1") * F.col("x2")) > 0).cast("int"))
+
+
+def test_gbt_learns_nonlinear_boundary_where_lr_cannot(spark):
+    train = _xor_frame(spark)
+    lr = fit_lr_distributed(train, ["x1", "x2"], "y")
+    lr_auc = exact_auc(score_batch(spark, train, lr), "probability", "y").collect()[0]["auc"]
+
+    from retailfeaturestore_spark.ml.distributed import fit_gbt_distributed, score_batch_spark
+
+    bundle = fit_gbt_distributed(train, ["x1", "x2"], "y", max_iter=15, max_depth=4)
+    out = score_batch_spark(bundle, train)
+    gbt_auc = exact_auc(out, "probability", "y").collect()[0]["auc"]
+    assert lr_auc < 0.65  # linear model genuinely cannot express the boundary
+    assert gbt_auc > 0.95
+    # output contract matches score_batch: scalar proba + int decision
+    types = dict(out.dtypes)
+    assert types["probability"] == "double" and types["prediction"] == "int"
+
+
+def test_gbt_bundle_save_load_roundtrip(spark, tmp_path):
+    from retailfeaturestore_spark.ml.distributed import (
+        fit_gbt_distributed,
+        load_spark_bundle,
+        save_spark_bundle,
+        score_batch_spark,
+    )
+
+    train = _xor_frame(spark, n=400)
+    bundle = fit_gbt_distributed(train, ["x1", "x2"], "y", max_iter=5, max_depth=3)
+    paths = save_spark_bundle(bundle, str(tmp_path / "artifact"))
+    assert "spark_model" in paths["model"]
+    reloaded = load_spark_bundle(spark, str(tmp_path / "artifact"))
+    assert reloaded.feature_names == bundle.feature_names
+    a = sorted(
+        (r["x1"], r["x2"], r["probability"])
+        for r in score_batch_spark(bundle, train).collect()
+    )
+    b = sorted(
+        (r["x1"], r["x2"], r["probability"])
+        for r in score_batch_spark(reloaded, train).collect()
+    )
+    assert a == b
+
+
+def test_score_batch_spark_zero_fills_missing_contract_columns(spark):
+    from retailfeaturestore_spark.ml.distributed import fit_gbt_distributed, score_batch_spark
+
+    train = _xor_frame(spark, n=300)
+    bundle = fit_gbt_distributed(train, ["x1", "x2"], "y", max_iter=3, max_depth=2)
+    out = score_batch_spark(bundle, train.drop("x2"))  # serving frame missing a column
+    assert out.count() == 300
+    assert "probability" in out.columns and "prediction" in out.columns
+
+
 @requires_testdata
 def test_distributed_fit_on_training_set_build(spark):
     """End-to-end: the engine's own training-set build feeds the distributed

@@ -378,3 +378,13 @@ def test_lm_score_single_pair_count_exchange(spark):
     # join; the c2 groupBy must NOT appear as a second full aggregate
     # subtree over the pairs scan
     assert plan.count("Arguments: hashpartitioning") <= 3, plan[:2500]
+
+
+def test_pack_chunks_single_exchange(spark):
+    """Concat-and-chunk packing: the shard window's hash exchange must be
+    the ONLY shuffle — the (shard, chunk_id) rollup's clustering is
+    satisfied by the existing hashpartitioning(shard) (partial agg feeds a
+    co-partitioned final agg, no second Exchange)."""
+    df = REGISTRY["seq_packing_chunks"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
