@@ -118,6 +118,7 @@ HEADLINE = [
     "recs_negative_samples",
     "source_length_ks_drift",
     "seq_packing_chunks",
+    "seq_packing_chunk_text",
     "seq_packing_ffd",
     "knn_recall_eval",
 ]

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import words
 
-__all__ = ["pack_chunks", "pack_bins_ffd"]
+__all__ = ["pack_chunks", "pack_chunk_text", "pack_bins_ffd"]
 
 
 def _shard_col(id_col: str, n_shards: int):
@@ -107,6 +107,78 @@ def pack_chunks(
             F.sum(hi - lo).cast("long").alias("n_tokens"),
         )
         .select("shard", F.col("chunk_id").cast("long").alias("chunk_id"), "n_docs", "n_docs_started", "n_tokens")
+    )
+
+
+def pack_chunk_text(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The MATERIALIZED packed sequences (``pack_chunks`` emits the ledger;
+    this emits the training rows): per (shard, chunk_id) the actual
+    ``max_tokens``-token text, document fragments stitched in stream order.
+
+    Same interval arithmetic as :func:`pack_chunks`; each fragment carries
+    its token ``slice`` across to the chunk rollup, where fragments are
+    stitched by an ``array_sort`` on (start, piece) — deterministic, no
+    second sort pass.  Plan: the text rides the ONE shard exchange (a
+    packing job must move text to its output shard — that is the job),
+    and the rollup again reuses the shard partitioning.
+    """
+    if max_tokens <= 0 or n_shards <= 0:
+        raise ValueError("max_tokens and n_shards must be positive")
+    ws = words(F.col(text_col))
+    t = docs.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        F.size(ws).cast("long").alias("__n_tokens"),
+        _shard_col(id_col, n_shards).alias("shard"),
+    ).where(F.col("__n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    pos = t.select(
+        "shard",
+        "__ws",
+        "__n_tokens",
+        (F.sum("__n_tokens").over(w) - F.col("__n_tokens")).alias("__start"),
+    )
+    first_chunk = F.expr(f"__start div {max_tokens}")
+    last_chunk = F.expr(f"(__start + __n_tokens - 1) div {max_tokens}")
+    frag = pos.select(
+        "shard",
+        "__ws",
+        "__start",
+        "__n_tokens",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("__start"), F.col("chunk_id") * F.lit(max_tokens))
+    hi = F.least(
+        F.col("__start") + F.col("__n_tokens"),
+        (F.col("chunk_id") + F.lit(1)) * F.lit(max_tokens),
+    )
+    piece = F.concat_ws(
+        " ", F.slice(F.col("__ws"), (lo - F.col("__start") + 1).cast("int"), (hi - lo).cast("int"))
+    )
+    pieces = frag.select(
+        "shard",
+        "chunk_id",
+        F.struct(F.col("__start").alias("s"), piece.alias("p")).alias("__piece"),
+        (hi - lo).alias("__n"),
+    )
+    stitched = F.concat_ws(
+        " ", F.transform(F.array_sort(F.collect_list("__piece")), lambda x: x["p"])
+    )
+    return (
+        pieces.groupBy("shard", "chunk_id")
+        .agg(stitched.alias("chunk_text"), F.sum("__n").cast("long").alias("n_tokens"))
+        .select(
+            "shard",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_text",
+            "n_tokens",
+        )
     )
 
 

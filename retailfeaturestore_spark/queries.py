@@ -6775,6 +6775,59 @@ def q_seq_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(load_table(spark, sf_dir, "documents"), max_tokens=512, n_shards=8)
 
 
+# Materialized packed sequences: same interval arithmetic as the ledger
+# oracle, plus the fragment slices stitched per chunk in stream order —
+# string-exact across engines (DuckDB list_slice is 1-based inclusive ==
+# Spark slice(start, hi-lo)).
+_SEQ_PACK_TEXT_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 8
+           AS shard
+  FROM documents
+),
+pos AS (
+  SELECT shard, doc_id, ws, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS s0
+  FROM t WHERE n_tokens > 0
+),
+frag AS (
+  SELECT shard, s0, ws, n_tokens,
+         unnest(generate_series(s0 // 512, (s0 + n_tokens - 1) // 512)) AS chunk_id
+  FROM pos
+),
+piece AS (
+  SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id, s0, ws,
+         GREATEST(s0, chunk_id * 512) AS lo,
+         LEAST(s0 + n_tokens, (chunk_id + 1) * 512) AS hi
+  FROM frag
+)
+SELECT shard, chunk_id,
+  string_agg(array_to_string(list_slice(ws, CAST(lo - s0 + 1 AS BIGINT), CAST(hi - s0 AS BIGINT)), ' '),
+             ' ' ORDER BY s0) AS chunk_text,
+  CAST(sum(hi - lo) AS BIGINT) AS n_tokens
+FROM piece
+GROUP BY shard, chunk_id
+"""
+
+
+@register("seq_packing_chunk_text", oracle=_SEQ_PACK_TEXT_ORACLE, tags=("text", "ml-prep", "packing"))
+def q_seq_packing_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED packed training sequences (seq_packing_chunks is
+    the ledger; this is the output a packing job writes): per (shard,
+    chunk) the actual 512-token text, document fragments stitched in
+    stream order via an in-group array_sort — no second sort pass.  The
+    text rides the one shard exchange (moving text to its output shard IS
+    the job); string-exact oracle."""
+    from .operators.packing import pack_chunk_text
+
+    return pack_chunk_text(load_table(spark, sf_dir, "documents"), max_tokens=512, n_shards=8)
+
+
 # Index-quality evaluation: recall@3 of the trained-KMeans IVF index vs the
 # exact brute-force neighbors, per query.  Both sides replay bit-for-bit in
 # DuckDB (the unrolled-Lloyd CTEs and the quantized-int brute force already
@@ -6982,31 +7035,32 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "latest_event_per_user",
     "asof_join_clicks_purchases",
     "purchase_labels_after_signup",
-    "orders_range_join_followups",
-    # session-continuation swap: the three NEW queries (zero verdicts; two
+    # session-continuation swap: the four NEW queries (zero verdicts; three
     # oracle-backed + one rows-only-by-design) take the slots of
-    # pricing_summary / distinct_parts_per_customer / asof_snapshot_lookup
-    # (all r4-green; the scan-agg family keeps revenue_by_nation /
-    # discounted_revenue in-window, the distinct family keeps
-    # feature_view_build, and the PIT family keeps asof_join_clicks_purchases
-    # + purchase_labels_after_signup) — the displaced trio joins the r7
-    # debt below.
+    # pricing_summary / distinct_parts_per_customer / asof_snapshot_lookup /
+    # orders_range_join_followups (all r4-green; the scan-agg family keeps
+    # revenue_by_nation / discounted_revenue in-window, the distinct family
+    # keeps feature_view_build, and the join families keep
+    # asof_join_clicks_purchases + purchase_labels_after_signup) — the
+    # displaced four join the r7 debt below.
     "seq_packing_chunks",
+    "seq_packing_chunk_text",
     "seq_packing_ffd",
     "knn_recall_eval",
     "dedup_minhash",
     "text_lang_id",
     "training_set_build",
-    # --- r7 handoff: the rotation debt this window leaves is the 33
+    # --- r7 handoff: the rotation debt this window leaves is the 34
     # r4-green queries not re-verified this round (the original 26 named
     # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans
     # / dedup_exact, whose fill slots went to the four new r6 queries
     # doc_lm_score / bpe_token_count / model_eval_auc /
     # model_calibration_bins, plus pricing_summary /
-    # distinct_parts_per_customer / asof_snapshot_lookup, whose fill slots
-    # went to the three new queries seq_packing_chunks / seq_packing_ffd /
-    # knn_recall_eval):
-    # asof_snapshot_lookup,
+    # distinct_parts_per_customer / asof_snapshot_lookup /
+    # orders_range_join_followups, whose fill slots went to the four new
+    # continuation-session queries seq_packing_chunks /
+    # seq_packing_chunk_text / seq_packing_ffd / knn_recall_eval):
+    # asof_snapshot_lookup, orders_range_join_followups,
     # dedup_exact, cohort_revenue_retention, corpus_curation_pipeline,
     # customer_priority_scd2, data_quality_report, decayed_user_value,
     # dedup_edit_distance, dedup_simhash, distinct_parts_per_customer,
@@ -7019,8 +7073,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session_event_transitions, sole_return_supplier,
     # supplier_profit_by_year, text_pii_scrub,
     # top_balance_inactive_customers, user_retention_cohorts,
-    # value_percentiles, xlsx_ingest_normalize — 33 fits r7's 50-slot
-    # window with ~17 slots to spare for r7 changes; rotate them in en
+    # value_percentiles, xlsx_ingest_normalize — 34 fits r7's 50-slot
+    # window with ~16 slots to spare for r7 changes; rotate them in en
     # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)

@@ -77,6 +77,36 @@ def test_pack_chunks_matches_bruteforce(spark):
     assert sum(v[2] for v in got.values()) == sum(lens.values())
 
 
+def test_pack_chunk_text_reconstructs_stream(spark):
+    """The materialized chunks, concatenated per shard in chunk order, must
+    equal the shard's document stream (doc texts joined in id order) —
+    and every chunk must carry exactly its ledger's token count."""
+    from retailfeaturestore_spark.operators.packing import pack_chunk_text
+
+    docs = _docs(spark)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = pack_chunk_text(docs, max_tokens=MAX_TOKENS, n_shards=N_SHARDS).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+        assert len(r["chunk_text"].split(" ")) == r["n_tokens"]
+        assert r["n_tokens"] <= MAX_TOKENS
+    for shard, chunk_rows in by_shard.items():
+        stream = " ".join(
+            texts[d] for d in sorted(texts) if _shard(d) == shard
+        )
+        rebuilt = " ".join(
+            r["chunk_text"] for r in sorted(chunk_rows, key=lambda r: r["chunk_id"])
+        )
+        assert rebuilt == stream
+    # chunk stats agree with the ledger operator
+    ledger = {
+        (r["shard"], r["chunk_id"]): r["n_tokens"]
+        for r in pack_chunks(docs, MAX_TOKENS, N_SHARDS).collect()
+    }
+    assert {(r["shard"], r["chunk_id"]): r["n_tokens"] for r in rows} == ledger
+
+
 def test_pack_chunks_partition_invariant(spark):
     docs = _docs(spark)
     a = sorted(map(tuple, pack_chunks(docs, MAX_TOKENS, N_SHARDS).collect()))
