@@ -190,6 +190,69 @@ def test_pack_chunks_on_testdata_fill_property(spark):
         assert r["n_docs_started"] <= r["n_docs"]
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    ledgers = st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 150)),  # (doc_id, n_tokens)
+        min_size=1,
+        max_size=40,
+        unique_by=lambda p: p[0],
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(ledgers, st.integers(1, 64))
+    def test_interval_arithmetic_matches_literal_stream(items, cap):
+        """The div/mod interval formulation (what Spark AND the DuckDB
+        oracle compute — a shared misunderstanding would pass the oracle)
+        vs a literal token-stream walk: materialize the stream, chop it."""
+        items = sorted(items)
+        # literal: one list entry per token
+        stream: list[int] = []
+        first_tok: dict[int, int] = {}
+        for doc_id, n in items:
+            first_tok[doc_id] = len(stream)
+            stream.extend([doc_id] * n)
+        literal = {}
+        for c in range((len(stream) + cap - 1) // cap):
+            toks = stream[c * cap : (c + 1) * cap]
+            literal[c] = (
+                len(set(toks)),
+                sum(1 for d in set(toks) if c * cap <= first_tok[d] < (c + 1) * cap),
+                len(toks),
+            )
+        # interval arithmetic (the operator/oracle formulation)
+        interval: dict[int, list[int]] = {}
+        pos = 0
+        for doc_id, n in items:
+            start, end = pos, pos + n
+            pos = end
+            for c in range(start // cap, (end - 1) // cap + 1):
+                cell = interval.setdefault(c, [0, 0, 0])
+                cell[0] += 1
+                cell[1] += 1 if start >= c * cap else 0
+                cell[2] += min(end, (c + 1) * cap) - max(start, c * cap)
+        assert {k: tuple(v) for k, v in interval.items()} == literal
+
+    @settings(max_examples=200, deadline=None)
+    @given(ledgers, st.integers(1, 80))
+    def test_ffd_two_implementations_agree(items, cap):
+        assert _ffd_pack(items, cap) == _independent_ffd(items, cap)
+        # capacity invariant: multi-doc bins never exceed cap
+        fill: dict[int, list[int]] = {}
+        for doc_id, b in _ffd_pack(items, cap).items():
+            n = dict(items)[doc_id]
+            fill.setdefault(b, []).append(n)
+        for members in fill.values():
+            assert sum(members) <= cap or len(members) == 1
+
+
 def test_pack_rejects_bad_params(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError):

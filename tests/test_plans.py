@@ -388,3 +388,11 @@ def test_pack_chunks_single_exchange(spark):
     df = REGISTRY["seq_packing_chunks"].fn(spark, SF)
     plan = formatted_plan(df)
     assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_pack_chunk_text_single_exchange(spark):
+    """The materialized packing rollup must also reuse the shard window's
+    partitioning — text crosses exactly one shuffle."""
+    df = REGISTRY["seq_packing_chunk_text"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
