@@ -211,7 +211,9 @@ def save_spark_bundle(bundle: SparkModelBundle, out_dir: str) -> dict[str, str]:
     return {"model": str(model_dir), "feature_names": str(out / "feature_names.txt")}
 
 
-def load_spark_bundle(spark, out_dir: str) -> SparkModelBundle:
+def load_spark_bundle(out_dir: str) -> SparkModelBundle:
+    """Inverse of :func:`save_spark_bundle`.  Uses the active SparkSession
+    implicitly (pyspark's ``Model.load`` contract)."""
     import importlib
     import json
     from pathlib import Path

@@ -37,14 +37,70 @@ __all__ = ["pack_chunks", "pack_chunk_text", "pack_bins_ffd"]
 
 
 def _shard_col(id_col: str, n_shards: int):
-    """md5-uniform shard id (first byte of md5('pack#'||id) mod n_shards) —
-    the engine-portable coin used throughout (cf. hash_split, negative
-    sampling): DuckDB computes the identical value, so oracles survive."""
+    """md5-uniform shard id (first 8 hex chars of md5('pack#'||id), i.e. 32
+    bits, mod n_shards) — the engine-portable coin used throughout (cf.
+    hash_split, negative sampling): DuckDB computes the identical value, so
+    oracles survive.  32 bits keeps the distribution uniform to ~1/2^32 for
+    any realistic n_shards (a single byte would cap the knob at 256 and
+    skew above 64 — the docstring's per-task memory bound must hold for
+    thousands of shards)."""
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit("pack#"), F.col(id_col).cast("string"))), 1, 2), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack#"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
         .cast("long")
         % F.lit(n_shards)
     )
+
+
+def _fragments(
+    docs: DataFrame,
+    max_tokens: int,
+    n_shards: int,
+    text_col: str,
+    id_col: str,
+    with_text: bool,
+) -> DataFrame:
+    """Shared concat-and-chunk fragment pipeline (the interval arithmetic
+    BOTH packing oracles certify — kept in exactly one place): per document
+    fragment, ``(shard, chunk_id, __start, __n_tokens, __lo, __hi`` and,
+    with ``with_text``, ``__ws)``.
+
+    Precondition: ``id_col`` is unique (the documents table's key).  A
+    duplicated id would make the running-offset window's tie order — hence
+    every downstream offset — partition-order-dependent.
+    """
+    if max_tokens <= 0 or n_shards <= 0:
+        raise ValueError("max_tokens and n_shards must be positive")
+    ws = words(F.col(text_col))
+    cols = [
+        F.col(id_col),
+        F.size(ws).cast("long").alias("__n_tokens"),
+        _shard_col(id_col, n_shards).alias("shard"),
+    ]
+    if with_text:
+        cols.insert(1, ws.alias("__ws"))
+    t = docs.select(*cols).where(F.col("__n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    carry = ["shard", "__n_tokens"] + (["__ws"] if with_text else [])
+    pos = t.select(
+        *carry,
+        (F.sum("__n_tokens").over(w) - F.col("__n_tokens")).alias("__start"),
+    )
+    frag = pos.select(
+        *carry,
+        "__start",
+        F.explode(
+            F.sequence(
+                F.expr(f"__start div {max_tokens}"),
+                F.expr(f"(__start + __n_tokens - 1) div {max_tokens}"),
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("__start"), F.col("chunk_id") * F.lit(max_tokens))
+    hi = F.least(
+        F.col("__start") + F.col("__n_tokens"),
+        (F.col("chunk_id") + F.lit(1)) * F.lit(max_tokens),
+    )
+    return frag.withColumns({"__lo": lo, "__hi": hi})
 
 
 def pack_chunks(
@@ -69,42 +125,17 @@ def pack_chunks(
     fragment explode is bounded by ``total_tokens/max_tokens + n_docs``
     rows (each document adds at most its chunk-span), then a partial-agg
     rollup on (shard, chunk_id).  Nothing is quadratic and no stage holds
-    more than a shard's token ledger.
+    more than a shard's token ledger.  Precondition: unique ``id_col``
+    (see :func:`_fragments`).
     """
-    if max_tokens <= 0 or n_shards <= 0:
-        raise ValueError("max_tokens and n_shards must be positive")
-    n_tok = F.size(words(F.col(text_col))).cast("long")
-    t = docs.select(
-        F.col(id_col),
-        n_tok.alias("__n_tokens"),
-        _shard_col(id_col, n_shards).alias("shard"),
-    ).where(F.col("__n_tokens") > 0)
-    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    pos = t.select(
-        "shard",
-        "__n_tokens",
-        (F.sum("__n_tokens").over(w) - F.col("__n_tokens")).alias("__start"),
-    )
-    first_chunk = F.expr(f"__start div {max_tokens}")
-    last_chunk = F.expr(f"(__start + __n_tokens - 1) div {max_tokens}")
-    frag = pos.select(
-        "shard",
-        "__start",
-        "__n_tokens",
-        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
-    )
-    lo = F.greatest(F.col("__start"), F.col("chunk_id") * F.lit(max_tokens))
-    hi = F.least(
-        F.col("__start") + F.col("__n_tokens"),
-        (F.col("chunk_id") + F.lit(1)) * F.lit(max_tokens),
-    )
+    frag = _fragments(docs, max_tokens, n_shards, text_col, id_col, with_text=False)
     started = F.when(F.col("__start") >= F.col("chunk_id") * F.lit(max_tokens), 1).otherwise(0)
     return (
         frag.groupBy("shard", "chunk_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(started).cast("long").alias("n_docs_started"),
-            F.sum(hi - lo).cast("long").alias("n_tokens"),
+            F.sum(F.col("__hi") - F.col("__lo")).cast("long").alias("n_tokens"),
         )
         .select("shard", F.col("chunk_id").cast("long").alias("chunk_id"), "n_docs", "n_docs_started", "n_tokens")
     )
@@ -126,46 +157,23 @@ def pack_chunk_text(
     stitched by an ``array_sort`` on (start, piece) — deterministic, no
     second sort pass.  Plan: the text rides the ONE shard exchange (a
     packing job must move text to its output shard — that is the job),
-    and the rollup again reuses the shard partitioning.
+    and the rollup again reuses the shard partitioning.  Precondition:
+    unique ``id_col`` (see :func:`_fragments`).
     """
-    if max_tokens <= 0 or n_shards <= 0:
-        raise ValueError("max_tokens and n_shards must be positive")
-    ws = words(F.col(text_col))
-    t = docs.select(
-        F.col(id_col),
-        ws.alias("__ws"),
-        F.size(ws).cast("long").alias("__n_tokens"),
-        _shard_col(id_col, n_shards).alias("shard"),
-    ).where(F.col("__n_tokens") > 0)
-    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    pos = t.select(
-        "shard",
-        "__ws",
-        "__n_tokens",
-        (F.sum("__n_tokens").over(w) - F.col("__n_tokens")).alias("__start"),
-    )
-    first_chunk = F.expr(f"__start div {max_tokens}")
-    last_chunk = F.expr(f"(__start + __n_tokens - 1) div {max_tokens}")
-    frag = pos.select(
-        "shard",
-        "__ws",
-        "__start",
-        "__n_tokens",
-        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
-    )
-    lo = F.greatest(F.col("__start"), F.col("chunk_id") * F.lit(max_tokens))
-    hi = F.least(
-        F.col("__start") + F.col("__n_tokens"),
-        (F.col("chunk_id") + F.lit(1)) * F.lit(max_tokens),
-    )
+    frag = _fragments(docs, max_tokens, n_shards, text_col, id_col, with_text=True)
     piece = F.concat_ws(
-        " ", F.slice(F.col("__ws"), (lo - F.col("__start") + 1).cast("int"), (hi - lo).cast("int"))
+        " ",
+        F.slice(
+            F.col("__ws"),
+            (F.col("__lo") - F.col("__start") + 1).cast("int"),
+            (F.col("__hi") - F.col("__lo")).cast("int"),
+        ),
     )
     pieces = frag.select(
         "shard",
         "chunk_id",
         F.struct(F.col("__start").alias("s"), piece.alias("p")).alias("__piece"),
-        (hi - lo).alias("__n"),
+        (F.col("__hi") - F.col("__lo")).alias("__n"),
     )
     stitched = F.concat_ws(
         " ", F.transform(F.array_sort(F.collect_list("__piece")), lambda x: x["p"])
@@ -227,6 +235,10 @@ def pack_bins_ffd(
     stable — but order-dependent greedy state is not SQL-expressible, so
     this surface is pytest-verified (differential vs an independent python
     packer) rather than oracle-backed, like the streaming operators.
+
+    Precondition: unique ``id_col``; a duplicated id would let two rows
+    share one greedy placement and silently overflow a bin, so the
+    per-shard packer fails loudly instead.
     """
     if max_tokens <= 0 or n_shards <= 0:
         raise ValueError("max_tokens and n_shards must be positive")
@@ -238,6 +250,12 @@ def pack_bins_ffd(
     ).where(F.col("n_tokens") > 0)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["doc_id"].duplicated().any():
+            dup = pdf.loc[pdf["doc_id"].duplicated(), "doc_id"].iloc[0]
+            raise ValueError(
+                f"pack_bins_ffd requires unique doc ids; id {dup!r} appears "
+                "more than once — dedupe upstream"
+            )
         assign = _ffd_pack(zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist()), max_tokens)
         pdf = pdf.assign(bin_id=pdf["doc_id"].map(assign))
         g = pdf.groupby(["shard", "bin_id"], as_index=False).agg(

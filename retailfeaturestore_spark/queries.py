@@ -6734,7 +6734,7 @@ _SEQ_PACK_ORACLE = """
 WITH t AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 8
+         CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
            AS shard
   FROM documents
 ),
@@ -6784,7 +6784,7 @@ WITH t AS (
   SELECT doc_id,
          string_split(text, ' ') AS ws,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 8
+         CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
            AS shard
   FROM documents
 ),

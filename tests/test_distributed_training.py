@@ -128,7 +128,7 @@ def test_gbt_bundle_save_load_roundtrip(spark, tmp_path):
     bundle = fit_gbt_distributed(train, ["x1", "x2"], "y", max_iter=5, max_depth=3)
     paths = save_spark_bundle(bundle, str(tmp_path / "artifact"))
     assert "spark_model" in paths["model"]
-    reloaded = load_spark_bundle(spark, str(tmp_path / "artifact"))
+    reloaded = load_spark_bundle(str(tmp_path / "artifact"))
     assert reloaded.feature_names == bundle.feature_names
     a = sorted(
         (r["x1"], r["x2"], r["probability"])

@@ -8,6 +8,8 @@ import hashlib
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from retailfeaturestore_spark.operators.packing import (
     _ffd_pack,
     pack_bins_ffd,
@@ -22,7 +24,7 @@ N_SHARDS = 4
 
 def _shard(doc_id: int) -> int:
     h = hashlib.md5(f"pack#{doc_id}".encode()).hexdigest()
-    return int(h[:2], 16) % N_SHARDS
+    return int(h[:8], 16) % N_SHARDS
 
 
 def _docs(spark):
@@ -259,3 +261,23 @@ def test_pack_rejects_bad_params(spark):
         pack_chunks(docs, max_tokens=0)
     with pytest.raises(ValueError):
         pack_bins_ffd(docs, n_shards=0)
+
+
+def test_ffd_duplicate_doc_ids_fail_loudly(spark):
+    """A duplicated id would let two rows share one greedy placement and
+    silently overflow a bin — the per-shard packer must refuse."""
+    docs = _docs(spark).union(_docs(spark).limit(1))
+    with pytest.raises(Exception, match="unique doc ids"):
+        pack_bins_ffd(docs, max_tokens=MAX_TOKENS, n_shards=1).collect()
+
+
+def test_shard_coin_uniform_beyond_256_shards(spark):
+    """The 32-bit shard coin must keep high shard ids populated (a 1-byte
+    coin would leave every shard >= 256 permanently empty)."""
+    from retailfeaturestore_spark.operators.packing import _shard_col
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"), _shard_col("doc_id", 1024).alias("shard")
+    )
+    n_high = df.where(F.col("shard") >= 256).count()
+    assert n_high > 2000  # ~3/4 of rows under a uniform coin
