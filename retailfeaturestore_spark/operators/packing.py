@@ -51,7 +51,23 @@ def _shard_col(id_col: str, n_shards: int):
     )
 
 
-def _fragments(
+def _interval_cols(start, n, c, max_tokens: int):
+    """The per-(doc, chunk) token interval [lo, hi) — the arithmetic BOTH
+    packing oracles certify, kept in exactly one place."""
+    lo = F.greatest(start, c * F.lit(max_tokens))
+    hi = F.least(start + n, (c + F.lit(1)) * F.lit(max_tokens))
+    return lo, hi
+
+
+def _chunk_seq(max_tokens: int):
+    """chunk ids a document intersects: start div m .. (end-1) div m."""
+    return F.sequence(
+        F.expr(f"__start div {max_tokens}"),
+        F.expr(f"(__start + __n_tokens - 1) div {max_tokens}"),
+    )
+
+
+def _positions(
     docs: DataFrame,
     max_tokens: int,
     n_shards: int,
@@ -59,10 +75,9 @@ def _fragments(
     id_col: str,
     with_text: bool,
 ) -> DataFrame:
-    """Shared concat-and-chunk fragment pipeline (the interval arithmetic
-    BOTH packing oracles certify — kept in exactly one place): per document
-    fragment, ``(shard, chunk_id, __start, __n_tokens, __lo, __hi`` and,
-    with ``with_text``, ``__ws)``.
+    """Shared packing front: per document ``(shard, __n_tokens, __start``
+    and, with ``with_text``, ``__ws)`` — the md5 shard assignment and the
+    running token offset (ONE window over the one shard exchange).
 
     Precondition: ``id_col`` is unique (the documents table's key).  A
     duplicated id would make the running-offset window's tie order — hence
@@ -81,24 +96,30 @@ def _fragments(
     t = docs.select(*cols).where(F.col("__n_tokens") > 0)
     w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
     carry = ["shard", "__n_tokens"] + (["__ws"] if with_text else [])
-    pos = t.select(
+    return t.select(
         *carry,
         (F.sum("__n_tokens").over(w) - F.col("__n_tokens")).alias("__start"),
     )
+
+
+def _fragments(
+    docs: DataFrame,
+    max_tokens: int,
+    n_shards: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Ledger fragments: one row per (document, intersected chunk) with the
+    token interval bounds — :func:`_positions` + the chunk-span explode."""
+    pos = _positions(docs, max_tokens, n_shards, text_col, id_col, with_text=False)
     frag = pos.select(
-        *carry,
+        "shard",
+        "__n_tokens",
         "__start",
-        F.explode(
-            F.sequence(
-                F.expr(f"__start div {max_tokens}"),
-                F.expr(f"(__start + __n_tokens - 1) div {max_tokens}"),
-            )
-        ).alias("chunk_id"),
+        F.explode(_chunk_seq(max_tokens)).alias("chunk_id"),
     )
-    lo = F.greatest(F.col("__start"), F.col("chunk_id") * F.lit(max_tokens))
-    hi = F.least(
-        F.col("__start") + F.col("__n_tokens"),
-        (F.col("chunk_id") + F.lit(1)) * F.lit(max_tokens),
+    lo, hi = _interval_cols(
+        F.col("__start"), F.col("__n_tokens"), F.col("chunk_id"), max_tokens
     )
     return frag.withColumns({"__lo": lo, "__hi": hi})
 
@@ -126,9 +147,9 @@ def pack_chunks(
     rows (each document adds at most its chunk-span), then a partial-agg
     rollup on (shard, chunk_id).  Nothing is quadratic and no stage holds
     more than a shard's token ledger.  Precondition: unique ``id_col``
-    (see :func:`_fragments`).
+    (see :func:`_positions`).
     """
-    frag = _fragments(docs, max_tokens, n_shards, text_col, id_col, with_text=False)
+    frag = _fragments(docs, max_tokens, n_shards, text_col, id_col)
     started = F.when(F.col("__start") >= F.col("chunk_id") * F.lit(max_tokens), 1).otherwise(0)
     return (
         frag.groupBy("shard", "chunk_id")
@@ -158,22 +179,36 @@ def pack_chunk_text(
     second sort pass.  Plan: the text rides the ONE shard exchange (a
     packing job must move text to its output shard — that is the job),
     and the rollup again reuses the shard partitioning.  Precondition:
-    unique ``id_col`` (see :func:`_fragments`).
+    unique ``id_col`` (see :func:`_positions`).
+
+    Whale-doc safety: the piece is SLICED INSIDE the chunk-sequence
+    ``transform`` so only the (chunk_id, piece) structs ride the explode —
+    a T-token document costs O(T) total, never O(T x chunks) (exploding
+    first and slicing after would copy the full token array into every
+    fragment row: quadratic for a document spanning many chunks).
     """
-    frag = _fragments(docs, max_tokens, n_shards, text_col, id_col, with_text=True)
-    piece = F.concat_ws(
-        " ",
-        F.slice(
-            F.col("__ws"),
-            (F.col("__lo") - F.col("__start") + 1).cast("int"),
-            (F.col("__hi") - F.col("__lo")).cast("int"),
-        ),
-    )
-    pieces = frag.select(
+    pos = _positions(docs, max_tokens, n_shards, text_col, id_col, with_text=True)
+
+    def piece_struct(c):
+        lo, hi = _interval_cols(F.col("__start"), F.col("__n_tokens"), c, max_tokens)
+        piece = F.concat_ws(
+            " ",
+            F.slice(F.col("__ws"), (lo - F.col("__start") + 1).cast("int"), (hi - lo).cast("int")),
+        )
+        return F.struct(
+            c.cast("long").alias("c"),
+            F.col("__start").alias("s"),
+            piece.alias("p"),
+            (hi - lo).alias("n"),
+        )
+
+    pieces = pos.select(
+        "shard", F.explode(F.transform(_chunk_seq(max_tokens), piece_struct)).alias("__x")
+    ).select(
         "shard",
-        "chunk_id",
-        F.struct(F.col("__start").alias("s"), piece.alias("p")).alias("__piece"),
-        (F.col("__hi") - F.col("__lo")).alias("__n"),
+        F.col("__x.c").alias("chunk_id"),
+        F.struct(F.col("__x.s").alias("s"), F.col("__x.p").alias("p")).alias("__piece"),
+        F.col("__x.n").alias("__n"),
     )
     stitched = F.concat_ws(
         " ", F.transform(F.array_sort(F.collect_list("__piece")), lambda x: x["p"])

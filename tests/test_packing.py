@@ -263,6 +263,26 @@ def test_pack_rejects_bad_params(spark):
         pack_bins_ffd(docs, n_shards=0)
 
 
+def test_pack_chunk_text_whale_doc_linear(spark):
+    """A single 60k-token document spanning ~940 chunks must pack in O(T):
+    the piece is sliced inside the chunk-sequence transform, so the full
+    token array never rides the explode (the explode-then-slice shape
+    copies the whole array into every fragment row — O(T x chunks))."""
+    from retailfeaturestore_spark.operators.packing import pack_chunk_text
+
+    n = 60_000
+    whale = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(n)))], "doc_id long, text string"
+    )
+    rows = pack_chunk_text(whale, max_tokens=MAX_TOKENS, n_shards=1).collect()
+    assert sum(r["n_tokens"] for r in rows) == n
+    assert len(rows) == (n + MAX_TOKENS - 1) // MAX_TOKENS
+    rebuilt = " ".join(
+        r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])
+    )
+    assert rebuilt == " ".join(f"t{i}" for i in range(n))
+
+
 def test_ffd_duplicate_doc_ids_fail_loudly(spark):
     """A duplicated id would let two rows share one greedy placement and
     silently overflow a bin — the per-shard packer must refuse."""
