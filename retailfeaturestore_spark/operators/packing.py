@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import words
 
-__all__ = ["pack_chunks", "pack_chunk_text", "pack_bins_ffd"]
+__all__ = ["pack_chunks", "pack_chunk_text", "pack_bins_ffd", "write_packed_shards"]
 
 
 def _shard_col(id_col: str, n_shards: int):
@@ -304,3 +304,57 @@ def pack_bins_ffd(
         pack,
         "shard long, bin_id long, n_docs long, n_tokens long, max_doc_tokens long",
     )
+
+
+def write_packed_shards(
+    chunks: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+) -> dict:
+    """Land :func:`pack_chunk_text` output as training-data files: one
+    parquet file per shard directory (``shard=N/``), rows sorted by
+    ``chunk_id`` within the file for sequential reads, plus a
+    ``manifest.json`` with per-shard chunk/token counts and totals.
+
+    The manifest is written LAST (marker-last commit, same convention as
+    the PQ index lifecycle): a reader that requires the manifest never
+    observes a half-written dataset.  It is named ``_manifest.json`` —
+    underscore-prefixed files are invisible to Spark's file index (like
+    ``_SUCCESS``), so ``spark.read.parquet(out_dir)`` works on the dataset
+    root.  Stats come from a chunk-grain
+    aggregate — tiny (shards x 1 rows), never the text.  Local-path
+    manifest write, matching the engine's POSIX swap conventions; on
+    object stores put the manifest through the store's conditional-put.
+
+    Scale shape: ``repartition("shard")`` puts each shard wholly in one
+    task => exactly one file per shard; shard count (chosen at pack time)
+    is the file-size knob.
+    """
+    import json
+    from pathlib import Path
+
+    (
+        chunks.repartition("shard")
+        .sortWithinPartitions("chunk_id")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    stats = (
+        chunks.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    manifest = {
+        "shards": {
+            str(r["shard"]): {"n_chunks": r["n_chunks"], "n_tokens": r["n_tokens"]}
+            for r in sorted(stats, key=lambda r: r["shard"])
+        },
+        "n_chunks_total": int(sum(r["n_chunks"] for r in stats)),
+        "n_tokens_total": int(sum(r["n_tokens"] for r in stats)),
+    }
+    Path(out_dir, "_manifest.json").write_text(json.dumps(manifest, indent=2))
+    return manifest

@@ -255,6 +255,40 @@ if _HYP:
             assert sum(members) <= cap or len(members) == 1
 
 
+def test_write_packed_shards_one_file_per_shard_with_manifest(spark, tmp_path):
+    """The packing sink: one parquet file per shard dir, manifest written
+    last with exact per-shard chunk/token counts, roundtrip equality."""
+    import glob
+    import json
+
+    from retailfeaturestore_spark.operators.packing import (
+        pack_chunk_text,
+        write_packed_shards,
+    )
+
+    docs = _docs(spark)
+    chunks = pack_chunk_text(docs, max_tokens=MAX_TOKENS, n_shards=N_SHARDS)
+    out = str(tmp_path / "packed")
+    manifest = write_packed_shards(chunks, out)
+
+    on_disk = json.loads((tmp_path / "packed" / "_manifest.json").read_text())
+    assert on_disk == manifest
+    rows = chunks.collect()
+    assert manifest["n_chunks_total"] == len(rows)
+    assert manifest["n_tokens_total"] == sum(r["n_tokens"] for r in rows)
+    for shard_dir in glob.glob(f"{out}/shard=*"):
+        files = [f for f in glob.glob(f"{shard_dir}/*.parquet") if "_" not in f.rsplit("/", 1)[-1][:1]]
+        assert len(files) == 1, f"{shard_dir}: {files}"
+        shard = shard_dir.rsplit("=", 1)[-1]
+        assert str(shard) in manifest["shards"]
+    back = sorted(
+        map(tuple, spark.read.parquet(out).select("shard", "chunk_id", "chunk_text", "n_tokens").collect())
+    )
+    assert back == sorted(
+        (r["shard"], r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in rows
+    )
+
+
 def test_pack_rejects_bad_params(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError):
