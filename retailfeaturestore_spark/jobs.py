@@ -31,6 +31,7 @@ __all__ = [
     "backfill_feature_views",
     "materialize_online_job",
     "make_training",
+    "build_packed_corpus",
 ]
 
 
@@ -273,3 +274,45 @@ def make_training(
     metrics = {"n_rows": int(len(y)), "pos_rate": float(y.mean()), "flavor": flavor}
     paths = save_artifacts(model_dir, model, feature_names, metrics)
     return model, feature_names, paths
+
+
+def build_packed_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    max_tokens: int = 512,
+    n_shards: int = 8,
+) -> dict:
+    """The LLM-corpus analogue of the retail pipeline above, end to end:
+
+        documents --exact dedup (canonical copy per content digest)
+                  --Gopher quality gates--> admitted corpus
+                  --pack_chunk_text--> fixed-length training sequences
+                  --write_packed_shards--> one file per shard + manifest
+
+    Returns the manifest.  The admission rules are the same ones
+    ``corpus_curation_pipeline`` REPORTS on (that query is the dry-run
+    audit; this job is the write path).  Plan: the dedup window on the
+    32-byte digest, the map-side Gopher flags, then packing's one shard
+    exchange — nothing corpus-scale beyond those.
+    """
+    from .io import load_table
+    from .operators.packing import pack_chunk_text, write_packed_shards
+    from .operators.textops import gopher_quality
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality(d, carry_cols=("text",)).withColumn(
+        "__canon",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+        ).cast("int"),
+    )
+    admitted = flags.where(
+        (F.col("gopher_pass") == 1) & (F.col("__canon") == 1)
+    ).select("doc_id", "text")
+    chunks = pack_chunk_text(
+        admitted, max_tokens=max_tokens, n_shards=n_shards
+    )
+    return write_packed_shards(chunks, out_dir)

@@ -289,6 +289,34 @@ def test_write_packed_shards_one_file_per_shard_with_manifest(spark, tmp_path):
     )
 
 
+@requires_testdata
+def test_build_packed_corpus_job_end_to_end(spark, tmp_path):
+    """The corpus write-path job: dedup+quality admission, packing, sharded
+    sink — manifest totals must equal an independent recomputation of the
+    admitted token stream."""
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.jobs import build_packed_corpus
+    from retailfeaturestore_spark.operators.textops import gopher_quality
+
+    out = str(tmp_path / "corpus")
+    manifest = build_packed_corpus(spark, TESTDATA_SF, out, max_tokens=128, n_shards=4)
+
+    d = load_table(spark, TESTDATA_SF, "documents")
+    flags = {r["doc_id"]: r["gopher_pass"] for r in gopher_quality(d).collect()}
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    canon = {}
+    for doc_id in sorted(texts):
+        canon.setdefault(texts[doc_id], doc_id)
+    admitted = [
+        i for i in sorted(texts) if flags[i] == 1 and canon[texts[i]] == i
+    ]
+    assert admitted, "fixture must admit some documents"
+    total_tokens = sum(len(texts[i].split(" ")) for i in admitted)
+    assert manifest["n_tokens_total"] == total_tokens
+    back = spark.read.parquet(out)
+    assert back.count() == manifest["n_chunks_total"]
+
+
 def test_pack_rejects_bad_params(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError):
