@@ -285,34 +285,25 @@ def build_packed_corpus(
 ) -> dict:
     """The LLM-corpus analogue of the retail pipeline above, end to end:
 
-        documents --exact dedup (canonical copy per content digest)
-                  --Gopher quality gates--> admitted corpus
+        documents --judge_corpus_admission (canonical-copy dedup, Gopher
+                    gates, held-out-source exclusion, decontamination)
                   --pack_chunk_text--> fixed-length training sequences
                   --write_packed_shards--> one file per shard + manifest
 
-    Returns the manifest.  The admission rules are the same ones
-    ``corpus_curation_pipeline`` REPORTS on (that query is the dry-run
-    audit; this job is the write path).  Plan: the dedup window on the
-    32-byte digest, the map-side Gopher flags, then packing's one shard
-    exchange — nothing corpus-scale beyond those.
+    Returns the manifest.  The admission judgment is the SAME function the
+    ``corpus_curation_pipeline`` audit query rolls up
+    (``operators/curation.judge_corpus_admission``) — the audit is this
+    job's dry run by construction, including the benchmark-source
+    exclusion and the shingle-overlap decontamination gate.  Plan: the
+    judgment's three data-scale exchanges, a doc_id join back to the text,
+    then packing's one shard exchange.
     """
     from .io import load_table
+    from .operators.curation import judge_corpus_admission
     from .operators.packing import pack_chunk_text, write_packed_shards
-    from .operators.textops import gopher_quality
-    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    flags = gopher_quality(d, carry_cols=("text",)).withColumn(
-        "__canon",
-        (
-            F.col("doc_id")
-            == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
-        ).cast("int"),
-    )
-    admitted = flags.where(
-        (F.col("gopher_pass") == 1) & (F.col("__canon") == 1)
-    ).select("doc_id", "text")
-    chunks = pack_chunk_text(
-        admitted, max_tokens=max_tokens, n_shards=n_shards
-    )
+    admitted_ids = judge_corpus_admission(d).where(F.col("kept") == 1).select("doc_id")
+    admitted = d.join(admitted_ids, "doc_id").select("doc_id", "text")
+    chunks = pack_chunk_text(admitted, max_tokens=max_tokens, n_shards=n_shards)
     return write_packed_shards(chunks, out_dir)

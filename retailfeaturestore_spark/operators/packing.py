@@ -82,6 +82,12 @@ def _positions(
     Precondition: ``id_col`` is unique (the documents table's key).  A
     duplicated id would make the running-offset window's tie order — hence
     every downstream offset — partition-order-dependent.
+
+    Empty/null documents contribute NOTHING (explicit ``text != ''``
+    filter: ``split('', ' ')`` is ``['']`` — size 1 — so the token-count
+    filter alone would pack a phantom empty token and shift every
+    subsequent offset; the streaming packer skips empties, and the two
+    must agree).
     """
     if max_tokens <= 0 or n_shards <= 0:
         raise ValueError("max_tokens and n_shards must be positive")
@@ -93,7 +99,7 @@ def _positions(
     ]
     if with_text:
         cols.insert(1, ws.alias("__ws"))
-    t = docs.select(*cols).where(F.col("__n_tokens") > 0)
+    t = docs.where(F.col(text_col) != "").select(*cols).where(F.col("__n_tokens") > 0)
     w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
     carry = ["shard", "__n_tokens"] + (["__ws"] if with_text else [])
     return t.select(
@@ -278,11 +284,15 @@ def pack_bins_ffd(
     if max_tokens <= 0 or n_shards <= 0:
         raise ValueError("max_tokens and n_shards must be positive")
     n_tok = F.size(words(F.col(text_col))).cast("long")
-    ledger = docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_tok.alias("n_tokens"),
-        _shard_col(id_col, n_shards).alias("shard"),
-    ).where(F.col("n_tokens") > 0)
+    ledger = (
+        docs.where(F.col(text_col) != "")  # empty docs contribute nothing
+        .select(
+            F.col(id_col).alias("doc_id"),
+            n_tok.alias("n_tokens"),
+            _shard_col(id_col, n_shards).alias("shard"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf["doc_id"].duplicated().any():
@@ -321,27 +331,45 @@ def write_packed_shards(
     observes a half-written dataset.  It is named ``_manifest.json`` —
     underscore-prefixed files are invisible to Spark's file index (like
     ``_SUCCESS``), so ``spark.read.parquet(out_dir)`` works on the dataset
-    root.  Stats come from a chunk-grain
-    aggregate — tiny (shards x 1 rows), never the text.  Local-path
-    manifest write, matching the engine's POSIX swap conventions; on
-    object stores put the manifest through the store's conditional-put.
+    root.  Stats are aggregated from the WRITTEN dataset, not the input
+    plan: (a) the expensive upstream pipeline runs exactly once (the
+    write), the stats pass reads only footers + the two stat columns; and
+    (b) under ``mode="append"`` the manifest reflects the FULL on-disk
+    dataset, never just the increment (append also adds a second file to
+    touched shard dirs — the one-file-per-shard invariant is an
+    overwrite-mode property).  Local-path manifest write, matching the
+    engine's POSIX swap conventions (fail-fast on URI targets); on object
+    stores put the manifest through the store's conditional-put.
 
     Scale shape: ``repartition("shard")`` puts each shard wholly in one
     task => exactly one file per shard; shard count (chosen at pack time)
-    is the file-size knob.
+    is the file-size knob.  The within-partition sort includes ``shard``
+    FIRST: the dynamic-partition writer requires ordering on the partition
+    column, and a child sort that doesn't satisfy it gets a SortExec
+    re-sort stacked on top — under which a spilling shard's chunk order
+    would depend on merge stability, silently losing the sequential-read
+    layout.
     """
     import json
     from pathlib import Path
 
+    if "://" in out_dir:
+        raise ValueError(
+            f"write_packed_shards writes its manifest via local POSIX paths; "
+            f"got URI target {out_dir!r} — mount it or add a store-native "
+            "manifest writer (same guard as merge_upsert's swap)"
+        )
     (
         chunks.repartition("shard")
-        .sortWithinPartitions("chunk_id")
+        .sortWithinPartitions("shard", "chunk_id")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    spark = chunks.sparkSession
     stats = (
-        chunks.groupBy("shard")
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),

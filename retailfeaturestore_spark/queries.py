@@ -6637,54 +6637,14 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles), (3) the doc_id join of the two — plus the final per-source
     rollup's partial-agg exchange over a handful of (source) groups (four
     hash exchanges in the plan, the fourth carrying ~n_sources rows); the
-    Gopher flags ride along map-side."""
-    from .functions.text import shingles
-    from .operators.textops import gopher_quality
+    Gopher flags ride along map-side.  The judgment itself lives in
+    ``operators/curation.judge_corpus_admission`` — the SAME function the
+    write-path job (``jobs.build_packed_corpus``) packs from, so this
+    audit is literally the job's dry run."""
+    from .operators.curation import judge_corpus_admission
 
     d = load_table(spark, sf_dir, "documents")
-    flags = (
-        gopher_quality(d, carry_cols=("source", "text"))
-        .withColumn(
-            "__canon",
-            (
-                F.col("doc_id")
-                == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
-            ).cast("int"),
-        )
-        .drop("text")
-    )
-    cand = d.where(F.col("source") != "src0").select(
-        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
-    )
-    ref = (
-        d.where(F.col("source") == "src0")
-        .select(F.explode(shingles(F.col("text"), 3)).alias("sh"))
-        .distinct()
-    )
-    contam = (
-        cand.join(F.broadcast(ref.withColumn("__hit", F.lit(1))), "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("__n_sh"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("__n_hit"),
-        )
-    )
-    judged = flags.join(contam, "doc_id", "left").withColumn(
-        "kept",
-        (
-            (F.col("__canon") == 1)
-            & (F.col("source") != "src0")
-            & (F.col("flag_word_count") == 1)
-            & (F.col("flag_mean_word_len") == 1)
-            & (F.col("flag_alpha_words") == 1)
-            & (F.col("flag_stopwords") == 1)
-            & (F.col("flag_symbol_ratio") == 1)
-            & (
-                F.lit(2) * F.coalesce(F.col("__n_hit"), F.lit(0))
-                < F.coalesce(F.col("__n_sh"), F.lit(1))
-            )
-        ).cast("int"),
-    )
+    judged = judge_corpus_admission(d)
     return judged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("kept").cast("long").alias("n_kept"),
@@ -6736,7 +6696,7 @@ WITH t AS (
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
            AS shard
-  FROM documents
+  FROM documents WHERE text <> ''
 ),
 pos AS (
   SELECT shard, doc_id, n_tokens,
@@ -6786,7 +6746,7 @@ WITH t AS (
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          CAST('0x' || substring(md5('pack#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
            AS shard
-  FROM documents
+  FROM documents WHERE text <> ''
 ),
 pos AS (
   SELECT shard, doc_id, ws, n_tokens,

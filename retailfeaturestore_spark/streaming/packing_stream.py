@@ -51,8 +51,16 @@ def _make_update(max_tokens: int, flush_tail: bool = False):
         tokens: list[str] = leftover.split(" ") if leftover else []
         out_ids: list[int] = []
         out_text: list[str] = []
-        for pdf in pdfs:
-            for text in pdf.sort_values("doc_id")["text"]:
+        # The state API clusters by key but splits a large group into
+        # MULTIPLE Arrow batches (arrow.maxRecordsPerBatch) in unspecified
+        # read order — sorting each pdf independently would interleave
+        # doc_ids across batch seams.  Materialize the group's ledger, sort
+        # ONCE: the memory is the micro-batch's shard slice, which the
+        # state API holds anyway.
+        batches = list(pdfs)
+        group = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+        if len(group):
+            for text in group.sort_values("doc_id")["text"]:
                 if not text:
                     continue
                 tokens.extend(text.split(" "))

@@ -291,30 +291,54 @@ def test_write_packed_shards_one_file_per_shard_with_manifest(spark, tmp_path):
 
 @requires_testdata
 def test_build_packed_corpus_job_end_to_end(spark, tmp_path):
-    """The corpus write-path job: dedup+quality admission, packing, sharded
-    sink — manifest totals must equal an independent recomputation of the
-    admitted token stream."""
+    """The corpus write-path job: full admission judgment (canonical dedup,
+    Gopher gates, src0 exclusion, decontamination), packing, sharded sink —
+    manifest totals must equal an independent python recomputation of the
+    admitted token stream, and the audit query's kept-token report must
+    agree with what the job wrote (the audit IS the dry run)."""
     from retailfeaturestore_spark.io import load_table
     from retailfeaturestore_spark.jobs import build_packed_corpus
     from retailfeaturestore_spark.operators.textops import gopher_quality
+    from retailfeaturestore_spark.queries import REGISTRY
 
     out = str(tmp_path / "corpus")
     manifest = build_packed_corpus(spark, TESTDATA_SF, out, max_tokens=128, n_shards=4)
 
     d = load_table(spark, TESTDATA_SF, "documents")
     flags = {r["doc_id"]: r["gopher_pass"] for r in gopher_quality(d).collect()}
-    texts = {r["doc_id"]: r["text"] for r in d.collect()}
-    canon = {}
-    for doc_id in sorted(texts):
-        canon.setdefault(texts[doc_id], doc_id)
-    admitted = [
-        i for i in sorted(texts) if flags[i] == 1 and canon[texts[i]] == i
-    ]
+    rows = {r["doc_id"]: (r["text"], r["source"]) for r in d.collect()}
+
+    def sh3(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    ref = set()
+    for text, source in rows.values():
+        if source == "src0":
+            ref |= sh3(text)
+    canon: dict[str, int] = {}
+    for doc_id in sorted(rows):
+        canon.setdefault(rows[doc_id][0], doc_id)
+    admitted = []
+    for i in sorted(rows):
+        text, source = rows[i]
+        grams = sh3(text)
+        hits = sum(1 for g in grams if g in ref)
+        if (
+            flags[i] == 1
+            and canon[text] == i
+            and source != "src0"
+            and 2 * hits < max(len(grams), 1)
+        ):
+            admitted.append(i)
     assert admitted, "fixture must admit some documents"
-    total_tokens = sum(len(texts[i].split(" ")) for i in admitted)
+    total_tokens = sum(len(rows[i][0].split(" ")) for i in admitted)
     assert manifest["n_tokens_total"] == total_tokens
     back = spark.read.parquet(out)
     assert back.count() == manifest["n_chunks_total"]
+    # dry-run agreement: the audit query's kept tokens == what was packed
+    audit = REGISTRY["corpus_curation_pipeline"].fn(spark, TESTDATA_SF).collect()
+    assert sum(r["n_tokens_kept"] for r in audit) == total_tokens
 
 
 def test_pack_rejects_bad_params(spark):
@@ -323,6 +347,33 @@ def test_pack_rejects_bad_params(spark):
         pack_chunks(docs, max_tokens=0)
     with pytest.raises(ValueError):
         pack_bins_ffd(docs, n_shards=0)
+
+
+def test_write_packed_shards_rejects_uri_targets(spark):
+    from retailfeaturestore_spark.operators.packing import (
+        pack_chunk_text,
+        write_packed_shards,
+    )
+
+    chunks = pack_chunk_text(_docs(spark), MAX_TOKENS, N_SHARDS)
+    with pytest.raises(ValueError, match="URI target"):
+        write_packed_shards(chunks, "s3a://bucket/corpus")
+
+
+def test_empty_and_null_docs_pack_to_nothing(spark):
+    """split('', ' ') is [''] (size 1) — without the explicit empty-text
+    filter the batch packers would pack a phantom token and diverge from
+    the streaming packer, which skips empties."""
+    from retailfeaturestore_spark.operators.packing import pack_chunk_text
+
+    docs = _docs(spark).union(
+        spark.createDataFrame([(90, ""), (91, None)], "doc_id long, text string")
+    )
+    base = sorted(map(tuple, pack_chunk_text(_docs(spark), MAX_TOKENS, N_SHARDS).collect()))
+    with_empties = sorted(map(tuple, pack_chunk_text(docs, MAX_TOKENS, N_SHARDS).collect()))
+    assert base == with_empties
+    ledger = sorted(map(tuple, pack_chunks(docs, MAX_TOKENS, N_SHARDS).collect()))
+    assert ledger == sorted(map(tuple, pack_chunks(_docs(spark), MAX_TOKENS, N_SHARDS).collect()))
 
 
 def test_pack_chunk_text_whale_doc_linear(spark):
