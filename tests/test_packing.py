@@ -298,8 +298,8 @@ def test_build_packed_corpus_job_end_to_end(spark, tmp_path):
     agree with what the job wrote (the audit IS the dry run)."""
     from retailfeaturestore_spark.io import load_table
     from retailfeaturestore_spark.jobs import build_packed_corpus
+    from retailfeaturestore_spark.operators.curation import judge_corpus_admission
     from retailfeaturestore_spark.operators.textops import gopher_quality
-    from retailfeaturestore_spark.queries import REGISTRY
 
     out = str(tmp_path / "corpus")
     manifest = build_packed_corpus(spark, TESTDATA_SF, out, max_tokens=128, n_shards=4)
@@ -336,9 +336,12 @@ def test_build_packed_corpus_job_end_to_end(spark, tmp_path):
     assert manifest["n_tokens_total"] == total_tokens
     back = spark.read.parquet(out)
     assert back.count() == manifest["n_chunks_total"]
-    # dry-run agreement: the audit query's kept tokens == what was packed
-    audit = REGISTRY["corpus_curation_pipeline"].fn(spark, TESTDATA_SF).collect()
-    assert sum(r["n_tokens_kept"] for r in audit) == total_tokens
+    # dry-run agreement: the shared admission judgment (what the audit
+    # query rolls up — built fresh here, NOT via the registry, whose
+    # prepared-plan cache would hand the plan-shape tests an already
+    # executed AQE plan) == what was packed
+    audit = judge_corpus_admission(load_table(spark, TESTDATA_SF, "documents")).collect()
+    assert sum(r["n_words"] for r in audit if r["kept"] == 1) == total_tokens
 
 
 def test_pack_rejects_bad_params(spark):
