@@ -121,6 +121,8 @@ HEADLINE = [
     "seq_packing_chunk_text",
     "seq_packing_ffd",
     "knn_recall_eval",
+    "boilerplate_passage_scrub",
+    "bm25_retrieval",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

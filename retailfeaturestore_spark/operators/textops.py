@@ -20,6 +20,7 @@ __all__ = [
     "token_counts",
     "doc_fingerprint",
     "gopher_quality",
+    "boilerplate_scrub",
 ]
 
 # Tiny stopword marker sets per language (heuristic n-gram/stopword lang-ID;
@@ -295,4 +296,73 @@ def pii_scrub(
         F.col(id_col),
         clean.alias("clean_text"),
         *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    passage_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global duplicated-passage removal (CCNet / RefinedWeb-style
+    boilerplate scrub): split each document into consecutive
+    ``passage_tokens``-word passages, count each passage's document
+    frequency across the WHOLE corpus, and rewrite every document with the
+    passages that appear in ``min_docs``-or-more distinct documents
+    dropped (headers, footers, licence blocks, shared templates).  Output:
+    one row per input document with ``clean_text`` (kept passages in
+    original order), ``n_passages``, ``n_removed``, ``removed_tokens``.
+
+    Scale shape: passages shuffle on their md5 digest (short fixed-width
+    key, never the passage text) for the document-frequency aggregate —
+    two partial-combinable hash aggregates (distinct-by-doc then count) —
+    and once more for the digest-keyed flag join back onto the passage
+    stream; reassembly is one shuffle on the document id.  No window over
+    a global ordering, no driver-side state; a whale passage (one string
+    in millions of docs) is still ONE digest group whose count partial-
+    combines map-side.  Reference parity: the reference has no corpus-
+    global scrub — this is the LLM-pipeline extension surface
+    (Wenzek et al., CCNet, 2020)."""
+    if passage_tokens <= 0:
+        raise ValueError("passage_tokens must be positive")
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(passage_tokens)))
+    piece = F.slice(F.col("__ws"), F.col("__start"), passage_tokens)
+    p = (
+        docs.select(
+            F.col(id_col),
+            ws.alias("__ws"),
+            F.posexplode(starts).alias("__pid", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__pid").cast("long").alias("__pid"),
+            F.concat_ws(" ", piece).alias("__ptext"),
+            F.size(piece).cast("long").alias("__ptok"),
+        )
+        .withColumn("__pdigest", F.md5(F.col("__ptext")))
+    )
+    dfreq = (
+        p.select("__pdigest", id_col)
+        .distinct()
+        .groupBy("__pdigest")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    )
+    keep = F.col("__df") < min_docs
+    flagged = p.join(dfreq, "__pdigest")
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(keep, F.struct("__pid", "__ptext")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(kept_sorted, lambda x: x["__ptext"])
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_passages"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.sum(F.when(keep, 0).otherwise(F.col("__ptok")))
+        .cast("long")
+        .alias("removed_tokens"),
     )

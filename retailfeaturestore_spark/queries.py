@@ -6913,6 +6913,198 @@ def q_seq_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 session-3 additions: corpus-global boilerplate scrub and BM25
+# retrieval — the two classic pre-training corpus stages still missing
+# (duplicated-passage removal a la CCNet; lexical search for curation and
+# decontamination triage).
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws), 8)) AS start
+  FROM w WHERE len(ws) > 0
+),
+p AS (
+  SELECT doc_id,
+         CAST((start - 1) / 8 AS BIGINT) AS pid,
+         array_to_string(list_slice(ws, start, start + 7), ' ') AS ptext,
+         CAST(least(8, len(ws) - start + 1) AS BIGINT) AS ptok
+  FROM st
+),
+dfreq AS (
+  SELECT ptext, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM p GROUP BY ptext
+)
+SELECT p.doc_id,
+       coalesce(
+         string_agg(CASE WHEN d.df < 2 THEN p.ptext END, ' ' ORDER BY p.pid),
+         ''
+       ) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN d.df >= 2 THEN p.ptok ELSE 0 END) AS BIGINT) AS removed_tokens
+FROM p JOIN dfreq d USING (ptext)
+GROUP BY p.doc_id
+"""
+
+
+@register("boilerplate_passage_scrub", oracle=_BOILERPLATE_ORACLE, tags=("text", "dedup", "llm"))
+def q_boilerplate_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global duplicated-passage removal (CCNet-style boilerplate
+    scrub): 8-token passages whose document frequency is >= 2 across the
+    whole corpus are dropped from every document; output is the rewritten
+    text plus removal audit counts.  All-string/long result — hash-exact
+    by construction.  Scale: passage df aggregates on the md5 digest
+    (fixed-width shuffle key), flag join is digest-keyed, reassembly is
+    one doc_id shuffle — no global ordering, no driver state; see
+    operators/textops.py:boilerplate_scrub."""
+    from .operators.textops import boilerplate_scrub
+
+    return boilerplate_scrub(
+        load_table(spark, sf_dir, "documents"), passage_tokens=8, min_docs=2
+    )
+
+
+_BM25_QUERY_TERMS: tuple[tuple[int, str], ...] = (
+    (0, "hash"), (0, "join"), (0, "merge"),
+    (1, "stream"), (1, "window"), (1, "agg"),
+    (2, "dup"), (2, "fast"), (2, "scan"),
+)
+
+_BM25_ORACLE = """
+WITH q AS (
+  SELECT * FROM (VALUES
+    (0, 'hash'), (0, 'join'), (0, 'merge'),
+    (1, 'stream'), (1, 'window'), (1, 'agg'),
+    (2, 'dup'), (2, 'fast'), (2, 'scan')
+  ) t(query_id, term)
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(ws)) AS BIGINT) AS total_tokens
+  FROM w
+),
+tok AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w
+),
+tokq AS (
+  SELECT * FROM tok
+  WHERE length(term) > 0 AND term IN (SELECT term FROM q)
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+  FROM tokq GROUP BY doc_id, term
+),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qq.query_id, t.doc_id,
+    CAST(round(
+      ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+      * ((CAST(t.tf AS DOUBLE) * 2.2)
+         / (CAST(t.tf AS DOUBLE)
+            + 1.2 * (0.25 + 0.75 * (CAST(t.dl AS DOUBLE)
+                / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+      * 1e12) AS BIGINT) AS scaled
+  FROM tf t JOIN dfx d USING (term) JOIN q qq USING (term) CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(sum(scaled) AS BIGINT) AS score_scaled,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rn AS BIGINT) AS "rank", doc_id, n_terms_hit,
+       score_scaled, CAST(score_scaled AS DOUBLE) / 1e12 AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id
+  ) AS rn FROM agg
+) WHERE rn <= 10
+"""
+
+
+@register("bm25_retrieval", oracle=_BM25_ORACLE, tags=("text", "retrieval", "llm"))
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75):
+    top-10 documents per query for a fixed 3-query term set — the lexical
+    half of corpus curation search and the standard decontamination-triage
+    ranker.  The idf keeps the exact rational (N-df+0.5)/(df+0.5) (no
+    libm log — monotone in the classic idf, so ranking is identical;
+    SURVEY.md §5.2 determinism contract) and every per-term score is
+    quantized to a x1e12 long BEFORE the cross-term sum, so the sum is
+    order-free exact and the final ranking hash-identical across engines.
+
+    Scale shape: the token stream is pruned to query terms by a broadcast
+    semi-join BEFORE the tf aggregate (the explode never shuffles
+    non-matching postings); df and the corpus stats are tiny broadcast
+    sides; the only wide exchanges are the (doc_id, term) tf partial agg
+    and the per-query top-k window — with ~10 query terms the window
+    partitions are match-list-sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    qterms = F.broadcast(
+        spark.createDataFrame(list(_BM25_QUERY_TERMS), "query_id long, term string")
+    )
+    stats = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(ws)).cast("long").alias("total_tokens"),
+        )
+    )
+    tok = d.select(
+        "doc_id", F.size(ws).cast("long").alias("dl"), F.explode(ws).alias("term")
+    ).where(F.length("term") > 0)
+    tok_q = tok.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    tf = tok_q.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl")
+    )
+    dfx = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        dbl("df") + F.lit(0.5)
+    )
+    avgdl = dbl("total_tokens") / dbl("n_docs")
+    tfn = (dbl("tf") * F.lit(2.2)) / (
+        dbl("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dbl("dl") / avgdl))
+    )
+    scored = (
+        tf.join(dfx, "term")
+        .join(qterms, "term")
+        .crossJoin(stats)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfn * F.lit(1e12)).cast("long").alias("scaled"),
+        )
+    )
+    per_qd = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("scaled").cast("long").alias("score_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        per_qd.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "n_terms_hit",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(1e12)).alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
 # operator families (grouping sets, max_by latest, navigation, rows-frame,
@@ -7007,10 +7199,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_packing_chunk_text",
     "seq_packing_ffd",
     "knn_recall_eval",
-    "dedup_minhash",
-    "text_lang_id",
+    # session-3 swap: the two NEW queries (zero verdicts, both oracle-
+    # backed) take the slots of dedup_minhash / text_lang_id (both
+    # r4-green; the dedup and text families stay in-window through
+    # boilerplate_passage_scrub itself — tagged text+dedup — plus
+    # normalize/feature/training cover the rest) — the displaced two join
+    # the r7 debt below.
+    "boilerplate_passage_scrub",
+    "bm25_retrieval",
     "training_set_build",
-    # --- r7 handoff: the rotation debt this window leaves is the 34
+    # --- r7 handoff: the rotation debt this window leaves is the 36
     # r4-green queries not re-verified this round (the original 26 named
     # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans
     # / dedup_exact, whose fill slots went to the four new r6 queries
@@ -7019,7 +7217,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # distinct_parts_per_customer / asof_snapshot_lookup /
     # orders_range_join_followups, whose fill slots went to the four new
     # continuation-session queries seq_packing_chunks /
-    # seq_packing_chunk_text / seq_packing_ffd / knn_recall_eval):
+    # seq_packing_chunk_text / seq_packing_ffd / knn_recall_eval,
+    # plus dedup_minhash / text_lang_id, whose fill slots went to the two
+    # new session-3 queries boilerplate_passage_scrub / bm25_retrieval):
+    # dedup_minhash, text_lang_id,
     # asof_snapshot_lookup, orders_range_join_followups,
     # dedup_exact, cohort_revenue_retention, corpus_curation_pipeline,
     # customer_priority_scd2, data_quality_report, decayed_user_value,
@@ -7033,8 +7234,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session_event_transitions, sole_return_supplier,
     # supplier_profit_by_year, text_pii_scrub,
     # top_balance_inactive_customers, user_retention_cohorts,
-    # value_percentiles, xlsx_ingest_normalize — 34 fits r7's 50-slot
-    # window with ~16 slots to spare for r7 changes; rotate them in en
+    # value_percentiles, xlsx_ingest_normalize — 36 fits r7's 50-slot
+    # window with ~14 slots to spare for r7 changes; rotate them in en
     # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)
