@@ -46,6 +46,7 @@ __all__ = [
     "band_rows",
     "minhash_candidate_pairs",
     "jaccard_pairs_exact",
+    "containment_pairs",
     "simhash_signatures",
     "simhash_pairs",
     "connected_components",
@@ -123,6 +124,104 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .agg(
             F.min(id_col).alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int = 20,
+    thr_num: int = 4,
+    thr_den: int = 5,
+    cache_scope: str | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs: directed ``(inner,
+    outer)`` rows where ``C(inner -> outer) = |S(inner) ∩ S(outer)| /
+    |S(inner)| >= thr_num/thr_den`` over the RARE-shingle subspace
+    (corpus document frequency <= ``max_df``).
+
+    Containment is the dedup measure Jaccard-based MinHash structurally
+    misses: a small document pasted inside a much larger one has Jaccard
+    ~ |small|/|large| (arbitrarily low — LSH bands never collide) but
+    containment ~ 1.0.  Broder's original resemblance/containment split;
+    no analogue in the reference (pandas rows, ``/root/reference/jobs``).
+
+    The ``max_df`` cap serves double duty: it bounds the posting-list
+    self-join exactly like ``jaccard_pairs_exact`` (no quadratic blowup on
+    boilerplate shingles shared by thousands of docs), and it makes the
+    measure boilerplate-insensitive — a shared navigation header should
+    not make every page "contained" in every other.  Restricting BOTH the
+    overlap numerator and the |S(inner)| denominator to rare shingles
+    keeps the ratio a true containment over that subspace (docs whose
+    shingles are all-frequent drop out rather than divide by zero).
+
+    Scale shape: the (id, digest) rare-posting table is the pipeline's one
+    expensive artifact — shingle + md5 + the df window cost one exchange on
+    the 32-hex digest — and it feeds FOUR consumers (both overlap-join
+    sides and both size lookups).  Spark does not common-subexpression
+    duplicate DataFrame subtrees, so without persistence the shingle pass
+    runs four times (plan-verified); pass ``cache_scope`` to persist it
+    once (the simhash_pairs session-registry pattern: scoped eviction,
+    replace-on-re-entry).  The overlap self-join keys on the digest both
+    sides are already hash-partitioned by, and the (inner, outer) rollup
+    plus the two size joins move only id/long rows bounded by
+    O(rare-postings x max_df).  Threshold compares as integers
+    (``overlap * thr_den >= n_inner * thr_num``); the reported ratio is a
+    single long/long IEEE division — bit-identical across engines.
+    """
+    post = (
+        shingle_docs(docs, text_col, id_col, n)
+        .select("id", F.explode("__sh").alias("sh"))
+        .select("id", F.md5("sh").alias("shd"))
+    )
+    w_df = Window.partitionBy("shd")
+    rare = (
+        post.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("__df") <= max_df)
+        .select("id", "shd")
+    )
+    if cache_scope is not None:
+        from pyspark import StorageLevel
+
+        rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
+        reg = getattr(rare.sparkSession, "_rfs_persisted", None)
+        if reg is None or isinstance(reg, list):
+            reg = rare.sparkSession._rfs_persisted = {}
+        key = ("containment_rare", cache_scope)
+        old = reg.pop(key, None)
+        if old is not None:
+            old.unpersist(blocking=False)
+        reg[key] = rare
+    ov = (
+        rare.select(F.col("id").alias("doc_inner"), "shd")
+        .join(rare.select(F.col("id").alias("doc_outer"), "shd"), "shd")
+        .where(F.col("doc_inner") != F.col("doc_outer"))
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    rsz = rare.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_rare"))
+    return (
+        ov.join(
+            rsz.select(F.col("id").alias("doc_inner"), F.col("n_rare").alias("n_inner")),
+            "doc_inner",
+        )
+        .join(
+            rsz.select(F.col("id").alias("doc_outer"), F.col("n_rare").alias("n_outer")),
+            "doc_outer",
+        )
+        .where(F.col("overlap") * thr_den >= F.col("n_inner") * thr_num)
+        .select(
+            "doc_inner",
+            "doc_outer",
+            "overlap",
+            "n_inner",
+            "n_outer",
+            (F.col("overlap").cast("double") / F.col("n_inner").cast("double")).alias(
+                "containment"
+            ),
         )
     )
 

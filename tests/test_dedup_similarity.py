@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from retailfeaturestore_spark.operators.dedup import (
+    containment_pairs,
     dedup_exact,
     jaccard_pairs_exact,
     minhash_candidate_pairs,
@@ -377,3 +378,50 @@ def test_pq_index_build_persist_search_lifecycle(spark, tmp_path):
     os.remove(os.path.join(idx, "codebooks.json"))
     with _pytest.raises(ValueError, match="codebooks.json absent"):
         load_pq_index(spark, idx)
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (operators/dedup.py:containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_doc_pasted_inside_larger_doc(spark):
+    """The Jaccard-blind direction: a small doc embedded verbatim in a much
+    larger one has low Jaccard but containment 1.0 — only the directed
+    (small -> large) row may appear."""
+    small = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(30))
+    large = filler + " " + small + " trailing tokens here"
+    d = docs(spark, [(1, small), (2, large), (3, "unrelated totally different text body")])
+    out = {(r.doc_inner, r.doc_outer): r for r in containment_pairs(d).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r.containment == 1.0 and r.overlap == r.n_inner
+    assert (2, 1) not in out  # large doc is NOT contained in the small one
+    assert all(3 not in k for k in out)
+
+
+def test_containment_ignores_boilerplate_shingles_above_max_df(spark):
+    """A shingle shared by more than max_df docs (boilerplate header) must
+    not create pairs: 30 docs sharing only a header produce zero rows."""
+    header = "site nav header common to every page"
+    rows = [(i, f"{header} unique{i} body{i} content{i} tail{i}") for i in range(30)]
+    out = containment_pairs(docs(spark, rows), max_df=20).collect()
+    assert out == []
+
+
+def test_containment_symmetric_twins_emit_both_directions(spark):
+    d = docs(spark, [(1, "one two three four five six"), (2, "one two three four five six")])
+    got = {(r.doc_inner, r.doc_outer): r.containment for r in containment_pairs(d).collect()}
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_threshold_is_integer_exact(spark):
+    """4 of 5 rare shingles present = exactly 0.8 — the >= boundary must
+    admit it (integer compare, no float epsilon)."""
+    inner = "a b c d e f g"  # 5 shingles: abc bcd cde def efg
+    outer = "a b c d e f zzz qq ww ee rr tt"  # shares abc bcd cde def = 4
+    d = docs(spark, [(1, inner), (2, outer)])
+    out = {(r.doc_inner, r.doc_outer): r for r in containment_pairs(d).collect()}
+    assert (1, 2) in out and abs(out[(1, 2)].containment - 0.8) < 1e-15
+    assert (2, 1) not in out  # 4/10 on the outer side is below threshold

@@ -396,3 +396,38 @@ def test_pack_chunk_text_single_exchange(spark):
     df = REGISTRY["seq_packing_chunk_text"].fn(spark, SF)
     plan = formatted_plan(df)
     assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+
+
+def test_containment_builds_rare_posting_artifact_once(spark):
+    """containment_pairs feeds four consumers from one rare-posting table:
+    with cache_scope the shingle+md5+df-window pass must appear as a SINGLE
+    digest exchange feeding InMemoryTableScans, not four rebuilt subtrees
+    (the un-persisted plan recomputes the scan+Generate 4x — measured)."""
+    df = REGISTRY["dedup_containment"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(shd") == 1, plan[:2000]
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_halves_keep_their_scale_shapes(spark):
+    """Fusion must not degrade either half: dense = broadcast queries over
+    the corpus (BNLJ, corpus never exchanged before scoring), lexical =
+    broadcast semi-join prune before the tf aggregate, and no cartesian
+    product anywhere in the fused plan."""
+    df = REGISTRY["hybrid_retrieval_rrf"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast(3 queries) x corpus
+    assert "LeftSemi" in plan  # query-term prune on the token stream
+
+
+def test_epoch_shuffle_is_one_shard_exchange_plus_sort(spark):
+    """training_shuffle_shards IS the sharded-write shape: exactly one hash
+    exchange (on shard) and an in-partition sort — no global sort, no
+    rangepartitioning."""
+    df = REGISTRY["training_shuffle_shards"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
