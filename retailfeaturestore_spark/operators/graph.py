@@ -1,0 +1,116 @@
+"""Iterative graph analytics beyond connected components (dedup.py).
+
+PageRank here serves the catalog/recommendation side of the pipeline
+(part importance in the co-purchase graph) and demonstrates the second
+classic iterative-shuffle workload shape: per round, contributions flow
+along edges (one join keyed on src) and aggregate at their targets (one
+exchange keyed on dst).  Not present in the reference (single-process
+pandas over keyed retail rows, `/root/reference/jobs`); the algorithm is
+the public Brin-Page formulation with the standard damping split.
+
+Determinism contract (SURVEY.md §5.2): ranks are scaled 1e12 longs and
+every step is integer algebra — per-edge contribution ``r div deg``
+(exact floor division), damped update ``base + (85 * sum) div 100`` —
+so a DuckDB oracle replays N unrolled iterations bit-for-bit.  Float
+PageRank would hash-drift: the per-target sum order differs across
+engines.  Long-overflow bound: ``85 * sum(contrib)`` requires the mass a
+single node receives per round to stay under ~1e17 (i.e. < ~1e5
+full-rank in-neighbors) — far above any real degree after the dedup-style
+caps upstream, and checked cheaply by the caller if in doubt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["copurchase_edges", "pagerank_scaled"]
+
+_SCALE = 1_000_000_000_000  # 1e12 — shared with the oracle CTEs
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed co-purchase edge list: (src, dst) part pairs that appear in
+    the same order, both directions, no self-loops, distinct.
+
+    Scale shape: the self-join keys on l_orderkey (both sides hash-partition
+    on the same key — one exchange per side, no broadcast of a fact table);
+    per-order fan-out is quadratic in ORDER SIZE only (~items-per-order²,
+    a small constant), never in corpus size.  Whale orders (a single order
+    with thousands of line items) are the one skew hazard — cap items per
+    order upstream if the domain allows them."""
+    li = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = li.select("ok", F.col("part").alias("src"))
+    b = li.select("ok", F.col("part").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Unweighted PageRank over a directed edge list, integer-exact.
+
+    Vertices = nodes with out-edges (in an undirected/symmetrized graph —
+    e.g. copurchase_edges — that is every connected node, so no dangling
+    mass; for genuinely directed inputs, dangling nodes neither emit nor
+    hold rank, the standard simplification when ranking only active nodes).
+
+    Per iteration: ONE join shuffle (ranks ⋈ edges on src; the edge table's
+    partitioning is reused every round since edges are the static side) and
+    ONE aggregation exchange (sum of contributions keyed on dst).  Rank
+    state is 2 longs per vertex — never driver-side; with ``n_iter`` beyond
+    a handful, ``checkpoint_every`` truncates the growing lineage via
+    localCheckpoint exactly like connected_components' rounds
+    (operators/dedup.py).  Returns (id, degree, pagerank_scaled, pagerank).
+    """
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
+    )
+    ed = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    base = (damping_den - damping_num) * _SCALE // damping_den
+    ranks = deg.select(F.col("src").alias("id"), F.lit(_SCALE).cast("long").alias("r"))
+    for i in range(n_iter):
+        contrib = ed.join(ranks, ed.src == ranks.id).select(
+            F.col("dst").alias("id"), F.expr("r div deg").alias("c")
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").cast("long").alias("s"))
+        # left join against the static vertex set: a vertex with out-edges
+        # but no in-edges (possible on genuinely directed inputs) keeps a
+        # rank row (teleport base only) instead of silently leaving the
+        # computation.
+        ranks = (
+            deg.select(F.col("src").alias("id"))
+            .join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                ).cast("long").alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = (
+        ranks.join(deg.select(F.col("src").alias("id"), "deg"), "id")
+        .select(
+            F.col("id"),
+            F.col("deg").alias("degree"),
+            F.col("r").alias("pagerank_scaled"),
+            (F.col("r").cast("double") / F.lit(float(_SCALE))).alias("pagerank"),
+        )
+    )
+    return out

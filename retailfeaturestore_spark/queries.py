@@ -7300,6 +7300,58 @@ def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.withColumn("pos", F.row_number().over(w).cast("long"))
 
 
+_PR_BASE = 150_000_000_000  # (100-85) * 1e12 // 100
+
+
+def _pr_iter_cte(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT v.src AS id,
+         CAST({_PR_BASE} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM deg v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.r // d.deg) AS s
+    FROM e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.id = e.src
+    GROUP BY e.dst
+  ) s ON s.id = v.src
+)"""
+
+
+_PAGERANK_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+e AS (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.part <> b.part
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+{_pr_iter_cte("r0", "it1")},
+{_pr_iter_cte("it1", "it2")},
+{_pr_iter_cte("it2", "it3")}
+SELECT r.id, d.deg AS degree, r.r AS pagerank_scaled,
+       CAST(r.r AS DOUBLE) / 1e12 AS pagerank
+FROM it3 r JOIN deg d ON d.src = r.id
+"""
+
+
+@register("part_pagerank_copurchase", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
+def q_part_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an order,
+    symmetrized, unweighted; damping 0.85, 3 iterations): the catalog-
+    importance ranking a recommender bootstraps from, and the second
+    iterative-shuffle workload alongside the dedup connected components.
+    Integer-exact by construction — ranks are x1e12 longs, contributions
+    are floor divisions, the damped update is integer algebra — so the
+    3-iteration unrolled-CTE oracle replays bit-for-bit (the float
+    formulation would hash-drift on per-target sum order).  Scale: each
+    round is one src-keyed join (static edge side persisted) + one
+    dst-keyed sum exchange; rank state is 2 longs/vertex, never
+    driver-side; localCheckpoint truncates lineage on long runs; see
+    operators/graph.py."""
+    from .operators.graph import copurchase_edges, pagerank_scaled
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return pagerank_scaled(edges, n_iter=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
@@ -7319,7 +7371,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # decode seam (#6, shares the mapInPandas plumbing the payload query
     # exercises).
     "recs_negative_samples",
-    "knn_cosine_bruteforce",
+    # session-4: part_pagerank_copurchase (zero verdicts, oracle-backed)
+    # takes knn_cosine_bruteforce's block-1 slot — the r6 cosine_topk
+    # broadcast change is exercised in-window by hybrid_retrieval_rrf,
+    # which calls the same operator (k=10) as its dense half; the
+    # displaced query joins the r7 debt below.
+    "part_pagerank_copurchase",
     "multimodal_payload_meta",
     # new r6 queries (zero verdicts): bigram-LM quality score and the
     # BPE tokenizer counts (rows-only check — no SQL oracle for iterative
@@ -7426,8 +7483,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # plus normalize_lineitem / latest_event_per_user /
     # purchase_labels_after_signup, whose slots went to the three new
     # session-4 queries dedup_containment / hybrid_retrieval_rrf /
-    # training_shuffle_shards):
-    # dedup_minhash, text_lang_id,
+    # training_shuffle_shards, plus knn_cosine_bruteforce, whose block-1
+    # slot went to part_pagerank_copurchase — its changed cosine_topk
+    # operator is exercised in-window by hybrid_retrieval_rrf):
+    # dedup_minhash, text_lang_id, knn_cosine_bruteforce,
     # normalize_lineitem, latest_event_per_user, purchase_labels_after_signup,
     # asof_snapshot_lookup, orders_range_join_followups,
     # dedup_exact, cohort_revenue_retention, corpus_curation_pipeline,
@@ -7442,8 +7501,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session_event_transitions, sole_return_supplier,
     # supplier_profit_by_year, text_pii_scrub,
     # top_balance_inactive_customers, user_retention_cohorts,
-    # value_percentiles, xlsx_ingest_normalize — 39 fits r7's 50-slot
-    # window with ~11 slots to spare for r7 changes; rotate them in en
+    # value_percentiles, xlsx_ingest_normalize — 40 fits r7's 50-slot
+    # window with ~10 slots to spare for r7 changes; rotate them in en
     # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)

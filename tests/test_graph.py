@@ -1,0 +1,63 @@
+"""PageRank operator semantics vs an independent python replay."""
+
+from __future__ import annotations
+
+from retailfeaturestore_spark.operators.graph import copurchase_edges, pagerank_scaled
+
+SCALE = 1_000_000_000_000
+BASE = 15 * SCALE // 100
+
+
+def py_pagerank(edges: list[tuple[int, int]], n_iter: int) -> dict[int, int]:
+    """Literal integer replay of the documented algorithm."""
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: SCALE for v in deg}
+    for _ in range(n_iter):
+        sums: dict[int, int] = {}
+        for s, d in edges:
+            sums[d] = sums.get(d, 0) + r[s] // deg[s]
+        r = {v: BASE + (85 * sums.get(v, 0)) // 100 for v in deg}
+    return r
+
+
+def test_pagerank_path_graph_matches_python_replay(spark):
+    # undirected path 1-2-3: middle node must out-rank the ends
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.degree, r.pagerank_scaled) for r in pagerank_scaled(df, n_iter=3).collect()}
+    want = py_pagerank(edges, 3)
+    assert set(got) == set(want)
+    for v, (deg, rank) in got.items():
+        assert rank == want[v], v
+    assert got[2][1] > got[1][1] and got[1][1] == got[3][1]
+    assert got[2][0] == 2 and got[1][0] == 1
+
+
+def test_pagerank_directed_source_node_keeps_base_rank(spark):
+    # 1 -> 2 -> 3, plus 3 -> 2 so vertex set = {1,2,3}; vertex 1 has no
+    # in-edges and must survive every iteration at exactly the teleport base.
+    edges = [(1, 2), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.pagerank_scaled for r in pagerank_scaled(df, n_iter=4).collect()}
+    want = py_pagerank(edges, 4)
+    assert got == want
+    assert got[1] == BASE
+
+
+def test_copurchase_edges_symmetric_no_self_loops(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 20), (2, 20), (2, 30), (3, 40)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
+    assert got == {(10, 20), (20, 10), (20, 30), (30, 20)}
+
+
+def test_pagerank_checkpoint_rounds_equal_unchckpointed(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.id: r.pagerank_scaled for r in pagerank_scaled(df, n_iter=5, checkpoint_every=2).collect()}
+    b = {r.id: r.pagerank_scaled for r in pagerank_scaled(df, n_iter=5, checkpoint_every=99).collect()}
+    assert a == b == py_pagerank(edges, 5)
