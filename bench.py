@@ -123,6 +123,10 @@ HEADLINE = [
     "knn_recall_eval",
     "boilerplate_passage_scrub",
     "bm25_retrieval",
+    "dedup_containment",
+    "hybrid_retrieval_rrf",
+    "training_shuffle_shards",
+    "part_pagerank_copurchase",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -44,12 +44,32 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     ).distinct()
     a = li.select("ok", F.col("part").alias("src"))
     b = li.select("ok", F.col("part").alias("dst"))
+    # merge hint: this is a fact ⋈ fact self-join — both sides scale with
+    # the lineitem table, so the broadcast Spark's size estimate flirts
+    # with at small SFs (the distinct order-part list sits right at the
+    # 10 MB autoBroadcast threshold) is wrong at ANY scale: it OOMs a
+    # default-heap driver at sf0.1 (measured) and would ship the fact
+    # table to every executor on a cluster.  Sort-merge on ok is the
+    # shape that survives 100x.
     return (
-        a.join(b, "ok")
+        a.join(b.hint("merge"), "ok")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
+
+
+def _register_persisted(df: DataFrame, key: tuple[str, str]) -> None:
+    """Session cache registry (the simhash/kmeans pattern): scoped eviction
+    via queries.invalidate_caches, replace-on-re-entry so repeat calls never
+    strand a persisted frame."""
+    reg = getattr(df.sparkSession, "_rfs_persisted", None)
+    if reg is None or isinstance(reg, list):
+        reg = df.sparkSession._rfs_persisted = {}
+    old = reg.pop(key, None)
+    if old is not None:
+        old.unpersist(blocking=False)
+    reg[key] = df
 
 
 def pagerank_scaled(
@@ -58,6 +78,7 @@ def pagerank_scaled(
     damping_num: int = 85,
     damping_den: int = 100,
     checkpoint_every: int = 8,
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """Unweighted PageRank over a directed edge list, integer-exact.
 
@@ -79,13 +100,32 @@ def pagerank_scaled(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .persist()
     )
-    ed = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    # shuffle_hash on the deg side keeps BOTH join strategies scale-honest:
+    # the cached edge layout comes out hash-partitioned by src (the join's
+    # own exchange — no extra repartition), and neither side is ever
+    # broadcast.  The broadcast AQE would otherwise pick at runtime is the
+    # columnar-compressed edge CACHE — it looks threshold-small but
+    # explodes ~10x when built into a driver-side HashedRelation (measured:
+    # OOMs a default-heap local[32] driver at sf0.1, and shipping the
+    # edge table to every executor is exactly backwards on a cluster).
+    ed = (
+        edges.join(deg.hint("shuffle_hash"), "src")
+        .select("src", "dst", "deg")
+        .persist()
+    )
+    if cache_scope is not None:
+        _register_persisted(deg, ("pagerank_deg", cache_scope))
+        _register_persisted(ed, ("pagerank_edges", cache_scope))
     base = (damping_den - damping_num) * _SCALE // damping_den
     ranks = deg.select(F.col("src").alias("id"), F.lit(_SCALE).cast("long").alias("r"))
     for i in range(n_iter):
-        contrib = ed.join(ranks, ed.src == ranks.id).select(
-            F.col("dst").alias("id"), F.expr("r div deg").alias("c")
-        )
+        # ranks is the shuffle-hash BUILD side: per iteration only the
+        # (id, r) table moves — |V|/nPartitions longs per task — while the
+        # src-partitioned edge cache is scanned in place.  Never broadcast:
+        # ranks is vertex-scale, and the probe side is the edge cache.
+        contrib = ed.join(
+            ranks.hint("shuffle_hash"), ed.src == ranks.id
+        ).select(F.col("dst").alias("id"), F.expr("r div deg").alias("c"))
         sums = contrib.groupBy("id").agg(F.sum("c").cast("long").alias("s"))
         # left join against the static vertex set: a vertex with out-edges
         # but no in-edges (possible on genuinely directed inputs) keeps a

@@ -7349,7 +7349,7 @@ def q_part_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import copurchase_edges, pagerank_scaled
 
     edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-    return pagerank_scaled(edges, n_iter=3)
+    return pagerank_scaled(edges, n_iter=3, cache_scope=sf_dir)
 
 
 # ---------------------------------------------------------------------------

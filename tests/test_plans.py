@@ -431,3 +431,17 @@ def test_epoch_shuffle_is_one_shard_exchange_plus_sort(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pagerank_iteration_joins_never_broadcast(spark):
+    """The AQE-at-runtime hazard this pins: the columnar edge cache looks
+    threshold-small but explodes ~10x as a driver-side HashedRelation
+    (OOM'd a default-heap local[32] at sf0.1).  The shuffle_hash hints must
+    hold: rank/deg tables are per-partition build sides, nothing in the
+    iteration pipeline is a broadcast join, and the fact-fact co-purchase
+    self-join stays sort-merge."""
+    df = REGISTRY["part_pagerank_copurchase"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
