@@ -650,6 +650,69 @@ def build_pq_index(
     return meta
 
 
+def append_pq_index(
+    spark,
+    index_dir: str,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incremental index maintenance: encode NEW vectors against the
+    FROZEN codebooks and append their codes — no retraining, no rescan or
+    rewrite of the existing corpus codes.  This is the production IVF/PQ
+    protocol at 100 TB: codebooks drift slowly and retrain on a schedule
+    (``build_pq_index`` at a versioned path), while ingest appends cheaply
+    between rebuilds; a search after append sees old + new rows with zero
+    index downtime.
+
+    Cost envelope: one column-pruned scan of the existing ``codes`` id
+    column (the duplicate-id guard — ids are the self-exclusion and
+    result identity, so silent collisions would corrupt search results),
+    plus a pure map encode of the APPEND BATCH only (the same
+    literal-codebook argmin expression the build uses — no join, no
+    shuffle).  Crash safety: the parquet append commits files atomically
+    via the job committer (a crashed append leaves only ``_temporary``
+    residue, which readers ignore); ``codebooks.json`` is untouched except
+    for an observability counter rewritten tmp+rename LAST, so a crashed
+    append never un-commits the index.
+
+    Returns the updated metadata dict."""
+    import json
+
+    cents, codes, meta = load_pq_index(spark, index_dir)
+    m, w = int(meta["m"]), int(meta["d_sub"])
+    dims = m * w
+    bad = vectors.where(F.size(F.col(vec_col)) != dims).count()
+    if bad:
+        raise ValueError(
+            f"{bad} append vectors have dims != {dims} (index m={m} d_sub={w})"
+        )
+    newv = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+    )
+    dup = newv.join(codes.select("id"), "id", "left_semi").count()
+    if dup:
+        raise ValueError(
+            f"{dup} append ids already exist in the index at {index_dir!r}: "
+            "ids are search identities — re-encoding under a duplicate id "
+            "would corrupt results; use a fresh id range or rebuild"
+        )
+    coded = newv.withColumn(
+        "__codes",
+        F.array(*[_pq_code_expr(cents[s], s * w + 1, w) for s in range(m)]),
+    )
+    coded.select("id", "__codes").write.mode("append").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    meta["appended_batches"] = int(meta.get("appended_batches", 0)) + 1
+    tmp = os.path.join(index_dir, "codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "codebooks.json"))
+    return meta
+
+
 def load_pq_index(spark, index_dir: str):
     """-> ``(cents, codes_df, meta)``; raises if the build never committed."""
     import json

@@ -425,3 +425,86 @@ def test_containment_threshold_is_integer_exact(spark):
     out = {(r.doc_inner, r.doc_outer): r for r in containment_pairs(d).collect()}
     assert (1, 2) in out and abs(out[(1, 2)].containment - 0.8) < 1e-15
     assert (2, 1) not in out  # 4/10 on the outer side is below threshold
+
+
+def test_pq_index_append_encodes_with_frozen_codebooks(spark, tmp_path):
+    """Incremental index maintenance: append encodes ONLY the new batch
+    against the frozen codebooks (python-replay-exact), old + new rows
+    serve immediately, and the duplicate-id / dim guards refuse loudly."""
+    import math
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        load_pq_index,
+        search_pq_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_total = emb.count()
+    base = emb.where(F.col("vec_id") < 400)
+    extra = emb.where(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "pq_index")
+    build_pq_index(base, idx, m=4, k_codes=8, iters=2)
+
+    meta2 = append_pq_index(spark, idx, extra)
+    assert meta2["appended_batches"] == 1
+
+    cents, codes, meta = load_pq_index(spark, idx)
+    assert codes.count() == n_total
+    scale = float(meta["fixed_point_scale"])
+    m, w = int(meta["m"]), int(meta["d_sub"])
+
+    def py_encode(vec):
+        q = [math.floor(float(x) * scale) for x in vec]
+        out = []
+        for s in range(m):
+            sub = q[s * w : (s + 1) * w]
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(sub, cv)), cid)
+                for cid, cv in cents[s]
+            )
+            out.append(best[1])
+        return out
+
+    appended_vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in extra.collect()
+    }
+    got = {
+        int(r["id"]): [int(c) for c in r["__codes"]]
+        for r in codes.where(F.col("id") >= 400).collect()
+    }
+    assert set(got) == set(appended_vecs)
+    for vid, vec in appended_vecs.items():
+        assert got[vid] == py_encode(vec), vid
+
+    # serving sees the appended rows: the best ADC distance for an appended
+    # query vector must equal the python minimum over ALL codes (old + new)
+    qid, qvec = 450, appended_vecs[450]
+    qq = [math.floor(float(x) * scale) for x in qvec]
+    all_codes = {int(r["id"]): [int(c) for c in r["__codes"]] for r in codes.collect()}
+    luts = [
+        {cid: sum((a - b) * (a - b) for a, b in zip(qq[s * w : (s + 1) * w], cv))
+         for cid, cv in cents[s]}
+        for s in range(m)
+    ]
+    py_best = min(
+        float(sum(luts[s][cs[s]] for s in range(m))) for cs in all_codes.values()
+    )
+    served = search_pq_index(spark, idx, [(qid, qvec)], k_neighbors=3).collect()
+    assert min(r.adc_dist for r in served) == py_best
+
+    # guards: duplicate ids and wrong dims refuse loudly
+    with _pytest.raises(ValueError, match="already exist"):
+        append_pq_index(spark, idx, extra)
+    badv = spark.createDataFrame([(9001, [0.1, 0.2])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="dims"):
+        append_pq_index(spark, idx, badv)
+    # the commit marker survived all of it
+    assert _os.path.exists(_os.path.join(idx, "codebooks.json"))
