@@ -159,8 +159,8 @@ def containment_pairs(
     shingles are all-frequent drop out rather than divide by zero).
 
     Scale shape: the (id, digest) rare-posting table is the pipeline's one
-    expensive artifact — shingle + md5 + the df window cost one exchange on
-    the 32-hex digest — and it feeds FOUR consumers (both overlap-join
+    expensive artifact — shingle + md5 + a map-side-combinable df rollup +
+    the digest semi-join — and it feeds FOUR consumers (both overlap-join
     sides and both size lookups).  Spark does not common-subexpression
     duplicate DataFrame subtrees, so without persistence the shingle pass
     runs four times (plan-verified); pass ``cache_scope`` to persist it
@@ -177,24 +177,23 @@ def containment_pairs(
         .select("id", F.explode("__sh").alias("sh"))
         .select("id", F.md5("sh").alias("shd"))
     )
-    w_df = Window.partitionBy("shd")
-    rare = (
-        post.withColumn("__df", F.count(F.lit(1)).over(w_df))
-        .where(F.col("__df") <= max_df)
-        .select("id", "shd")
+    # df cap via partial-aggregable groupBy + semi-join, NOT a count window:
+    # a boilerplate shingle shared by millions of docs would form one
+    # window partition a single task must buffer just to discard, while the
+    # groupBy collapses it map-side to one (digest, count) row — the skew
+    # the cap exists to defuse must not be paid computing the cap (same
+    # shape as jaccard_pairs_exact's max_df guard).
+    dfreq = post.groupBy("shd").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    rare = post.join(
+        dfreq.where(F.col("__df") <= max_df).select("shd"), "shd", "left_semi"
     )
     if cache_scope is not None:
         from pyspark import StorageLevel
 
+        from ._cache import register_persisted
+
         rare = rare.persist(StorageLevel.MEMORY_AND_DISK)
-        reg = getattr(rare.sparkSession, "_rfs_persisted", None)
-        if reg is None or isinstance(reg, list):
-            reg = rare.sparkSession._rfs_persisted = {}
-        key = ("containment_rare", cache_scope)
-        old = reg.pop(key, None)
-        if old is not None:
-            old.unpersist(blocking=False)
-        reg[key] = rare
+        register_persisted(rare, ("containment_rare", cache_scope))
     ov = (
         rare.select(F.col("id").alias("doc_inner"), "shd")
         .join(rare.select(F.col("id").alias("doc_outer"), "shd"), "shd")
@@ -469,15 +468,10 @@ def simhash_pairs(
     if cache_scope is not None:
         from pyspark import StorageLevel
 
+        from ._cache import register_persisted
+
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-        reg = getattr(sigs.sparkSession, "_rfs_persisted", None)
-        if reg is None or isinstance(reg, list):
-            reg = sigs.sparkSession._rfs_persisted = {}
-        key = ("simhash_sigs", cache_scope)
-        old = reg.pop(key, None)
-        if old is not None:
-            old.unpersist(blocking=False)
-        reg[key] = sigs
+        register_persisted(sigs, ("simhash_sigs", cache_scope))
     band_rows = sigs.select(
         F.col(id_col).alias("id"),
         F.col("simhash").alias("sig"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import register_persisted
+
 __all__ = ["copurchase_edges", "pagerank_scaled"]
 
 _SCALE = 1_000_000_000_000  # 1e12 — shared with the oracle CTEs
@@ -59,19 +61,6 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def _register_persisted(df: DataFrame, key: tuple[str, str]) -> None:
-    """Session cache registry (the simhash/kmeans pattern): scoped eviction
-    via queries.invalidate_caches, replace-on-re-entry so repeat calls never
-    strand a persisted frame."""
-    reg = getattr(df.sparkSession, "_rfs_persisted", None)
-    if reg is None or isinstance(reg, list):
-        reg = df.sparkSession._rfs_persisted = {}
-    old = reg.pop(key, None)
-    if old is not None:
-        old.unpersist(blocking=False)
-    reg[key] = df
-
-
 def pagerank_scaled(
     edges: DataFrame,
     n_iter: int = 3,
@@ -95,11 +84,7 @@ def pagerank_scaled(
     localCheckpoint exactly like connected_components' rounds
     (operators/dedup.py).  Returns (id, degree, pagerank_scaled, pagerank).
     """
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .persist()
-    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # shuffle_hash on the deg side keeps BOTH join strategies scale-honest:
     # the cached edge layout comes out hash-partitioned by src (the join's
     # own exchange — no extra repartition), and neither side is ever
@@ -108,14 +93,16 @@ def pagerank_scaled(
     # explodes ~10x when built into a driver-side HashedRelation (measured:
     # OOMs a default-heap local[32] driver at sf0.1, and shipping the
     # edge table to every executor is exactly backwards on a cluster).
-    ed = (
-        edges.join(deg.hint("shuffle_hash"), "src")
-        .select("src", "dst", "deg")
-        .persist()
-    )
+    ed = edges.join(deg.hint("shuffle_hash"), "src").select("src", "dst", "deg")
     if cache_scope is not None:
-        _register_persisted(deg, ("pagerank_deg", cache_scope))
-        _register_persisted(ed, ("pagerank_edges", cache_scope))
+        # persist ONLY when the caller provides an eviction scope — an
+        # unregistered persist would strand blocks in executor storage with
+        # no unpersist path (cf. containment_pairs); un-persisted callers
+        # (tiny test graphs) just recompute the edge build per iteration.
+        deg = deg.persist()
+        ed = ed.persist()
+        register_persisted(deg, ("pagerank_deg", cache_scope))
+        register_persisted(ed, ("pagerank_edges", cache_scope))
     base = (damping_den - damping_num) * _SCALE // damping_den
     ranks = deg.select(F.col("src").alias("id"), F.lit(_SCALE).cast("long").alias("r"))
     for i in range(n_iter):
@@ -130,10 +117,11 @@ def pagerank_scaled(
         # left join against the static vertex set: a vertex with out-edges
         # but no in-edges (possible on genuinely directed inputs) keeps a
         # rank row (teleport base only) instead of silently leaving the
-        # computation.
+        # computation.  shuffle_hash like every other vertex-scale join
+        # here — both sides grow with |V|, so neither may be broadcast.
         ranks = (
             deg.select(F.col("src").alias("id"))
-            .join(sums, "id", "left")
+            .join(sums.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
@@ -145,7 +133,7 @@ def pagerank_scaled(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     out = (
-        ranks.join(deg.select(F.col("src").alias("id"), "deg"), "id")
+        ranks.join(deg.select(F.col("src").alias("id"), "deg").hint("shuffle_hash"), "id")
         .select(
             F.col("id"),
             F.col("deg").alias("degree"),

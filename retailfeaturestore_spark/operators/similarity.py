@@ -32,6 +32,8 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import register_persisted
+
 __all__ = [
     "dot_fixed",
     "cosine",
@@ -41,6 +43,7 @@ __all__ = [
     "ivf_topk_cells",
     "pq_topk_adc",
     "build_pq_index",
+    "append_pq_index",
     "load_pq_index",
     "search_pq_index",
     "mmr_diverse_topk",
@@ -208,14 +211,7 @@ def kmeans_cells(
     # long-lived session holds at most one quantized corpus per scope
     # instead of accumulating one per call (ADVICE r3).
     q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    reg = getattr(vectors.sparkSession, "_rfs_persisted", None)
-    if reg is None or isinstance(reg, list):
-        reg = vectors.sparkSession._rfs_persisted = {}
-    key = ("kmeans_quant_corpus", cache_scope)
-    old = reg.pop(key, None)
-    if old is not None:
-        old.unpersist(blocking=False)
-    reg[key] = q
+    register_persisted(q, ("kmeans_quant_corpus", cache_scope))
     # init: k smallest ids as seed centroids (cell = seed id).  Centroids
     # live DRIVER-SIDE as literals — k x dims values is tiny by IVF design
     # (that is the whole point of a coarse quantizer), and embedding them in
@@ -413,14 +409,7 @@ def pq_train_encode(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    reg = getattr(vectors.sparkSession, "_rfs_persisted", None)
-    if reg is None or isinstance(reg, list):
-        reg = vectors.sparkSession._rfs_persisted = {}
-    key = ("pq_quant_corpus", cache_scope)
-    old = reg.pop(key, None)
-    if old is not None:
-        old.unpersist(blocking=False)
-    reg[key] = q
+    register_persisted(q, ("pq_quant_corpus", cache_scope))
 
     # Seed: the k_codes smallest ids; codebook s starts as their s-th
     # subvectors (bounded k-row collect — control-plane sized by design).
@@ -682,15 +671,28 @@ def append_pq_index(
     cents, codes, meta = load_pq_index(spark, index_dir)
     m, w = int(meta["m"]), int(meta["d_sub"])
     dims = m * w
-    bad = vectors.where(F.size(F.col(vec_col)) != dims).count()
+    # Pin the batch once: the guards and the write must see the SAME rows
+    # (an unpinned non-deterministic ingest frame would re-evaluate per
+    # action, letting unchecked rows reach the write), and one scan pays
+    # for all three actions.
+    newv = vectors.select(
+        F.col(id_col).alias("id"),
+        F.size(F.col(vec_col)).alias("__dims"),
+        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+    ).localCheckpoint(eager=True)  # blocks reclaimed by ContextCleaner on GC
+    bad = newv.where(F.col("__dims") != dims).count()
     if bad:
         raise ValueError(
             f"{bad} append vectors have dims != {dims} (index m={m} d_sub={w})"
         )
-    newv = vectors.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
-    )
+    # ids are search identities — a collision (against the index OR inside
+    # the batch itself) would serve one id with two code rows.
+    dup_in = newv.groupBy("id").count().where(F.col("count") > 1).count()
+    if dup_in:
+        raise ValueError(
+            f"{dup_in} ids appear more than once in the append batch at "
+            f"{index_dir!r}: dedupe the batch before appending"
+        )
     dup = newv.join(codes.select("id"), "id", "left_semi").count()
     if dup:
         raise ValueError(

@@ -7258,9 +7258,8 @@ _EPOCH_SHUFFLE_ORACLE = """
 WITH keyed AS (
   SELECT doc_id,
          md5('epoch0#' || CAST(doc_id AS STRING)) AS shuffle_key,
-         CAST((strpos('0123456789abcdef',
-                      substring(md5('epoch0#' || CAST(doc_id AS STRING)), 1, 1)) - 1) % 8
-              AS BIGINT) AS shard
+         CAST('0x' || substring(md5('epoch0#' || CAST(doc_id AS STRING)), 1, 8)
+              AS BIGINT) % 8 AS shard
   FROM documents
 )
 SELECT doc_id, shuffle_key, shard,
@@ -7285,16 +7284,15 @@ def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     on shard + an in-partition sort by key, exactly what
     df.repartition(n_shards, shard).sortWithinPartitions(key) does before
     the sharded sink (sources/training_sink.py); n_shards=8 here, a few
-    thousand at 100 TB so each sorted shard fits an executor.  No global
-    order, no driver state; the md5 coin is the same idiom as
-    hash_split_train_val / pack_chunks' shard coin."""
+    thousand at 100 TB so each sorted shard fits an executor — hence the
+    32-BIT coin (first 8 md5 hex chars, same width as pack_chunks'
+    _shard_col): a single hex digit would cap n_shards at 16 and skew any
+    n_shards not dividing it.  No global order, no driver state."""
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch0#"), F.col("doc_id").cast("string")))
     keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
         "shard",
-        (
-            (F.expr("instr('0123456789abcdef', substring(shuffle_key, 1, 1))") - 1) % 8
-        ).cast("long"),
+        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long") % 8,
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return keyed.withColumn("pos", F.row_number().over(w).cast("long"))

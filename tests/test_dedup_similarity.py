@@ -295,6 +295,7 @@ def test_mmr_matches_local_greedy(spark):
             assert got[(q, pick)] == best, (q, pick, got[(q, pick)], best)
 
 
+@requires_testdata
 def test_pq_index_build_persist_search_lifecycle(spark, tmp_path):
     """Persisted PQ index (r6): build once -> codes parquet + committed
     codebooks.json -> serve searches with NO training jobs.  Corpus-member
@@ -427,6 +428,7 @@ def test_containment_threshold_is_integer_exact(spark):
     assert (2, 1) not in out  # 4/10 on the outer side is below threshold
 
 
+@requires_testdata
 def test_pq_index_append_encodes_with_frozen_codebooks(spark, tmp_path):
     """Incremental index maintenance: append encodes ONLY the new batch
     against the frozen codebooks (python-replay-exact), old + new rows

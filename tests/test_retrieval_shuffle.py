@@ -74,7 +74,7 @@ def test_epoch_shuffle_matches_hashlib_and_is_deterministic(spark):
     for r in rows:
         key = hashlib.md5(f"epoch0#{r.doc_id}".encode()).hexdigest()
         assert r.shuffle_key == key
-        assert r.shard == int(key[0], 16) % 8
+        assert r.shard == int(key[:8], 16) % 8  # 32-bit coin, not one digit
         by_shard.setdefault(r.shard, []).append(r)
     # pos is the exact 1..n position in (key, doc_id) order within the shard
     for shard, rs in by_shard.items():
