@@ -36,6 +36,9 @@ SHOW = {
     "user_daily_snapshot_spine": "Dense daily spine: ONE hash(user) exchange serves the (user, day) agg, both running sums and lead(); dense days explode from per-segment integer ranges; corpus-end day is a ts-only one-row broadcast.",
     "purchase_multitouch_attribution": "Multi-touch: bucketed range join = plain (user, bucket) equi-join + exact filter; the per-purchase rank window carries only matched pairs.",
     "recs_negative_samples": "Negative sampling: no customer x part cross product anywhere - md5 guesses are |C| x 12 generated rows, exclusion is a LeftAnti equi-join over the checkpointed purchase set.",
+    "dedup_containment": "Containment dedup: ONE persisted rare-posting artifact (partial-agg df rollup + digest semi-join) feeds all four consumers via InMemoryTableScan; overlap self-join keys on the digest both sides are partitioned by.",
+    "part_pagerank_copurchase": "Integer PageRank: every vertex-scale join is a hinted ShuffledHashJoin (NO BroadcastExchange anywhere — the columnar edge cache decompresses ~10x as a HashedRelation); fact-fact co-purchase self-join stays SortMergeJoin.",
+    "training_shuffle_shards": "Epoch shuffle: exactly the sharded-write plan — one hashpartitioning(shard) exchange + in-partition sort by the md5 key; no global sort, no rangepartitioning.",
 }
 
 
