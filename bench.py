@@ -127,6 +127,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "training_shuffle_shards",
     "part_pagerank_copurchase",
+    "part_ppr_brand_affinity",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -68,6 +68,8 @@ def pagerank_scaled(
     damping_den: int = 100,
     checkpoint_every: int = 8,
     cache_scope: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_id_col: str = "id",
 ) -> DataFrame:
     """Unweighted PageRank over a directed edge list, integer-exact.
 
@@ -75,6 +77,16 @@ def pagerank_scaled(
     e.g. copurchase_edges — that is every connected node, so no dangling
     mass; for genuinely directed inputs, dangling nodes neither emit nor
     hold rank, the standard simplification when ranking only active nodes).
+
+    ``seeds`` switches to PERSONALIZED PageRank (topic-sensitive teleport,
+    Haveliwala WWW'02): the teleport base lands only on the seed vertices,
+    so rank measures proximity to the seed set through the damped walk —
+    the "related to this brand/segment" ranking a recommender wants.
+    Unnormalized by |S| (rankings are scale-invariant; keeping the same
+    per-seed base as the global variant keeps the integer algebra and the
+    oracle unchanged except for the base column).  Ranks still initialize
+    at full mass for every vertex — a fixed-iteration ranking, not a
+    converged stationary distribution, same contract as the global variant.
 
     Per iteration: ONE join shuffle (ranks ⋈ edges on src; the edge table's
     partitioning is reused every round since edges are the static side) and
@@ -104,7 +116,24 @@ def pagerank_scaled(
         register_persisted(deg, ("pagerank_deg", cache_scope))
         register_persisted(ed, ("pagerank_edges", cache_scope))
     base = (damping_den - damping_num) * _SCALE // damping_den
-    ranks = deg.select(F.col("src").alias("id"), F.lit(_SCALE).cast("long").alias("r"))
+    verts = deg.select(F.col("src").alias("id"))
+    if seeds is None:
+        vbase = verts.withColumn("b", F.lit(base).cast("long"))
+    else:
+        sd = seeds.select(F.col(seed_id_col).alias("id")).distinct().withColumn(
+            "__s", F.lit(1)
+        )
+        vbase = verts.join(sd.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.when(F.col("__s").isNotNull(), F.lit(base))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("b"),
+        )
+    if cache_scope is not None:
+        vbase = vbase.persist()
+        register_persisted(vbase, ("pagerank_vbase", cache_scope))
+    ranks = verts.withColumn("r", F.lit(_SCALE).cast("long"))
     for i in range(n_iter):
         # ranks is the shuffle-hash BUILD side: per iteration only the
         # (id, r) table moves — |V|/nPartitions longs per task — while the
@@ -120,12 +149,11 @@ def pagerank_scaled(
         # computation.  shuffle_hash like every other vertex-scale join
         # here — both sides grow with |V|, so neither may be broadcast.
         ranks = (
-            deg.select(F.col("src").alias("id"))
-            .join(sums.hint("shuffle_hash"), "id", "left")
+            vbase.join(sums.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    F.col("b")
                     + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
                 ).cast("long").alias("r"),
             )

@@ -7303,23 +7303,25 @@ _PR_BASE = 150_000_000_000  # (100-85) * 1e12 // 100
 
 def _pr_iter_cte(prev: str, out: str) -> str:
     return f"""{out} AS (
-  SELECT v.src AS id,
-         CAST({_PR_BASE} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
-  FROM deg v LEFT JOIN (
+  SELECT v.id,
+         CAST(v.b + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM vbase v LEFT JOIN (
     SELECT e.dst AS id, sum(r.r // d.deg) AS s
     FROM e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.id = e.src
     GROUP BY e.dst
-  ) s ON s.id = v.src
+  ) s ON s.id = v.id
 )"""
 
 
-_PAGERANK_ORACLE = f"""
+def _pr_oracle(vbase_sql: str) -> str:
+    return f"""
 WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
 e AS (
   SELECT DISTINCT a.part AS src, b.part AS dst
   FROM li a JOIN li b ON a.ok = b.ok AND a.part <> b.part
 ),
 deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+vbase AS ({vbase_sql}),
 r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS r FROM deg),
 {_pr_iter_cte("r0", "it1")},
 {_pr_iter_cte("it1", "it2")},
@@ -7328,6 +7330,18 @@ SELECT r.id, d.deg AS degree, r.r AS pagerank_scaled,
        CAST(r.r AS DOUBLE) / 1e12 AS pagerank
 FROM it3 r JOIN deg d ON d.src = r.id
 """
+
+
+_PAGERANK_ORACLE = _pr_oracle(
+    f"SELECT src AS id, CAST({_PR_BASE} AS BIGINT) AS b FROM deg"
+)
+
+_PPR_ORACLE = _pr_oracle(
+    f"""SELECT src AS id,
+       CAST(CASE WHEN src IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+                 THEN {_PR_BASE} ELSE 0 END AS BIGINT) AS b
+  FROM deg"""
+)
 
 
 @register("part_pagerank_copurchase", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
@@ -7348,6 +7362,25 @@ def q_part_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     return pagerank_scaled(edges, n_iter=3, cache_scope=sf_dir)
+
+
+@register("part_ppr_brand_affinity", oracle=_PPR_ORACLE, tags=("graph", "iterative"))
+def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (topic-sensitive teleport, Haveliwala WWW'02):
+    teleport mass lands only on Brand#1's parts, so the ranking measures
+    co-purchase proximity TO THE BRAND — the "customers who buy this brand
+    also gravitate to..." recommender primitive, distinct from the global
+    importance ranking (part_pagerank_copurchase).  Same integer algebra,
+    same per-iteration shuffle shape (the seed flag folds into the
+    persisted per-vertex base column — the teleport join is paid ONCE, not
+    per iteration); oracle = the same unrolled CTEs with a CASE base."""
+    from .operators.graph import copurchase_edges, pagerank_scaled
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    seeds = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    ).select(F.col("p_partkey").alias("id"))
+    return pagerank_scaled(edges, n_iter=3, cache_scope=sf_dir, seeds=seeds)
 
 
 # ---------------------------------------------------------------------------
@@ -7501,7 +7534,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # top_balance_inactive_customers, user_retention_cohorts,
     # value_percentiles, xlsx_ingest_normalize — 40 fits r7's 50-slot
     # window with ~10 slots to spare for r7 changes; rotate them in en
-    # bloc.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
+    # bloc.  ALSO give part_ppr_brand_affinity (added after the session-4
+    # swap; zero verdicts, oracle-backed, operator exercised in-window via
+    # part_pagerank_copurchase) one of the spare slots.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)
 )

@@ -61,3 +61,40 @@ def test_pagerank_checkpoint_rounds_equal_unchckpointed(spark):
     a = {r.id: r.pagerank_scaled for r in pagerank_scaled(df, n_iter=5, checkpoint_every=2).collect()}
     b = {r.id: r.pagerank_scaled for r in pagerank_scaled(df, n_iter=5, checkpoint_every=99).collect()}
     assert a == b == py_pagerank(edges, 5)
+
+
+def test_personalized_pagerank_seed_teleport(spark):
+    """Seeded teleport: only seed vertices receive base mass; a triangle
+    with one seed must rank the seed first, and the whole run must match a
+    literal python replay with the per-vertex base."""
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+
+    def py_ppr(edges, seed_set, n_iter):
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {v: SCALE for v in deg}
+        for _ in range(n_iter):
+            sums = {}
+            for s, d in edges:
+                sums[d] = sums.get(d, 0) + r[s] // deg[s]
+            r = {
+                v: (BASE if v in seed_set else 0) + (85 * sums.get(v, 0)) // 100
+                for v in deg
+            }
+        return r
+
+    got = {
+        r.id: r.pagerank_scaled
+        for r in pagerank_scaled(df, n_iter=4, seeds=seeds).collect()
+    }
+    want = py_ppr(edges, {1}, 4)
+    assert got == want
+    assert got[1] > got[2] == got[3]  # seed out-ranks the symmetric others
+    # and differs from the global variant on the same graph
+    glob = {
+        r.id: r.pagerank_scaled for r in pagerank_scaled(df, n_iter=4).collect()
+    }
+    assert glob[1] == glob[2] == glob[3] != got[1]
