@@ -128,6 +128,7 @@ HEADLINE = [
     "training_shuffle_shards",
     "part_pagerank_copurchase",
     "part_ppr_brand_affinity",
+    "copurchase_triangles",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ._cache import register_persisted
 
-__all__ = ["copurchase_edges", "pagerank_scaled"]
+__all__ = ["copurchase_edges", "pagerank_scaled", "triangle_counts"]
 
 _SCALE = 1_000_000_000_000  # 1e12 — shared with the oracle CTEs
 
@@ -170,3 +170,88 @@ def pagerank_scaled(
         )
     )
     return out
+
+
+def triangle_counts(
+    edges: DataFrame, cache_scope: str | None = None
+) -> DataFrame:
+    """Exact per-vertex triangle counts + local clustering coefficient over
+    a symmetrized edge list — the third classic graph workload (after CC
+    and PageRank), and the one whose naive form actually explodes.
+
+    The load-bearing trick is DEGREE ORIENTATION (Chiba-Nishizeki; the
+    standard MapReduce formulation is Suri & Vassilvitskii WWW'11): each
+    undirected edge points from its (degree, id)-smaller endpoint to the
+    larger, making the orientation acyclic with out-degree O(sqrt(m)) for
+    ANY degree distribution — so the wedge self-join generates
+    sum_u C(out(u), 2) = O(m^1.5) rows worst case instead of
+    sum_u C(deg(u), 2), which a whale vertex (a part in every order) turns
+    quadratic.  Wedge pairs are ordered by the SAME (degree, id) key, so
+    the closing edge is guaranteed oriented b -> c and the final join is a
+    single equi-join (an OR-of-directions condition would degrade to a
+    nested loop — measured unusable in the oracle engine).
+
+    Plan: orient once (two degree joins), persist the oriented table (it
+    feeds the wedge join twice and the closing join once — pass
+    ``cache_scope`` exactly like pagerank), wedge join co-partitioned on
+    u, closing equi-join on (u, v); per-vertex rollup is a union of three
+    id projections.  Every join is edge-scale — shuffle_hash throughout,
+    never broadcast (the pagerank AQE lesson).  Returns
+    ``(id, degree, n_triangles, clustering)`` for every vertex; the
+    coefficient is ``2T / (deg * (deg-1))`` — one exact-int IEEE division,
+    0.0 below degree 2.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    und = edges.where(F.col("src") < F.col("dst"))
+    withd = (
+        und.join(
+            deg.select(F.col("src"), F.col("deg").alias("__ds")).hint("shuffle_hash"),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("__dd")
+            ).hint("shuffle_hash"),
+            "dst",
+        )
+    )
+    smaller_first = F.struct(F.col("__ds"), F.col("src")) < F.struct(
+        F.col("__dd"), F.col("dst")
+    )
+    oe = withd.select(
+        F.when(smaller_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(smaller_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(smaller_first, F.col("__dd")).otherwise(F.col("__ds")).alias("dv"),
+    )
+    if cache_scope is not None:
+        oe = oe.persist()
+        register_persisted(oe, ("triangles_oriented", cache_scope))
+    e1 = oe.select(F.col("u"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    e2 = oe.select(F.col("u"), F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = e1.join(e2.hint("shuffle_hash"), "u").where(
+        F.struct(F.col("db"), F.col("b")) < F.struct(F.col("dc"), F.col("c"))
+    )
+    closing = oe.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closing.hint("shuffle_hash"), ["b", "c"]).select("u", "b", "c")
+    nodes = (
+        tri.select(F.col("u").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    pern = nodes.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        deg.select(F.col("src").alias("id"), F.col("deg").alias("degree"))
+        .join(pern.hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2) * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -7364,6 +7364,60 @@ def q_part_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scaled(edges, n_iter=3, cache_scope=sf_dir)
 
 
+_TRIANGLES_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+e AS (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.part <> b.part
+),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+oe AS (
+  SELECT CASE WHEN (da.deg, e.src) < (db.deg, e.dst) THEN e.src ELSE e.dst END AS u,
+         CASE WHEN (da.deg, e.src) < (db.deg, e.dst) THEN e.dst ELSE e.src END AS v,
+         CASE WHEN (da.deg, e.src) < (db.deg, e.dst) THEN db.deg ELSE da.deg END AS dv
+  FROM e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst
+  WHERE e.src < e.dst
+),
+tri AS (
+  SELECT e1.u, e1.v AS b, e2.v AS c
+  FROM oe e1
+  JOIN oe e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+  JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pern AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+)
+SELECT d.id, d.deg AS degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN pern p ON p.id = d.id
+"""
+
+
+@register("copurchase_triangles", oracle=_TRIANGLES_ORACLE, tags=("graph",))
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts + local clustering coefficient over the
+    co-purchase graph — how clique-ish each part's neighborhood is (basket
+    cohesion; the graph statistic behind community/complementarity
+    analysis).  Degree orientation bounds the wedge join at O(m^1.5)
+    regardless of whale parts, and ordering wedge pairs by the SAME
+    (degree, id) key makes the closing edge a single equi-join (the
+    OR-of-directions form nested-loops — measured unusable).  Exact longs
+    + one IEEE division — hash-stable; see operators/graph.py:
+    triangle_counts."""
+    from .operators.graph import copurchase_edges, triangle_counts
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return triangle_counts(edges, cache_scope=sf_dir)
+
+
 @register("part_ppr_brand_affinity", oracle=_PPR_ORACLE, tags=("graph", "iterative"))
 def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (topic-sensitive teleport, Haveliwala WWW'02):

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from retailfeaturestore_spark.operators.graph import copurchase_edges, pagerank_scaled
+from retailfeaturestore_spark.operators.graph import copurchase_edges, pagerank_scaled, triangle_counts
 
 SCALE = 1_000_000_000_000
 BASE = 15 * SCALE // 100
@@ -98,3 +98,47 @@ def test_personalized_pagerank_seed_teleport(spark):
         r.id: r.pagerank_scaled for r in pagerank_scaled(df, n_iter=4).collect()
     }
     assert glob[1] == glob[2] == glob[3] != got[1]
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: vertices 1,2 (the diagonal pair) sit in 2
+    triangles each... construct: edges 1-2,1-3,1-4,2-3,2-4 (missing 3-4).
+    Triangles: (1,2,3) and (1,2,4).  Per-vertex: 1->2, 2->2, 3->1, 4->1.
+    Clustering: deg(1)=3 -> 2*2/6=0.667; deg(3)=2 -> 2*1/2=1.0."""
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.degree, r.n_triangles, r.clustering) for r in triangle_counts(df).collect()}
+    assert got[1] == (3, 2, 2 * 2 / (3 * 2))
+    assert got[2] == (3, 2, 2 * 2 / (3 * 2))
+    assert got[3] == (2, 1, 1.0)
+    assert got[4] == (2, 1, 1.0)
+
+
+def test_triangle_counts_no_triangles_and_isolated_path(spark):
+    und = [(1, 2), (2, 3), (3, 4)]  # path: zero triangles everywhere
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.n_triangles, r.clustering) for r in triangle_counts(df).collect()}
+    assert got == {1: (0, 0.0), 2: (0, 0.0), 3: (0, 0.0), 4: (0, 0.0)}
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    und = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)})
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b); adj[b].add(a)
+    want = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1; want[b] += 1; want[c] += 1
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    # operator only reports vertices with >=1 edge
+    assert got == {n: want[n] for n in nodes if adj[n]}

@@ -445,3 +445,15 @@ def test_pagerank_iteration_joins_never_broadcast(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastExchange" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_triangles_all_edge_scale_joins_shuffle_hash(spark):
+    """Degree-oriented triangle counting: every join is edge/vertex-scale,
+    so nothing may broadcast (same AQE HashedRelation hazard pagerank
+    pins); the closing edge must be a single equi-join, not a nested loop."""
+    df = REGISTRY["copurchase_triangles"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -38,6 +38,7 @@ SHOW = {
     "recs_negative_samples": "Negative sampling: no customer x part cross product anywhere - md5 guesses are |C| x 12 generated rows, exclusion is a LeftAnti equi-join over the checkpointed purchase set.",
     "dedup_containment": "Containment dedup: ONE persisted rare-posting artifact (partial-agg df rollup + digest semi-join) feeds all four consumers via InMemoryTableScan; overlap self-join keys on the digest both sides are partitioned by.",
     "part_pagerank_copurchase": "Integer PageRank: every vertex-scale join is a hinted ShuffledHashJoin (NO BroadcastExchange anywhere — the columnar edge cache decompresses ~10x as a HashedRelation); fact-fact co-purchase self-join stays SortMergeJoin.",
+    "copurchase_triangles": "Degree-oriented triangle counting: wedge self-join co-partitioned on the oriented source, closing edge a single equi-join (wedge pairs ordered by the SAME (degree,id) key); all joins ShuffledHashJoin, no broadcast.",
     "training_shuffle_shards": "Epoch shuffle: exactly the sharded-write plan — one hashpartitioning(shard) exchange + in-partition sort by the md5 key; no global sort, no rangepartitioning.",
 }
 
