@@ -382,3 +382,18 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     header on, single directory of part files (coalesce(1) only for tiny
     outputs — never at scale)."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def create_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> list[str]:
+    """Register every testdata table (or ``names``) as a temp view so users
+    can work in pure ``spark.sql`` — the ergonomic bridge for anyone
+    arriving from a SQL engine: the same table names the DuckDB oracles
+    use (``TESTDATA_TABLES``), loaded through :func:`load_table` so the
+    timestamp normalization and scan confs apply identically.  Returns the
+    view names registered."""
+    from .schemas import TESTDATA_TABLES
+
+    targets = tuple(names) if names is not None else tuple(TESTDATA_TABLES)
+    for name in targets:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(targets)
