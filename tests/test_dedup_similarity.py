@@ -510,3 +510,51 @@ def test_pq_index_append_encodes_with_frozen_codebooks(spark, tmp_path):
         append_pq_index(spark, idx, badv)
     # the commit marker survived all of it
     assert _os.path.exists(_os.path.join(idx, "codebooks.json"))
+
+
+def test_containment_matches_bruteforce_on_random_corpora(spark):
+    """Property: containment_pairs == a literal python replay (rare-shingle
+    subspace, integer threshold) on random small-vocab corpora — small
+    vocab forces shared shingles, df-cap hits, and threshold boundaries."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=3, max_size=9).map(" ".join)
+
+    def doc_sh(t):
+        ws = t.split()
+        return {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+
+    def brute(texts, max_df, thr_num, thr_den):
+        sh = {i: doc_sh(t) for i, t in texts.items()}
+        sh = {i: s for i, s in sh.items() if s}
+        dfreq = {}
+        for s in sh.values():
+            for g in s:
+                dfreq[g] = dfreq.get(g, 0) + 1
+        rare = {i: {g for g in s if dfreq[g] <= max_df} for i, s in sh.items()}
+        out = {}
+        for a, sa in rare.items():
+            if not sa:
+                continue
+            for b, sb in rare.items():
+                if a == b:
+                    continue
+                ov = len(sa & sb)
+                if ov and ov * thr_den >= len(sa) * thr_num:
+                    out[(a, b)] = (ov, len(sa), ov / len(sa))
+        return out
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=2, max_size=7))
+    def prop(texts):
+        corpus = {i: t for i, t in enumerate(texts)}
+        d = docs(spark, list(corpus.items()))
+        got = {
+            (r.doc_inner, r.doc_outer): (r.overlap, r.n_inner, r.containment)
+            for r in containment_pairs(d, max_df=3, thr_num=1, thr_den=2).collect()
+        }
+        assert got == brute(corpus, 3, 1, 2)
+
+    prop()
