@@ -7041,66 +7041,13 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-matching postings); df and the corpus stats are tiny broadcast
     sides; the only wide exchanges are the (doc_id, term) tf partial agg
     and the per-query top-k window — with ~10 query terms the window
-    partitions are match-list-sized, not corpus-sized."""
-    d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    qterms = F.broadcast(
-        spark.createDataFrame(list(_BM25_QUERY_TERMS), "query_id long, term string")
-    )
-    stats = F.broadcast(
-        d.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(ws)).cast("long").alias("total_tokens"),
-        )
-    )
-    tok = d.select(
-        "doc_id", F.size(ws).cast("long").alias("dl"), F.explode(ws).alias("term")
-    ).where(F.length("term") > 0)
-    tok_q = tok.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    )
-    tf = tok_q.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl")
-    )
-    dfx = F.broadcast(
-        tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
-    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
-        dbl("df") + F.lit(0.5)
-    )
-    avgdl = dbl("total_tokens") / dbl("n_docs")
-    tfn = (dbl("tf") * F.lit(2.2)) / (
-        dbl("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dbl("dl") / avgdl))
-    )
-    scored = (
-        tf.join(dfx, "term")
-        .join(qterms, "term")
-        .crossJoin(stats)
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * tfn * F.lit(1e12)).cast("long").alias("scaled"),
-        )
-    )
-    per_qd = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("scaled").cast("long").alias("score_scaled"),
-        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_scaled").desc(), F.col("doc_id")
-    )
-    return (
-        per_qd.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .select(
-            "query_id",
-            "rank",
-            "doc_id",
-            "n_terms_hit",
-            "score_scaled",
-            (F.col("score_scaled").cast("double") / F.lit(1e12)).alias("score"),
-        )
+    partitions are match-list-sized, not corpus-sized.  Implementation
+    lives in operators/retrieval.py:bm25_topk (shared with the
+    hybrid_search_pq serving path)."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), list(_BM25_QUERY_TERMS), k=10
     )
 
 
@@ -7223,6 +7170,8 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense half broadcasts 3 query vectors over a never-shuffled corpus
     scan; fusion itself is a top-k-sized (30 rows/side per query)
     full-outer join + per-query window, negligible at any corpus size."""
+    from .operators.retrieval import rrf_fuse
+
     lex = q_bm25_retrieval(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("rank_lex")
     )
@@ -7232,26 +7181,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_id").alias("doc_id"),
         F.col("rank").alias("rank_dense"),
     )
-    contrib = lambda c: F.coalesce(  # noqa: E731
-        F.round(F.lit(1e12) / (F.lit(60) + F.col(c))).cast("long"), F.lit(0).cast("long")
-    )
-    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").withColumn(
-        "rrf_scaled", contrib("rank_lex") + contrib("rank_dense")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("rrf_scaled").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .select(
-            "query_id",
-            "rank",
-            "doc_id",
-            "rank_lex",
-            "rank_dense",
-            "rrf_scaled",
-            (F.col("rrf_scaled").cast("double") / F.lit(1e12)).alias("rrf"),
-        )
-    )
+    return rrf_fuse(lex, dense, k=10, k0=60)
 
 
 _EPOCH_SHUFFLE_ORACLE = """
