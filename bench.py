@@ -129,6 +129,7 @@ HEADLINE = [
     "part_pagerank_copurchase",
     "part_ppr_brand_affinity",
     "copurchase_triangles",
+    "embedding_random_projection",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

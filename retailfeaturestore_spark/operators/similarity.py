@@ -772,6 +772,77 @@ def search_pq_index(
     )
 
 
+def random_projection(
+    vectors: DataFrame,
+    out_dims: int = 8,
+    in_dims: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp0",
+) -> DataFrame:
+    """Deterministic sparse random projection (Achlioptas ±1 /
+    Johnson-Lindenstrauss): project ``in_dims`` float embeddings to
+    ``out_dims`` via a sign matrix derived from md5 — the dimensionality
+    reduction an ANN pipeline runs BEFORE indexing at 100 TB (shorter
+    vectors = smaller codes, cheaper distances; JL guarantees pairwise
+    distances distort by at most eps with out_dims = O(log n / eps^2)).
+
+    Engine-exact randomness: ``sign(i, j) = +1 if the first hex digit of
+    md5('{seed}#i#j') is even else -1`` — both engines compute the
+    identical matrix, and the projection is an int64 sum of quantized
+    components times ±1 (order-free exact; the double output is one IEEE
+    division by the fixed-point scale).  The matrix is driver-side
+    literals (out_dims x in_dims ints — control-plane sized, the PQ
+    codebook pattern), so projection is a pure MAP over the corpus: no
+    join, no shuffle, whole-stage codegen.
+
+    Returns long-form ``(id, j, value_scaled, value)`` — one row per
+    output dimension, the layout the differential oracle hashes exactly.
+    """
+    import hashlib
+
+    signs = [
+        [
+            1 if int(hashlib.md5(f"{seed}#{i}#{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: _quant(x).cast("long")).alias("__q"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__q"),
+                        F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("value_scaled"),
+            )
+            for j in range(out_dims)
+        ]
+    )
+    return (
+        q.select("id", F.explode(rows).alias("e"))
+        .select(
+            "id",
+            F.col("e.j").alias("j"),
+            F.col("e.value_scaled").alias("value_scaled"),
+            (
+                F.col("e.value_scaled").cast("double") / F.lit(float(FIXED_POINT_SCALE))
+            ).alias("value"),
+        )
+    )
+
+
 def mmr_diverse_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -7294,6 +7294,48 @@ def q_part_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scaled(edges, n_iter=3, cache_scope=sf_dir)
 
 
+_RP_ORACLE = """
+WITH flat AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+jdims AS (SELECT unnest(generate_series(0, 7)) AS j),
+proj AS (
+  SELECT f.vec_id AS id, j.j AS j,
+         CAST(sum(
+           CAST(floor(CAST(f.x AS DOUBLE) * 33554432.0) AS BIGINT)
+           * (CASE WHEN strpos('02468ace',
+                substring(md5('rp0#' || CAST(f.i - 1 AS VARCHAR)
+                              || '#' || CAST(j.j AS VARCHAR)), 1, 1)) > 0
+              THEN 1 ELSE -1 END)
+         ) AS BIGINT) AS value_scaled
+  FROM flat f CROSS JOIN jdims j
+  GROUP BY f.vec_id, j.j
+)
+SELECT id, CAST(j AS BIGINT) AS j, value_scaled,
+       CAST(value_scaled AS DOUBLE) / 33554432.0 AS value
+FROM proj
+"""
+
+
+@register("embedding_random_projection", oracle=_RP_ORACLE, tags=("similarity", "ml-prep"))
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss projection 64 -> 8 dims
+    (Achlioptas ±1 signs from md5 — engine-exact randomness, no RNG seed
+    semantics to match): the preprocessing an ANN pipeline runs before
+    indexing at 100 TB.  The sign matrix is driver-side literals (the PQ
+    codebook pattern), so projection is a pure MAP over the corpus —
+    zero joins, zero shuffles before the output; int64 sums make every
+    projected value exact.  Long-form output (id, j, value) for the
+    oracle hash; see operators/similarity.py:random_projection."""
+    from .operators.similarity import random_projection
+
+    return random_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dims=8, in_dims=64, seed="rp0"
+    )
+
+
 _TRIANGLES_ORACLE = """
 WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
 e AS (

@@ -558,3 +558,40 @@ def test_containment_matches_bruteforce_on_random_corpora(spark):
         assert got == brute(corpus, 3, 1, 2)
 
     prop()
+
+
+def test_random_projection_matches_python_replay_and_preserves_distance(spark):
+    import hashlib
+    import math
+
+    vecs = [
+        (0, [1.0, -0.5, 0.25, 0.125]),
+        (1, [0.0, 1.0, -1.0, 0.5]),
+        (2, [1.0, -0.5, 0.25, 0.125]),  # duplicate of 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    from retailfeaturestore_spark.operators.similarity import random_projection
+
+    out = random_projection(df, out_dims=3, in_dims=4, seed="t")
+    got = {(r.id, r.j): r.value_scaled for r in out.collect()}
+
+    scale = 2**25
+    def sign(i, j):
+        return 1 if int(hashlib.md5(f"t#{i}#{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+    for vid, v in vecs:
+        q = [math.floor(float(x) * scale) for x in v]
+        for j in range(3):
+            want = sum(qi * sign(i, j) for i, qi in enumerate(q))
+            assert got[(vid, j)] == want, (vid, j)
+    # identical inputs -> identical projections (determinism, no RNG state)
+    assert all(got[(0, j)] == got[(2, j)] for j in range(3))
+
+
+def test_random_projection_is_map_only_plan(spark):
+    from retailfeaturestore_spark.plans import formatted_plan
+    from retailfeaturestore_spark.queries import REGISTRY
+
+    df = REGISTRY["embedding_random_projection"].fn(spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan[:1500]
