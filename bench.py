@@ -130,6 +130,7 @@ HEADLINE = [
     "part_ppr_brand_affinity",
     "copurchase_triangles",
     "embedding_random_projection",
+    "knn_projection_recall",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and
