@@ -394,6 +394,6 @@ def create_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None
     from .schemas import TESTDATA_TABLES
 
     targets = tuple(names) if names is not None else tuple(TESTDATA_TABLES)
-    for name in targets:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    for name, df in load_tables(spark, sf_dir, targets).items():
+        df.createOrReplaceTempView(name)
     return list(targets)

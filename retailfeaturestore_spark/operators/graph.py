@@ -224,7 +224,12 @@ def triangle_counts(
         F.when(smaller_first, F.col("__dd")).otherwise(F.col("__ds")).alias("dv"),
     )
     if cache_scope is not None:
+        # deg too, not just oe: the final per-vertex rollup joins deg, and
+        # an un-persisted deg re-derives the ENTIRE upstream edge build
+        # (the co-purchase self-join) for that one small join.
+        deg = deg.persist()
         oe = oe.persist()
+        register_persisted(deg, ("triangles_deg", cache_scope))
         register_persisted(oe, ("triangles_oriented", cache_scope))
     e1 = oe.select(F.col("u"), F.col("v").alias("b"), F.col("dv").alias("db"))
     e2 = oe.select(F.col("u"), F.col("v").alias("c"), F.col("dv").alias("dc"))

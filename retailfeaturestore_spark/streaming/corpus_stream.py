@@ -60,11 +60,15 @@ def build_benchmark_ref(
     docs: DataFrame, heldout_source: str = "src0", shingle_n: int = 3
 ) -> DataFrame:
     """The static decontamination reference: distinct shingles of the
-    held-out source.  Build ONCE (driver job), pass to the stream."""
+    held-out source.  Build ONCE (driver job), pass to the stream.
+    Materialized eagerly (localCheckpoint) — a lazy frame would re-run the
+    held-out scan + explode + distinct on EVERY micro-batch's broadcast,
+    turning the 'static artifact' into a per-batch job."""
     return (
         docs.where(F.col("source") == heldout_source)
         .select(F.explode(shingles(F.col("text"), shingle_n)).alias("sh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -75,7 +79,16 @@ def _stage_one_file(df: DataFrame, stage_dir: str, batch_id: int) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     (part,) = glob.glob(os.path.join(tmp, "*.parquet"))
     os.makedirs(stage_dir, exist_ok=True)
-    os.replace(part, os.path.join(stage_dir, f"batch-{batch_id:09d}.parquet"))
+    dst = os.path.join(stage_dir, f"batch-{batch_id:09d}.parquet")
+    os.replace(part, dst)
+    # FileStreamSource orders new files by MODIFICATION TIME, not name, and
+    # os.replace preserves the part file's original mtime — two quick
+    # batches can tie on coarse-granularity filesystems and replay out of
+    # order into the order-sensitive packer.  Pin a strictly-increasing
+    # mtime derived from the batch id so the source's timestamp sort IS the
+    # batch order.
+    t = 1_000_000_000 + batch_id
+    os.utime(dst, (t, t))
     shutil.rmtree(tmp)
 
 
@@ -106,7 +119,12 @@ def streaming_corpus_admission(
     os.makedirs(admitted_dir, exist_ok=True)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.where(F.length(F.col(text_col)) > 0).localCheckpoint()
+        # every input doc gets an audit row — empty/null text is NOT
+        # pre-filtered (it fails the word-count gate and records kept=0;
+        # silently vanishing docs would break audit reconciliation).
+        b = batch_df.withColumn(
+            text_col, F.coalesce(F.col(text_col), F.lit(""))
+        ).localCheckpoint()
         nd = ingest_batch_neardup(
             b, state_dir, text_col=text_col, id_col=id_col,
             threshold=neardup_threshold,
@@ -167,6 +185,8 @@ def pack_admitted_stream(
     n_shards: int = 8,
     flush_tail: bool = False,
     files_per_trigger: int | None = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Stage 2: the packed-chunk stream over the staging dir.  Attach a
     sink and trigger (availableNow for drain-and-stop).  One staged file
@@ -174,13 +194,27 @@ def pack_admitted_stream(
     cross-batch tail; ``files_per_trigger=None`` drains everything staged
     in one trigger — pair it with ``flush_tail=True`` for the final
     close-the-corpus run (flush closes the tail at EVERY trigger, so it
-    belongs only on a last/one-shot drain)."""
+    belongs only on a last/one-shot drain).  ``id_col``/``text_col`` must
+    match what the admission stage staged — parquet reads of ABSENT
+    columns return nulls rather than erroring, so a name mismatch would
+    silently feed the packer empty rows."""
     from .packing_stream import streaming_pack_chunks
 
-    reader = spark.readStream.schema("doc_id long, text string")
+    staged = os.path.join(work_dir, "admitted")
+    if glob.glob(os.path.join(staged, "batch-*.parquet")):
+        have = set(spark.read.parquet(staged).columns)
+        missing = {id_col, text_col} - have
+        if missing:
+            raise ValueError(
+                f"staged files at {staged!r} lack column(s) {sorted(missing)} "
+                f"(have {sorted(have)}): pass the id_col/text_col the "
+                "admission stage staged with"
+            )
+    reader = spark.readStream.schema(f"{id_col} long, {text_col} string")
     if files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", files_per_trigger)
-    stream = reader.parquet(os.path.join(work_dir, "admitted"))
+    stream = reader.parquet(staged)
     return streaming_pack_chunks(
-        stream, max_tokens=max_tokens, n_shards=n_shards, flush_tail=flush_tail
+        stream, max_tokens=max_tokens, n_shards=n_shards,
+        text_col=text_col, id_col=id_col, flush_tail=flush_tail,
     )
