@@ -7701,10 +7701,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # top_balance_inactive_customers, user_retention_cohorts,
     # value_percentiles, xlsx_ingest_normalize — 40 fits r7's 50-slot
     # window with ~10 slots to spare for r7 changes; rotate them in en
-    # bloc.  ALSO give part_ppr_brand_affinity and copurchase_triangles
-    # (added after the session-4 swap; zero verdicts, oracle-backed,
-    # graph-operator family exercised in-window via
-    # part_pagerank_copurchase) two of the spare slots.  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
+    # bloc.  ALSO give the four post-swap session-4 queries (zero
+    # verdicts, all oracle-backed) spare slots: part_ppr_brand_affinity,
+    # copurchase_triangles, embedding_random_projection,
+    # knn_projection_recall (graph family exercised in-window via
+    # part_pagerank_copurchase; similarity via hybrid_retrieval_rrf).  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)
 )
