@@ -73,8 +73,10 @@ def build_benchmark_ref(
 
 
 def _stage_one_file(df: DataFrame, stage_dir: str, batch_id: int) -> None:
-    """Write df as exactly one parquet file named by batch id (listing
-    order == arrival order for the downstream file source)."""
+    """Write df as exactly one parquet file per batch, with a batch-derived
+    strictly-increasing mtime — the property the downstream FileStreamSource
+    actually orders by (names are for humans; the utime pin is the order
+    contract)."""
     tmp = os.path.join(stage_dir, f"_tmp-{batch_id}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     (part,) = glob.glob(os.path.join(tmp, "*.parquet"))

@@ -111,3 +111,23 @@ def test_staged_pack_equals_batch_pack_of_admitted(spark, tmp_path):
         for r in pack_chunk_text(admitted_df, max_tokens=16, n_shards=2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_empty_text_doc_gets_audit_row_not_silence(spark, tmp_path):
+    """Audit completeness: an empty-text doc must appear in decisions with
+    kept=0 (review finding: the old length>0 pre-filter made it vanish)."""
+    rows = [(0, D1, "src1"), (1, "", "src1"), (2, None, "src2")]
+    work = str(tmp_path / "c2")
+    stream = stage_microbatches(spark, tmp_path, SCHEMA, [rows])
+    q = streaming_corpus_admission(stream, work, min_words=5)
+    q.awaitTermination(120)
+    dec = {r.doc_id: r.kept for r in spark.read.parquet(os.path.join(work, "decisions")).collect()}
+    assert dec == {0: 1, 1: 0, 2: 0}
+
+
+def test_stage2_schema_guard_refuses_mismatched_columns(spark, tmp_path):
+    import pytest
+
+    work = _run_admission(spark, tmp_path)
+    with pytest.raises(ValueError, match="lack column"):
+        pack_admitted_stream(spark, work, id_col="id", text_col="body")
