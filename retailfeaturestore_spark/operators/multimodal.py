@@ -92,16 +92,19 @@ def extract_features(
     ``decode_stub='png'``: same REAL decode for the most common compressed
     format — pure-stdlib zlib inflate + scanline unfiltering
     (``functions.png``), identical feature statistics and failure surface.
-    ``decode_stub='image'``: magic-byte dispatch between the two real
-    codecs per row — the shape of a mixed-format media column at ingest.
+    ``decode_stub='bmp'``: the third real codec — 24-bit uncompressed
+    Windows DIB (``functions.bmp``), same statistics and failure surface.
+    ``decode_stub='image'``: magic-byte dispatch between the real codecs
+    per row (PNG / BMP / PPM) — a mixed-format media column at ingest.
     ``decode_stub='raise'``: the seam where a general media decoder
     (video/audio: ffmpeg et al.) plugs in; raises NotImplementedError
     because those codec libraries are not available in this environment.
     """
-    if decode_stub not in ("fake", "ppm", "png", "image", "raise"):
+    if decode_stub not in ("fake", "ppm", "png", "bmp", "image", "raise"):
         raise ValueError(f"unknown decode_stub: {decode_stub}")
 
     def _rgb_features(b: bytes) -> list[float]:
+        from ..functions.bmp import bmp_to_rgb
         from ..functions.png import png_to_rgb
         from ..functions.ppm import decode_ppm
 
@@ -110,6 +113,10 @@ def extract_features(
             decode_stub == "image" and b.startswith(b"\x89PNG")
         ):
             w, h, rgb = png_to_rgb(b)
+        elif decode_stub == "bmp" or (
+            decode_stub == "image" and b.startswith(b"BM")
+        ):
+            w, h, rgb = bmp_to_rgb(b)
         else:
             w, h, rgb = decode_ppm(b)
         n = w * h
@@ -138,11 +145,11 @@ def extract_features(
                 raise NotImplementedError(
                     "media decode requires codec libraries not present in "
                     "this environment; use decode_stub='fake', 'ppm', "
-                    "'png', or 'image'"
+                    "'png', 'bmp', or 'image'"
                 )
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
-            if decode_stub in ("ppm", "png", "image"):
+            if decode_stub in ("ppm", "png", "bmp", "image"):
                 # per-ROW failure surface: a malformed payload yields null
                 # features for that row instead of aborting the whole task
                 # (one adversarial blob must not kill the batch)

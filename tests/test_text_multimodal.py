@@ -498,3 +498,56 @@ def test_extract_audio_features_real_wav_distributed(spark):
     assert r2.peak == 100
 
     assert rows[3].sample_rate is None and rows[3].n_bytes == 16
+
+
+def test_bmp_codec_roundtrip_and_rejections():
+    """24-bit BI_RGB round-trip (bottom-up AND top-down, padded odd widths);
+    unsupported variants reject with reasons, never garbage pixels."""
+    import pytest as _pytest
+
+    from retailfeaturestore_spark.functions.bmp import decode_bmp, encode_bmp
+
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9, 1, 2, 3, 250, 251, 252])
+    for td in (False, True):
+        data = encode_bmp(3, 2, rgb, top_down=td)
+        assert decode_bmp(data) == (3, 2, rgb)
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    with _pytest.raises(ValueError, match="bits-per-pixel"):
+        bad = bytearray(encode_bmp(1, 1, bytes(3)))
+        bad[28] = 8  # bpp field
+        decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(3, 2, rgb)[:-4])
+
+
+def test_extract_features_decodes_real_bmp_distributed(spark):
+    """BMP through the same Arrow seam: exact statistics, row-local failure,
+    and three-way mixed-column dispatch (PNG + BMP + PPM)."""
+    from retailfeaturestore_spark.functions.bmp import encode_bmp
+    from retailfeaturestore_spark.functions.png import encode_png
+    from retailfeaturestore_spark.functions.ppm import encode_ppm
+    from retailfeaturestore_spark.operators.multimodal import extract_features
+
+    img = encode_bmp(2, 1, bytes([255, 0, 0, 0, 255, 0]))
+    bad = b"BM" + b"\x00" * 60
+    d = _ppm_frame(spark, [(1, img), (2, bad)]).repartition(2)
+    rows = {r.doc_id: r for r in extract_features(d, decode_stub="bmp").collect()}
+    assert rows[1].features == [2.0, 1.0, 2.0, 127.5, 127.5, 0.0, 85.0, 85.0]
+    assert rows[2].features is None
+
+    mixed = _ppm_frame(
+        spark,
+        [
+            (10, encode_ppm(1, 1, bytes([9, 9, 9]))),
+            (11, encode_png(1, 1, bytes([100, 100, 100]))),
+            (12, encode_bmp(1, 1, bytes([7, 8, 9]))),
+        ],
+    ).repartition(3)
+    got = {
+        r.doc_id: r.features
+        for r in extract_features(mixed, decode_stub="image").collect()
+    }
+    assert got[10] == [1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 9.0, 9.0]
+    assert got[11] == [1.0, 1.0, 1.0, 100.0, 100.0, 100.0, 100.0, 100.0]
+    assert got[12] == [1.0, 1.0, 1.0, 7.0, 8.0, 9.0, 8.0, 8.0]
