@@ -31,7 +31,9 @@ __all__ = ["copurchase_edges", "pagerank_scaled", "triangle_counts"]
 _SCALE = 1_000_000_000_000  # 1e12 — shared with the oracle CTEs
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+def copurchase_edges(
+    lineitem: DataFrame, max_items_per_order: int | None = None
+) -> DataFrame:
     """Directed co-purchase edge list: (src, dst) part pairs that appear in
     the same order, both directions, no self-loops, distinct.
 
@@ -39,11 +41,24 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     on the same key — one exchange per side, no broadcast of a fact table);
     per-order fan-out is quadratic in ORDER SIZE only (~items-per-order²,
     a small constant), never in corpus size.  Whale orders (a single order
-    with thousands of line items) are the one skew hazard — cap items per
-    order upstream if the domain allows them."""
+    with thousands of line items) are the one skew hazard —
+    ``max_items_per_order`` is the valve: each order contributes at most
+    its (deterministically) first-k parts, bounding per-order fan-out at
+    k² regardless of basket size.  The cap window rides the SAME orderkey
+    partitioning the self-join needs, so it costs a sort, not an extra
+    exchange."""
     li = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
     ).distinct()
+    if max_items_per_order is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ok").orderBy("part")
+        li = (
+            li.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_items_per_order)
+            .drop("__rn")
+        )
     a = li.select("ok", F.col("part").alias("src"))
     b = li.select("ok", F.col("part").alias("dst"))
     # merge hint: this is a fact ⋈ fact self-join — both sides scale with

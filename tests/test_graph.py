@@ -142,3 +142,17 @@ def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
     got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
     # operator only reports vertices with >=1 edge
     assert got == {n: want[n] for n in nodes if adj[n]}
+
+
+def test_copurchase_whale_order_cap(spark):
+    """max_items_per_order bounds the quadratic per-order fan-out: a whale
+    order with 20 parts contributes only its first-k parts' edges."""
+    rows = [(1, p) for p in range(100, 120)] + [(2, 300), (2, 301)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    full = copurchase_edges(li)
+    capped = copurchase_edges(li, max_items_per_order=5)
+    assert full.count() == 20 * 19 + 2
+    assert capped.count() == 5 * 4 + 2
+    got = {(r.src, r.dst) for r in capped.collect()}
+    # deterministic first-k by part id: parts 100..104 survive, plus order 2
+    assert {s for s, _ in got} == {100, 101, 102, 103, 104, 300, 301}
