@@ -131,6 +131,7 @@ HEADLINE = [
     "copurchase_triangles",
     "embedding_random_projection",
     "knn_projection_recall",
+    "part_similar_by_copurchase",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -21,12 +21,12 @@ caps upstream, and checked cheaply by the caller if in doubt.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._cache import register_persisted
 
-__all__ = ["copurchase_edges", "pagerank_scaled", "triangle_counts"]
+__all__ = ["copurchase_edges", "pagerank_scaled", "triangle_counts", "similar_by_neighbors"]
 
 _SCALE = 1_000_000_000_000  # 1e12 — shared with the oracle CTEs
 
@@ -273,5 +273,83 @@ def triangle_counts(
             )
             .otherwise(F.lit(0.0))
             .alias("clustering"),
+        )
+    )
+
+
+def similar_by_neighbors(
+    edges: DataFrame,
+    max_degree: int = 100,
+    k: int = 5,
+    cache_scope: str | None = None,
+) -> DataFrame:
+    """Item-item collaborative filtering: per-vertex top-k neighbors by
+    JACCARD over co-purchase neighborhoods — the "customers who bought
+    this also gravitate to" primitive, per-item ranked (distinct from the
+    global pair ranking brand_basket_affinity produces).
+
+    The skew valve is STOPWORD-VERTEX REMOVAL: vertices with degree >
+    ``max_degree`` are dropped from the analysis graph entirely (a part in
+    every basket correlates with everything and carries no signal — the
+    same reasoning as dedup's max_df posting caps), which bounds the
+    common-neighbor join at sum-over-kept C(deg, 2) with deg <= cap.  All
+    quantities (degrees, intersections, unions) are computed over the SAME
+    capped graph, so the Jaccard is exact and self-consistent — not a
+    capped numerator over an uncapped denominator.
+
+    Scale shape: two semi-joins apply the cap; the common-neighbor
+    self-join keys on the shared neighbor (src) both sides are partitioned
+    by; the degree attach joins are vertex-scale — shuffle_hash, never
+    broadcast (the pagerank AQE lesson).  Jaccard = c / (da + db - c),
+    one exact long/long IEEE division; ties rank by neighbor id.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    keep = deg.where(F.col("d") <= max_degree).select("src")
+    ec = (
+        edges.join(keep.hint("shuffle_hash"), "src", "left_semi")
+        .join(
+            keep.select(F.col("src").alias("dst")).hint("shuffle_hash"),
+            "dst",
+            "left_semi",
+        )
+    )
+    if cache_scope is not None:
+        ec = ec.persist()
+        register_persisted(ec, ("simneigh_edges", cache_scope))
+    dc = ec.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = ec.select(F.col("src").alias("u"), F.col("dst").alias("pa"))
+    b = ec.select(F.col("src").alias("u"), F.col("dst").alias("pb"))
+    common = (
+        a.join(b.hint("shuffle_hash"), "u")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sym = common.unionByName(
+        common.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), F.col("c")
+        )
+    )
+    j = (
+        sym.join(dc.select(F.col("src").alias("pa"), F.col("d").alias("da")).hint("shuffle_hash"), "pa")
+        .join(dc.select(F.col("src").alias("pb"), F.col("d").alias("db")).hint("shuffle_hash"), "pb")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double")
+            / (F.col("da") + F.col("db") - F.col("c")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("jaccard").desc(), F.col("pb"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("pa").alias("part_id"),
+            F.col("pb").alias("similar_part"),
+            F.col("c").alias("common"),
+            F.col("da").alias("deg_a"),
+            F.col("db").alias("deg_b"),
+            "jaccard",
+            "rank",
         )
     )

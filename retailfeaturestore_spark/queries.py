@@ -7531,6 +7531,65 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, cache_scope=sf_dir)
 
 
+_SIMILAR_PARTS_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+e AS (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM li a JOIN li b ON a.ok = b.ok AND a.part <> b.part
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+keep AS (SELECT src FROM deg WHERE d <= 100),
+ec AS (
+  SELECT e.src, e.dst FROM e
+  JOIN keep ka ON ka.src = e.src
+  JOIN keep kb ON kb.src = e.dst
+),
+dc AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ec GROUP BY src),
+common AS (
+  SELECT a.dst AS pa, b.dst AS pb, CAST(count(*) AS BIGINT) AS c
+  FROM ec a JOIN ec b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+),
+sym AS (
+  SELECT pa, pb, c FROM common
+  UNION ALL
+  SELECT pb AS pa, pa AS pb, c FROM common
+),
+j AS (
+  SELECT s.pa, s.pb, s.c, da.d AS da, db.d AS db,
+         CAST(s.c AS DOUBLE) / CAST(da.d + db.d - s.c AS DOUBLE) AS jaccard
+  FROM sym s
+  JOIN dc da ON da.src = s.pa
+  JOIN dc db ON db.src = s.pb
+)
+SELECT pa AS part_id, pb AS similar_part, c AS common,
+       da AS deg_a, db AS deg_b, jaccard, CAST(rn AS BIGINT) AS "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY pa ORDER BY jaccard DESC, pb
+  ) AS rn FROM j
+) WHERE rn <= 5
+"""
+
+
+@register("part_similar_by_copurchase", oracle=_SIMILAR_PARTS_ORACLE, tags=("graph", "recs"))
+def q_part_similar_by_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: per-part top-5 similar parts by
+    Jaccard over co-purchase neighborhoods ("customers who bought this
+    also gravitate to...") — the per-item ranked primitive, distinct from
+    the global pair ranking of brand_basket_affinity.  Stopword-vertex
+    removal (degree > 100 dropped entirely — a part in every basket
+    correlates with everything) is the skew valve AND keeps the Jaccard
+    self-consistent: degrees, intersections, and unions all measured over
+    the same capped graph.  One exact long/long division per pair,
+    deterministic tiebreaks — hash-exact; see
+    operators/graph.py:similar_by_neighbors."""
+    from .operators.graph import copurchase_edges, similar_by_neighbors
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return similar_by_neighbors(edges, max_degree=100, k=5, cache_scope=sf_dir)
+
+
 @register("part_ppr_brand_affinity", oracle=_PPR_ORACLE, tags=("graph", "iterative"))
 def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (topic-sensitive teleport, Haveliwala WWW'02):

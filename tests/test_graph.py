@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from retailfeaturestore_spark.operators.graph import copurchase_edges, pagerank_scaled, triangle_counts
+from retailfeaturestore_spark.operators.graph import copurchase_edges, pagerank_scaled, similar_by_neighbors, triangle_counts
 
 SCALE = 1_000_000_000_000
 BASE = 15 * SCALE // 100
@@ -156,3 +156,22 @@ def test_copurchase_whale_order_cap(spark):
     got = {(r.src, r.dst) for r in capped.collect()}
     # deterministic first-k by part id: parts 100..104 survive, plus order 2
     assert {s for s, _ in got} == {100, 101, 102, 103, 104, 300, 301}
+
+
+def test_similar_by_neighbors_jaccard_and_stopword_removal(spark):
+    """Square 1-2-3-4 (cycle): opposite corners share BOTH neighbors
+    (jaccard 1.0), adjacent corners share none; a hub vertex connected to
+    everything is dropped entirely at max_degree and influences nothing."""
+    und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    hub = [(9, v) for v in (1, 2, 3, 4)]
+    edges = und + [(b, a) for a, b in und] + hub + [(v, 9) for _, v in hub]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = similar_by_neighbors(df, max_degree=3, k=5).collect()
+    got = {(r.part_id, r.similar_part): (r.common, r.jaccard, r.rank) for r in out}
+    # hub 9 (degree 4 > 3) appears nowhere — as a vertex or a shared neighbor
+    assert all(9 not in k for k in got)
+    # opposite corners: N(1)={2,4}=N(3) -> jaccard 1.0, both directions
+    assert got[(1, 3)] == (2, 1.0, 1) and got[(3, 1)] == (2, 1.0, 1)
+    assert got[(2, 4)] == (2, 1.0, 1) and got[(4, 2)] == (2, 1.0, 1)
+    # adjacent corners share no neighbors -> no pair row at all
+    assert (1, 2) not in got and (2, 3) not in got
