@@ -7760,11 +7760,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # top_balance_inactive_customers, user_retention_cohorts,
     # value_percentiles, xlsx_ingest_normalize — 40 fits r7's 50-slot
     # window with ~10 slots to spare for r7 changes; rotate them in en
-    # bloc.  ALSO give the four post-swap session-4 queries (zero
+    # bloc.  ALSO give the five post-swap session-4 queries (zero
     # verdicts, all oracle-backed) spare slots: part_ppr_brand_affinity,
     # copurchase_triangles, embedding_random_projection,
-    # knn_projection_recall (graph family exercised in-window via
-    # part_pagerank_copurchase; similarity via hybrid_retrieval_rrf).  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
+    # knn_projection_recall, part_similar_by_copurchase (graph family
+    # exercised in-window via part_pagerank_copurchase; similarity via
+    # hybrid_retrieval_rrf).  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
     # minus this window; the two approx_* sketches stay rotated out by
     # design.)
 )
