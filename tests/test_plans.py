@@ -457,3 +457,14 @@ def test_triangles_all_edge_scale_joins_shuffle_hash(spark):
     assert "BroadcastExchange" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_similar_parts_no_broadcast_no_cartesian(spark):
+    """Item-item CF: every join side is edge/vertex-scale — the capped
+    adjacency, its self-join, and the degree attaches must be
+    shuffle-based (the graph family's AQE HashedRelation lesson)."""
+    df = REGISTRY["part_similar_by_copurchase"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

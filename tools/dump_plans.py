@@ -39,6 +39,7 @@ SHOW = {
     "dedup_containment": "Containment dedup: ONE persisted rare-posting artifact (partial-agg df rollup + digest semi-join) feeds all four consumers via InMemoryTableScan; overlap self-join keys on the digest both sides are partitioned by.",
     "part_pagerank_copurchase": "Integer PageRank: every vertex-scale join is a hinted ShuffledHashJoin (NO BroadcastExchange anywhere — the columnar edge cache decompresses ~10x as a HashedRelation); fact-fact co-purchase self-join stays SortMergeJoin.",
     "copurchase_triangles": "Degree-oriented triangle counting: wedge self-join co-partitioned on the oriented source, closing edge a single equi-join (wedge pairs ordered by the SAME (degree,id) key); all joins ShuffledHashJoin, no broadcast.",
+    "part_similar_by_copurchase": "Item-item CF: stopword-vertex semi-joins bound the common-neighbor self-join (co-partitioned on the shared neighbor); degree attaches are shuffle-hash, never broadcast; per-part rank window over pair-sized rows.",
     "training_shuffle_shards": "Epoch shuffle: exactly the sharded-write plan — one hashpartitioning(shard) exchange + in-partition sort by the md5 key; no global sort, no rangepartitioning.",
 }
 
