@@ -307,3 +307,91 @@ def build_packed_corpus(
     admitted = d.join(admitted_ids, "doc_id").select("doc_id", "text")
     chunks = pack_chunk_text(admitted, max_tokens=max_tokens, n_shards=n_shards)
     return write_packed_shards(chunks, out_dir)
+
+
+def build_graph_features(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_iter: int = 3,
+    max_degree: int = 100,
+    k_similar: int = 5,
+) -> dict:
+    """Materialize the co-purchase graph family as a PART FEATURE table —
+    the graph analytics feeding back into the feature-store contract the
+    rest of the engine serves:
+
+        lineitem --copurchase_edges--> one shared edge build (built once,
+          persisted under the session registry) -->
+            pagerank (catalog importance)
+          ⊕ triangle_counts (basket cohesion: n_triangles, clustering)
+          ⊕ similar_by_neighbors (top-k bought-together ids + strengths)
+        --> one row per part --> parquet sink
+
+    Columns: part_id, degree, pagerank, n_triangles, clustering,
+    top_similar (array of the k best neighbor ids in rank order),
+    top_similar_jaccard (parallel array of strengths).  Vertices dropped
+    by the stopword cap simply have empty similar arrays — they keep
+    their pagerank/triangle features (computed on the full graph).
+
+    Plan: the expensive edge build runs ONCE (shared persisted frame);
+    each family adds only its own exchanges; the final assembly is three
+    vertex-scale left joins on part_id.  Returns a manifest dict
+    {rows, parts_with_similar, out_path}.
+    """
+    from .io import load_table
+    from .operators.graph import (
+        copurchase_edges,
+        pagerank_scaled,
+        similar_by_neighbors,
+        triangle_counts,
+    )
+
+    scope = f"graphfeat:{sf_dir}"
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).persist()
+    from .operators._cache import register_persisted
+
+    register_persisted(edges, ("graphfeat_edges", scope))
+
+    pr = pagerank_scaled(edges, n_iter=n_iter, cache_scope=scope).select(
+        F.col("id").alias("part_id"), "degree", "pagerank"
+    )
+    tri = triangle_counts(edges, cache_scope=scope).select(
+        F.col("id").alias("part_id"), "n_triangles", "clustering"
+    )
+    sim = (
+        similar_by_neighbors(edges, max_degree=max_degree, k=k_similar, cache_scope=scope)
+        .groupBy("part_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "similar_part", "jaccard"))),
+                lambda s: s["similar_part"],
+            ).alias("top_similar"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "similar_part", "jaccard"))),
+                lambda s: s["jaccard"],
+            ).alias("top_similar_jaccard"),
+        )
+    )
+    gold = (
+        pr.join(tri, "part_id", "left")
+        .join(sim, "part_id", "left")
+        .select(
+            "part_id",
+            "degree",
+            "pagerank",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.coalesce("clustering", F.lit(0.0)).alias("clustering"),
+            F.coalesce("top_similar", F.array().cast("array<long>")).alias("top_similar"),
+            F.coalesce(
+                "top_similar_jaccard", F.array().cast("array<double>")
+            ).alias("top_similar_jaccard"),
+        )
+    )
+    gold.write.mode("overwrite").parquet(out_path)
+    written = spark.read.parquet(out_path)
+    return {
+        "rows": written.count(),
+        "parts_with_similar": written.where(F.size("top_similar") > 0).count(),
+        "out_path": out_path,
+    }

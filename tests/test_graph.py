@@ -175,3 +175,43 @@ def test_similar_by_neighbors_jaccard_and_stopword_removal(spark):
     assert got[(2, 4)] == (2, 1.0, 1) and got[(4, 2)] == (2, 1.0, 1)
     # adjacent corners share no neighbors -> no pair row at all
     assert (1, 2) not in got and (2, 3) not in got
+
+
+def test_build_graph_features_job_end_to_end(spark, tmp_path):
+    """The graph family as a part-feature gold table: one shared edge
+    build, per-part pagerank/triangles/top-similar columns, empty similar
+    arrays for capped vertices, values consistent with the individual
+    operators."""
+    import os
+
+    import pytest as _pytest
+
+    _pytest.importorskip("pyspark")
+    from retailfeaturestore_spark.jobs import build_graph_features
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        _pytest.skip("driver testdata absent")
+    out = str(tmp_path / "graph_gold")
+    m = build_graph_features(spark, "/root/testdata/sf0.001", out, max_degree=100)
+    df = spark.read.parquet(out)
+    assert m["rows"] == df.count() > 0
+    assert m["parts_with_similar"] > 0
+    row = df.where("size(top_similar) > 0").first()
+    assert len(row.top_similar) == len(row.top_similar_jaccard) <= 5
+    # strengths arrive rank-ordered: non-increasing jaccard
+    js = row.top_similar_jaccard
+    assert all(js[i] >= js[i + 1] for i in range(len(js) - 1))
+    # spot-check one part against the standalone operators
+    from pyspark.sql import functions as F
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.graph import (
+        copurchase_edges,
+        pagerank_scaled,
+    )
+
+    edges = copurchase_edges(load_table(spark, "/root/testdata/sf0.001", "lineitem"))
+    pr = {r.id: r.pagerank_scaled for r in pagerank_scaled(edges, n_iter=3).collect()}
+    got = {r.part_id: round(r.pagerank * 1e12) for r in df.collect()}
+    sample = list(pr)[:20]
+    assert all(abs(got[p] - pr[p]) <= 1 for p in sample)
