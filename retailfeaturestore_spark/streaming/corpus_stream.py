@@ -15,9 +15,9 @@ store, the packer tail is ``applyInPandasWithState``):
       quality flags, held-out-source exclusion, shingle-overlap
       decontamination vs a STATIC benchmark reference).  Per-doc decisions
       append to ``work_dir/decisions`` (the audit trail); admitted
-      (doc_id, text) rows stage to ``work_dir/admitted`` as ONE
-      zero-padded file per batch, so the downstream file source replays
-      them in arrival order.
+      (doc_id, text) rows stage to ``work_dir/admitted`` as ONE file per
+      batch with a batch-derived mtime, so the downstream file source
+      (which orders by modification time) replays them in arrival order.
 
   stage 2 (``pack_admitted_stream``):
       file stream over the staging dir -> the cross-batch incremental
