@@ -140,6 +140,16 @@ HEADLINE = [
 # steady state a resident pipeline would see.
 RUNS = 3
 
+# Tags whose queries must run cold: "iterative" queries compute while
+# building the plan (plan cache would hide runs 2-3's work); "graph"
+# queries persist edge-scale frames and OOM under ~100 queries of
+# accumulated session caches (BENCH_r06 was a heap-OOM crash record).
+EVICT_TAGS = frozenset({"iterative", "graph"})
+
+
+def _should_evict(tags: tuple[str, ...]) -> bool:
+    return bool(EVICT_TAGS & set(tags))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,7 +175,18 @@ def main() -> None:
         # frame (minhash signature artifact, KMeans quantized corpus) so every run
         # pays the full build + execute (ADVICE round 2: plan eviction
         # alone left persisted frames warm across runs).
-        evict = "iterative" in qd.tags
+        #
+        # The "graph" tag gets the same treatment for a different reason
+        # (VERDICT r6 "what's wrong" #1): copurchase_triangles persists two
+        # edge-scale frames and runs its 38-task wedge join LATE in the
+        # headline order, after ~100 queries have accumulated sf-scoped
+        # persisted frames (pagerank edges/vbase, signature artifacts, PQ
+        # corpus...) in the default 1 GiB unified region — the join stage
+        # then dies UNABLE_TO_ACQUIRE_MEMORY even though the standalone
+        # plan is right (11.3 s, 2x faster than DuckDB).  Evicting all
+        # sf-scoped caches before each run both frees that region and keeps
+        # the timing honest (every run pays its own persist build).
+        evict = _should_evict(qd.tags)
         best = None
         for _ in range(RUNS):
             if evict:

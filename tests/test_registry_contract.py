@@ -42,3 +42,19 @@ def test_bench_headline_names_resolve():
     unknown = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not unknown, unknown
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_bench_evicts_caches_for_graph_and_iterative_queries():
+    """BENCH_r06 was a heap-OOM crash record: copurchase_triangles (tagged
+    "graph", not "iterative") ran its wedge join against ~100 queries of
+    accumulated sf-scoped persisted frames and died UNABLE_TO_ACQUIRE_MEMORY.
+    Pin the protocol: every headline query that persists edge-scale frames
+    (graph family) or computes while planning (iterative) gets the
+    evict-before-each-run treatment."""
+    for name in bench.HEADLINE:
+        tags = set(REGISTRY[name].tags)
+        if tags & {"graph", "iterative"}:
+            assert bench._should_evict(REGISTRY[name].tags), name
+    # the r6 crash query specifically
+    assert bench._should_evict(REGISTRY["copurchase_triangles"].tags)
+    assert bench._should_evict(REGISTRY["part_similar_by_copurchase"].tags)
