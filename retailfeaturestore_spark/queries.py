@@ -7622,152 +7622,78 @@ def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r6 block 1: queries whose IMPLEMENTATIONS change this round —
-    # the recs_negative_samples pad-slot fold (VERDICT r5 next-steps #4),
-    # the explicit broadcast in cosine_topk (#9), and the multimodal PNG
-    # decode seam (#6, shares the mapInPandas plumbing the payload query
-    # exercises).
-    "recs_negative_samples",
-    # session-4: part_pagerank_copurchase (zero verdicts, oracle-backed)
-    # takes knn_cosine_bruteforce's block-1 slot — the r6 cosine_topk
-    # broadcast change is exercised in-window by hybrid_retrieval_rrf,
-    # which calls the same operator (k=10) as its dense half; the
-    # displaced query joins the r7 debt below.
-    "part_pagerank_copurchase",
-    "multimodal_payload_meta",
-    # new r6 queries (zero verdicts): bigram-LM quality score and the
-    # BPE tokenizer counts (rows-only check — no SQL oracle for iterative
-    # merge learning; pytest differential covers values).  They take
-    # text_pii_scrub's and dedup_simhash's block-3 slots (both r4-green,
-    # families still represented in-window by text_lang_id and
-    # dedup_exact/dedup_minhash).
-    "doc_lm_score",
-    "bpe_token_count",
-    # new r6 queries (zero verdicts): distributed exact ROC-AUC and the
-    # paired calibration deciles.  They take knn_ivf_kmeans' and
-    # dedup_exact's block-3 slots (both r4-green; kmeans backs knn_ivf_pq
-    # which has fresh r5 evidence, and the dedup family keeps
-    # dedup_minhash in-window).
-    "model_eval_auc",
+    # --- r8 block 1: queries whose IMPLEMENTATIONS change this round.
+    # rfm_segments / model_calibration_bins / model_eval_auc move off the
+    # single-partition global windows onto operators/ranks.py (VERDICT r7
+    # "What's wrong" #2 + next-round #2); the two approx_* sketches get
+    # restated oracles where BOTH engines emit a boolean error-bound
+    # verdict vs their own exact aggregate (next-round #4) — ending the
+    # only rows that could never earn a driver hash verdict.
+    "rfm_segments",
     "model_calibration_bins",
-    # --- r6 block 2: the FULL rotation debt from the r5 handoff, en bloc —
-    # every query whose latest driver green is r2/r3 (31 slots; the two
-    # approx_* sketches stay rotated out by design: rows+schema-only
-    # oracles, bounds pytest-asserted).  After this round no query's
-    # driver-green evidence is older than r4.
-    "revenue_by_nation",
-    "top_customers_by_revenue",
-    "union_slices",
-    "events_sliding_7d_daily",
-    "customers_with_urgent_orders",
-    "customers_without_recent_orders",
-    "cross_nation_trade",
-    "brand_margin",
-    "users_purchase_and_signup",
-    "user_days_view_no_purchase",
-    "daily_feature_snapshots",
-    "segment_priority_cube",
-    "order_count_distribution",
-    "large_volume_orders",
-    "top_revenue_supplier",
-    "small_qty_revenue",
-    "discounted_revenue",
-    "qty_price_correlation",
-    "order_calendar_features",
-    "embedding_norms",
-    "rows_rolling_spend",
-    "text_string_features",
-    "stratified_sample_balanced",
-    "forecast_revenue_change",
-    "returned_item_ranking",
-    "brand_revenue_concentration",
-    "returns_by_priority",
-    "linestatus_priority_counts",
-    "min_price_supplier_per_part",
-    "supplier_variety_by_part",
-    "bulk_part_suppliers",
-    # --- r6 block 3: fill the remaining 16 slots with the OLDEST of the
-    # r4-green set (43 queries were last green r4), core families first:
-    # the flagship window build, normalize, PIT/as-of, the dedup trio,
-    # text ops, and the training-set join — the queries whose shared
-    # helper modules (window_features, pit, dedup, textops, ml.training)
-    # see the most churn and therefore stale fastest.
-    "feature_view_build",
-    "asof_join_clicks_purchases",
-    # session-4 swap: the three NEW queries (zero verdicts, all oracle-
-    # backed) take the slots of normalize_lineitem / latest_event_per_user
-    # / purchase_labels_after_signup (all r4-green; the A4 latest-per-group
-    # family keeps fresh r5 evidence via latest_order_maxby, the PIT/union-
-    # window family keeps asof_join_clicks_purchases in-window, and the
-    # normalize family is exercised by composed in-window queries) — the
-    # displaced three join the r7 debt below.
-    "dedup_containment",
-    "hybrid_retrieval_rrf",
-    "training_shuffle_shards",
-    # session-continuation swap: the four NEW queries (zero verdicts; three
-    # oracle-backed + one rows-only-by-design) take the slots of
-    # pricing_summary / distinct_parts_per_customer / asof_snapshot_lookup /
-    # orders_range_join_followups (all r4-green; the scan-agg family keeps
-    # revenue_by_nation / discounted_revenue in-window, the distinct family
-    # keeps feature_view_build, and the join families keep
-    # asof_join_clicks_purchases + purchase_labels_after_signup) — the
-    # displaced four join the r7 debt below.
-    "seq_packing_chunks",
-    "seq_packing_chunk_text",
-    "seq_packing_ffd",
-    "knn_recall_eval",
-    # session-3 swap: the two NEW queries (zero verdicts, both oracle-
-    # backed) take the slots of dedup_minhash / text_lang_id (both
-    # r4-green; the dedup and text families stay in-window through
-    # boilerplate_passage_scrub itself — tagged text+dedup — plus
-    # normalize/feature/training cover the rest) — the displaced two join
-    # the r7 debt below.
-    "boilerplate_passage_scrub",
-    "bm25_retrieval",
-    "training_set_build",
-    # --- r7 handoff: the rotation debt this window leaves is the 36
-    # r4-green queries not re-verified this round (the original 26 named
-    # in the r6 plan, plus text_pii_scrub / dedup_simhash / knn_ivf_kmeans
-    # / dedup_exact, whose fill slots went to the four new r6 queries
-    # doc_lm_score / bpe_token_count / model_eval_auc /
-    # model_calibration_bins, plus pricing_summary /
-    # distinct_parts_per_customer / asof_snapshot_lookup /
-    # orders_range_join_followups, whose fill slots went to the four new
-    # continuation-session queries seq_packing_chunks /
-    # seq_packing_chunk_text / seq_packing_ffd / knn_recall_eval,
-    # plus dedup_minhash / text_lang_id, whose fill slots went to the two
-    # new session-3 queries boilerplate_passage_scrub / bm25_retrieval,
-    # plus normalize_lineitem / latest_event_per_user /
-    # purchase_labels_after_signup, whose slots went to the three new
-    # session-4 queries dedup_containment / hybrid_retrieval_rrf /
-    # training_shuffle_shards, plus knn_cosine_bruteforce, whose block-1
-    # slot went to part_pagerank_copurchase — its changed cosine_topk
-    # operator is exercised in-window by hybrid_retrieval_rrf):
-    # dedup_minhash, text_lang_id, knn_cosine_bruteforce,
-    # normalize_lineitem, latest_event_per_user, purchase_labels_after_signup,
-    # asof_snapshot_lookup, orders_range_join_followups,
-    # dedup_exact, cohort_revenue_retention, corpus_curation_pipeline,
-    # customer_priority_scd2, data_quality_report, decayed_user_value,
-    # dedup_edit_distance, dedup_simhash, distinct_parts_per_customer,
-    # doc_quality_gopher, pricing_summary,
-    # embedding_label_centroids, events_funnel_conversion,
-    # events_props_json, events_session_windows, feature_drift_bins,
-    # feature_view_build_set, funnel_time_to_convert, knn_ivf_kmeans,
-    # late_shipment_priority_check, nation_daily_revenue_outliers,
-    # ngram_topk_global, order_interarrival_stats, segment_spend_deciles,
-    # session_event_transitions, sole_return_supplier,
-    # supplier_profit_by_year, text_pii_scrub,
-    # top_balance_inactive_customers, user_retention_cohorts,
-    # value_percentiles, xlsx_ingest_normalize — 40 fits r7's 50-slot
-    # window with ~10 slots to spare for r7 changes; rotate them in en
-    # bloc.  ALSO give the five post-swap session-4 queries (zero
-    # verdicts, all oracle-backed) spare slots: part_ppr_brand_affinity,
-    # copurchase_triangles, embedding_random_projection,
-    # knn_projection_recall, part_similar_by_copurchase (graph family
-    # exercised in-window via part_pagerank_copurchase; similarity via
-    # hybrid_retrieval_rrf).  (Computed mechanically: r4-green per CORRECTNESS_r04.json,
-    # minus this window; the two approx_* sketches stay rotated out by
-    # design.)
+    "model_eval_auc",
+    "approx_distinct_users_daily",
+    "approx_value_percentiles",
+    # --- r8 block 2: the five queries that have NEVER had a driver verdict
+    # (added in r6 session-4 after that round's window was fixed; all
+    # oracle-backed and judge-sweep-green, but the driver is the gate).
+    "part_ppr_brand_affinity",
+    "copurchase_triangles",
+    "embedding_random_projection",
+    "knn_projection_recall",
+    "part_similar_by_copurchase",
+    # --- r8 block 3: the FULL r7 rotation debt, en bloc — every query
+    # whose latest driver green is r4 (40 slots, exactly the list the r7
+    # handoff named).  After this round no oracle-backed query's driver
+    # evidence is older than r7.
+    "dedup_minhash",
+    "text_lang_id",
+    "knn_cosine_bruteforce",
+    "normalize_lineitem",
+    "latest_event_per_user",
+    "purchase_labels_after_signup",
+    "asof_snapshot_lookup",
+    "orders_range_join_followups",
+    "dedup_exact",
+    "cohort_revenue_retention",
+    "corpus_curation_pipeline",
+    "customer_priority_scd2",
+    "data_quality_report",
+    "decayed_user_value",
+    "dedup_edit_distance",
+    "dedup_simhash",
+    "distinct_parts_per_customer",
+    "doc_quality_gopher",
+    "pricing_summary",
+    "embedding_label_centroids",
+    "events_funnel_conversion",
+    "events_props_json",
+    "events_session_windows",
+    "feature_drift_bins",
+    "feature_view_build_set",
+    "funnel_time_to_convert",
+    "knn_ivf_kmeans",
+    "late_shipment_priority_check",
+    "nation_daily_revenue_outliers",
+    "ngram_topk_global",
+    "order_interarrival_stats",
+    "segment_spend_deciles",
+    "session_event_transitions",
+    "sole_return_supplier",
+    "supplier_profit_by_year",
+    "text_pii_scrub",
+    "top_balance_inactive_customers",
+    "user_retention_cohorts",
+    "value_percentiles",
+    "xlsx_ingest_normalize",
+    # --- r9 handoff: this 50-slot window re-verifies every r4-stale query,
+    # the five zero-verdict graph/projection queries, and the five whose
+    # implementations/oracles change in r8.  The remaining debt after this
+    # round is the 48 r7-green queries (fresh) — for r9, rotate IN any
+    # query whose implementation changes plus the oldest of the then-r7
+    # set, oldest-evidence-first.  No query is permanently rotated out any
+    # more: the approx_* sketches now carry hashable boolean-verdict
+    # oracles and sit in block 1.
 )
 
 
