@@ -192,7 +192,20 @@ def main() -> None:
             if evict:
                 invalidate_caches(spark, sf_dir=sf_dir, names=(name,))
             t0 = time.time()
-            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                # BENCH_r07 was lost to a transient environment fault (the
+                # sandbox evicted /tmp blockmgr files mid-run).  local.dir
+                # is now pinned off /tmp (session.py), but one retry per
+                # run keeps a single environmental hiccup from costing the
+                # round's entire performance record.  Retry from a clean
+                # slate: cached plans/frames may reference lost shuffle
+                # files, so evict before re-running.
+                print(f"# retry {name}: {type(e).__name__}", file=sys.stderr)
+                invalidate_caches(spark, sf_dir=sf_dir, names=(name,))
+                t0 = time.time()
+                qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
