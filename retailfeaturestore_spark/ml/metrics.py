@@ -12,18 +12,22 @@ division).  sklearn's interpolating trapezoid over the ROC curve equals
 exactly this tie-corrected U/(n1*n0).
 
 Scale shape: one map-side-combinable groupBy on the score value collapses
-the corpus to |distinct scores| rows; the cumulative window then runs over
-that AGGREGATE, not the corpus.  The window is intentionally global
-(single partition) — a ROC is a global ranking by definition — and the
-aggregate is bounded by score cardinality; for continuous scores at
-extreme scale, quantize scores first (the standard streaming-AUC
-bucketing) through the same code path.
+the corpus to |distinct scores| rows; the cumulative count then runs over
+that AGGREGATE, not the corpus — and even that aggregate-level prefix is
+computed range-partitioned (``operators/ranks.range_prefix_sum``), never
+as a single-partition window: a ROC is a global ranking by definition, but
+at extreme scale even |distinct scores| (e.g. 64-bit logit cents) can be
+corpus-sized, and the one-task window would be the last serial choke
+point.  For continuous scores at extreme scale, quantize scores first (the
+standard streaming-AUC bucketing) through the same code path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.ranks import range_prefix_sum
 
 __all__ = ["exact_auc"]
 
@@ -45,8 +49,9 @@ def exact_auc(
         .groupBy("s")
         .agg(F.sum("y").alias("n_pos"), F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_score.withColumn("cum", F.sum("n").over(w)).withColumn(
+    # Grouping made "s" unique, so the ordering is total and the prefix is
+    # deterministic (ranks.range_prefix_sum's tie caveat doesn't apply).
+    ranked = range_prefix_sum(per_score, [F.col("s")], F.col("n"), "cum").withColumn(
         # sum over positives at this score of (2 * midrank):
         # midrank = cnt_less + (cnt_eq + 1)/2, doubled to stay integral
         "contrib2",

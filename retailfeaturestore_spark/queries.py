@@ -3881,15 +3881,20 @@ FROM base
 """
 
 
-@register("rfm_segments", oracle=_RFM_ORACLE, tags=("window", "feature"))
+@register("rfm_segments", oracle=_RFM_ORACLE, tags=("window", "feature", "iterative"))
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation — the
     retail feature-store staple the reference's churn features approximate.
     Every ntile ordering carries an explicit customer_id tie-break so the
-    quartile assignment is engine-deterministic.  Scale: one groupBy
-    shuffle; the three ntiles share one global sort domain each (quartiles
-    at 10^9 customers would move to approx quantile cut-points)."""
-    from pyspark.sql import Window
+    quartile assignment is engine-deterministic (a total order, which is
+    also what lets ``ranks.exact_ntile`` reproduce SQL ntile bit-for-bit).
+    Scale: one groupBy shuffle, then three range-partitioned exact ntiles
+    (operators/ranks.py) — NO single-partition window anywhere; each ntile
+    is two all-to-all exchanges over customer-scale rows with O(P) driver
+    state.  Tagged "iterative" for the bench: the ranks engine eagerly
+    checkpoints its range exchange, i.e. computes while building the plan,
+    so honest timing must evict the prepared plan each run."""
+    from .operators.ranks import exact_ntile
 
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("t_max"))
@@ -3908,23 +3913,50 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("o_totalprice"), 2).alias("monetary"),
         )
     )
-    return base.select(
+    # One pinned base; each ntile ranks a minimal (key, order-col)
+    # projection — the wide payload never rides through the rank shuffles,
+    # and the three pipelines never re-execute each other (chaining them
+    # would push every level's window output through the next level's
+    # range-sampling AND shuffle passes).  The base checkpoint is EAGER so
+    # the three rank builds (each one independent O(P)-collect job) can run
+    # as concurrent Spark jobs against read-only materialized blocks —
+    # plain multi-job submission, the same thing a resident pipeline server
+    # does; the result is deterministic regardless of completion order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = base.localCheckpoint(eager=True)
+
+    def _tile(spec: tuple[str, bool, str]) -> DataFrame:
+        col, asc, out = spec
+        return exact_ntile(
+            base.select("customer_id", col),
+            [F.col(col).asc() if asc else F.col(col).desc(), F.col("customer_id")],
+            4,
+            out,
+        ).select("customer_id", out)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        tiles = list(
+            pool.map(
+                _tile,
+                (
+                    ("recency_days", True, "r_quartile"),
+                    ("frequency", False, "f_quartile"),
+                    ("monetary", False, "m_quartile"),
+                ),
+            )
+        )
+    out = base
+    for t in tiles:
+        out = out.join(t, "customer_id")
+    return out.select(
         "customer_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("customer_id")))
-        .cast("long")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("customer_id")))
-        .cast("long")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("customer_id")))
-        .cast("long")
-        .alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 
@@ -5180,17 +5212,20 @@ FROM tot
 """
 
 
-@register("model_eval_auc", oracle=_AUC_ORACLE, tags=("ml", "metric"))
+@register("model_eval_auc", oracle=_AUC_ORACLE, tags=("ml", "metric", "iterative"))
 def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact ROC-AUC (``ml/metrics.exact_auc``): does account
     balance rank urgent-order customers above the rest?  The reference
     computes AUC on the driver with sklearn over an in-memory matrix
     (``jobs/make_training_and_train.py:79``); this is the same
     tie-corrected Mann-Whitney quantity as distributed integer algebra —
-    per-score-cents counts, one cumulative window over the score-value
-    AGGREGATE (never the corpus), a doubled midrank sum that stays an
-    exact long, and one final IEEE division.  Scores are balance cents so
-    grouping keys are integers in both engines."""
+    per-score-cents counts, a range-partitioned cumulative count over the
+    score-value AGGREGATE (never the corpus, and since r8 never a
+    single-partition window either — operators/ranks.py), a doubled
+    midrank sum that stays an exact long, and one final IEEE division.
+    Scores are balance cents so grouping keys are integers in both
+    engines.  Tagged "iterative": the ranks engine checkpoints eagerly, so
+    the bench evicts the prepared plan for honest timing."""
     from .ml.metrics import exact_auc
 
     t = load_tables(spark, sf_dir, ("customer", "orders"))
@@ -5235,16 +5270,21 @@ FROM binned GROUP BY bin
 """
 
 
-@register("model_calibration_bins", oracle=_CALIBRATION_ORACLE, tags=("ml", "metric"))
+@register(
+    "model_calibration_bins", oracle=_CALIBRATION_ORACLE, tags=("ml", "metric", "iterative")
+)
 def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram data: score deciles vs observed positive rate —
     the calibration check that pairs with ``model_eval_auc`` (AUC measures
     ranking, calibration measures probability faithfulness; the reference
     logs neither beyond a point AUC).  Deterministic ntile tiebreak on
     (score, entity id) — built-in ntile ties are partition-order-dependent
-    without it (same rule as segment_spend_deciles).  The global decile
-    window sorts (score, id) pairs only; the per-bin rollup is map-side
-    combinable and the one division per bin is exact-input IEEE."""
+    without it (same rule as segment_spend_deciles).  The decile assignment
+    is ``ranks.exact_ntile`` (range-partitioned, no single-partition
+    window — SQL-ntile-exact because the ordering is total); the per-bin
+    rollup is map-side combinable and the one division per bin is
+    exact-input IEEE.  Tagged "iterative": the ranks engine checkpoints
+    eagerly, so the bench must evict the prepared plan for honest timing."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     lab = (
         t["orders"]
@@ -5261,10 +5301,11 @@ def q_model_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").isNotNull().cast("long").alias("y"),
         )
     )
-    w = Window.orderBy("s", "c_custkey")
+    from .operators.ranks import exact_ntile
+
+    binned = exact_ntile(scored, [F.col("s"), F.col("c_custkey")], 10, "bin")
     return (
-        scored.withColumn("bin", F.ntile(10).over(w).cast("long"))
-        .groupBy("bin")
+        binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("y").alias("n_pos"),

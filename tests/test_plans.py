@@ -206,6 +206,22 @@ def test_deciles_ranking_is_partitioned(spark):
     assert "SinglePartition" not in plan, plan[:2000]
 
 
+def test_global_rank_consumers_have_no_partitionless_window(spark):
+    """The three r6-flagged global windows (rfm_segments ntile×3,
+    model_calibration_bins ntile(10), exact_auc cumulative count) now run
+    on operators/ranks.py: every Window in their plans must be partitioned
+    by the range-engine pid, and no exchange may be SinglePartition —
+    except model_eval_auc's FINAL 1-row scalar aggregate, which is
+    single-partition by definition (partial-agg pushed map-side)."""
+    for name in ("rfm_segments", "model_calibration_bins"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF))
+        assert "SinglePartition" not in plan, (name, plan[:2000])
+        assert "windowspecdefinition(__rp_pid" in plan, (name, plan[:2000])
+    plan = formatted_plan(REGISTRY["model_eval_auc"].fn(spark, SF))
+    assert plan.count("SinglePartition") == 1, plan[:2000]  # the scalar agg
+    assert "windowspecdefinition(__rp_pid" in plan, plan[:2000]
+
+
 def test_gopher_and_pii_are_map_only(spark):
     """Quality flags and PII scrub are row-local column algebra: zero
     exchanges of any kind in the plan."""

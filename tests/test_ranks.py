@@ -1,0 +1,98 @@
+"""operators/ranks.py differentials: the range-partitioned global rank /
+prefix-sum / ntile engine vs the single-partition window oracle it replaces
+(small data, where the one-task window is still affordable).
+
+The invariant the module exists for (ADVICE r7 #2): every consumer of the
+range exchange must observe the SAME partition-id map.  The engine pins it
+with a localCheckpoint, so the result must stay correct even with
+spark.sql.exchangeReuse.enabled=false — the config under which two separate
+materializations of a range exchange would otherwise resample different
+boundaries.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from retailfeaturestore_spark.operators.ranks import (
+    exact_ntile,
+    global_row_number,
+    range_prefix_sum,
+)
+
+
+def _rows(n: int, seed: int, *, negatives: bool = True) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    keys = rng.sample(range(n * 10), n)  # unique -> total order
+    lo = -500 if negatives else 0
+    return [(k, rng.randint(lo, 500)) for k in keys]
+
+
+@pytest.mark.parametrize("n_part", [1, 3, 8])
+def test_prefix_sum_matches_global_window(spark, n_part):
+    df = spark.createDataFrame(_rows(400, seed=n_part), "k long, v long")
+    got = range_prefix_sum(
+        df, [F.col("k")], F.col("v"), "ps", num_partitions=n_part
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("ps", F.sum("v").over(w).cast("long"))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_prefix_sum_survives_exchange_reuse_disabled(spark):
+    """The correctness precondition is the checkpoint, NOT ReusedExchange:
+    disabling exchange reuse must not change a single prefix."""
+    df = spark.createDataFrame(_rows(300, seed=42), "k long, v long")
+    key = "spark.sql.exchangeReuse.enabled"
+    old = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        got = range_prefix_sum(
+            df, [F.col("k")], F.col("v"), "ps", num_partitions=5
+        ).collect()
+    finally:
+        spark.conf.set(key, old)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("ps", F.sum("v").over(w).cast("long")).collect()
+    assert sorted(got) == sorted(want)
+
+
+@pytest.mark.parametrize("n_part", [1, 4])
+def test_global_row_number_matches_window(spark, n_part):
+    df = spark.createDataFrame(_rows(250, seed=7), "k long, v long")
+    got = global_row_number(df, [F.col("k").desc()], "rn", num_partitions=n_part)
+    w = Window.orderBy(F.col("k").desc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+@pytest.mark.parametrize("n,k", [(400, 4), (401, 4), (399, 10), (7, 10), (3, 3)])
+def test_exact_ntile_matches_sql_ntile(spark, n, k):
+    """Including n % k != 0 (long tiles first) and n < k (one row per
+    tile) — exact SQL ntile tile-size semantics, deterministic because the
+    ordering is total."""
+    df = spark.createDataFrame(_rows(n, seed=n * 31 + k), "k long, v long")
+    got = exact_ntile(df, [F.col("v"), F.col("k")], k, "tile", num_partitions=4)
+    w = Window.orderBy("v", "k")
+    want = df.withColumn("tile", F.ntile(k).over(w).cast("long"))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_ranks_plans_have_no_single_partition_exchange(spark):
+    """The module's reason to exist: no stage may require all rows in one
+    task.  formatted plans of both primitives must be SinglePartition-free
+    and every Window must be partitioned by the pid column."""
+    from retailfeaturestore_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(_rows(100, seed=1), "k long, v long")
+    for out in (
+        range_prefix_sum(df, [F.col("k")], F.col("v"), "ps", num_partitions=4),
+        exact_ntile(df, [F.col("k")], 4, "tile", num_partitions=4),
+    ):
+        plan = formatted_plan(out)
+        assert "SinglePartition" not in plan, plan[:1500]
+        assert "windowspecdefinition(__rp_pid" in plan, plan[:1500]
