@@ -3158,8 +3158,11 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _APPROX_DISTINCT_ORACLE = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
-       approx_count_distinct(user_id) AS approx_users,
-       CAST(count(*) AS BIGINT)       AS n_events
+       CAST(count(*) AS BIGINT)  AS n_events,
+       CAST(CASE WHEN abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+                          - CAST(count(DISTINCT user_id) AS DOUBLE))
+                      <= 0.10 * count(DISTINCT user_id) + 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS hll_ok
 FROM events GROUP BY 1
 """
 
@@ -3168,34 +3171,69 @@ FROM events GROUP BY 1
 def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ daily distinct users (rsd=2%).  At 100 TB the HLL
     sketch is THE distinct-count path: fixed-size state, partial-aggregable
-    (map-side combine), no shuffle of raw user ids — which is also why the
-    query does NOT carry an exact countDistinct next to it (that would
-    reintroduce the expand + full id shuffle the sketch exists to avoid);
-    the companion test computes the exact counts separately and asserts the
-    estimate lands within rsd bounds.  rsd=0.02 by measurement: Spark's
-    HLL++ update cost climbs steeply with register count (rsd 0.01 -> 0.88s,
-    0.02 -> 0.33s, 0.03 -> 0.24s at sf0.1) while 2% relative error is
-    already well inside what a daily-active-users estimate needs.  The
-    oracle runs DuckDB's own HLL so rows+schema certify; the VALUE hash
-    legitimately cannot match across two different sketch implementations
-    (the only such case in the registry, with ``approx_value_percentiles``)."""
+    (map-side combine), no shuffle of raw user ids.  rsd=0.02 by
+    measurement: Spark's HLL++ update cost climbs steeply with register
+    count (rsd 0.01 -> 0.88s, 0.02 -> 0.33s, 0.03 -> 0.24s at sf0.1) while
+    2% relative error is already well inside what a daily-active-users
+    estimate needs.
+
+    Driver-gateable verdict form (VERDICT r7 next-round #4): two different
+    HLL implementations can never value-hash against each other, so the
+    hashed output is a per-day BOOLEAN error-bound verdict — each engine
+    checks ITS OWN sketch against ITS OWN exact distinct count, inside a
+    10%-relative + 2-absolute envelope (5 sigma at rsd=0.02; both sketches
+    are order-independent and deterministic for a fixed input, so the
+    verdict is stable).  The exact-count leg exists solely as this
+    cross-engine harness — a 100 TB deployment ships the sketch alone
+    (``approx_users`` stays in the plan; the harness just doesn't hash
+    it)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_events"),
+    a = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return a.select(
+        "day",
+        "n_events",
+        (
+            F.abs(
+                F.col("approx_users").cast("double")
+                - F.col("exact_users").cast("double")
+            )
+            <= 0.10 * F.col("exact_users") + 2
         )
+        .cast("long")
+        .alias("hll_ok"),
     )
 
 
 _APPROX_PCTS_ORACLE = """
-SELECT event_type,
-       approx_quantile(value, 0.5)  AS p50,
-       approx_quantile(value, 0.9)  AS p90,
-       approx_quantile(value, 0.99) AS p99,
-       CAST(count(*) AS BIGINT)     AS n
-FROM events GROUP BY event_type
+WITH a AS (
+  SELECT event_type,
+         approx_quantile(value, 0.5)  AS p50,
+         approx_quantile(value, 0.9)  AS p90,
+         approx_quantile(value, 0.99) AS p99,
+         CAST(count(*) AS BIGINT)     AS n
+  FROM events GROUP BY event_type
+),
+r AS (
+  SELECT e.event_type,
+         max(a.n) AS n,
+         sum(CASE WHEN e.value <= a.p50 THEN 1 ELSE 0 END) AS r50,
+         sum(CASE WHEN e.value <= a.p90 THEN 1 ELSE 0 END) AS r90,
+         sum(CASE WHEN e.value <= a.p99 THEN 1 ELSE 0 END) AS r99
+  FROM events e JOIN a ON a.event_type = e.event_type
+  GROUP BY e.event_type
+)
+SELECT event_type, n,
+       CAST(CASE WHEN abs(r50 - 0.50 * n) <= 0.02 * n + 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS p50_ok,
+       CAST(CASE WHEN abs(r90 - 0.90 * n) <= 0.02 * n + 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS p90_ok,
+       CAST(CASE WHEN abs(r99 - 0.99 * n) <= 0.02 * n + 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS p99_ok
+FROM r
 """
 
 
@@ -3203,12 +3241,20 @@ FROM events GROUP BY event_type
 def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna via percentile_approx, accuracy
     10000) per event type — the scale path replacing exact percentile sorts:
-    mergeable fixed-size state instead of a full sort per group.  The oracle
-    runs DuckDB's t-digest so rows+schema certify; the value hash
-    legitimately cannot match across different sketch algorithms (companion
-    test asserts vs exact percentiles)."""
+    mergeable fixed-size state instead of a full sort per group.
+
+    Driver-gateable verdict form (VERDICT r7 next-round #4): GK and
+    DuckDB's t-digest can never value-hash against each other, so the
+    hashed output is a per-group RANK-ERROR verdict: each engine counts how
+    many of ITS OWN rows fall at or below ITS OWN estimate and checks
+    ``|rank(q_p) - p*n| <= 0.02*n + 1`` — a generous envelope over GK's
+    guaranteed n/10000 rank error and t-digest's typical accuracy, yet
+    still certifying both sketches land where a quantile must.  The
+    rank-count pass (one broadcast join of the G-row sketch table against
+    events) exists solely as the harness; the 100 TB deployment ships the
+    sketch aggregate alone."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    a = (
         ev.groupBy("event_type")
         .agg(
             F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_pcts"),
@@ -3221,6 +3267,31 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_pcts")[2].alias("p99"),
             "n",
         )
+    )
+    j = ev.select("event_type", "value").join(F.broadcast(a), "event_type")
+    r = j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("value") <= F.col("p50")).cast("long")).alias("r50"),
+        F.sum((F.col("value") <= F.col("p90")).cast("long")).alias("r90"),
+        F.sum((F.col("value") <= F.col("p99")).cast("long")).alias("r99"),
+    )
+
+    def ok(rank_col: str, p: float, out: str):
+        return (
+            (
+                F.abs(F.col(rank_col) - F.lit(p) * F.col("n"))
+                <= 0.02 * F.col("n") + 1
+            )
+            .cast("long")
+            .alias(out)
+        )
+
+    return r.select(
+        "event_type",
+        "n",
+        ok("r50", 0.50, "p50_ok"),
+        ok("r90", 0.90, "p90_ok"),
+        ok("r99", 0.99, "p99_ok"),
     )
 
 

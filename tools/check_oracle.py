@@ -231,17 +231,15 @@ def main() -> int:
         ok_rows = len(sdf) == len(ddf)
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
         ok_hash = ok_rows and ok_cols and canonical(sdf) == canonical(ddf)
-        # Sketch-backed queries ("approx" tag: HLL++/t-digest estimates) have
-        # legitimately engine-specific values — their oracle certifies rows +
-        # schema only, and the value hash is reported but never gates (the
-        # error bounds are pytest-asserted instead).
-        sketch = "approx" in qd.tags
-        passed = ok_rows and ok_cols and (ok_hash or sketch)
+        # Since r8 even the sketch-backed queries ("approx" tag) hash-gate:
+        # their outputs are boolean error-bound verdicts (each engine checks
+        # its OWN sketch against its OWN exact aggregate), not raw
+        # engine-specific estimates — no exemptions remain.
+        passed = ok_rows and ok_cols and ok_hash
         status = "OK" if passed else "FAIL"
-        note = " (sketch: rows+schema only)" if sketch else ""
         print(
             f"{name}: {status} rows={len(sdf)}/{len(ddf)} cols={ok_cols} "
-            f"hash={ok_hash}{note} (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
+            f"hash={ok_hash} (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
         )
         if not passed:
             failures += 1
