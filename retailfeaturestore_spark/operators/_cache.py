@@ -10,16 +10,45 @@ first, so repeat calls never strand blocks in executor storage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
 
-__all__ = ["register_persisted"]
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["register_persisted", "get_or_register"]
+
+
+def _registry(spark: SparkSession) -> dict:
+    reg = getattr(spark, "_rfs_persisted", None)
+    if reg is None or isinstance(reg, list):
+        reg = spark._rfs_persisted = {}
+    return reg
 
 
 def register_persisted(df: DataFrame, key: tuple[str, str | None]) -> None:
-    reg = getattr(df.sparkSession, "_rfs_persisted", None)
-    if reg is None or isinstance(reg, list):
-        reg = df.sparkSession._rfs_persisted = {}
+    reg = _registry(df.sparkSession)
     old = reg.pop(key, None)
     if old is not None:
         old.unpersist(blocking=False)
     reg[key] = df
+
+
+def get_or_register(
+    spark: SparkSession,
+    key: tuple[str, str | None],
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Artifact-reuse path: return the frame already persisted under
+    ``key``, or build + persist + register it.  Unlike
+    ``register_persisted`` (which REPLACES, for operators that must rebuild
+    on re-entry), this memoizes — the serving semantics of a resident
+    pipeline where an index/posting artifact is built once per dataset and
+    consumed by every request.  ``invalidate_caches`` (or any table
+    rewrite that calls it) evicts by scope, forcing the next call to
+    rebuild against fresh data."""
+    reg = _registry(spark)
+    cached = reg.get(key)
+    if cached is not None:
+        return cached
+    df = build().persist()
+    reg[key] = df
+    return df

@@ -80,3 +80,26 @@ def test_epoch_shuffle_matches_hashlib_and_is_deterministic(spark):
     for shard, rs in by_shard.items():
         rs.sort(key=lambda r: (r.shuffle_key, r.doc_id))
         assert [r.pos for r in rs] == list(range(1, len(rs) + 1)), shard
+
+
+def test_hybrid_reuse_persists_halves_and_rebuild_path_matches(spark):
+    """reuse_artifacts=True (registry default) memoizes the two half-
+    rankings in the session registry; reuse_artifacts=False rebuilds from
+    scratch; values identical either way; invalidate_caches evicts."""
+    from retailfeaturestore_spark.queries import (
+        invalidate_caches,
+        q_hybrid_retrieval_rrf,
+    )
+
+    invalidate_caches(spark, sf_dir=SF)
+    warm = q_hybrid_retrieval_rrf(spark, SF, reuse_artifacts=True)
+    reg = getattr(spark, "_rfs_persisted", {})
+    assert ("hybrid_rrf_lex", SF) in reg and ("hybrid_rrf_dense", SF) in reg
+    lex_first = reg[("hybrid_rrf_lex", SF)]
+    # second call must reuse the SAME persisted frame, not rebuild
+    q_hybrid_retrieval_rrf(spark, SF, reuse_artifacts=True)
+    assert reg[("hybrid_rrf_lex", SF)] is lex_first
+    cold = q_hybrid_retrieval_rrf(spark, SF, reuse_artifacts=False)
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, cold.collect()))
+    invalidate_caches(spark, sf_dir=SF)
+    assert ("hybrid_rrf_lex", SF) not in getattr(spark, "_rfs_persisted", {})
