@@ -280,12 +280,30 @@ def merge_upsert(
     crash between two renames leaves partition A new and partition B old —
     bounded, detectable (leftover ``_staging_``/``_trash_`` dirs), and
     closed by re-running.  Single-writer assumed, like Delta without a
-    lock provider.  URI-scheme targets (hdfs/s3a) keep the previous
-    dynamic-partition-overwrite path — object-store rename is not atomic,
-    and that environment is exactly where a real table format
-    (Delta/Iceberg MERGE) replaces this function, per the module header.
+    lock provider.
+
+    URI-scheme targets (hdfs/s3a/file, r8 — VERDICT r6 #6 / r7 #7):
+    object-store rename is not atomic, so the swap becomes a
+    COPY-THEN-COMMIT-MARKER protocol through the Hadoop FileSystem API:
+    the merged slice stages to a hidden ``_staging_<token>`` prefix, then
+    one small ``_commit_<token>.json`` object is PUT — the single commit
+    point (object PUTs are all-or-nothing) — then staged files are copied
+    into the partition directories, superseded old files deleted, and the
+    marker removed.  Every call first runs recovery: a marker WITH its
+    staging present means a crashed post-commit merge — re-apply it
+    (idempotent: copy overwrites by name, Spark part-file names are
+    per-job-unique) before reading the table; staging WITHOUT a marker is
+    pre-commit residue and is discarded.  Crash anywhere therefore
+    converges to fully-old (pre-marker) or fully-new (post-marker) on the
+    next call.  What this does NOT give (and a real table format does):
+    reader isolation during the apply window — a concurrent reader can
+    briefly observe a partition with both old and new files; Delta/Iceberg
+    close that with log-based snapshot listing, per the module header.
     """
     from pyspark.errors import AnalysisException
+
+    if "://" in target_path:
+        _recover_uri_merge(spark, target_path)
 
     date_of = F.date_format(F.col(event_ts_col), "yyyy-MM-dd")
     # Existence = "can Spark read it" — works on any Hadoop-visible URI
@@ -325,20 +343,18 @@ def merge_upsert(
         n = spark.read.parquet(staging).count()
         _swap_partition_dirs(staging, target_path)
         return n
-    # object-store fallback: dynamic partition overwrite.  localCheckpoint
-    # materializes the merged slice BEFORE the overwrite — the write must
-    # not re-read the very files it is replacing (Spark rejects path
-    # self-overwrite).  Caveat (documented, ADVICE r4): a crash between the
-    # file removals and the rewrite leaves a partially-replaced slice; a
-    # real table format closes this, per the docstring.
-    merged = merged.localCheckpoint(eager=True)
-    n = merged.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        write_date_partitioned(merged, target_path, event_ts_col, mode="overwrite")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # URI targets: copy-then-commit-marker staged merge (docstring).  The
+    # staging write reads the old files while writing NEW objects under a
+    # hidden prefix — no self-overwrite, no lineage truncation needed.
+    token = os.urandom(8).hex()
+    base = target_path.rstrip("/")
+    staging = f"{base}/_staging_{token}"
+    write_date_partitioned(merged, staging, event_ts_col)
+    n = spark.read.parquet(staging).count()
+    _write_commit_marker(spark, target_path, token)  # THE commit point
+    _apply_uri_merge(spark, target_path, token)
+    fs, _, jvm = _hadoop_fs(spark, target_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/_commit_{token}.json"), False)
     return n
 
 
@@ -375,6 +391,94 @@ def _swap_partition_dirs(staging: str, target_path: str) -> None:
         os.rename(src, dst)
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, jvm) for any Hadoop-visible URI — the same
+    connector stack the scans use, so whatever scheme Spark can read, the
+    merge protocol can commit to."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _write_commit_marker(spark: SparkSession, target_path: str, token: str) -> None:
+    """PUT the single commit-point object.  The token in the FILENAME is
+    the whole protocol state (it names the staging prefix), so recovery
+    never has to parse the body; the JSON body is diagnostics only."""
+    import json
+
+    fs, _, jvm = _hadoop_fs(spark, target_path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{target_path.rstrip('/')}/_commit_{token}.json"
+    )
+    out = fs.create(marker, True)
+    try:
+        out.write(
+            json.dumps({"staging": f"_staging_{token}", "protocol": "copy-commit-v1"})
+            .encode("utf-8")
+        )
+    finally:
+        out.close()  # visibility point: close() completes the PUT
+
+
+def _apply_uri_merge(spark: SparkSession, target_path: str, token: str) -> None:
+    """Publish a COMMITTED staged merge: per touched partition, copy every
+    staged data file into the live directory (overwrite-by-name — Spark
+    part-file names are per-job-unique, so re-application after a crash is
+    idempotent), then delete live data files not in the staged set, then
+    drop the staging prefix.  Safe to re-run from any intermediate state."""
+    fs, _, jvm = _hadoop_fs(spark, target_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    conf = spark._jsc.hadoopConfiguration()
+    base = target_path.rstrip("/")
+    st = Path(f"{base}/_staging_{token}")
+    for pstat in fs.listStatus(st):
+        pname = pstat.getPath().getName()
+        if not pname.startswith("date="):
+            continue  # _SUCCESS etc. stays with staging
+        dst = Path(f"{base}/{pname}")
+        fs.mkdirs(dst)
+        staged = [
+            f.getPath()
+            for f in fs.listStatus(pstat.getPath())
+            if not f.getPath().getName().startswith(("_", "."))
+        ]
+        staged_names = {p.getName() for p in staged}
+        for p in staged:
+            FileUtil.copy(fs, p, fs, Path(dst, p.getName()), False, True, conf)
+        for f in fs.listStatus(dst):
+            nm = f.getPath().getName()
+            if nm not in staged_names and not nm.startswith(("_", ".")):
+                fs.delete(f.getPath(), False)
+    fs.delete(st, True)
+
+
+def _recover_uri_merge(spark: SparkSession, target_path: str) -> None:
+    """Converge a crashed prior URI merge BEFORE the table is read:
+    committed-but-unpublished merges are re-applied (marker + staging both
+    present), dangling markers (staging already gone — crash after publish,
+    before marker delete) are dropped, and pre-commit staging residue is
+    discarded."""
+    fs, troot, jvm = _hadoop_fs(spark, target_path)
+    if not fs.exists(troot):
+        return
+    Path = jvm.org.apache.hadoop.fs.Path
+    base = target_path.rstrip("/")
+    names = [s.getPath().getName() for s in fs.listStatus(troot)]
+    committed = {
+        n[len("_commit_") : -len(".json")]
+        for n in names
+        if n.startswith("_commit_") and n.endswith(".json")
+    }
+    for tok in sorted(committed):
+        if f"_staging_{tok}" in names:
+            _apply_uri_merge(spark, target_path, tok)
+        fs.delete(Path(f"{base}/_commit_{tok}.json"), False)
+    for n in names:
+        if n.startswith("_staging_") and n[len("_staging_") :] not in committed:
+            fs.delete(Path(f"{base}/{n}"), True)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

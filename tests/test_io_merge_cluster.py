@@ -344,3 +344,146 @@ def test_zorder_clustering_tightens_both_columns(spark, tmp_path):
     # (16 files over 2 dims -> ~1/4 of the domain per dim ideally)
     assert mean_file_span(zord, "a") < full * 0.45
     assert mean_file_span(zord, "b") < full * 0.45
+
+
+# ---------------------------------------------------------------------------
+# URI-target copy-then-commit-marker protocol (r8): same guarantees as the
+# local staged swap, driven through the Hadoop FileSystem API.  file:// is a
+# real URI scheme to merge_upsert (takes the object-store branch) while
+# remaining inspectable on local disk.
+# ---------------------------------------------------------------------------
+
+
+def _uri(tmp_path, name):
+    return f"file://{tmp_path}/{name}"
+
+
+def test_uri_merge_updates_appends_preserves_no_residue(spark, tmp_path):
+    tgt = _uri(tmp_path, "gold_uri")
+    base = _snap(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (2, "2024-01-01 11:00:00", 2.0),
+            (3, "2024-01-02 10:00:00", 3.0),
+        ],
+    )
+    assert merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref") == 3
+    updates = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 10.0), (9, "2024-01-01 12:00:00", 9.0)],
+    )
+    merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    out = {
+        (r.customer_id, str(r.t_ref)): r.score
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert out[(1, "2024-01-01 10:00:00")] == 10.0
+    assert out[(2, "2024-01-01 11:00:00")] == 2.0
+    assert out[(9, "2024-01-01 12:00:00")] == 9.0
+    assert out[(3, "2024-01-02 10:00:00")] == 3.0
+    names = os.listdir(str(tmp_path / "gold_uri"))
+    assert not any(n.startswith(("_staging_", "_commit_")) for n in names), names
+
+
+def test_uri_merge_crash_before_commit_marker_publishes_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """Pre-marker crash: the table reads byte-identical to the pre-merge
+    state; the next merge discards the uncommitted staging and converges."""
+    from retailfeaturestore_spark import io as rio
+
+    tgt = _uri(tmp_path, "gold_uri2")
+    local = str(tmp_path / "gold_uri2")
+    base = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)],
+    )
+    merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref")
+    before = {(r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()}
+
+    def boom(spark_, target_path, token):
+        raise OSError("injected crash before the commit marker")
+
+    monkeypatch.setattr(rio, "_write_commit_marker", boom)
+    updates = _snap(spark, [(1, "2024-01-01 10:00:00", 9.0)])
+    with pytest.raises(OSError, match="injected"):
+        merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    after = {(r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()}
+    assert after == before  # nothing published
+    assert any(n.startswith("_staging_") for n in os.listdir(local))
+    assert not any(n.startswith("_commit_") for n in os.listdir(local))
+
+    monkeypatch.undo()
+    merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    final = {(r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()}
+    assert final == {(1, 9.0), (2, 2.0)}
+    assert not any(
+        n.startswith(("_staging_", "_commit_")) for n in os.listdir(local)
+    )
+
+
+def test_uri_merge_crash_after_marker_recovers_to_fully_new(
+    spark, tmp_path, monkeypatch
+):
+    """Post-marker crash (the commit point passed, publish never ran): the
+    next call's recovery APPLIES the committed staging before reading the
+    table, so the merge converges to fully-new and leaves no residue."""
+    from retailfeaturestore_spark import io as rio
+
+    tgt = _uri(tmp_path, "gold_uri3")
+    local = str(tmp_path / "gold_uri3")
+    base = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)],
+    )
+    merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref")
+
+    real_apply = rio._apply_uri_merge
+
+    def boom(spark_, target_path, token):
+        raise OSError("injected crash after the commit marker")
+
+    monkeypatch.setattr(rio, "_apply_uri_merge", boom)
+    updates = _snap(spark, [(1, "2024-01-01 10:00:00", 9.0)])
+    with pytest.raises(OSError, match="injected"):
+        merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    names = os.listdir(local)
+    assert any(n.startswith("_commit_") for n in names)  # committed
+    assert any(n.startswith("_staging_") for n in names)  # unpublished
+
+    monkeypatch.setattr(rio, "_apply_uri_merge", real_apply)
+    # recovery inside the NEXT merge publishes the committed slice first,
+    # then the re-run of the same updates is a no-op-by-value merge
+    merge_upsert(spark, tgt, updates, ["customer_id", "t_ref"], "t_ref")
+    final = {(r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()}
+    assert final == {(1, 9.0), (2, 2.0)}
+    assert not any(
+        n.startswith(("_staging_", "_commit_")) for n in os.listdir(local)
+    )
+
+
+def test_uri_merge_recovery_is_idempotent_mid_apply(spark, tmp_path):
+    """Re-applying a committed merge from ANY intermediate publish state
+    converges: simulate a mid-apply crash by re-running _apply on a
+    half-published partition."""
+    from retailfeaturestore_spark import io as rio
+
+    tgt = _uri(tmp_path, "gold_uri4")
+    base = _snap(spark, [(1, "2024-01-01 10:00:00", 1.0)])
+    merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref")
+    # stage a committed update manually
+    updates = _snap(spark, [(1, "2024-01-01 10:00:00", 7.0)])
+    token = "deadbeef00000000"
+    rio.write_date_partitioned(updates, f"{tgt}/_staging_{token}", "t_ref")
+    rio._write_commit_marker(spark, tgt, token)
+    # first apply publishes; a second apply of the SAME token must be a
+    # clean no-op path even though staging is gone (recovery drops marker)
+    rio._apply_uri_merge(spark, tgt, token)
+    rio._recover_uri_merge(spark, tgt)
+    out = {(r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()}
+    assert out == {(1, 7.0)}
+    local = str(tmp_path / "gold_uri4")
+    assert not any(
+        n.startswith(("_staging_", "_commit_")) for n in os.listdir(local)
+    )
