@@ -291,6 +291,7 @@ def _persist_full_record(full: dict) -> None:
     try:
         with open(path, "w") as f:
             json.dump(full, f, indent=1)
+            f.write("\n")
     except OSError:
         pass
 
