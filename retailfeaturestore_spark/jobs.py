@@ -60,18 +60,11 @@ def ingest_to_bronze(spark: SparkSession, raw: DataFrame, bronze_path: str) -> N
     write_date_partitioned(normalize_orders_raw(raw), bronze_path, "invoice_date")
 
 
-def build_feature_views(
-    spark: SparkSession,
-    bronze_path: str,
-    gold_path: str,
-    windows: dict[str, int] | None = None,
-) -> None:
-    """Bronze -> W1-W6 window family + A2 country mode -> gold sink.
-
-    The reference's per-customer Python loop (``jobs/build_feature_views.py:24``)
-    is one window pass here; the per-customer mode country (``:59``) is a
-    second tiny aggregation joined back on the entity key.
-    """
+def _gold_frame(
+    spark: SparkSession, bronze_path: str, windows: dict[str, int] | None
+) -> DataFrame:
+    """Bronze -> the gold feature-view frame (W1-W6 window family + A2
+    country mode), shared by every gold sink flavor."""
     bronze = spark.read.parquet(bronze_path)
     feats = build_customer_features(bronze.drop("country"), windows=windows)
     mode = group_mode(bronze, "customer_id", "country").select(
@@ -85,10 +78,58 @@ def build_feature_views(
         for base in ("txn_count", "spend", "unique_skus", "avg_basket_value", "cancel_rate")
         for w in wnames
     ]
-    gold = feats.select("customer_id", "t_ref", *feature_cols, "tenure_days").join(
+    return feats.select("customer_id", "t_ref", *feature_cols, "tenure_days").join(
         mode, "customer_id", "left"
     )
+
+
+def build_feature_views(
+    spark: SparkSession,
+    bronze_path: str,
+    gold_path: str,
+    windows: dict[str, int] | None = None,
+) -> None:
+    """Bronze -> W1-W6 window family + A2 country mode -> gold sink.
+
+    The reference's per-customer Python loop (``jobs/build_feature_views.py:24``)
+    is one window pass here; the per-customer mode country (``:59``) is a
+    second tiny aggregation joined back on the entity key.
+    """
+    gold = _gold_frame(spark, bronze_path, windows)
     write_date_partitioned(gold, gold_path, "t_ref")
+
+
+def build_feature_views_mtable(
+    spark: SparkSession,
+    bronze_path: str,
+    table_path: str,
+    windows: dict[str, int] | None = None,
+) -> int:
+    """The same gold build committed to an ACID ``mtable`` instead of a
+    plain partitioned directory — the production shape BASELINE.json names
+    Delta for.  First run creates version 1; every later run MERGEs on
+    (customer_id, t_ref) so a rerun over corrected bronze replaces exactly
+    the recomputed snapshots (touched date partitions) atomically, while
+    concurrent readers stay snapshot-isolated on the prior version — vs
+    the reference's non-atomic directory overwrite
+    (``jobs/build_feature_views.py:75-82``).  Returns the committed
+    version."""
+    from .sources.mtable import MTable
+
+    gold = _gold_frame(spark, bronze_path, windows)
+    t = MTable(spark, table_path)
+    if not t.versions():
+        return t.write(
+            gold.withColumn(
+                "date", F.date_format("t_ref", "yyyy-MM-dd")
+            ),
+            partition_by="date",
+        )
+    return t.merge_upsert(
+        gold,
+        keys=["customer_id", "t_ref"],
+        partition_col_value=F.date_format("t_ref", "yyyy-MM-dd"),
+    )
 
 
 def backfill_feature_views(

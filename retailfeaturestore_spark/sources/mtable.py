@@ -221,6 +221,7 @@ class MTable:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: str | None = None,
+        extra_meta: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new version.  ``mode``: "overwrite" replaces
         the whole table; "append" carries every existing file forward and
@@ -261,11 +262,15 @@ class MTable:
             "schema": self._schema_fingerprint(df, partition_by),
             "partitions": parts,
             "committed_at_ms": int(time.time() * 1000),
+            "meta": dict(extra_meta or {}),
         }
         return self._commit(manifest, v0 + 1)
 
     def overwrite_partitions(
-        self, df: DataFrame, partition_values: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_values: list[str] | None = None,
+        extra_meta: dict | None = None,
     ) -> int:
         """Commit a version where the partitions carried by ``df`` (or the
         explicit ``partition_values``) are REPLACED and every other
@@ -299,11 +304,16 @@ class MTable:
             "schema": m0["schema"],
             "partitions": parts,
             "committed_at_ms": int(time.time() * 1000),
+            "meta": dict(extra_meta or {}),
         }
         return self._commit(manifest, v0 + 1)
 
     def merge_upsert(
-        self, updates: DataFrame, keys: list[str], partition_col_value: F.Column
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        partition_col_value: F.Column,
+        extra_meta: dict | None = None,
     ) -> int:
         """MERGE by key into the touched partitions only (same semantics as
         ``io.merge_upsert``, but the publish is one atomic manifest commit
@@ -324,7 +334,9 @@ class MTable:
             merged = survivors.unionByName(upd.select(*survivors.columns))
         else:
             merged = upd
-        return self.overwrite_partitions(merged, partition_values=touched)
+        return self.overwrite_partitions(
+            merged, partition_values=touched, extra_meta=extra_meta
+        )
 
     # -- read paths ---------------------------------------------------------
 
@@ -360,6 +372,16 @@ class MTable:
             )
             df = df.withColumn(pby, part_of)
         return df
+
+    def latest_meta(self) -> dict:
+        """The newest committed version's ``extra_meta`` ({} before any
+        commit, or for commits made without metadata).  Streaming sinks use
+        this as the exactly-once ledger: the stream batch id rides the same
+        atomic manifest PUT as the data it commits."""
+        cur = self._latest()
+        if cur is None:
+            return {}
+        return cur[1].get("meta", {}) or {}
 
     def history(self) -> list[dict]:
         return [

@@ -16,7 +16,11 @@ from ..operators.incremental import upsert_latest
 from ..operators.pit import latest_per_key
 from ..sources.redis_sink import materialize_online
 
-__all__ = ["stream_materialize_online", "stream_upsert_gold"]
+__all__ = [
+    "stream_materialize_online",
+    "stream_upsert_gold",
+    "stream_commit_gold_mtable",
+]
 
 
 def stream_materialize_online(
@@ -91,6 +95,63 @@ def stream_upsert_gold(
         )
 
     writer = snapshots_stream.writeStream.foreachBatch(merge)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_commit_gold_mtable(
+    snapshots_stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    ts_col: str,
+    partition_fmt: str = "yyyy-MM-dd",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous gold maintenance into an ACID ``mtable``: each micro-batch
+    MERGEs by key into the touched date partitions, published as ONE atomic
+    manifest commit — readers are snapshot-isolated through every batch.
+
+    EXACTLY-ONCE, not just idempotent: the stream batch id rides the same
+    manifest PUT as the data it commits (``extra_meta``), so a replayed
+    batch — foreachBatch is at-least-once after a checkpoint/commit race —
+    is detected against the table's own ledger and skipped without writing
+    anything.  The dedup ledger lives IN the sink's atomic commit, which is
+    the textbook foreachBatch exactly-once recipe (batchId + transactional
+    target), with the mtable manifest as the transaction."""
+    from pyspark.sql import functions as F
+
+    from ..sources.mtable import MTable
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = MTable(batch_df.sparkSession, table_path)
+        meta = {"stream_batch_id": batch_id}
+        if not t.versions():
+            t.write(
+                batch_df.withColumn(
+                    "date",
+                    F.date_format(F.col(ts_col), partition_fmt).cast("string"),
+                ),
+                partition_by="date",
+                extra_meta=meta,
+            )
+            return
+        last = t.latest_meta().get("stream_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already inside a committed version
+        t.merge_upsert(
+            batch_df,
+            keys=keys,
+            partition_col_value=F.date_format(F.col(ts_col), partition_fmt),
+            extra_meta=meta,
+        )
+
+    writer = snapshots_stream.writeStream.foreachBatch(commit)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

@@ -208,3 +208,96 @@ def test_file_uri_table(spark, tmp_path):
     out = {(r.customer_id, r.score) for r in t.read().collect()}
     assert out == {(1, 1.0), (2, 22.0), (3, 3.0)}
     assert [h["version"] for h in t.history()] == [1, 2]
+
+
+def test_stream_commit_gold_mtable_exactly_once(spark, tmp_path):
+    """Each micro-batch is one atomic manifest commit; a full replay (the
+    at-least-once failure mode) is detected against the table's OWN ledger
+    (the batch id rides the committing manifest) and writes nothing."""
+    from conftest import stage_microbatches
+
+    from retailfeaturestore_spark.streaming.materialize import (
+        stream_commit_gold_mtable,
+    )
+
+    schema = "customer_id long, t_ref timestamp, score double"
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 11:00:00", 2.0)],
+        [(1, "2024-01-01 10:00:00", 10.0)],  # update key in batch 2
+        [(3, "2024-01-02 09:00:00", 3.0)],   # new partition in batch 3
+    ]
+    cast = [
+        [(c, __import__("datetime").datetime.fromisoformat(t), s) for c, t, s in b]
+        for b in batches
+    ]
+    stream = stage_microbatches(spark, tmp_path, schema, cast)
+    tbl = str(tmp_path / "gold_mtable")
+    q = stream_commit_gold_mtable(
+        stream,
+        tbl,
+        keys=["customer_id", "t_ref"],
+        ts_col="t_ref",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    t = MTable(spark, tbl)
+    assert t.versions() == [1, 2, 3]  # one atomic version per micro-batch
+    out = {(r.customer_id, r.score) for r in t.read().collect()}
+    assert out == {(1, 10.0), (2, 2.0), (3, 3.0)}
+    assert t.latest_meta() == {"stream_batch_id": 2}
+
+    # FULL replay from a fresh checkpoint: every row re-arrives, but the
+    # ledger in the committed manifest marks it already-applied -> no new
+    # version, identical data.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "stream"))
+    )
+    q2 = stream_commit_gold_mtable(
+        stream2,
+        tbl,
+        keys=["customer_id", "t_ref"],
+        ts_col="t_ref",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert t.versions() == [1, 2, 3]
+    assert {(r.customer_id, r.score) for r in t.read().collect()} == out
+
+
+def test_build_feature_views_mtable_matches_directory_gold(spark, tmp_path):
+    """The ACID gold build commits the SAME rows the plain directory sink
+    writes, and a rerun over identical bronze converges (merge by key)."""
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata absent")
+    from retailfeaturestore_spark.io import load_tables
+    from retailfeaturestore_spark.jobs import (
+        build_feature_views,
+        build_feature_views_mtable,
+    )
+    from retailfeaturestore_spark.operators.normalize import lineitem_to_bronze
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("lineitem", "orders"))
+    bronze = lineitem_to_bronze(t["lineitem"], t["orders"]).withColumn(
+        "country", F.lit("GB")
+    )
+    bronze_path = str(tmp_path / "bronze")
+    bronze.write.parquet(bronze_path)
+
+    gold_dir = str(tmp_path / "gold_dir")
+    build_feature_views(spark, bronze_path, gold_dir)
+    v1 = build_feature_views_mtable(spark, bronze_path, str(tmp_path / "gold_mt"))
+    assert v1 == 1
+    v2 = build_feature_views_mtable(spark, bronze_path, str(tmp_path / "gold_mt"))
+    assert v2 == 2  # rerun merges (replaces same-key snapshots atomically)
+
+    mt = MTable(spark, str(tmp_path / "gold_mt"))
+    plain = spark.read.parquet(gold_dir).drop("date")
+    acid = mt.read().drop("date")
+    key = ["customer_id", "t_ref"]
+    cols = sorted(plain.columns)
+    a = {tuple(r) for r in plain.select(*cols).collect()}
+    b = {tuple(r) for r in acid.select(*cols).collect()}
+    assert a == b
+    assert mt.read().count() == spark.read.parquet(gold_dir).count()
