@@ -151,6 +151,26 @@ def _should_evict(tags: tuple[str, ...]) -> bool:
     return bool(EVICT_TAGS & set(tags))
 
 
+def _evict_all(spark, sf_dir: str) -> None:
+    """Free EVERYTHING the session holds for this dataset before an
+    evict-tagged run: all prepared plans (not just the current query's —
+    the r8 rank-engine queries localCheckpoint range-partitioned frames,
+    and those blocks stay pinned for as long as ANY live plan references
+    them; the first r8 bench attempt re-hit r6's triangles
+    UNABLE_TO_ACQUIRE_MEMORY through exactly that pinning), every
+    registered persisted frame, and then the storage behind the
+    now-dead checkpoints.  localCheckpoint blocks have no Python-side
+    unpersist handle — they free through the reference chain
+    Python GC -> py4j release -> JVM GC -> ContextCleaner — so the chain
+    is driven explicitly.  All of this runs OUTSIDE the timed section."""
+    import gc
+
+    invalidate_caches(spark, sf_dir=sf_dir)  # names=None: all plans for sf
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(0.3)  # ContextCleaner drains its weak-ref queue async
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -190,7 +210,7 @@ def main() -> None:
         best = None
         for _ in range(RUNS):
             if evict:
-                invalidate_caches(spark, sf_dir=sf_dir, names=(name,))
+                _evict_all(spark, sf_dir)
             t0 = time.time()
             try:
                 qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -201,9 +221,9 @@ def main() -> None:
                 # run keeps a single environmental hiccup from costing the
                 # round's entire performance record.  Retry from a clean
                 # slate: cached plans/frames may reference lost shuffle
-                # files, so evict before re-running.
+                # files or starved memory, so evict before re-running.
                 print(f"# retry {name}: {type(e).__name__}", file=sys.stderr)
-                invalidate_caches(spark, sf_dir=sf_dir, names=(name,))
+                _evict_all(spark, sf_dir)
                 t0 = time.time()
                 qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
