@@ -158,17 +158,26 @@ def _evict_all(spark, sf_dir: str) -> None:
     and those blocks stay pinned for as long as ANY live plan references
     them; the first r8 bench attempt re-hit r6's triangles
     UNABLE_TO_ACQUIRE_MEMORY through exactly that pinning), every
-    registered persisted frame, and then the storage behind the
-    now-dead checkpoints.  localCheckpoint blocks have no Python-side
-    unpersist handle — they free through the reference chain
-    Python GC -> py4j release -> JVM GC -> ContextCleaner — so the chain
-    is driven explicitly.  All of this runs OUTSIDE the timed section."""
+    registered persisted frame, and the storage behind now-dead local
+    checkpoints.  Checkpoint blocks have no DataFrame-level unpersist, so
+    they are released SYNCHRONOUSLY through the JVM persistent-RDD map
+    (unpersist every locally-checkpointed RDD — safe here because every
+    plan that could reference one was just evicted; a System.gc()-driven
+    ContextCleaner pass would work too but shrinks the heap, which cost
+    the graph family seconds of re-expansion per run when measured).
+    All of this runs OUTSIDE the timed section."""
     import gc
 
     invalidate_caches(spark, sf_dir=sf_dir)  # names=None: all plans for sf
-    gc.collect()
-    spark._jvm.System.gc()
-    time.sleep(0.3)  # ContextCleaner drains its weak-ref queue async
+    gc.collect()  # release py4j handles of the evicted plans' frames
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jid in list(jmap.keySet().toArray()):
+        jrdd = jmap.get(jid)
+        try:
+            if jrdd is not None and jrdd.rdd().isLocallyCheckpointed():
+                jrdd.rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — raced ContextCleaner removal
+            pass
 
 
 def main() -> None:
