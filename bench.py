@@ -126,6 +126,8 @@ HEADLINE = [
     "dedup_containment",
     "hybrid_retrieval_rrf",
     "training_shuffle_shards",
+    "dedup_repeated_ngrams",
+    "dedup_remove_repeated_spans",
     "part_pagerank_copurchase",
     "part_ppr_brand_affinity",
     "copurchase_triangles",

@@ -47,6 +47,8 @@ __all__ = [
     "minhash_candidate_pairs",
     "jaccard_pairs_exact",
     "containment_pairs",
+    "repeated_ngram_spans",
+    "remove_repeated_ngram_spans",
     "simhash_signatures",
     "simhash_pairs",
     "connected_components",
@@ -716,3 +718,149 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
     out = lab.unionByName(roots)
     out._cc_rounds = rounds
     return out
+
+
+def _dup_span_frames(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, spans): base = (doc_id, ws, n_tokens) for every doc; spans =
+    (doc_id, st, en) maximal merged token spans whose n-grams occur more
+    than once corpus-wide.  Shared engine for the audit and removal ops —
+    see repeated_ngram_spans for the scale rationale (map-side gram count,
+    AQE-splittable shuffle-hash join, per-doc island window)."""
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws")
+    ).withColumn("n_tokens", F.size("ws").cast("long"))
+    gram_arr = F.when(
+        F.size("ws") >= n,
+        F.expr(
+            f"transform(sequence(1, size(ws)-{n}+1),"
+            f" i -> md5(array_join(slice(ws, i, {n}), ' ')))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    grams = base.select(
+        "doc_id", F.posexplode(gram_arr).alias("off", "gram")
+    ).select("doc_id", (F.col("off") + 1).alias("s"), "gram")
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gram")
+    )
+    dup = grams.join(dup_grams.hint("shuffle_hash"), "gram").select(
+        "doc_id", "s", (F.col("s") + n - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max("e").over(w_prev)
+    spans = (
+        dup.withColumn(
+            "ni",
+            (prev_max.isNull() | (F.col("s") > prev_max)).cast("long"),
+        )
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("st"), F.max("e").alias("en"))
+        .select("doc_id", "st", "en")
+    )
+    return base, spans
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level exact dedup statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): mark every
+    token position whose n-gram occurs MORE THAN ONCE corpus-wide
+    (including self-repetition within one document), merge the per-document
+    duplicate positions into maximal overlapping spans, and report
+    ``(doc_id, n_tokens, n_dup_spans, dup_tokens, dup_ratio)`` for EVERY
+    document — the "what would substring dedup remove" audit that document-
+    level MinHash/SimHash/containment structurally cannot see (a paragraph
+    pasted into otherwise-unique docs never clears a whole-doc threshold).
+
+    Scale shape: n-grams are md5'd to fixed-width keys; occurrence counting
+    is a map-side-combinable groupBy (NOT a count-over-gram window — a
+    boilerplate gram shared by 10^9 positions would make a window partition
+    a one-task whale, while groupBy partials collapse it before the
+    shuffle) followed by a shuffle-hash join that AQE's skew-join splitting
+    can rebalance; span merging is a per-document window (entity-scale
+    partitioning).  Exactly two data exchanges: gram-keyed, then
+    doc-keyed.  All span arithmetic is integer-exact; the single division
+    per doc is exact-input IEEE.
+    """
+    base, spans = _dup_span_frames(docs, n, text_col, id_col)
+    islands = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("en") - F.col("st") + 1).alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def remove_repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The actionable half of substring dedup: REWRITE every document with
+    its corpus-duplicated n-gram spans removed — ``(doc_id, n_tokens,
+    kept_tokens, clean_text)``.  Every doc survives (a fully-duplicated doc
+    keeps an empty text rather than vanishing — the downstream packer
+    decides what to drop).
+
+    The rewrite is pure JVM higher-order-function algebra: each doc's few
+    merged spans come back as a small array via one per-doc aggregation,
+    and ``filter(transform(ws, (w,i) -> ...), not exists(spans, ...))``
+    drops covered positions inside whole-stage codegen — no UDF, no
+    explode of the token stream, no extra exchange beyond the span
+    engine's two."""
+    base, spans = _dup_span_frames(docs, n, text_col, id_col)
+    spans_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("st", "en")).alias("spans")
+    )
+    kept = F.expr(
+        "filter(transform(ws, (w, i) -> struct(w AS w, i + 1 AS p)),"
+        " x -> spans IS NULL OR"
+        " NOT exists(spans, sp -> x.p >= sp.st AND x.p <= sp.en))"
+    )
+    return (
+        base.join(spans_arr, "doc_id", "left")
+        .withColumn("__kept", kept)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("__kept").cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.expr("transform(__kept, x -> x.w)"), " "
+            ).alias("clean_text"),
+        )
+    )

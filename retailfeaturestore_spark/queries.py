@@ -7198,6 +7198,131 @@ WHERE o.overlap * 5 >= ri.n_rare * 4
 """
 
 
+_REPEATED_NGRAMS_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+g AS (
+  SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+7], ' ')) AS gram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+        FROM w)
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+d AS (SELECT g.doc_id, g.s, g.s + 7 AS e FROM g JOIN dupg USING (gram)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+              THEN 1 ELSE 0 END AS ni
+  FROM d
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+sp AS (SELECT doc_id, island, min(s) AS st, max(e) AS en
+       FROM isl2 GROUP BY doc_id, island),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(a.dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+         / CAST(b.n_tokens AS DOUBLE) AS dup_ratio
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_repeated_ngrams", oracle=_REPEATED_NGRAMS_ORACLE, tags=("dedup", "text", "llm"))
+def q_dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup audit (Lee et al. 2022): every token
+    position whose 8-gram occurs more than once corpus-wide is a duplicate
+    position; per doc the positions merge into maximal overlapping spans
+    — (n_tokens, n_dup_spans, dup_tokens, dup_ratio) for EVERY document.
+    This is the repetition document-level MinHash/SimHash/containment
+    structurally miss (a boilerplate paragraph inside otherwise-unique
+    docs never clears a whole-doc threshold; here it surfaces as its exact
+    span).  Scale: md5 grams, map-side-combinable gram count (never a
+    count-over-gram window — a 10^9-position boilerplate gram would make
+    that a one-task whale), shuffle-hash join AQE can skew-split, then a
+    per-doc window; two data exchanges total.  See
+    operators/dedup.py:repeated_ngram_spans."""
+    from .operators.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(load_table(spark, sf_dir, "documents"), n=8)
+
+
+_REMOVE_REPEATED_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i AS s, md5(array_to_string(ws[i:i+7], ' ')) AS gram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+        FROM w)
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+d AS (SELECT g.doc_id, g.s, g.s + 7 AS e FROM g JOIN dupg USING (gram)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+              THEN 1 ELSE 0 END AS ni
+  FROM d
+  WINDOW pw AS (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sp AS (
+  SELECT doc_id, island, min(s) AS st, max(e) AS en
+  FROM (SELECT doc_id, s, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl)
+  GROUP BY doc_id, island
+),
+pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM w),
+keep AS (
+  SELECT o.doc_id, o.p, o.ws[o.p] AS tok
+  FROM pos o
+  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = o.doc_id AND o.p BETWEEN sp.st AND sp.en)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM keep GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "dedup_remove_repeated_spans",
+    oracle=_REMOVE_REPEATED_ORACLE,
+    tags=("dedup", "text", "llm"),
+)
+def q_dedup_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of substring-level dedup (pairs with
+    ``dedup_repeated_ngrams``): rewrite every document with its
+    corpus-duplicated 8-gram spans REMOVED — the Lee-et-al. training-corpus
+    transform itself, not just the audit.  Every doc survives (fully-
+    duplicated text becomes empty; the packer downstream decides drops).
+    The rewrite is whole-stage-codegen higher-order-function algebra over
+    a small per-doc span array — no UDF, no token explode, no exchange
+    beyond the span engine's two.  See
+    operators/dedup.py:remove_repeated_ngram_spans."""
+    from .operators.dedup import remove_repeated_ngram_spans
+
+    return remove_repeated_ngram_spans(
+        load_table(spark, sf_dir, "documents"), n=8
+    )
+
+
 @register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("dedup", "llm"))
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup pairs (Broder containment, the
@@ -7823,11 +7948,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r9 handoff: this 50-slot window re-verifies every r4-stale query,
     # the five zero-verdict graph/projection queries, and the five whose
     # implementations/oracles change in r8.  The remaining debt after this
-    # round is the 48 r7-green queries (fresh) — for r9, rotate IN any
-    # query whose implementation changes plus the oldest of the then-r7
-    # set, oldest-evidence-first.  No query is permanently rotated out any
-    # more: the approx_* sketches now carry hashable boolean-verdict
-    # oracles and sit in block 1.
+    # round: the 48 r7-green queries (fresh), PLUS the two NEW r8 queries
+    # with zero driver verdicts — dedup_repeated_ngrams and
+    # dedup_remove_repeated_spans (both oracle-backed and sweep-green; give
+    # them r9 slots first).  Then rotate IN any query whose implementation
+    # changes plus the oldest of the then-r7 set, oldest-evidence-first.
+    # No query is permanently rotated out any more: the approx_* sketches
+    # now carry hashable boolean-verdict oracles and sit in block 1.
 )
 
 

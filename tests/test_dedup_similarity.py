@@ -595,3 +595,87 @@ def test_random_projection_is_map_only_plan(spark):
     df = REGISTRY["embedding_random_projection"].fn(spark, "/root/testdata/sf0.001")
     plan = formatted_plan(df)
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_repeated_ngram_spans_fixture(spark):
+    """Hand-built corpus: a 10-word boilerplate pasted into two otherwise
+    unique docs must surface as one merged span of exactly 10 tokens in
+    each; a doc with internal self-repetition is caught corpus-free; docs
+    shorter than n and fully-unique docs report zero."""
+    from retailfeaturestore_spark.operators.dedup import repeated_ngram_spans
+
+    boiler = "the quick brown fox jumps over the lazy sleeping dog"
+    u1 = " ".join(f"alpha{i}" for i in range(12))
+    u2 = " ".join(f"beta{i}" for i in range(15))
+    selfrep = " ".join(f"g{i}" for i in range(8)) + " xmid " + " ".join(
+        f"g{i}" for i in range(8)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"{u1} {boiler}"),          # boiler at tail
+            (2, f"{boiler} {u2}"),          # boiler at head
+            (3, "short doc only"),           # < n tokens
+            (4, " ".join(f"solo{i}" for i in range(30))),  # unique
+            (5, selfrep),                    # 8-gram repeated WITHIN one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_ngram_spans(docs, n=8).collect()}
+    assert len(out) == 5  # every doc reported, including span-free ones
+    # boiler = 10 tokens -> 3 dup 8-gram positions each side, merged to ONE
+    # span of exactly the 10 boilerplate tokens
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1, out[d]
+        assert out[d].dup_tokens == 10, out[d]
+    assert out[1].n_tokens == 22 and out[2].n_tokens == 25
+    assert abs(out[1].dup_ratio - 10 / 22) < 1e-12
+    assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[4].n_dup_spans == 0 and out[4].dup_tokens == 0
+    # self-repetition: g0..g7 occurs at positions 1 and 10 of a 17-token
+    # doc -> two disjoint 8-token spans
+    assert out[5].n_dup_spans == 2 and out[5].dup_tokens == 16
+
+
+def test_repeated_ngram_spans_merges_overlaps(spark):
+    """Consecutive duplicate positions must merge into ONE maximal span:
+    a 12-token passage shared by two docs yields 5 dup 8-gram positions
+    (1..5) whose spans [1,8]..[5,12] overlap into a single [1,12]."""
+    from retailfeaturestore_spark.operators.dedup import repeated_ngram_spans
+
+    passage = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, passage), (2, passage + " " + " ".join(f"t{i}" for i in range(5)))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_ngram_spans(docs, n=8).collect()}
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 12
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 12
+
+
+def test_remove_repeated_spans_rewrites_and_agrees_with_audit(spark):
+    """Removal output: clean_text drops exactly the merged spans; every doc
+    survives (fully-duplicated doc keeps empty text); kept_tokens is
+    consistent with the audit op (n_tokens - dup_tokens)."""
+    from retailfeaturestore_spark.operators.dedup import (
+        remove_repeated_ngram_spans,
+        repeated_ngram_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy sleeping dog"
+    u1 = " ".join(f"alpha{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{u1} {boiler}"),
+            (2, boiler),  # ENTIRE doc duplicated -> empty rewrite
+            (3, "tiny one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_ngram_spans(docs, n=8).collect()}
+    assert len(out) == 3
+    assert out[1].clean_text == u1 and out[1].kept_tokens == 12
+    assert out[2].clean_text == "" and out[2].kept_tokens == 0
+    assert out[3].clean_text == "tiny one" and out[3].kept_tokens == 2
+    audit = {r.doc_id: r for r in repeated_ngram_spans(docs, n=8).collect()}
+    for d in out:
+        assert out[d].kept_tokens == audit[d].n_tokens - audit[d].dup_tokens

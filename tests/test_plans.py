@@ -222,6 +222,19 @@ def test_global_rank_consumers_have_no_partitionless_window(spark):
     assert "windowspecdefinition(__rp_pid" in plan, plan[:2000]
 
 
+def test_repeated_ngram_ops_scale_shape(spark):
+    """Substring-dedup pair: gram counting must be a partial-aggregable
+    groupBy feeding a real shuffle join (never a count-over-gram window —
+    the whale-gram one-task trap — and never a nested loop); the only
+    windows are per-doc island merges; no single-partition stage."""
+    for name in ("dedup_repeated_ngrams", "dedup_remove_repeated_spans"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, SF))
+        assert "SinglePartition" not in plan, (name, plan[:1500])
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1500])
+        assert "windowspecdefinition(gram" not in plan, (name, plan[:1500])
+        assert "partial_count" in plan, (name, plan[:1500])
+
+
 def test_gopher_and_pii_are_map_only(spark):
     """Quality flags and PII scrub are row-local column algebra: zero
     exchanges of any kind in the plan."""
