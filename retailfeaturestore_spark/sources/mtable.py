@@ -394,6 +394,48 @@ class MTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact(
+        self,
+        partitions: list[str] | None = None,
+        order_by: list[str] | None = None,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Small-file OPTIMIZE: rewrite each selected partition (default:
+        every partition holding more than one file) into ONE file,
+        optionally sorted within the file by ``order_by`` (stats-locality
+        clustering, same motivation as ``io.write_clustered``), committed
+        as a normal snapshot-isolated version — readers on older versions
+        keep their exact file lists, rows are byte-for-byte the same set.
+        Returns the committed version, or the current one when nothing
+        needs compacting.  Streaming sinks make this the natural follow-up
+        job: every micro-batch commit adds a file per touched partition."""
+        cur = self._latest()
+        if cur is None:
+            raise ValueError("compact needs an existing table")
+        v0, m0 = cur
+        pby = m0["partition_by"]
+        if not pby:
+            raise ValueError("compact targets partitioned tables")
+        sel = [
+            p
+            for p, files in m0["partitions"].items()
+            if (partitions is None and len(files) > 1)
+            or (partitions is not None and p in set(partitions))
+        ]
+        if not sel:
+            return v0
+        df = self.read(version=v0, partitions=sel)
+        # hash-clustering on the partition value puts every value's rows in
+        # one task -> the writer emits exactly one file per partition dir
+        df = df.repartition(max(len(sel), 1), F.col(pby))
+        if order_by:
+            df = df.sortWithinPartitions(*order_by)
+        meta = {"compacted": sorted(sel)}
+        meta.update(extra_meta or {})
+        return self.overwrite_partitions(
+            df, partition_values=sel, extra_meta=meta
+        )
+
     def vacuum(
         self, keep_versions: int = 2, min_age_ms: int = 3_600_000
     ) -> list[str]:

@@ -301,3 +301,30 @@ def test_build_feature_views_mtable_matches_directory_gold(spark, tmp_path):
     b = {tuple(r) for r in acid.select(*cols).collect()}
     assert a == b
     assert mt.read().count() == spark.read.parquet(gold_dir).count()
+
+
+def test_compact_collapses_small_files_snapshot_isolated(spark, tmp_path):
+    """Three appends leave 3 files in the hot partition; compact rewrites
+    it to ONE file as a new version with the identical row set, while the
+    pre-compaction snapshot still reads its original files."""
+    t = MTable(spark, str(tmp_path / "hot"))
+    t.write(_with_date(_snap(spark, [(1, "2024-01-01 10:00:00", 1.0)])),
+            partition_by="date")
+    for i, s in ((2, 2.0), (3, 3.0)):
+        t.write(
+            _with_date(_snap(spark, [(i, f"2024-01-01 1{i}:00:00", s)])),
+            mode="append",
+        )
+    m3 = t._read_manifest(3)
+    assert len(m3["partitions"]["2024-01-01"]) == 3  # one file per append
+    before = {(r.customer_id, r.score) for r in t.read().collect()}
+    v = t.compact(order_by=["customer_id"])
+    assert v == 4
+    m4 = t._read_manifest(4)
+    assert len(m4["partitions"]["2024-01-01"]) == 1  # OPTIMIZEd
+    assert m4["meta"]["compacted"] == ["2024-01-01"]
+    assert {(r.customer_id, r.score) for r in t.read().collect()} == before
+    # pre-compaction snapshot untouched (its files still exist pre-vacuum)
+    assert {(r.customer_id, r.score) for r in t.read(version=3).collect()} == before
+    # nothing left to compact -> no new version
+    assert t.compact() == 4
