@@ -28,7 +28,9 @@ __all__ = [
     "read_excel_sheets",
     "ingest_to_bronze",
     "build_feature_views",
+    "build_feature_views_mtable",
     "backfill_feature_views",
+    "backfill_feature_views_mtable",
     "materialize_online_job",
     "make_training",
     "build_packed_corpus",
@@ -163,6 +165,26 @@ def backfill_feature_views(
     untouched (test-asserted byte-for-byte).  Returns the number of rows
     written.
     """
+    gold = _backfill_gold_slice(spark, bronze_path, start_date, end_date, windows)
+    n = gold.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_date_partitioned(gold, gold_path, "t_ref", mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
+def _backfill_gold_slice(
+    spark: SparkSession,
+    bronze_path: str,
+    start_date: str,
+    end_date: str,
+    windows: dict[str, int] | None,
+) -> DataFrame:
+    """The backfill recompute (window lookback + full-history tenure/mode
+    patches) without a sink — shared by the directory and mtable targets."""
     windows = windows or {"1d": 1, "7d": 7, "30d": 30}
     lookback_days = max(windows.values())
     start = F.lit(start_date).cast("date")
@@ -205,14 +227,46 @@ def backfill_feature_views(
         .select("customer_id", "t_ref", *feature_cols, "tenure_days")
         .join(mode, "customer_id", "left")
     )
-    n = gold.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        write_date_partitioned(gold, gold_path, "t_ref", mode="overwrite")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return n
+    return gold
+
+
+def backfill_feature_views_mtable(
+    spark: SparkSession,
+    bronze_path: str,
+    table_path: str,
+    start_date: str,
+    end_date: str,
+    windows: dict[str, int] | None = None,
+) -> int:
+    """The backfill repair path committed to an ACID ``mtable``: the
+    recomputed ``[start_date, end_date]`` gold slice replaces that date
+    range as ONE atomic version — including dropping range days that now
+    have NO rows (the directory path's dynamic overwrite can only replace
+    directories it writes, so a day emptied by a bug fix silently keeps
+    its stale rows there; the manifest commit replaces the whole range
+    exactly).  Readers stay snapshot-isolated on the prior version for the
+    entire recompute.  Returns the committed version."""
+    from .sources.mtable import MTable
+
+    gold = _backfill_gold_slice(spark, bronze_path, start_date, end_date, windows)
+    t = MTable(spark, table_path)
+    cur = t.versions()
+    if not cur:
+        raise ValueError("backfill into an empty mtable: run the build first")
+    existing = t._read_manifest(cur[-1])["partitions"]
+    in_range = [d for d in existing if start_date <= d <= end_date]
+    staged_dates = [
+        r[0]
+        for r in gold.select(
+            F.date_format("t_ref", "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    ]
+    replaced = sorted(set(in_range) | set(staged_dates))
+    return t.overwrite_partitions(
+        gold.withColumn("date", F.date_format("t_ref", "yyyy-MM-dd")),
+        partition_values=replaced,
+        extra_meta={"backfill": [start_date, end_date]},
+    )
 
 
 def materialize_online_job(

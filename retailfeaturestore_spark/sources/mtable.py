@@ -383,6 +383,28 @@ class MTable:
             return {}
         return cur[1].get("meta", {}) or {}
 
+    def diff(
+        self,
+        keys: list[str],
+        v_old: int,
+        v_new: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Keyed audit between two committed versions (time-travel CDC):
+        one row per added/removed/changed key with the changed column
+        names — ``operators.incremental.table_diff`` over two snapshot
+        reads, so the answer is exact against the manifests' file lists
+        regardless of concurrent commits.  ``v_new=None`` = latest.  The
+        gate a gold publish runs before flipping consumers to a new
+        version."""
+        from ..operators.incremental import table_diff
+
+        old = self.read(version=v_old)
+        new = self.read(version=v_new)
+        if old is None or new is None:
+            raise NoSuchVersion("diff needs two non-empty versions")
+        return table_diff(old, new, keys, compare_cols=compare_cols)
+
     def history(self) -> list[dict]:
         return [
             {

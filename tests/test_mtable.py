@@ -328,3 +328,80 @@ def test_compact_collapses_small_files_snapshot_isolated(spark, tmp_path):
     assert {(r.customer_id, r.score) for r in t.read(version=3).collect()} == before
     # nothing left to compact -> no new version
     assert t.compact() == 4
+
+
+def test_version_diff_classifies_changes(spark, tmp_path):
+    """Time-travel CDC: the keyed diff between two committed versions
+    reports exactly the added/removed/changed keys with changed columns."""
+    t = _mk(spark, tmp_path, BASE)
+    t.merge_upsert(
+        _snap(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", 10.0),  # changed
+                (9, "2024-01-01 12:00:00", 9.0),   # added
+            ],
+        ),
+        ["customer_id", "t_ref"],
+        F.date_format("t_ref", "yyyy-MM-dd"),
+    )
+    d = {
+        (r.customer_id, r.change): list(r.changed_cols)
+        for r in t.diff(["customer_id", "t_ref"], v_old=1).collect()
+    }
+    assert d == {(1, "changed"): ["score"], (9, "added"): []}
+
+
+def test_backfill_mtable_replaces_range_atomically(spark, tmp_path):
+    """The mtable backfill replaces the [start, end] date range as one
+    version — including dropping a range day that the corrected bronze no
+    longer produces (the directory dynamic-overwrite path cannot do that)
+    — while partitions outside the range are carried by reference."""
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata absent")
+    from retailfeaturestore_spark.io import load_tables
+    from retailfeaturestore_spark.jobs import (
+        backfill_feature_views_mtable,
+        build_feature_views_mtable,
+    )
+    from retailfeaturestore_spark.operators.normalize import lineitem_to_bronze
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("lineitem", "orders"))
+    bronze = lineitem_to_bronze(t["lineitem"], t["orders"]).withColumn(
+        "country", F.lit("GB")
+    )
+    bpath = str(tmp_path / "bronze")
+    bronze.write.parquet(bpath)
+    tbl = str(tmp_path / "gold_mt")
+    build_feature_views_mtable(spark, bpath, tbl)
+    mt = MTable(spark, tbl)
+    m1 = mt._read_manifest(1)
+    dates = sorted(m1["partitions"])
+    lo, hi = dates[1], dates[2]  # a 2-day interior range
+    # corrected bronze: drop every line in [lo, hi) -> day `lo` must VANISH
+    bronze2 = bronze.where(
+        ~(F.col("invoice_date").cast("date") == F.lit(lo).cast("date"))
+    )
+    b2 = str(tmp_path / "bronze2")
+    bronze2.write.parquet(b2)
+    v = backfill_feature_views_mtable(spark, b2, tbl, lo, hi)
+    assert v == 2
+    m2 = mt._read_manifest(2)
+    assert lo not in m2["partitions"]  # emptied day dropped from the range
+    assert m2["meta"]["backfill"] == [lo, hi]
+    # untouched partitions carried by reference (identical file lists)
+    for d in dates:
+        if not (lo <= d <= hi):
+            assert m2["partitions"][d] == m1["partitions"][d], d
+    # the backfilled day's rows match a from-scratch build on bronze2
+    scratch = str(tmp_path / "scratch_mt")
+    build_feature_views_mtable(spark, b2, scratch)
+    want = {
+        tuple(r)
+        for r in MTable(spark, scratch)
+        .read(partitions=[hi])
+        .drop("date")
+        .collect()
+    }
+    got = {tuple(r) for r in mt.read(partitions=[hi]).drop("date").collect()}
+    assert got == want
