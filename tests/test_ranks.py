@@ -96,3 +96,66 @@ def test_ranks_plans_have_no_single_partition_exchange(spark):
         plan = formatted_plan(out)
         assert "SinglePartition" not in plan, plan[:1500]
         assert "windowspecdefinition(__rp_pid" in plan, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Property-based differentials: random data (duplicates, negatives, skew)
+# vs pure-python recomputation of the exact semantics.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(-100, 100)),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_row_lists, st.integers(1, 6))
+def test_property_ntile_matches_python(spark, rows, n_part):
+    """exact_ntile == the SQL ntile definition recomputed in python, under
+    a total order (duplicate sort values disambiguated by a unique id)."""
+    data = [(i, v) for i, (_, v) in enumerate(rows)]
+    k = 4
+    df = spark.createDataFrame(data, "id long, v long")
+    got = {
+        r.id: r.tile
+        for r in exact_ntile(
+            df, [F.col("v"), F.col("id")], k, "tile", num_partitions=n_part
+        ).collect()
+    }
+    order = sorted(data, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    q, rem = divmod(n, k)
+    want = {}
+    pos = 0
+    for tile in range(1, k + 1):
+        size = q + (1 if tile <= rem else 0)
+        for _ in range(size):
+            if pos < n:
+                want[order[pos][0]] = tile
+                pos += 1
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_row_lists, st.integers(1, 6))
+def test_property_prefix_sum_matches_python(spark, rows, n_part):
+    """range_prefix_sum under a total order == running sum in python —
+    any-sign values, arbitrary duplicates in the secondary key."""
+    data = [(i, v) for i, (_, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v long")
+    got = {
+        r.id: r.ps
+        for r in range_prefix_sum(
+            df, [F.col("id")], F.col("v"), "ps", num_partitions=n_part
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, v in sorted(data):
+        acc += v
+        want[i] = acc
+    assert got == want
