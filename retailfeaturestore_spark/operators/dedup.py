@@ -49,6 +49,8 @@ __all__ = [
     "containment_pairs",
     "repeated_ngram_spans",
     "remove_repeated_ngram_spans",
+    "merge_positions_to_spans",
+    "apply_span_removal",
     "simhash_signatures",
     "simhash_pairs",
     "connected_components",
@@ -720,14 +722,12 @@ def _cc_star(pairs: DataFrame, a_col: str, b_col: str, max_iter: int) -> DataFra
     return out
 
 
-def _dup_span_frames(
+def _position_ngrams(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(base, spans): base = (doc_id, ws, n_tokens) for every doc; spans =
-    (doc_id, st, en) maximal merged token spans whose n-grams occur more
-    than once corpus-wide.  Shared engine for the audit and removal ops —
-    see repeated_ngram_spans for the scale rationale (map-side gram count,
-    AQE-splittable shuffle-hash join, per-doc island window)."""
+    """(base, grams): base = (doc_id, ws, n_tokens); grams = one row per
+    token position (doc_id, s, gram) with gram = md5 of the n-token window
+    starting at 1-based position s."""
     ws = F.split(F.col(text_col), " ")
     base = docs.select(
         F.col(id_col).alias("doc_id"), ws.alias("ws")
@@ -742,15 +742,14 @@ def _dup_span_frames(
     grams = base.select(
         "doc_id", F.posexplode(gram_arr).alias("off", "gram")
     ).select("doc_id", (F.col("off") + 1).alias("s"), "gram")
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .select("gram")
-    )
-    dup = grams.join(dup_grams.hint("shuffle_hash"), "gram").select(
-        "doc_id", "s", (F.col("s") + n - 1).alias("e")
-    )
+    return base, grams
+
+
+def merge_positions_to_spans(dup: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s) duplicate positions -> (doc_id, st, en) maximal merged
+    spans (each position covers tokens [s, s+n-1]); the classic island
+    merge as one per-document window pass."""
+    spans = dup.select("doc_id", "s", (F.col("s") + n - 1).alias("e"))
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("s")
@@ -762,8 +761,8 @@ def _dup_span_frames(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_max = F.max("e").over(w_prev)
-    spans = (
-        dup.withColumn(
+    return (
+        spans.withColumn(
             "ni",
             (prev_max.isNull() | (F.col("s") > prev_max)).cast("long"),
         )
@@ -772,9 +771,51 @@ def _dup_span_frames(
         .agg(F.min("s").alias("st"), F.max("e").alias("en"))
         .select("doc_id", "st", "en")
     )
-    return base, spans
 
 
+def apply_span_removal(base: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rewrite (doc_id, ws, n_tokens) with the (doc_id, st, en) spans
+    removed -> (doc_id, n_tokens, kept_tokens, clean_text); pure
+    higher-order-function codegen over a small per-doc span array."""
+    spans_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("st", "en")).alias("spans")
+    )
+    kept = F.expr(
+        "filter(transform(ws, (w, i) -> struct(w AS w, i + 1 AS p)),"
+        " x -> spans IS NULL OR"
+        " NOT exists(spans, sp -> x.p >= sp.st AND x.p <= sp.en))"
+    )
+    return (
+        base.join(spans_arr, "doc_id", "left")
+        .withColumn("__kept", kept)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("__kept").cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.expr("transform(__kept, x -> x.w)"), " "
+            ).alias("clean_text"),
+        )
+    )
+
+
+def _dup_span_frames(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, spans): base = (doc_id, ws, n_tokens) for every doc; spans =
+    (doc_id, st, en) maximal merged token spans whose n-grams occur more
+    than once corpus-wide.  Shared engine for the audit and removal ops —
+    see repeated_ngram_spans for the scale rationale (map-side gram count,
+    AQE-splittable shuffle-hash join, per-doc island window)."""
+    base, grams = _position_ngrams(docs, n, text_col, id_col)
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gram")
+    )
+    dup = grams.join(dup_grams.hint("shuffle_hash"), "gram").select("doc_id", "s")
+    return base, merge_positions_to_spans(dup, n)
 def repeated_ngram_spans(
     docs: DataFrame,
     n: int = 8,
@@ -844,23 +885,4 @@ def remove_repeated_ngram_spans(
     explode of the token stream, no extra exchange beyond the span
     engine's two."""
     base, spans = _dup_span_frames(docs, n, text_col, id_col)
-    spans_arr = spans.groupBy("doc_id").agg(
-        F.collect_list(F.struct("st", "en")).alias("spans")
-    )
-    kept = F.expr(
-        "filter(transform(ws, (w, i) -> struct(w AS w, i + 1 AS p)),"
-        " x -> spans IS NULL OR"
-        " NOT exists(spans, sp -> x.p >= sp.st AND x.p <= sp.en))"
-    )
-    return (
-        base.join(spans_arr, "doc_id", "left")
-        .withColumn("__kept", kept)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.size("__kept").cast("long").alias("kept_tokens"),
-            F.array_join(
-                F.expr("transform(__kept, x -> x.w)"), " "
-            ).alias("clean_text"),
-        )
-    )
+    return apply_span_removal(base, spans)
