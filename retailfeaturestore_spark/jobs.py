@@ -253,7 +253,8 @@ def backfill_feature_views_mtable(
     cur = t.versions()
     if not cur:
         raise ValueError("backfill into an empty mtable: run the build first")
-    existing = t._read_manifest(cur[-1])["partitions"]
+    base_v = cur[-1]
+    existing = t._read_manifest(base_v)["partitions"]
     in_range = [d for d in existing if start_date <= d <= end_date]
     staged_dates = [
         r[0]
@@ -262,10 +263,13 @@ def backfill_feature_views_mtable(
         ).distinct().collect()
     ]
     replaced = sorted(set(in_range) | set(staged_dates))
+    # base_version: the replaced-range set was computed against base_v's
+    # manifest — a racing commit must trip the CAS, not be clobbered
     return t.overwrite_partitions(
         gold.withColumn("date", F.date_format("t_ref", "yyyy-MM-dd")),
         partition_values=replaced,
         extra_meta={"backfill": [start_date, end_date]},
+        base_version=base_v,
     )
 
 

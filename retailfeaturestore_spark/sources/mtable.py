@@ -141,7 +141,18 @@ class MTable:
         p = _jpath(jvm, self._manifest_path(version))
         try:
             out = fs.create(p, False)  # overwrite=False: compare-and-swap
-        except Exception as e:  # py4j wraps FileAlreadyExistsException
+        except Exception as e:  # py4j wraps the Java exception
+            # Only a lost CAS is ConcurrentCommit; a transient IO/permission
+            # failure must surface as itself, not as a benign race (callers
+            # may retry a ConcurrentCommit on a fresh base).  The Java class
+            # name is authoritative; fs.exists is the fallback probe when
+            # the wrapper hides it (ADVICE r8).
+            jexc = getattr(e, "java_exception", None)
+            lost_cas = (
+                jexc is not None and "AlreadyExists" in jexc.getClass().getName()
+            ) or fs.exists(p)
+            if not lost_cas:
+                raise
             raise ConcurrentCommit(
                 f"version {version} of {self.path} already committed"
             ) from e
@@ -183,6 +194,7 @@ class MTable:
                     continue
                 pval = pname.split("=", 1)[1]
                 files = []
+                fs.mkdirs(_jpath(jvm, f"{self.path}/{_DATA_DIR}/{pname}"))
                 for f in fs.listStatus(pdir.getPath()):
                     nm = f.getPath().getName()
                     if nm.startswith(("_", ".")):
@@ -190,7 +202,6 @@ class MTable:
                     # publish name: move OUT of the stage dir so vacuum of
                     # abandoned stages never races committed files
                     dst = f"{self.path}/{_DATA_DIR}/{pname}/{token}-{nm}"
-                    fs.mkdirs(_jpath(jvm, f"{self.path}/{_DATA_DIR}/{pname}"))
                     fs.rename(f.getPath(), _jpath(jvm, dst))
                     files.append(dst[len(self.path) + 1 :])
                 if files:
@@ -271,13 +282,31 @@ class MTable:
         df: DataFrame,
         partition_values: list[str] | None = None,
         extra_meta: dict | None = None,
+        base_version: int | None = None,
+        cluster_files: bool = False,
     ) -> int:
         """Commit a version where the partitions carried by ``df`` (or the
         explicit ``partition_values``) are REPLACED and every other
         partition's files are carried forward by reference — the dynamic
         partition overwrite / MERGE publish primitive, made atomic and
-        snapshot-isolated by the manifest commit."""
-        cur = self._latest()
+        snapshot-isolated by the manifest commit.
+
+        ``base_version`` pins the snapshot the replacement was COMPUTED
+        against: the commit claims exactly ``base_version + 1``, so a
+        concurrent commit landing in between loses the manifest CAS and
+        raises :class:`ConcurrentCommit` instead of being silently clobbered
+        (ADVICE r8) — callers re-read and retry.  ``None`` keeps the
+        blind-overwrite semantics (commit on top of whatever is latest),
+        which is only safe when the replacement does not depend on current
+        table contents.  ``cluster_files=True`` hash-clusters ``df`` on the
+        partition column before staging so each touched partition gets ONE
+        file instead of one per task — the streaming/merge small-file valve
+        (same motivation as :meth:`compact`, paid at write time)."""
+        cur = (
+            self._latest()
+            if base_version is None
+            else (base_version, self._read_manifest(base_version))
+        )
         if cur is None:
             raise ValueError("overwrite_partitions needs an existing table")
         v0, m0 = cur
@@ -287,6 +316,16 @@ class MTable:
         fp = self._schema_fingerprint(df, partition_by)
         if fp != m0["schema"]:
             raise ValueError(f"schema mismatch: {fp} != {m0['schema']}")
+        if cluster_files:
+            # every partition value's rows land in one task -> one staged
+            # file per partition dir; parallelism stays at the session's
+            # shuffle-partition width (NOT one task per partition — a
+            # handful of whale dates must not serialize the whole write).
+            # Explicit numPartitions: AQE would coalesce a bare
+            # repartition(col) of a small frame to ONE task, serializing
+            # every parquet file open/close through it.
+            width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartition(width, F.col(partition_by))
         staged = self._stage_files(df, partition_by)
         replaced = set(
             partition_values if partition_values is not None else staged
@@ -314,12 +353,20 @@ class MTable:
         keys: list[str],
         partition_col_value: F.Column,
         extra_meta: dict | None = None,
+        cluster_files: bool = False,
     ) -> int:
         """MERGE by key into the touched partitions only (same semantics as
         ``io.merge_upsert``, but the publish is one atomic manifest commit
         and readers are snapshot-isolated throughout).
         ``partition_col_value``: expression deriving the partition value
-        from an updates row (e.g. ``F.date_format("t_ref","yyyy-MM-dd")``)."""
+        from an updates row (e.g. ``F.date_format("t_ref","yyyy-MM-dd")``).
+
+        Serializable against racing writers: survivors are computed against
+        the version read at entry and the commit claims exactly that
+        version + 1 — a commit landing in between fails the manifest CAS
+        with :class:`ConcurrentCommit` rather than having its rows silently
+        dropped from the touched partitions (ADVICE r8); catch and re-call
+        to retry on the new base."""
         cur = self._latest()
         if cur is None:
             raise ValueError("merge into an empty table: use write() first")
@@ -335,7 +382,11 @@ class MTable:
         else:
             merged = upd
         return self.overwrite_partitions(
-            merged, partition_values=touched, extra_meta=extra_meta
+            merged,
+            partition_values=touched,
+            extra_meta=extra_meta,
+            base_version=v0,
+            cluster_files=cluster_files,
         )
 
     # -- read paths ---------------------------------------------------------
@@ -382,6 +433,24 @@ class MTable:
         if cur is None:
             return {}
         return cur[1].get("meta", {}) or {}
+
+    def ledger_max(self, key: str):
+        """Max value of ``meta[key]`` across ALL retained manifests — the
+        robust form of the exactly-once stream ledger.  Reading only
+        :meth:`latest_meta` is wrong the moment any non-stream commit
+        (compact, backfill) interleaves: it carries its own meta and the
+        last-batch-id check silently passes for a replayed batch (ADVICE
+        r8).  O(retained versions) manifest reads, bounded by vacuum's
+        ``keep_versions`` horizon — and vacuum must therefore retain at
+        least the manifests younger than the stream checkpoint's replay
+        horizon (one version is always safe: a replay can only be of a
+        batch at-or-before the newest commit)."""
+        best = None
+        for v in self.versions():
+            val = (self._read_manifest(v).get("meta") or {}).get(key)
+            if val is not None and (best is None or val > best):
+                best = val
+        return best
 
     def diff(
         self,
@@ -454,8 +523,10 @@ class MTable:
             df = df.sortWithinPartitions(*order_by)
         meta = {"compacted": sorted(sel)}
         meta.update(extra_meta or {})
+        # base_version: the rewritten rows are v0's — a commit racing in
+        # between must fail the CAS, not be replaced by stale bytes
         return self.overwrite_partitions(
-            df, partition_values=sel, extra_meta=meta
+            df, partition_values=sel, extra_meta=meta, base_version=v0
         )
 
     def vacuum(

@@ -141,7 +141,10 @@ def stream_commit_gold_mtable(
                 extra_meta=meta,
             )
             return
-        last = t.latest_meta().get("stream_batch_id")
+        # Ledger = max over ALL retained manifests, not the newest one's
+        # meta: an interleaved compact/backfill commit carries its own meta
+        # and would otherwise blind the replay check (ADVICE r8).
+        last = t.ledger_max("stream_batch_id")
         if last is not None and batch_id <= last:
             return  # replayed batch: already inside a committed version
         t.merge_upsert(

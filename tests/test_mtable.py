@@ -405,3 +405,164 @@ def test_backfill_mtable_replaces_range_atomically(spark, tmp_path):
     }
     got = {tuple(r) for r in mt.read(partitions=[hi]).drop("date").collect()}
     assert got == want
+
+
+def test_merge_detects_concurrent_commit_instead_of_clobbering(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: merge_upsert computes survivors against the version read
+    at entry and must commit exactly that version + 1 — a commit landing in
+    between loses the manifest CAS (ConcurrentCommit) rather than having
+    its rows silently dropped from the touched partitions."""
+    t = _mk(spark, tmp_path, BASE)
+    real_stage = MTable._stage_files
+    raced = {}
+
+    def stage_with_race(self, df, partition_by):
+        # another writer commits v2 between this merge's snapshot read and
+        # its commit; fire once (the racing append stages too)
+        if not raced:
+            raced["done"] = True
+            t2 = MTable(spark, self.path)
+            t2.write(
+                _with_date(_snap(spark, [(9, "2024-01-01 12:00:00", 9.0)])),
+                mode="append",
+            )
+        return real_stage(self, df, partition_by)
+
+    monkeypatch.setattr(MTable, "_stage_files", stage_with_race)
+    with pytest.raises(ConcurrentCommit):
+        t.merge_upsert(
+            _snap(spark, [(1, "2024-01-01 10:00:00", 8.0)]),
+            keys=["customer_id", "t_ref"],
+            partition_col_value=F.date_format("t_ref", "yyyy-MM-dd"),
+        )
+    monkeypatch.undo()
+    # the racing writer's row is intact, and the retry merges on the new base
+    assert {r.customer_id for r in t.read().collect()} == {1, 2, 3, 9}
+    t.merge_upsert(
+        _snap(spark, [(1, "2024-01-01 10:00:00", 8.0)]),
+        keys=["customer_id", "t_ref"],
+        partition_col_value=F.date_format("t_ref", "yyyy-MM-dd"),
+    )
+    out = {(r.customer_id, r.score) for r in t.read().collect()}
+    assert out == {(1, 8.0), (2, 2.0), (3, 3.0), (9, 9.0)}
+
+
+def test_commit_reraises_non_cas_failures(spark, tmp_path, monkeypatch):
+    """ADVICE r9: only a lost CAS maps to ConcurrentCommit; a transient IO
+    failure must surface as itself (callers may treat ConcurrentCommit as a
+    benign race and retry into data loss)."""
+    from retailfeaturestore_spark.sources import mtable as M
+
+    t = _mk(spark, tmp_path, BASE)
+    real_fs = M._fs
+
+    class FlakyFS:
+        def __init__(self, real):
+            self._real = real
+
+        def create(self, p, overwrite):
+            raise RuntimeError("injected transient io failure")
+
+        def exists(self, p):
+            return False  # the manifest was NOT created by anyone
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    def flaky(spark_, path):
+        fs, jvm = real_fs(spark_, path)
+        return FlakyFS(fs), jvm
+
+    monkeypatch.setattr(M, "_fs", flaky)
+    with pytest.raises(RuntimeError, match="injected transient"):
+        t.write(_with_date(_snap(spark, BASE)), partition_by="date")
+    monkeypatch.undo()
+    # and a REAL already-committed version still maps to ConcurrentCommit
+    with pytest.raises(ConcurrentCommit):
+        t._commit({"version": 1}, 1)
+
+
+def test_ledger_max_survives_interleaved_maintenance_commits(spark, tmp_path):
+    """ADVICE r9: the exactly-once stream ledger reads the MAX
+    stream_batch_id across retained manifests — an interleaved compact()
+    (which carries its own meta) must not blind the replay check."""
+    t = MTable(spark, str(tmp_path / "ledger_tbl"))
+    t.write(
+        _with_date(_snap(spark, BASE)),
+        partition_by="date",
+        extra_meta={"stream_batch_id": 4},
+    )
+    t.write(
+        _with_date(_snap(spark, [(7, "2024-01-01 09:00:00", 7.0)])),
+        mode="append",
+    )  # e.g. a backfill: no stream meta
+    t.compact()
+    assert t.latest_meta().get("stream_batch_id") is None
+    assert t.ledger_max("stream_batch_id") == 4
+
+
+def test_stream_replay_skipped_after_compact_interleaves(spark, tmp_path):
+    """End-to-end form of the ledger fix: batch 0 committed, compact()
+    interleaves, replaying batch 0 must be a no-op (no new version, same
+    rows)."""
+    from retailfeaturestore_spark.streaming.materialize import (
+        stream_commit_gold_mtable,
+    )
+    from conftest import stage_microbatches
+
+    rows = [[(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 11:00:00", 2.0)]]
+    tbl = str(tmp_path / "gold_replay")
+
+    def run(ckpt):
+        stream = stage_microbatches(
+            spark,
+            tmp_path / ckpt,
+            "customer_id long, t_ref string, score double",
+            rows,
+        ).withColumn("t_ref", F.col("t_ref").cast("timestamp"))
+        q = stream_commit_gold_mtable(
+            stream,
+            tbl,
+            keys=["customer_id", "t_ref"],
+            ts_col="t_ref",
+            checkpoint_dir=str(tmp_path / ckpt / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run("run1")
+    t = MTable(spark, tbl)
+    v_compact = t.compact()  # may be a no-op when files are already single
+    # fresh checkpoint -> the stream replays batch 0 from scratch
+    run("run2")
+    assert t.ledger_max("stream_batch_id") == 0
+    # the replay added NO version beyond the compact: ledger skip worked
+    assert t.versions()[-1] == v_compact
+    out = {(r.customer_id, str(r.t_ref), r.score) for r in t.read().collect()}
+    assert out == {
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 11:00:00", 2.0),
+    }
+
+
+def test_cluster_files_one_file_per_touched_partition(spark, tmp_path):
+    t = _mk(spark, tmp_path, BASE, name="clustered")
+    t.merge_upsert(
+        _snap(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", 5.0),
+                (4, "2024-01-02 11:00:00", 4.0),
+                (5, "2024-01-03 10:00:00", 6.0),
+            ],
+        ),
+        keys=["customer_id", "t_ref"],
+        partition_col_value=F.date_format("t_ref", "yyyy-MM-dd"),
+        cluster_files=True,
+    )
+    m = t._read_manifest(t.versions()[-1])
+    for pval in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        assert len(m["partitions"][pval]) == 1, (pval, m["partitions"][pval])
+    out = {(r.customer_id, r.score) for r in t.read().collect()}
+    assert out == {(1, 5.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 6.0)}
