@@ -354,7 +354,11 @@ def merge_upsert(
     _write_commit_marker(spark, target_path, token)  # THE commit point
     _apply_uri_merge(spark, target_path, token)
     fs, _, jvm = _hadoop_fs(spark, target_path)
+    # Order matters (ADVICE r8, high): marker FIRST, staging after.  The
+    # non-atomic staging delete must happen only once no marker can make
+    # recovery re-apply a partially-deleted staged set.
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/_commit_{token}.json"), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     return n
 
 
@@ -426,8 +430,16 @@ def _apply_uri_merge(spark: SparkSession, target_path: str, token: str) -> None:
     """Publish a COMMITTED staged merge: per touched partition, copy every
     staged data file into the live directory (overwrite-by-name — Spark
     part-file names are per-job-unique, so re-application after a crash is
-    idempotent), then delete live data files not in the staged set, then
-    drop the staging prefix.  Safe to re-run from any intermediate state."""
+    idempotent), then delete live data files not in the staged set.  Safe
+    to re-run from any intermediate state.
+
+    Deliberately does NOT delete the staging prefix: a file-by-file staging
+    delete is not atomic, so a crash mid-delete would leave the commit
+    marker pointing at a PARTIAL staged set — recovery would re-apply it
+    and delete live files missing from it, silently dropping committed
+    rows (ADVICE r8, high).  The caller deletes staging only AFTER the
+    marker is gone; a marker-less leftover staging dir is then plain
+    pre-commit residue to recovery."""
     fs, _, jvm = _hadoop_fs(spark, target_path)
     Path = jvm.org.apache.hadoop.fs.Path
     FileUtil = jvm.org.apache.hadoop.fs.FileUtil
@@ -452,7 +464,6 @@ def _apply_uri_merge(spark: SparkSession, target_path: str, token: str) -> None:
             nm = f.getPath().getName()
             if nm not in staged_names and not nm.startswith(("_", ".")):
                 fs.delete(f.getPath(), False)
-    fs.delete(st, True)
 
 
 def _recover_uri_merge(spark: SparkSession, target_path: str) -> None:
@@ -475,7 +486,12 @@ def _recover_uri_merge(spark: SparkSession, target_path: str) -> None:
     for tok in sorted(committed):
         if f"_staging_{tok}" in names:
             _apply_uri_merge(spark, target_path, tok)
+        # marker before staging, same ordering as the happy path: once the
+        # marker is gone the staging dir is inert residue even if this
+        # recovery crashes mid-way through deleting it
         fs.delete(Path(f"{base}/_commit_{tok}.json"), False)
+        if f"_staging_{tok}" in names:
+            fs.delete(Path(f"{base}/_staging_{tok}"), True)
     for n in names:
         if n.startswith("_staging_") and n[len("_staging_") :] not in committed:
             fs.delete(Path(f"{base}/{n}"), True)

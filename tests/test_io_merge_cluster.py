@@ -487,3 +487,52 @@ def test_uri_merge_recovery_is_idempotent_mid_apply(spark, tmp_path):
     assert not any(
         n.startswith(("_staging_", "_commit_")) for n in os.listdir(local)
     )
+
+
+def test_uri_merge_staging_outlives_apply_until_marker_cleared(
+    spark, tmp_path
+):
+    """ADVICE r9 (high): _apply_uri_merge must NOT delete the staging
+    prefix — a crash mid-staging-delete would leave the marker pointing at
+    a PARTIAL staged set, and recovery would re-apply it and delete live
+    files absent from it (silent row loss).  The publish order is: apply ->
+    marker delete -> staging delete, so the dangerous (marker + partial
+    staging) state can no longer arise; a marker-less partial staging dir
+    is plain residue."""
+    from retailfeaturestore_spark import io as rio
+
+    tgt = _uri(tmp_path, "gold_uri5")
+    local = str(tmp_path / "gold_uri5")
+    base = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-02 10:00:00", 2.0)],
+    )
+    merge_upsert(spark, tgt, base, ["customer_id", "t_ref"], "t_ref")
+    # stage + commit an update touching both partitions, then apply
+    updates = _snap(
+        spark,
+        [(1, "2024-01-01 10:00:00", 7.0), (2, "2024-01-02 10:00:00", 8.0)],
+    )
+    token = "feedface00000000"
+    rio.write_date_partitioned(updates, f"{tgt}/_staging_{token}", "t_ref")
+    rio._write_commit_marker(spark, tgt, token)
+    rio._apply_uri_merge(spark, tgt, token)
+    # THE regression: staging must still be present while the marker is
+    names = os.listdir(local)
+    assert f"_staging_{token}" in names and f"_commit_{token}.json" in names
+    # crash simulation: marker cleared, staging delete dies half-way
+    fs, _, jvm = rio._hadoop_fs(spark, tgt)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(f"{tgt}/_commit_{token}.json"), False)
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(local, f"_staging_{token}", "date=2024-01-02"),
+        ignore_errors=True,
+    )  # partial staging left behind, NO marker
+    rio._recover_uri_merge(spark, tgt)
+    out = {(r.customer_id, r.score) for r in spark.read.parquet(tgt).collect()}
+    assert out == {(1, 7.0), (2, 8.0)}  # fully-new, nothing lost
+    assert not any(
+        n.startswith(("_staging_", "_commit_")) for n in os.listdir(local)
+    )
