@@ -63,7 +63,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_prefix_sum", "global_row_number", "exact_ntile"]
+__all__ = [
+    "range_prefix_sum",
+    "global_row_number",
+    "exact_ntile",
+    "exact_ntile_multi",
+]
 
 _PID = "__rp_pid"
 _LOCAL = "__rp_local"
@@ -172,16 +177,145 @@ def exact_ntile(
     ranked, n = _prefix_and_total(
         df, order_by, F.lit(1).cast("long"), rank_col, num_partitions
     )
+    return ranked.withColumn(out_col, _tile_expr(rank_col, n, k)).drop(rank_col)
+
+
+def _tile_expr(rank_col: str, n: int, k: int) -> Column:
+    """SQL ntile(k) tile number from a 1-based global rank and row count."""
     q, rem = divmod(n, k)  # q rows per short tile; rem long (q+1-row) tiles
     long_rows = rem * (q + 1)  # rows covered by the long tiles
     r = F.col(rank_col)
     if q == 0:
         # fewer rows than tiles: row i is alone in tile i
-        tile = r
-    else:
-        tile = (
-            F.when(r <= long_rows, F.floor((r - 1) / (q + 1)) + 1)
-            .otherwise(rem + F.floor((r - long_rows - 1) / q) + 1)
-            .cast("long")
+        return r
+    return (
+        F.when(r <= long_rows, F.floor((r - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((r - long_rows - 1) / q) + 1)
+        .cast("long")
+    )
+
+
+_SPEC = "__rp_spec"
+_VAL = "__rp_val"
+_TILE = "__rp_tile"
+# exact total order for every numeric the consumers rank: integers to 1e29
+# and fixed-point money; a common DOUBLE would silently round longs > 2^53
+_SORT_TYPE = "decimal(38,9)"
+
+
+def exact_ntile_multi(
+    df: DataFrame,
+    specs: Sequence[tuple[Column, bool, str]],
+    k: int,
+    tiebreak: Sequence[str],
+    *,
+    num_partitions: int | None = None,
+    carry: Sequence[str] | None = None,
+) -> DataFrame:
+    """N independent exact ntile(k) rankings of the SAME frame for the cost
+    of ONE ranking (VERDICT r8 next-round #4: ``rfm_segments`` paid the
+    range-sample + checkpoint + O(P)-collect three times, once per R/F/M
+    ordering).
+
+    ``specs``: ``(value, ascending, out_col)`` per ranking — ``value`` a
+    non-null NUMERIC column expression (ordered exactly via decimal(38,9);
+    descending = exact decimal negation); ``tiebreak``: column names whose
+    ascending order completes each spec's TOTAL order (the same
+    SQL-determinism requirement as :func:`exact_ntile`).  Returns one row
+    per input row's ``carry`` key (default: the tiebreak columns, which
+    must then be unique per row) with every spec's tile column attached.
+
+    Shape — this is a FUSION, not a loop: the frame map-side explodes to
+    (spec, value, tiebreak) rows, ONE range exchange partitions the union
+    by (spec, value, tiebreak) — spec is the leading key, so every spec
+    owns a contiguous partition range and ONE boundary-sampling pass, ONE
+    localCheckpoint, ONE O(N x P) totals collect, and ONE pid-local window
+    serve all N orderings — then a conditional aggregation pivots the N
+    tiles back to one wide row per key.  Versus N independent
+    ``exact_ntile`` calls: 1/N the control-plane jobs and boundary samples,
+    the same two all-to-all data exchanges (over N x skinny rows), still
+    zero single-partition stages and O(N x P) driver state."""
+    carry_cols = list(carry) if carry is not None else list(tiebreak)
+    n_specs = len(specs)
+    if n_specs == 0:
+        raise ValueError("exact_ntile_multi needs at least one spec")
+    n_part = num_partitions or _num_partitions(df)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("s"),
+                (
+                    value.cast(_SORT_TYPE)
+                    if asc
+                    else (-value.cast(_SORT_TYPE))
+                ).alias("v"),
+            )
+            for i, (value, asc, _) in enumerate(specs)
+        ]
+    )
+    tagged = df.select(
+        *carry_cols, *[c for c in tiebreak if c not in carry_cols],
+        F.explode(packed).alias("__e"),
+    ).select(
+        *dict.fromkeys([*carry_cols, *tiebreak]),
+        F.col("__e.s").alias(_SPEC),
+        F.col("__e.v").alias(_VAL),
+    )
+    order = [F.col(_VAL).asc(), *[F.col(c).asc() for c in tiebreak]]
+    part = tagged.repartitionByRange(
+        n_part, F.col(_SPEC), *order
+    ).localCheckpoint(eager=False)
+    base = part.withColumn(_PID, F.spark_partition_id())
+    rows = (
+        base.groupBy(_PID, _SPEC)
+        .agg(F.count(F.lit(1)).cast("long").alias(_PSUM))
+        .collect()
+    )
+    # exclusive prefix per spec over pid order; map key = pid * N + spec
+    per_spec: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_spec.setdefault(r[_SPEC], []).append((r[_PID], r[_PSUM] or 0))
+    items: list[Column] = []
+    totals: dict[int, int] = {}
+    for s, lst in per_spec.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            items += [
+                F.lit(pid * n_specs + s).cast("long"),
+                F.lit(acc).cast("long"),
+            ]
+            acc += int(cnt)
+        totals[s] = acc
+    off = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(*items),
+                (F.col(_PID).cast("long") * n_specs + F.col(_SPEC)),
+            ),
+            F.lit(0),
         )
-    return ranked.withColumn(out_col, tile).drop(rank_col)
+        if items
+        else F.lit(0)
+    )
+    w = Window.partitionBy(_PID, _SPEC).orderBy(*order)
+    rank_col = "__rp_rank"
+    ranked = base.withColumn(
+        rank_col, (off + F.row_number().over(w)).cast("long")
+    )
+    tile_by_spec = None
+    for i in range(n_specs):
+        expr = _tile_expr(rank_col, totals.get(i, 0), k)
+        tile_by_spec = (
+            expr
+            if tile_by_spec is None
+            else F.when(F.col(_SPEC) == F.lit(i), expr).otherwise(tile_by_spec)
+        )
+    ranked = ranked.withColumn(_TILE, tile_by_spec)
+    return ranked.groupBy(*carry_cols).agg(
+        *[
+            F.max(F.when(F.col(_SPEC) == F.lit(i), F.col(_TILE)))
+            .cast("long")
+            .alias(out_col)
+            for i, (_, _, out_col) in enumerate(specs)
+        ]
+    )

@@ -159,3 +159,78 @@ def test_property_prefix_sum_matches_python(spark, rows, n_part):
         acc += v
         want[i] = acc
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# exact_ntile_multi (r9): the fused multi-ordering ranking must be
+# bit-identical to N independent exact_ntile calls (and so to SQL ntile).
+# ---------------------------------------------------------------------------
+
+from retailfeaturestore_spark.operators.ranks import exact_ntile_multi
+
+
+@pytest.mark.parametrize("n_part", [1, 4])
+@pytest.mark.parametrize("n,k", [(50, 4), (7, 4), (3, 5), (401, 7)])
+def test_exact_ntile_multi_matches_per_spec_ntile(spark, n, k, n_part):
+    rng = random.Random(n * 7 + k)
+    rows = [
+        (i, rng.randint(-50, 50), rng.randint(0, 10), float(rng.randint(-999, 999)) / 4)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c double")
+    got = exact_ntile_multi(
+        df,
+        [
+            (F.col("a"), True, "ta"),
+            (F.col("b"), False, "tb"),
+            (F.col("c"), False, "tc"),
+        ],
+        k,
+        tiebreak=["id"],
+        carry=["id", "a", "b", "c"],
+        num_partitions=n_part,
+    )
+    want = df
+    for col, asc, out in (("a", True, "ta"), ("b", False, "tb"), ("c", False, "tc")):
+        order = [F.col(col).asc() if asc else F.col(col).desc(), F.col("id")]
+        t = exact_ntile(df, order, k, out, num_partitions=n_part).select("id", out)
+        want = want.join(t, "id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select(*got.columns).collect())
+    )
+
+
+def test_exact_ntile_multi_plan_is_single_fused_exchange(spark):
+    """The fusion's point: ONE range exchange and ONE pid-partitioned
+    window serve all orderings — no SinglePartition stage, exactly one
+    RangePartitioning in the plan."""
+    from retailfeaturestore_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(_rows(100, seed=9), "k long, v long")
+    out = exact_ntile_multi(
+        df,
+        [(F.col("v"), True, "t1"), (F.col("v"), False, "t2")],
+        4,
+        tiebreak=["k"],
+        num_partitions=4,
+    )
+    plan = formatted_plan(out)
+    assert "SinglePartition" not in plan, plan[:1500]
+    assert plan.count("rangepartitioning") <= 1 or plan.count("RangePartitioning") <= 1
+    assert "windowspecdefinition(__rp_pid" in plan, plan[:1500]
+
+
+def test_exact_ntile_multi_long_precision_beyond_double(spark):
+    """The decimal(38,9) sort key must order longs a double would collapse:
+    2^53 and 2^53 + 1 are the same double but different tiles."""
+    big = 1 << 53
+    rows = [(1, big + 1), (2, big), (3, big - 1), (4, 0)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.t
+        for r in exact_ntile_multi(
+            df, [(F.col("v"), True, "t")], 4, tiebreak=["id"],
+            carry=["id"], num_partitions=2,
+        ).collect()
+    }
+    assert got == {4: 1, 3: 2, 2: 3, 1: 4}
