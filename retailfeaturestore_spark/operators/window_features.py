@@ -54,6 +54,7 @@ __all__ = [
     "MICROS_PER_DAY",
     "range_window",
     "build_customer_features",
+    "incremental_customer_features",
     "user_activity_features",
 ]
 
@@ -354,6 +355,111 @@ def build_customer_features(
 
     return df.withColumn("t_ref", F.col(ts_col)).drop(
         _TS_US, "__txn", "__cancel", "__spend", "__ts_lab"
+    )
+
+
+def incremental_customer_features(
+    bronze_new: DataFrame,
+    bronze_hist: DataFrame,
+    cutoff: str,
+    windows: dict[str, int] | None = None,
+    first_seen: DataFrame | None = None,
+    carry_cols: tuple[str, ...] | None = None,
+    entity_col: str = "customer_id",
+    ts_col: str = "invoice_date",
+    sku_col: str = "stock_code",
+    amount_col: str = "line_amount",
+    cancel_col: str = "is_cancel",
+    unique_mode: str = "delta",
+) -> DataFrame:
+    """Incremental view maintenance for the W1-W6 family (r9): feature rows
+    for exactly the NEWLY ARRIVED bronze lines, bit-identical to a full
+    recompute over ``bronze_hist UNION bronze_new`` — without touching the
+    un-touched entities or re-reading history beyond the window horizon.
+
+    Why arrival-incremental is exact here: every family window is a
+    PRECEDING range frame and tenure is a backward running min, so a new
+    row at time t can never change an already-shipped row's features —
+    only rows at-or-after t for the same entity need computing, and their
+    windows need at most ``max(windows)`` days of that entity's history.
+    (Corrections to PAST rows are the other maintenance path —
+    ``jobs.backfill_feature_views_mtable`` — not this one.)
+
+    The recompute set is therefore:
+
+    - ``touched`` = entities appearing in the new batch (semi-join prune —
+      at 100 TB this is the difference between scanning a corpus and
+      scanning a day);
+    - ``context`` = those entities' history rows within
+      ``[cutoff - horizon, cutoff)`` — just enough to seed every trailing
+      window of every new row;
+    - tenure's first-event timestamp cannot come from the truncated
+      context, so it comes from ``first_seen`` ENTITY STATE —
+      ``(entity, first_ts)``, the classic incrementally-maintainable
+      aggregate (min is associative; pass the maintained table, or omit it
+      and this function derives it from ``bronze_hist`` pruned to touched
+      entities) — merged with the new batch's own minima and applied as
+      the identical ``floor(us-delta / day)`` expression the batch engine
+      uses.
+
+    Contract: every ``bronze_new`` row has ``ts_col >= cutoff`` and every
+    ``bronze_hist`` row ``< cutoff`` (both enforced defensively; a "new"
+    row older than the cutoff belongs to the backfill path).  Output
+    column set matches :func:`build_customer_features` for the same
+    ``carry_cols`` (tenure recomputed via the state join)."""
+    windows = windows or {"1d": 1, "7d": 7, "30d": 30}
+    horizon = max(windows.values())
+    cut = F.to_date(F.lit(cutoff))
+    need = list(
+        dict.fromkeys(
+            [entity_col, ts_col, sku_col, amount_col, cancel_col, *(carry_cols or ())]
+        )
+    )
+    new_rows = bronze_new.where(F.col(ts_col) >= cut).select(*need)
+    touched = new_rows.select(entity_col).distinct()
+    context = (
+        bronze_hist.where(
+            (F.col(ts_col) >= F.date_sub(cut, horizon)) & (F.col(ts_col) < cut)
+        )
+        .join(touched, entity_col, "left_semi")
+        .select(*need)
+    )
+    feats = build_customer_features(
+        context.unionByName(new_rows),
+        windows=windows,
+        entity_col=entity_col,
+        ts_col=ts_col,
+        sku_col=sku_col,
+        amount_col=amount_col,
+        cancel_col=cancel_col,
+        carry_cols=carry_cols,
+        unique_mode=unique_mode,
+    ).where(F.col("t_ref") >= cut)
+    if first_seen is None:
+        first_seen = (
+            bronze_hist.join(touched, entity_col, "left_semi")
+            .groupBy(entity_col)
+            .agg(F.min(ts_col).alias("first_ts"))
+        )
+    first_all = (
+        first_seen.select(entity_col, "first_ts")
+        .unionByName(
+            new_rows.groupBy(entity_col).agg(F.min(ts_col).alias("first_ts"))
+        )
+        .groupBy(entity_col)
+        .agg(F.min("first_ts").alias("first_ts"))
+    )
+    return (
+        feats.drop("tenure_days")
+        .join(first_all, entity_col, "inner")
+        .withColumn(
+            "tenure_days",
+            F.floor(
+                (epoch_us(F.col("t_ref")) - epoch_us(F.col("first_ts")))
+                / F.lit(MICROS_PER_DAY)
+            ),
+        )
+        .drop("first_ts")
     )
 
 
