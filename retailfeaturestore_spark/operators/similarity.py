@@ -48,6 +48,7 @@ __all__ = [
     "search_pq_index",
     "mmr_diverse_topk",
     "sign_lsh_neardup",
+    "semantic_dedup",
 ]
 
 FIXED_POINT_SCALE = 2**25
@@ -170,6 +171,7 @@ def kmeans_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_scope: str | None = None,
+    with_dist: bool = False,
 ) -> DataFrame:
     """Deterministic distributed Lloyd's KMeans -> ``(id, cell)`` coarse
     quantizer assignment (the real IVF cell map; ``ivf_topk_label`` uses a
@@ -235,7 +237,7 @@ def kmeans_cells(
         )
     cents = sorted((int(r["cell"]), [int(x) for x in r["__q"]]) for r in seed)
 
-    def assign_col(cents) -> Column:
+    def assign_struct(cents) -> Column:
         arr = ", ".join(
             "named_struct('cell', {c}L, 'v', array({vs}))".format(
                 c=c, vs=", ".join(f"{x}L" for x in vec)
@@ -261,9 +263,12 @@ def kmeans_cells(
               cast(null as struct<d: bigint, cell: bigint>),
               (best, x) -> if(best is null or x.d < best.d
                               or (x.d = best.d and x.cell < best.cell), x, best)
-            ).cell
+            )
             """
         )
+
+    def assign_col(cents) -> Column:
+        return assign_struct(cents).getField("cell")
 
     for _ in range(iters):
         stats = (
@@ -285,6 +290,16 @@ def kmeans_cells(
             for cell, dims in by_cell.items()
         )
 
+    if with_dist:
+        # final assignment's argmin struct also carries the exact int64
+        # squared distance to the winning centroid — SemDeDup's keep-the-
+        # farthest rule needs it, and emitting it from the same struct is
+        # free (one map expression, evaluated once).
+        return q.withColumn("__a", assign_struct(cents)).select(
+            "id",
+            F.col("__a.cell").alias("cell"),
+            F.col("__a.d").alias("centroid_dist"),
+        )
     return q.withColumn("cell", assign_col(cents)).select("id", "cell")
 
 
@@ -1000,4 +1015,99 @@ def sign_lsh_neardup(
         )
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_scope: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the deterministic KMeans
+    coarse quantizer, compare embeddings pairwise ONLY within a cluster,
+    and inside every epsilon-ball (pairs with cosine >= ``threshold``)
+    keep the member FARTHEST from its cluster centroid — the paper's
+    keep-low-centroid-similarity rule, which preserves the diverse/
+    outlier member of each semantic-duplicate group.
+
+    Decision rule (deterministic, engine-exact): row ``x`` is dropped iff
+    some same-cell ``y`` exists with ``cos(x, y) >= threshold`` and
+    (``y.centroid_dist > x.centroid_dist``, ties to the smaller id) —
+    a dominance relation with a unique maximum per epsilon-ball, so
+    exactly one survivor per mutually-duplicate group and no dependence
+    on traversal order.  Distances are exact int64 (``kmeans_cells``
+    ``with_dist``); cosines are the fixed-point contract shared by every
+    similarity operator here, so a SQL oracle replays the whole pipeline
+    bit-for-bit.
+
+    Returns one row per input vector: ``(id, cell, centroid_dist,
+    is_kept)`` — the audit frame; filter ``is_kept`` for the pruned
+    corpus.
+
+    Scale shape: assignment is a literal-centroid map (no corpus
+    shuffle), then ONE shuffle by cell for the self-join — pairwise work
+    is n^2/k per cell instead of the all-pairs n^2, and ``k`` is the
+    independent knob (SemDeDup runs 50k clusters at LAION scale for
+    exactly this reason); the dominance test needs no connected
+    components, no iteration.  Skewed cells split under AQE; the exists-
+    aggregation is map-side combinable on the short (id) key.
+    """
+    assigned = kmeans_cells(
+        vectors, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        cache_scope=cache_scope, with_dist=True,
+    )
+    base = (
+        _with_norm(vectors, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"), "__nn")
+        .join(assigned, "id")
+    )
+    if cache_scope is not None:
+        # three plan subtrees consume this frame (both self-join sides and
+        # the final audit join); without persistence each re-runs the scan
+        # + quantize + literal-centroid assignment.
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        register_persisted(base, ("semdedup_base", cache_scope))
+    a = base.select(
+        F.col("id").alias("__ia"), F.col("__v").alias("__va"),
+        F.col("__nn").alias("__na"), F.col("cell").alias("__ca"),
+        F.col("centroid_dist").alias("__da"),
+    )
+    b = base.select(
+        F.col("id").alias("__ib"), F.col("__v").alias("__vb"),
+        F.col("__nn").alias("__nb"), F.col("cell").alias("__cb"),
+        F.col("centroid_dist").alias("__db"),
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (
+                (F.col("__db") > F.col("__da"))
+                | ((F.col("__db") == F.col("__da")) & (F.col("__ib") < F.col("__ia")))
+            ),
+        )
+        .where(
+            dot_fixed(F.col("__va"), F.col("__vb")).cast("double")
+            / (F.sqrt("__na") * F.sqrt("__nb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("__ia").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        base.join(dominated, "id", "left")
+        .select(
+            "id",
+            "cell",
+            "centroid_dist",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
     )

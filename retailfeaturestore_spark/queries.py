@@ -1736,6 +1736,86 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup oracle: the deterministic-KMeans CTE contract (identical c0/a1/
+# c1/a2/c2 unrolling as _KNN_KMEANS_ORACLE), final assignment keeping the
+# argmin DISTANCE, then the paper's keep-the-farthest dominance rule as one
+# within-cell join — no recursion, no components.
+_SEMDEDUP_TAU = 0.4
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_FLAT_CTE},
+qflat AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS q
+  FROM flat
+),
+c0 AS (
+  SELECT vec_id AS cell, i, q AS c FROM qflat WHERE vec_id < {_KM_K}
+),
+{_km_assign_cte("c0", "a1")},
+{_km_update_cte("a1", "c1")},
+{_km_assign_cte("c1", "a2")},
+{_km_update_cte("a2", "c2")},
+afd AS (
+  SELECT f.vec_id, c.cell, sum((f.q - c.c) * (f.q - c.c)) AS dist
+  FROM qflat f JOIN c2 c ON c.i = f.i
+  GROUP BY f.vec_id, c.cell
+),
+af AS (
+  SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM afd
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM af a JOIN af b ON a.cell = b.cell
+   AND (b.dist > a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+),
+pdots AS (
+  SELECT p.ia, p.ib, CAST(sum(fa.q * fb.q) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN qflat fa ON fa.vec_id = p.ia
+  JOIN qflat fb ON fb.vec_id = p.ib AND fb.i = fa.i
+  GROUP BY p.ia, p.ib
+),
+dropped AS (
+  SELECT DISTINCT d.ia AS vec_id
+  FROM pdots d
+  JOIN norms na ON na.vec_id = d.ia
+  JOIN norms nb ON nb.vec_id = d.ib
+  WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {_SEMDEDUP_TAU}
+)
+SELECT af.vec_id, af.cell, af.dist AS centroid_dist,
+       (dr.vec_id IS NULL) AS is_kept
+FROM af LEFT JOIN dropped dr ON dr.vec_id = af.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_embeddings",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("similarity", "dedup", "iterative", "scale"),
+)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): KMeans-cluster the embedding corpus
+    with the certified deterministic quantizer, then inside every cluster
+    drop each vector that has a cosine >= 0.4 neighbor farther from the
+    centroid (ties to smaller id) — one survivor per epsilon-ball, the
+    paper's keep-low-centroid-similarity rule.  Complements the LSH pair
+    pipelines: this is the published cluster-then-prune method whose
+    pairwise work is n^2/k per cell, never all-pairs, with k as the
+    independent scale knob (50k cells at LAION scale).  Oracle: the
+    unrolled-Lloyd CTE contract + the dominance join replayed in SQL —
+    engine-exact end to end."""
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=_KM_K, iters=2, threshold=_SEMDEDUP_TAU, cache_scope=sf_dir
+    ).select(
+        F.col("id").alias("vec_id"), "cell", "centroid_dist", "is_kept"
+    )
+
+
 # ---------------------------------------------------------------------------
 # M6b — text analysis + multimodal plumbing (extension surface)
 # ---------------------------------------------------------------------------

@@ -679,3 +679,107 @@ def test_remove_repeated_spans_rewrites_and_agrees_with_audit(spark):
     audit = {r.doc_id: r for r in repeated_ngram_spans(docs, n=8).collect()}
     for d in out:
         assert out[d].kept_tokens == audit[d].n_tokens - audit[d].dup_tokens
+
+
+def _semdedup_python_replay(vecs: dict[int, list[float]], k: int, iters: int, tau: float):
+    """Pure-python replay of semantic_dedup's deterministic contract:
+    floor-quantized int64 vectors, integer Lloyd (k smallest ids seed,
+    ties to smallest cell, floor-div centroid update), exact int dots,
+    IEEE double cosine, keep-the-farthest dominance."""
+    import math
+
+    q = {i: [math.floor(x * 33554432.0) for x in v] for i, v in vecs.items()}
+    dims = len(next(iter(q.values())))
+    cents = {i: list(q[i]) for i in sorted(q) if i < k}
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = None
+            for c in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(v, cents[c]))
+                if best is None or d < best[0] or (d == best[0] and c < best[1]):
+                    best = (d, c)
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums: dict[int, list[int]] = {}
+        cnt: dict[int, int] = {}
+        for i, (_, c) in a.items():
+            s = sums.setdefault(c, [0] * dims)
+            for j, x in enumerate(q[i]):
+                s[j] += x
+            cnt[c] = cnt.get(c, 0) + 1
+        cents = {
+            c: [math.floor(s[j] / cnt[c]) for j in range(dims)]
+            for c, s in sums.items()
+        }
+    final = assign()
+    nn = {i: float(sum(x * x for x in v)) for i, v in q.items()}
+    kept = {}
+    for i, (di, ci) in final.items():
+        dropped = False
+        for j, (dj, cj) in final.items():
+            if i == j or cj != ci:
+                continue
+            if not (dj > di or (dj == di and j < i)):
+                continue
+            dot = float(sum(a * b for a, b in zip(q[i], q[j])))
+            if dot / (math.sqrt(nn[i]) * math.sqrt(nn[j])) >= tau:
+                dropped = True
+                break
+        kept[i] = (ci, di, not dropped)
+    return kept
+
+
+def test_semantic_dedup_matches_python_replay(spark):
+    """semantic_dedup == the pure-python replay of its deterministic
+    contract on a random corpus with planted near-duplicate balls —
+    cluster assignment, exact centroid distance, and the keep-the-
+    farthest verdict all engine-exact."""
+    import random
+
+    from retailfeaturestore_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(97)
+    vecs: dict[int, list[float]] = {}
+    for i in range(40):
+        vecs[i] = [rng.uniform(-1, 1) for _ in range(8)]
+    # planted balls: 3 jittered copies of vec 5 and 2 of vec 11
+    for i, src in ((40, 5), (41, 5), (42, 5), (43, 11), (44, 11)):
+        vecs[i] = [x + rng.uniform(-1e-3, 1e-3) for x in vecs[src]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.id: (r.cell, r.centroid_dist, r.is_kept)
+        for r in semantic_dedup(df, k=4, iters=2, threshold=0.9).collect()
+    }
+    assert got == _semdedup_python_replay(vecs, k=4, iters=2, tau=0.9)
+    # the planted balls actually deduplicated: at most one survivor each
+    for ball in ((5, 40, 41, 42), (11, 43, 44)):
+        assert sum(1 for i in ball if got[i][2]) == 1
+    # never empties a cell: every cell keeps at least one member
+    by_cell: dict[int, int] = {}
+    for cell, _, k_ in got.values():
+        by_cell[cell] = by_cell.get(cell, 0) + (1 if k_ else 0)
+    assert all(n >= 1 for n in by_cell.values())
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    """The verdict frame is identical under a different input partitioning
+    (nothing order-dependent anywhere in the pipeline)."""
+    import random
+
+    from retailfeaturestore_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = semantic_dedup(df, k=3, iters=2, threshold=0.5)
+    b = semantic_dedup(df.repartition(7), k=3, iters=2, threshold=0.5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
