@@ -46,10 +46,22 @@ once per commit from the driver; reads hand Spark an explicit file list so
 Catalyst still does column pruning/pushdown per file; merge commits rewrite
 only touched partitions' entries (the untouched partitions' files are
 carried by reference, byte-identical — same economics as Delta's MERGE).
+
+**Data skipping**: commits made with ``stats_cols=[...]`` record per-file
+min/max/null-count for those columns in the manifest (one extra scan of
+the just-staged files, while they are still page-cache-hot; carried-forward
+files keep their existing stats entries by reference).  ``read(...,
+prune=[(col, op, value), ...])`` then drops every file whose stats PROVE no
+row can match — the file list shrinks driver-side before Spark plans the
+scan, which at 100 TB is the difference between "open every footer in the
+partition" and "open the three files whose range overlaps the predicate".
+Skipping is strictly conservative: a file with no stats for the column (or
+an un-stats'd commit) is always read, and callers still apply the real
+filter — pruning only ever removes provably-irrelevant IO.
+
 What this deliberately does NOT implement (and real Delta/Iceberg add):
-multi-table transactions, column-level stats/data skipping, schema
-evolution beyond the fingerprint guard, and object-store conditional-PUT
-CAS.
+multi-table transactions, schema evolution beyond the fingerprint guard,
+and object-store conditional-PUT CAS.
 """
 
 from __future__ import annotations
@@ -219,6 +231,45 @@ class MTable:
         fs.delete(stage_p, True)
         return out
 
+    def _collect_file_stats(
+        self, staged: dict[str, list[str]], stats_cols: list[str]
+    ) -> dict[str, dict]:
+        """Per-file min/max/null-count for ``stats_cols`` over the files
+        just staged: ONE scan grouped by ``input_file_name()`` (the files
+        are page-cache-hot from the write), O(files x cols) driver state.
+        Returns ``{relpath: {col: {"mn": v, "mx": v, "nulls": n}}}``."""
+        rels = [rel for files in staged.values() for rel in files]
+        if not rels or not stats_cols:
+            return {}
+        df = self.spark.read.parquet(*[f"{self.path}/{rel}" for rel in rels])
+        cols = [c for c in stats_cols if c in df.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for i, c in enumerate(cols):
+            aggs += [
+                F.min(c).alias(f"__mn{i}"),
+                F.max(c).alias(f"__mx{i}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nl{i}"),
+            ]
+        rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        # input_file_name is a URI; match manifest relpaths by suffix
+        by_suffix = {rel.rsplit("/", 1)[-1]: rel for rel in rels}
+        out: dict[str, dict] = {}
+        for r in rows:
+            rel = by_suffix.get(str(r["__f"]).rsplit("/", 1)[-1])
+            if rel is None:
+                continue
+            out[rel] = {
+                c: {
+                    "mn": _json_scalar(r[f"__mn{i}"]),
+                    "mx": _json_scalar(r[f"__mx{i}"]),
+                    "nulls": int(r[f"__nl{i}"] or 0),
+                }
+                for i, c in enumerate(cols)
+            }
+        return out
+
     def _schema_fingerprint(self, df: DataFrame, partition_by: str | None) -> str:
         cols = [
             f"{f.name}:{f.dataType.simpleString()}"
@@ -233,10 +284,14 @@ class MTable:
         mode: str = "overwrite",
         partition_by: str | None = None,
         extra_meta: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as a new version.  ``mode``: "overwrite" replaces
         the whole table; "append" carries every existing file forward and
-        adds the new ones.  Returns the committed version."""
+        adds the new ones.  ``stats_cols`` records per-file min/max/null
+        stats for data skipping (see module docstring); append commits
+        carry existing files' stats forward.  Returns the committed
+        version."""
         cur = self._latest()
         if cur is not None:
             v0, m0 = cur
@@ -255,12 +310,16 @@ class MTable:
         else:
             v0, m0 = 0, None
         staged = self._stage_files(df, partition_by)
+        stats = self._collect_file_stats(staged, stats_cols or [])
         if mode == "append" and m0 is not None:
             merged = {k: list(v) for k, v in m0["partitions"].items()}
             for pval, files in staged.items():
                 merged.setdefault(pval, [])
                 merged[pval] = sorted(merged[pval] + files)
             parts = merged
+            carried = dict(m0.get("stats") or {})
+            carried.update(stats)
+            stats = carried
         elif mode == "overwrite":
             parts = staged
         else:
@@ -272,6 +331,7 @@ class MTable:
             "partition_by": partition_by,
             "schema": self._schema_fingerprint(df, partition_by),
             "partitions": parts,
+            "stats": stats,
             "committed_at_ms": int(time.time() * 1000),
             "meta": dict(extra_meta or {}),
         }
@@ -284,6 +344,7 @@ class MTable:
         extra_meta: dict | None = None,
         base_version: int | None = None,
         cluster_files: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit a version where the partitions carried by ``df`` (or the
         explicit ``partition_values``) are REPLACED and every other
@@ -335,6 +396,22 @@ class MTable:
         }
         for pval, files in staged.items():
             parts[pval] = files
+        # carry untouched files' stats by reference; stat the staged files
+        # with the requested columns (default: whatever the base version
+        # was stats'd with, so a stats table keeps skipping after merges)
+        scols = stats_cols
+        if scols is None:
+            seen: list[str] = []
+            for ent in (m0.get("stats") or {}).values():
+                seen += [c for c in ent if c not in seen]
+            scols = seen
+        live = {rel for files in parts.values() for rel in files}
+        stats = {
+            rel: ent
+            for rel, ent in (m0.get("stats") or {}).items()
+            if rel in live
+        }
+        stats.update(self._collect_file_stats(staged, scols))
         manifest = {
             "version": v0 + 1,
             "parent": v0,
@@ -342,6 +419,7 @@ class MTable:
             "partition_by": partition_by,
             "schema": m0["schema"],
             "partitions": parts,
+            "stats": stats,
             "committed_at_ms": int(time.time() * 1000),
             "meta": dict(extra_meta or {}),
         }
@@ -354,6 +432,7 @@ class MTable:
         partition_col_value: F.Column,
         extra_meta: dict | None = None,
         cluster_files: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """MERGE by key into the touched partitions only (same semantics as
         ``io.merge_upsert``, but the publish is one atomic manifest commit
@@ -387,18 +466,26 @@ class MTable:
             extra_meta=extra_meta,
             base_version=v0,
             cluster_files=cluster_files,
+            stats_cols=stats_cols,
         )
 
     # -- read paths ---------------------------------------------------------
 
     def read(
-        self, version: int | None = None, partitions: list[str] | None = None
+        self,
+        version: int | None = None,
+        partitions: list[str] | None = None,
+        prune: list[tuple] | None = None,
     ) -> DataFrame | None:
         """Snapshot read: plan against exactly the files the manifest names
         (never a directory listing).  ``version=None`` = latest;
         ``partitions`` prunes to named partition values manifest-side (the
-        file list shrinks BEFORE Spark ever sees it).  Returns None for an
-        empty selection."""
+        file list shrinks BEFORE Spark ever sees it).  ``prune`` is a list
+        of ``(col, op, value)`` simple predicates (op in ``= < <= > >=``)
+        evaluated against the manifest's per-file stats: a file is dropped
+        only when its min/max PROVE no row matches — conservative data
+        skipping; the caller still applies the real filter.  Returns None
+        for an empty selection."""
         if version is None:
             cur = self._latest()
             if cur is None:
@@ -411,7 +498,18 @@ class MTable:
         if partitions is not None:
             want = {str(p) for p in partitions}
             sel = {k: v for k, v in sel.items() if k in want}
-        files = [f"{self.path}/{rel}" for v in sel.values() for rel in v]
+        rels = [rel for v in sel.values() for rel in v]
+        if prune:
+            stats = m.get("stats") or {}
+            rels = [
+                rel
+                for rel in rels
+                if all(
+                    _stats_may_match(stats.get(rel), col, op, val)
+                    for col, op, val in prune
+                )
+            ]
+        files = [f"{self.path}/{rel}" for rel in rels]
         if not files:
             return None
         df = self.spark.read.parquet(*files)
@@ -578,6 +676,55 @@ class MTable:
             if v not in keep:
                 fs.delete(_jpath(jvm, self._manifest_path(v)), False)
         return sorted(deleted)
+
+
+def _json_scalar(v):
+    """Manifest-storable form of a stats value.  Numbers/bools/None stay
+    native; everything else (dates, timestamps, decimals, strings) becomes
+    its canonical string — ISO formats compare correctly as strings, which
+    is all pruning needs."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return str(v)
+
+
+def _stats_may_match(file_stats: dict | None, col: str, op: str, value) -> bool:
+    """True unless the file's [min, max] range PROVES no row satisfies
+    ``col op value``.  Missing stats (un-stats'd commit, unknown column,
+    all-null file stats) => True: skipping must never drop a file it
+    cannot reason about."""
+    if not file_stats or col not in file_stats:
+        return True
+    ent = file_stats[col]
+    mn, mx = ent.get("mn"), ent.get("mx")
+    if mn is None or mx is None:  # all-null file: no non-null row matches,
+        return False              # and NULL op value is never true
+    v = _json_scalar(value)
+    # compare like with like: if stats were stored as strings (dates,
+    # timestamps), coerce the probe to its canonical string too
+    if isinstance(mn, str) and not isinstance(v, str):
+        v = str(_json_scalar(value))
+    try:
+        if op == "=":
+            return mn <= v <= mx
+        if op == ">=":
+            return mx >= v
+        if op == ">":
+            return mx > v
+        if op == "<=":
+            return mn <= v
+        if op == "<":
+            return mn < v
+    except TypeError:  # cross-type comparison: refuse to prune
+        return True
+    raise ValueError(f"unsupported prune op {op!r}")
 
 
 def _rel(root: str, jpath) -> str:

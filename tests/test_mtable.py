@@ -566,3 +566,73 @@ def test_cluster_files_one_file_per_touched_partition(spark, tmp_path):
         assert len(m["partitions"][pval]) == 1, (pval, m["partitions"][pval])
     out = {(r.customer_id, r.score) for r in t.read().collect()}
     assert out == {(1, 5.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 6.0)}
+
+
+def test_stats_recorded_and_data_skipping_prunes_files(spark, tmp_path):
+    """stats_cols commits record per-file min/max/nulls; read(prune=...)
+    drops exactly the files whose range proves no match, values equal a
+    full-scan filter, and un-stats'd columns never prune."""
+    t = MTable(spark, str(tmp_path / "sk"))
+    # one file per partition, score ranges disjoint by date
+    df = _with_date(
+        _snap(
+            spark,
+            [
+                (1, "2024-01-01 10:00:00", 1.0),
+                (2, "2024-01-01 11:00:00", 2.0),
+                (3, "2024-01-02 10:00:00", 30.0),
+                (4, "2024-01-02 11:00:00", 40.0),
+                (5, "2024-01-03 10:00:00", 500.0),
+            ],
+        )
+    ).repartition(3, F.col("date"))
+    t.write(df, partition_by="date", stats_cols=["score", "customer_id"])
+    m = t._read_manifest(1)
+    assert m["stats"], "stats recorded in the manifest"
+    for ent in m["stats"].values():
+        assert set(ent) == {"score", "customer_id"} and ent["score"]["nulls"] == 0
+    full = t.read()
+    pruned = t.read(prune=[("score", ">=", 100.0)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {(r.customer_id, r.score) for r in pruned.where("score >= 100").collect()}
+    want = {(r.customer_id, r.score) for r in full.where("score >= 100").collect()}
+    assert got == want == {(5, 500.0)}
+    # equality probe prunes to the single matching file
+    eq = t.read(prune=[("customer_id", "=", 3)])
+    assert len(eq.inputFiles()) == 1
+    # un-stats'd column: conservative, nothing pruned
+    assert len(t.read(prune=[("t_ref", ">=", "2030-01-01")]).inputFiles()) == len(
+        full.inputFiles()
+    )
+
+
+def test_stats_carry_forward_through_merge_and_compact(spark, tmp_path):
+    """overwrite_partitions/merge keep untouched files' stats by reference
+    and re-stat the staged files with the inherited column set; compact
+    re-stats the rewritten files; vacuum'd stats entries disappear with
+    their files (no orphan growth)."""
+    t = MTable(spark, str(tmp_path / "sk2"))
+    t.write(
+        _with_date(_snap(spark, BASE)).repartition(2, F.col("date")),
+        partition_by="date",
+        stats_cols=["score"],
+    )
+    # merge into day 1 only — day 2's file + stats carried by reference
+    upd = _snap(spark, [(1, "2024-01-01 10:00:00", 9.0)])
+    t.merge_upsert(upd, keys=["customer_id"], partition_col_value=F.date_format("t_ref", "yyyy-MM-dd"))
+    m2 = t._read_manifest(2)
+    live = {rel for files in m2["partitions"].values() for rel in files}
+    assert set(m2["stats"]) == live, "stats keyed exactly by live files"
+    # inherited stat column set: the re-stat'd day-1 files still carry score
+    day1 = [rel for rel in m2["partitions"]["2024-01-01"]]
+    assert all("score" in m2["stats"][rel] for rel in day1)
+    assert any(m2["stats"][rel]["score"]["mx"] == 9.0 for rel in day1)
+    # pruning still correct post-merge
+    hi = t.read(prune=[("score", ">=", 9.0)])
+    assert {r.customer_id for r in hi.where("score >= 9").collect()} == {1}
+    # compact keeps the skipping property
+    v3 = t.compact()
+    m3 = t._read_manifest(v3)
+    live3 = {rel for files in m3["partitions"].values() for rel in files}
+    assert set(m3["stats"]) == live3
+    assert all("score" in ent for ent in m3["stats"].values())
