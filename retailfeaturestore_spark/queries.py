@@ -3289,6 +3289,50 @@ def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_APPROX_HH_ORACLE = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY w),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT c.w AS word, c.n AS n, CAST(1 AS BIGINT) AS sketch_ok
+FROM c, t WHERE c.n > 0.01 * t.total
+"""
+
+
+@register("approx_heavy_hitters", oracle=_APPROX_HH_ORACLE, tags=("approx", "text", "scale"))
+def q_approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Karp-Papadimitriou-Shenker streaming counters
+    via ``df.stat.freqItems``) over the corpus word stream — the third leg
+    of the sketch family (HLL distinct, KLL quantiles, now heavy hitters).
+    At 100 TB this is THE token-frequency path: O(1/support) counters per
+    partition, one pass, merged driver-side — no shuffle of the exploded
+    words, unlike the exact groupBy.
+
+    Driver-gateable verdict form (the approx-family convention): two
+    frequent-items implementations can never value-hash, so the hashed
+    rows are the EXACT heavy hitters (count > support*n — deterministic in
+    both engines) with a boolean verdict per row: the sketch's no-false-
+    negative guarantee says every true heavy hitter must appear in the
+    candidate set, so ``sketch_ok`` is provably 1 everywhere.  The exact
+    leg exists solely as this harness; a deployment ships the sketch's
+    candidate set into a second exact-count-of-candidates pass (the
+    standard two-pass heavy-hitter protocol)."""
+    support = 0.01
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    cand = set(words.stat.freqItems(["w"], support).collect()[0][0])
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("n") > F.lit(support) * F.col("total"))
+        .select(
+            F.col("w").alias("word"),
+            "n",
+            F.col("w").isin(list(cand)).cast("long").alias("sketch_ok"),
+        )
+    )
+
+
 _APPROX_PCTS_ORACLE = """
 WITH a AS (
   SELECT event_type,
@@ -8130,12 +8174,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # but with ZERO driver history (VERDICT r8 Missing #2 / next-round #1).
     "dedup_repeated_ngrams",
     "dedup_remove_repeated_spans",
-    # --- r9 block 2: feature_view_build_mtable — NEW this round (VERDICT
-    # r8 Missing #3 / next-round #2): the gold feature view built and
-    # committed through the mtable ACID format, read back from the
-    # committed snapshot, oracled by the same feature-view SQL.  Gives the
-    # r8 flagship component its first driver-visible verdict.
+    # --- r9 block 2: the queries NEW this round — every one oracle-backed
+    # and sweep-green but with zero driver history by construction; giving
+    # new surface a first-round verdict beats re-refreshing three more
+    # r5-green simple aggregates (the three displaced — promo_revenue_share,
+    # nation_market_share, shipping_priority — stay sweep-verified and
+    # rotate in next round).
+    #   feature_view_build_mtable: gold feature view committed through the
+    #     mtable ACID format, read from the snapshot (VERDICT r8 #2).
+    #   feature_view_incremental_mtable: incremental maintenance MERGE whose
+    #     snapshot must equal the full recompute bit-for-bit.
+    #   semantic_dedup_embeddings: SemDeDup cluster-then-prune dedup.
+    #   approx_heavy_hitters: frequent-items sketch w/ verdict oracle.
     "feature_view_build_mtable",
+    "feature_view_incremental_mtable",
+    "semantic_dedup_embeddings",
+    "approx_heavy_hitters",
     # --- r9 block 3: the ENTIRE remaining stale cohort — all 47 queries
     # whose last driver green is r5 (everything not in the r7 or r8
     # windows).  47 + 2 + 1 = exactly the 50-slot window; after this round
@@ -8174,16 +8228,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_ivf_pq",
     "knn_mmr_diverse",
     "latest_order_maxby",
-    "nation_market_share",
     "order_navigation",
     "order_sequence_analytics",
     "orders_priority_pivot",
     "priority_mode_per_customer",
-    "promo_revenue_share",
     "purchase_multitouch_attribution",
     "revenue_rollup",
     "segment_priority_grouping_sets",
-    "shipping_priority",
     "source_length_ks_drift",
     "source_token_divergence",
     "text_quality_score",
