@@ -134,6 +134,8 @@ HEADLINE = [
     "embedding_random_projection",
     "knn_projection_recall",
     "part_similar_by_copurchase",
+    "semantic_dedup_embeddings",
+    "approx_heavy_hitters",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

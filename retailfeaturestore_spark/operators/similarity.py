@@ -1057,34 +1057,35 @@ def semantic_dedup(
     components, no iteration.  Skewed cells split under AQE; the exists-
     aggregation is map-side combinable on the short (id) key.
     """
+    from pyspark import StorageLevel
+
     assigned = kmeans_cells(
         vectors, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
         cache_scope=cache_scope, with_dist=True,
     )
-    base = (
-        _with_norm(vectors, vec_col)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"), "__nn")
-        .join(assigned, "id")
-    )
     if cache_scope is not None:
-        # three plan subtrees consume this frame (both self-join sides and
-        # the final audit join); without persistence each re-runs the scan
-        # + quantize + literal-centroid assignment.
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-        register_persisted(base, ("semdedup_base", cache_scope))
-    a = base.select(
-        F.col("id").alias("__ia"), F.col("__v").alias("__va"),
-        F.col("__nn").alias("__na"), F.col("cell").alias("__ca"),
+        # three plan subtrees consume the assignment (both pair-join sides
+        # and the final audit join); each would re-run the literal-centroid
+        # map over the corpus otherwise.
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        register_persisted(assigned, ("semdedup_assigned", cache_scope))
+    # Pair generation on the SKINNY (id, cell, dist) projection only — the
+    # embedding arrays never ride through the k-key cell join (k keys = k
+    # tasks: a parallelism collapse AND a wide-row shuffle if the vectors
+    # come along).  Pairs are then spread round-robin across the full
+    # parallelism BEFORE the vectors are attached and the 64-dim dots
+    # evaluated — the dedup_edit_distance pattern: move the skinny
+    # candidate set, not the payloads, and pay the expensive per-pair
+    # function at full width.
+    a = assigned.select(
+        F.col("id").alias("__ia"), F.col("cell").alias("__ca"),
         F.col("centroid_dist").alias("__da"),
     )
-    b = base.select(
-        F.col("id").alias("__ib"), F.col("__v").alias("__vb"),
-        F.col("__nn").alias("__nb"), F.col("cell").alias("__cb"),
+    b = assigned.select(
+        F.col("id").alias("__ib"), F.col("cell").alias("__cb"),
         F.col("centroid_dist").alias("__db"),
     )
-    dominated = (
+    pair_ids = (
         a.join(
             b,
             (F.col("__ca") == F.col("__cb"))
@@ -1093,9 +1094,36 @@ def semantic_dedup(
                 | ((F.col("__db") == F.col("__da")) & (F.col("__ib") < F.col("__ia")))
             ),
         )
+        .select("__ia", "__ib")
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    )
+    # pre-quantized int vectors + fixed-point norm, computed ONCE per side
+    # (dot_fixed would re-floor both arrays per pair evaluation)
+    qv = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+    ).withColumn(
+        "__nn",
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).cast("double"),
+    )
+    qa = qv.select(
+        F.col("id").alias("__ia"), F.col("__q").alias("__qa"), F.col("__nn").alias("__na")
+    )
+    qb = qv.select(
+        F.col("id").alias("__ib"), F.col("__q").alias("__qb"), F.col("__nn").alias("__nb")
+    )
+    intdot = F.aggregate(
+        F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dominated = (
+        pair_ids.join(qa, "__ia")
+        .join(qb, "__ib")
         .where(
-            dot_fixed(F.col("__va"), F.col("__vb")).cast("double")
-            / (F.sqrt("__na") * F.sqrt("__nb"))
+            intdot.cast("double") / (F.sqrt("__na") * F.sqrt("__nb"))
             >= F.lit(float(threshold))
         )
         .select(F.col("__ia").alias("id"))
@@ -1103,7 +1131,7 @@ def semantic_dedup(
         .withColumn("__drop", F.lit(True))
     )
     return (
-        base.join(dominated, "id", "left")
+        assigned.join(dominated, "id", "left")
         .select(
             "id",
             "cell",
