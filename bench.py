@@ -136,6 +136,7 @@ HEADLINE = [
     "part_similar_by_copurchase",
     "semantic_dedup_embeddings",
     "approx_heavy_hitters",
+    "approx_customer_overlap_months",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

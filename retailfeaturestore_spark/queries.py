@@ -3420,6 +3420,171 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 1024  # sqrt(k) = 32 exactly — the error envelope divides by it
+
+_KMV_OVERLAP_ORACLE = f"""
+WITH dm AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m, o_custkey AS c FROM orders
+),
+hs AS (
+  SELECT DISTINCT m,
+         CAST('0x' || substr(md5('kmv#' || CAST(c AS VARCHAR)), 1, 14) AS BIGINT) AS h
+  FROM dm
+),
+sk AS (
+  SELECT m, h FROM hs
+  QUALIFY row_number() OVER (PARTITION BY m ORDER BY h) <= {_KMV_K}
+),
+months AS (SELECT DISTINCT m FROM dm),
+pairs AS (
+  SELECT a.m AS ga, b.m AS gb FROM months a JOIN months b
+    ON b.m = strftime(CAST(a.m || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m')
+),
+u AS (
+  SELECT DISTINCT ga, gb, h FROM (
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.m = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.m = p.gb
+  )
+),
+mk AS (
+  SELECT ga, gb, h FROM u
+  QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY h) <= {_KMV_K}
+),
+merged AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS ku, max(h) AS hk FROM mk GROUP BY 1, 2
+),
+common AS (
+  SELECT p.ga, p.gb, sa.h
+  FROM pairs p
+  JOIN sk sa ON sa.m = p.ga
+  JOIN sk sb ON sb.m = p.gb AND sb.h = sa.h
+),
+nb AS (
+  SELECT mg.ga, mg.gb, mg.ku, mg.hk, count(c.h) AS n_both
+  FROM merged mg
+  LEFT JOIN common c ON c.ga = mg.ga AND c.gb = mg.gb AND c.h <= mg.hk
+  GROUP BY 1, 2, 3, 4
+),
+ex AS (
+  SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS n_exact
+  FROM pairs p
+  JOIN dm a ON a.m = p.ga
+  JOIN dm b ON b.m = p.gb AND b.c = a.c
+  GROUP BY 1, 2
+),
+gc AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM dm GROUP BY m),
+est AS (
+  SELECT nb.ga, nb.gb, nb.ku,
+         (CAST(nb.n_both AS DOUBLE) / CAST(nb.ku AS DOUBLE)) *
+         (CASE WHEN nb.ku < {_KMV_K} THEN CAST(nb.ku AS DOUBLE)
+               ELSE {float(_KMV_K - 1)} /
+                    ((CAST(nb.hk AS DOUBLE) + 1.0) / 72057594037927936.0)
+          END) AS inter_est,
+         COALESCE(ex.n_exact, 0) AS n_exact,
+         ca.n + cb.n - COALESCE(ex.n_exact, 0) AS n_union
+  FROM nb
+  LEFT JOIN ex ON ex.ga = nb.ga AND ex.gb = nb.gb
+  JOIN gc ca ON ca.m = nb.ga
+  JOIN gc cb ON cb.m = nb.gb
+)
+SELECT ga AS month_a, gb AS month_b, n_exact, inter_est,
+       CAST(CASE WHEN abs(inter_est - CAST(n_exact AS DOUBLE))
+                      <= 2.0 * CAST(n_union AS DOUBLE) / 32.0 + 8.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS kmv_ok
+FROM est
+"""
+
+
+@register("approx_customer_overlap_months", oracle=_KMV_OVERLAP_ORACLE, tags=("approx", "scale"))
+def q_approx_customer_overlap_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-value sketch with SET OPERATIONS (Beyer et al.,
+    SIGMOD'07) — the sketch family's fourth leg: distinct-customer OVERLAP
+    between consecutive order months estimated purely from each month's
+    k-minimum-values sketch (``operators/sketches.py``).  HLL counts
+    distinct per group but cannot intersect two groups; KMV sketches merge,
+    so cross-cohort retention / audience overlap at 100 TB costs O(G*k)
+    sketch rows instead of a fact-table self-join.
+
+    Unlike the HLL/KLL legs, the md5-based sketch is a pure function of
+    the data — ANY engine computes the identical sketch, so the estimate
+    itself is driver-hashable (the minhash determinism convention); the
+    ``kmv_ok`` error-envelope verdict keeps the row self-certifying
+    against the exact leg.  The envelope is |est - exact| <=
+    2*|A UNION B| / sqrt(k) + 8: a set-operation sketch's error scales
+    with the UNION size, not the (possibly tiny) intersection — the
+    standard deviation of the in-sketch intersection count is
+    <= union * sqrt(j(1-j)/k) <= union * 0.5/sqrt(k), so the factor-2
+    envelope is a >= 4-sigma certificate at every jaccard level.  The
+    exact legs exist solely as that harness — a deployment ships the
+    sketch join alone."""
+    from .operators.sketches import kmv_group_sketch, kmv_pair_overlap
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.col("o_custkey").alias("c"),
+    )
+    dm = o.distinct()
+    # The sketch is G*k rows (tiny) but feeds FOUR downstream subtrees
+    # (both overlap sides, the union merge, the common-hash join); without
+    # the checkpoint Catalyst re-derives the tournament windows once per
+    # consumer (26-window plan measured).  At 100 TB this is exactly the
+    # materialize-the-sketch-table decision.
+    sk = kmv_group_sketch(dm, "m", "c", k=_KMV_K).localCheckpoint()
+    months = sk.select("m").distinct()
+    pairs = (
+        months.alias("a")
+        .join(
+            months.alias("b"),
+            F.col("b.m")
+            == F.date_format(
+                F.add_months(F.to_date(F.concat(F.col("a.m"), F.lit("-01"))), 1),
+                "yyyy-MM",
+            ),
+        )
+        .select(F.col("a.m").alias("group_a"), F.col("b.m").alias("group_b"))
+    )
+    est = kmv_pair_overlap(sk, pairs, "m", k=_KMV_K)
+    exact = (
+        pairs.join(dm.withColumnRenamed("m", "group_a"), "group_a")
+        .join(
+            dm.select(F.col("m").alias("group_b"), "c"),
+            ["group_b", "c"],
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    gc = dm.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        est.join(exact, ["group_a", "group_b"], "left")
+        .join(gc.select(F.col("m").alias("group_a"), F.col("n").alias("__na")), "group_a")
+        .join(gc.select(F.col("m").alias("group_b"), F.col("n").alias("__nb")), "group_b")
+        .select(
+            F.col("group_a").alias("month_a"),
+            F.col("group_b").alias("month_b"),
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias("n_exact"),
+            "inter_est",
+            (
+                F.col("__na")
+                + F.col("__nb")
+                - F.coalesce(F.col("n_exact"), F.lit(0).cast("long"))
+            ).alias("__nu"),
+        )
+    )
+    return j.select(
+        "month_a",
+        "month_b",
+        "n_exact",
+        "inter_est",
+        (
+            F.abs(F.col("inter_est") - F.col("n_exact").cast("double"))
+            <= 2.0 * F.col("__nu").cast("double") / 32.0 + 8.0
+        )
+        .cast("long")
+        .alias("kmv_ok"),
+    )
+
+
 @register("feature_view_build_set", oracle=_FEATURE_VIEW_ORACLE, tags=("window", "scale"))
 def q_feature_view_build_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME W1-W6 feature family as ``feature_view_build`` but with the
