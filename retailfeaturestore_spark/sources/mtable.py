@@ -587,17 +587,38 @@ class MTable:
         self,
         partitions: list[str] | None = None,
         order_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        files_per_partition: int = 4,
         extra_meta: dict | None = None,
     ) -> int:
         """Small-file OPTIMIZE: rewrite each selected partition (default:
-        every partition holding more than one file) into ONE file,
-        optionally sorted within the file by ``order_by`` (stats-locality
-        clustering, same motivation as ``io.write_clustered``), committed
-        as a normal snapshot-isolated version — readers on older versions
-        keep their exact file lists, rows are byte-for-byte the same set.
-        Returns the committed version, or the current one when nothing
-        needs compacting.  Streaming sinks make this the natural follow-up
-        job: every micro-batch commit adds a file per touched partition."""
+        every partition holding more than one file), committed as a normal
+        snapshot-isolated version — readers on older versions keep their
+        exact file lists, rows are byte-for-byte the same set.  Returns the
+        committed version, or the current one when nothing needs
+        compacting.  Streaming sinks make this the natural follow-up job:
+        every micro-batch commit adds a file per touched partition.
+
+        Layout modes:
+
+        - default / ``order_by``: each partition collapses to ONE file,
+          optionally sorted within it (stats-locality clustering, same
+          motivation as ``io.write_clustered``);
+        - ``zorder_by=[c1, c2, ...]``: multi-dimensional clustering
+          (Delta's OPTIMIZE ZORDER BY).  Rows are ordered by the
+          interleaved-bit z-value of the named columns and range-split
+          into ``files_per_partition`` files per partition, so every
+          file covers a small axis-aligned box in (c1, c2, ...) space —
+          per-file min/max stats become tight in EVERY named dimension
+          simultaneously, and ``read(prune=...)`` skips files for
+          predicates on ANY of them (a single-column sort can only serve
+          its leading column).  The z-clustered commit records stats for
+          the zorder columns automatically (unioned with the table's
+          existing stats set).  At 100 TB this is the standard layout
+          answer to "we filter this table by BOTH customer and date".
+        """
+        if order_by and zorder_by:
+            raise ValueError("order_by and zorder_by are exclusive")
         cur = self._latest()
         if cur is None:
             raise ValueError("compact needs an existing table")
@@ -614,17 +635,51 @@ class MTable:
         if not sel:
             return v0
         df = self.read(version=v0, partitions=sel)
-        # hash-clustering on the partition value puts every value's rows in
-        # one task -> the writer emits exactly one file per partition dir
-        df = df.repartition(max(len(sel), 1), F.col(pby))
-        if order_by:
-            df = df.sortWithinPartitions(*order_by)
+        stats_cols = None
+        if zorder_by:
+            missing = [c for c in zorder_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"zorder columns not in table: {missing}")
+            cols = list(df.columns)
+            z = _zvalue_expr(df, zorder_by)
+            # range-split on (partition, z): every task holds one
+            # partition value's contiguous z-slab -> partitionBy staging
+            # emits one file per slab with tight min/max in every zorder
+            # dimension.  The sample pass repartitionByRange runs is one
+            # extra job over the selected partitions — the price of
+            # balanced slabs (Delta pays the same).
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(
+                    max(len(sel) * max(files_per_partition, 1), 1),
+                    F.col(pby),
+                    F.col("__z"),
+                )
+                .sortWithinPartitions(pby, "__z")
+                .select(*cols)
+            )
+            inherited: list[str] = []
+            for ent in (m0.get("stats") or {}).values():
+                inherited += [c for c in ent if c not in inherited]
+            stats_cols = inherited + [c for c in zorder_by if c not in inherited]
+        else:
+            # hash-clustering on the partition value puts every value's
+            # rows in one task -> the writer emits one file per partition
+            df = df.repartition(max(len(sel), 1), F.col(pby))
+            if order_by:
+                df = df.sortWithinPartitions(*order_by)
         meta = {"compacted": sorted(sel)}
+        if zorder_by:
+            meta["zorder_by"] = list(zorder_by)
         meta.update(extra_meta or {})
         # base_version: the rewritten rows are v0's — a commit racing in
         # between must fail the CAS, not be replaced by stale bytes
         return self.overwrite_partitions(
-            df, partition_values=sel, extra_meta=meta, base_version=v0
+            df,
+            partition_values=sel,
+            extra_meta=meta,
+            base_version=v0,
+            stats_cols=stats_cols,
         )
 
     def vacuum(
@@ -676,6 +731,53 @@ class MTable:
             if v not in keep:
                 fs.delete(_jpath(jvm, self._manifest_path(v)), False)
         return sorted(deleted)
+
+
+def _zvalue_expr(df: DataFrame, cols: list[str], bits: int = 8):
+    """Interleaved-bit z-value Column over ``cols``.
+
+    Each column is linearly bucketed into ``2**bits`` cells between its
+    global min and max (one tiny driver-side agg — control-plane, 2
+    scalars per column), then the cell indices' bits are interleaved:
+    bit i of column j lands at position ``i*len(cols) + j``.  A contiguous
+    z-range therefore bounds EVERY column to a small axis-aligned box,
+    which is what makes per-file min/max tight in all dimensions at once.
+
+    Linear bucketing is skew-sensitive (a heavy-tailed column wastes cells
+    on its tail); rank/quantile bucketing is the upgrade when that bites —
+    the interleave and everything downstream are unchanged.  Nulls bucket
+    to cell 0 (they sort first, and stats-based pruning never drops files
+    on null bounds).  Everything here is a pure Column expression —
+    whole-stage-codegen, no UDFs, no extra exchange beyond the
+    repartitionByRange that consumes it."""
+    n = 2**bits
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__mn{j}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx{j}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = row[f"__mn{j}"], row[f"__mx{j}"]
+        if mn is None or mx is None or mx <= mn:
+            continue  # constant or all-null column contributes nothing
+        idx = F.least(
+            F.lit(n - 1),
+            F.greatest(
+                F.lit(0),
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(float(mn)), F.lit(float(mx)), F.lit(n)
+                )
+                - 1,
+            ),
+        )
+        idx = F.coalesce(idx, F.lit(0)).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(idx, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return z
 
 
 def _json_scalar(v):
