@@ -3420,6 +3420,67 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_SCAN_ORACLE = """
+SELECT event_id, user_id, value, strftime(ts, '%Y-%m-%d') AS day
+FROM events
+WHERE user_id <= 60 AND value >= 100.0
+"""
+
+
+@register(
+    "events_zorder_pruned_scan",
+    oracle=_ZORDER_SCAN_ORACLE,
+    tags=("acid", "sink", "scale"),
+)
+def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY driven end to end through the driver gate: the
+    events table is committed to an mtable (day-partitioned, multiple
+    files per day), z-order-compacted on (user_id, value), then read back
+    through stats-based file skipping with a 2-D predicate — the oracle is
+    the PLAIN SQL filter, so the hash certifies that pruning dropped only
+    provably-irrelevant files (one wrongly-skipped file = missing rows =
+    hash mismatch).  This is the layout answer to "we filter events by
+    BOTH user and value" at 100 TB: a single-column sort serves only its
+    leading column; the interleaved z-value makes per-file min/max tight
+    in every named dimension (``sources/mtable.py:_zvalue_expr``;
+    pruning-count assertions live in tests/test_mtable_zorder.py — the
+    oracle certifies values, the suite certifies the IO actually
+    shrinks)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.mtable import MTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
+    if dirs is None:
+        dirs = spark._rfs_mtable_q_dirs = {}
+    key = f"{sf_dir}#zorder"
+    prev = dirs.pop(key, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = os.path.join(tempfile.gettempdir(), "rfs_mtable_z", uuid.uuid4().hex)
+    dirs[key] = root
+
+    tbl = MTable(spark, root)
+    # deliberately UNclustered initial commit (4 files per day) — the
+    # small-file state a streaming sink leaves behind, which compact's
+    # default selection then targets
+    tbl.write(ev.repartition(4), partition_by="day")
+    tbl.compact(zorder_by=["user_id", "value"], files_per_partition=2)
+    snap = tbl.read(prune=[("user_id", "<=", 60), ("value", ">=", 100.0)])
+    # pruning is conservative IO elimination, never the filter itself
+    return snap.where(
+        (F.col("user_id") <= 60) & (F.col("value") >= 100.0)
+    ).select("event_id", "user_id", "value", "day")
+
+
 _KMV_K = 1024  # sqrt(k) = 32 exactly — the error envelope divides by it
 
 _KMV_OVERLAP_ORACLE = f"""
@@ -8355,6 +8416,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_view_incremental_mtable",
     "semantic_dedup_embeddings",
     "approx_heavy_hitters",
+    #   approx_customer_overlap_months: KMV set-operation sketch (added
+    #     late-r9; deterministic estimates hash cross-engine).
+    #   events_zorder_pruned_scan: OPTIMIZE ZORDER + stats-pruned snapshot
+    #     read whose oracle hash caught a real per-file-stats keying bug —
+    #     exactly the class of query the driver gate exists for.
+    #   These two displace revenue_rollup / orders_priority_pivot from the
+    #   stale cohort below (same call as r8's: a first-round verdict for
+    #   new surface beats re-refreshing r5-green single-scan rollups; the
+    #   displaced pair stays sweep-verified and rotates in next round).
+    "approx_customer_overlap_months",
+    "events_zorder_pruned_scan",
     # --- r9 block 3: the ENTIRE remaining stale cohort — all 47 queries
     # whose last driver green is r5 (everything not in the r7 or r8
     # windows).  47 + 2 + 1 = exactly the 50-slot window; after this round
@@ -8395,10 +8467,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "latest_order_maxby",
     "order_navigation",
     "order_sequence_analytics",
-    "orders_priority_pivot",
     "priority_mode_per_customer",
     "purchase_multitouch_attribution",
-    "revenue_rollup",
     "segment_priority_grouping_sets",
     "source_length_ks_drift",
     "source_token_divergence",

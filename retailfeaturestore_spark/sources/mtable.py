@@ -253,11 +253,17 @@ class MTable:
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nl{i}"),
             ]
         rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
-        # input_file_name is a URI; match manifest relpaths by suffix
-        by_suffix = {rel.rsplit("/", 1)[-1]: rel for rel in rels}
+        # input_file_name is a URI; match manifest relpaths by their last
+        # TWO components (partition dir + filename).  Filename alone is
+        # NOT unique: a multi-task write emits the same part-<task>-<job>
+        # basename into EVERY partition dir it touches, and a basename
+        # keyed map silently attached one file's stats to another —
+        # data skipping then pruned live files (caught by the
+        # events_zorder_pruned_scan oracle hash).
+        by_suffix = {"/".join(rel.split("/")[-2:]): rel for rel in rels}
         out: dict[str, dict] = {}
         for r in rows:
-            rel = by_suffix.get(str(r["__f"]).rsplit("/", 1)[-1])
+            rel = by_suffix.get("/".join(str(r["__f"]).split("/")[-2:]))
             if rel is None:
                 continue
             out[rel] = {

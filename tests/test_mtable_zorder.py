@@ -77,6 +77,38 @@ def test_linear_sort_cannot_prune_nonleading_dimension(spark, tmp_path):
     assert len(yq.inputFiles()) == n_files  # non-leading: cannot prune
 
 
+def test_multitask_multipartition_stats_attach_to_the_right_files(spark, tmp_path):
+    """Regression: a multi-task write emits the SAME part-<task>-<job>
+    basename into every partition dir it touches; stats keyed by basename
+    alone attached one file's min/max to another and data skipping then
+    pruned LIVE files.  Per-file stats must round-trip by (partition dir,
+    filename), and a stats-pruned read must equal the plain filter."""
+    rows = [(i % 7, float(i), f"d{i % 5}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, v double, d string").repartition(6)
+    t = MTable(spark, str(tmp_path / "mt"))
+    t.write(df, partition_by="d", stats_cols=["k", "v"])
+    m = t._read_manifest(1)
+    all_rels = [rel for files in m["partitions"].values() for rel in files]
+    # every staged file has its OWN stats entry
+    assert set(m["stats"]) == set(all_rels)
+    # per-file stats are actually per-file: verify one partition's file
+    # bounds against a direct read of that exact file
+    pval, files = next(iter(m["partitions"].items()))
+    for rel in files:
+        got = spark.read.parquet(f"{t.path}/{rel}").agg(
+            F.min("v"), F.max("v")
+        ).collect()[0]
+        ent = m["stats"][rel]["v"]
+        assert (ent["mn"], ent["mx"]) == (got[0], got[1]), rel
+    # and pruning never loses rows
+    want = {(r.k, r.v) for r in t.read().where("v >= 1500").collect()}
+    got2 = {
+        (r.k, r.v)
+        for r in t.read(prune=[("v", ">=", 1500.0)]).where("v >= 1500").collect()
+    }
+    assert got2 == want and len(want) == 500
+
+
 def test_zorder_validates_columns_and_exclusivity(spark, tmp_path):
     import pytest
 
