@@ -59,9 +59,18 @@ Skipping is strictly conservative: a file with no stats for the column (or
 an un-stats'd commit) is always read, and callers still apply the real
 filter — pruning only ever removes provably-irrelevant IO.
 
+**Schema evolution (additive)**: commits made with ``allow_evolution=True``
+may ADD columns; the manifest schema becomes the union, old files stay
+byte-identical, and readers surface typed nulls for rows written before a
+column existed (``mergeSchema`` over the manifest's explicit file list,
+plus a driver-side null-fill for selections that touch only pre-evolution
+files).  Drops/retypes/renames still raise — those need a rewrite, the
+same stance as Delta without ``overwriteSchema``.  A commit that replaces
+every live file re-homogenizes the table and clears the flag.
+
 What this deliberately does NOT implement (and real Delta/Iceberg add):
-multi-table transactions, schema evolution beyond the fingerprint guard,
-and object-store conditional-PUT CAS.
+multi-table transactions, non-additive schema evolution (drop/retype/
+rename), and object-store conditional-PUT CAS.
 """
 
 from __future__ import annotations
@@ -284,6 +293,40 @@ class MTable:
         ]
         return ";".join(sorted(cols))
 
+    @staticmethod
+    def _parse_schema(fp: str) -> dict[str, str]:
+        """Fingerprint -> {column: simpleString type} (the fingerprint IS
+        the schema: sorted name:type pairs)."""
+        out: dict[str, str] = {}
+        for ent in fp.split(";"):
+            if ent:
+                name, typ = ent.split(":", 1)
+                out[name] = typ
+        return out
+
+    def _evolve_schema(self, old_fp: str, new_fp: str, allow: bool) -> str:
+        """Validate a schema change between commits.  Identical -> old.
+        ADDITIVE superset (every existing column present with the identical
+        type, plus new ones) with ``allow_evolution=True`` -> the new
+        fingerprint.  Anything else (drop, retype, rename) raises — those
+        need a full rewrite, same stance as Delta without overwriteSchema."""
+        if new_fp == old_fp:
+            return old_fp
+        old, new = self._parse_schema(old_fp), self._parse_schema(new_fp)
+        changed = {c: (old[c], new[c]) for c in old if c in new and old[c] != new[c]}
+        missing = sorted(set(old) - set(new))
+        if missing or changed:
+            raise ValueError(
+                f"schema mismatch is not additive: missing={missing} "
+                f"retyped={changed} (evolution only ADDS columns)"
+            )
+        if not allow:
+            raise ValueError(
+                f"schema adds columns {sorted(set(new) - set(old))}; pass "
+                "allow_evolution=True to evolve the table additively"
+            )
+        return new_fp
+
     def write(
         self,
         df: DataFrame,
@@ -291,23 +334,31 @@ class MTable:
         partition_by: str | None = None,
         extra_meta: dict | None = None,
         stats_cols: list[str] | None = None,
+        allow_evolution: bool = False,
     ) -> int:
         """Commit ``df`` as a new version.  ``mode``: "overwrite" replaces
         the whole table; "append" carries every existing file forward and
         adds the new ones.  ``stats_cols`` records per-file min/max/null
         stats for data skipping (see module docstring); append commits
-        carry existing files' stats forward.  Returns the committed
-        version."""
+        carry existing files' stats forward.  ``allow_evolution=True``
+        permits an append whose schema ADDS columns (additive evolution —
+        readers surface the union schema with typed nulls for files written
+        before the column existed; drop/retype still raise).  Returns the
+        committed version."""
+        schema_fp = None
+        evolved = False
         cur = self._latest()
         if cur is not None:
             v0, m0 = cur
             partition_by = partition_by or m0["partition_by"]
             if mode == "append":
                 fp = self._schema_fingerprint(df, partition_by)
-                if fp != m0["schema"]:
-                    raise ValueError(
-                        f"append schema mismatch: {fp} != {m0['schema']}"
-                    )
+                schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
+                # heterogeneous live files once any carried file predates
+                # an added column; sticky until a full overwrite
+                evolved = bool(m0.get("evolved")) or (
+                    schema_fp != m0["schema"] and bool(m0["partitions"])
+                )
             if (m0["partition_by"] or None) != (partition_by or None):
                 raise ValueError(
                     f"partition_by {partition_by!r} != table's "
@@ -335,12 +386,14 @@ class MTable:
             "parent": v0 if m0 is not None else None,
             "operation": mode,
             "partition_by": partition_by,
-            "schema": self._schema_fingerprint(df, partition_by),
+            "schema": schema_fp or self._schema_fingerprint(df, partition_by),
             "partitions": parts,
             "stats": stats,
             "committed_at_ms": int(time.time() * 1000),
             "meta": dict(extra_meta or {}),
         }
+        if evolved:
+            manifest["evolved"] = True
         return self._commit(manifest, v0 + 1)
 
     def overwrite_partitions(
@@ -351,12 +404,15 @@ class MTable:
         base_version: int | None = None,
         cluster_files: bool = False,
         stats_cols: list[str] | None = None,
+        allow_evolution: bool = False,
     ) -> int:
         """Commit a version where the partitions carried by ``df`` (or the
         explicit ``partition_values``) are REPLACED and every other
         partition's files are carried forward by reference — the dynamic
         partition overwrite / MERGE publish primitive, made atomic and
         snapshot-isolated by the manifest commit.
+        ``allow_evolution=True`` permits an ADDITIVE schema change (new
+        columns; drop/retype still raise) — see :meth:`write`.
 
         ``base_version`` pins the snapshot the replacement was COMPUTED
         against: the commit claims exactly ``base_version + 1``, so a
@@ -381,8 +437,7 @@ class MTable:
         if not partition_by:
             raise ValueError("table is unpartitioned")
         fp = self._schema_fingerprint(df, partition_by)
-        if fp != m0["schema"]:
-            raise ValueError(f"schema mismatch: {fp} != {m0['schema']}")
+        schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
         if cluster_files:
             # every partition value's rows land in one task -> one staged
             # file per partition dir; parallelism stays at the session's
@@ -418,17 +473,26 @@ class MTable:
             if rel in live
         }
         stats.update(self._collect_file_stats(staged, scols))
+        # live files are heterogeneous once any carried file predates an
+        # added column; a commit that replaced EVERY live file resets it
+        staged_set = {rel for files in staged.values() for rel in files}
+        any_carried = bool(live - staged_set)
+        evolved = any_carried and (
+            bool(m0.get("evolved")) or schema_fp != m0["schema"]
+        )
         manifest = {
             "version": v0 + 1,
             "parent": v0,
             "operation": "overwrite_partitions",
             "partition_by": partition_by,
-            "schema": m0["schema"],
+            "schema": schema_fp,
             "partitions": parts,
             "stats": stats,
             "committed_at_ms": int(time.time() * 1000),
             "meta": dict(extra_meta or {}),
         }
+        if evolved:
+            manifest["evolved"] = True
         return self._commit(manifest, v0 + 1)
 
     def merge_upsert(
@@ -439,12 +503,15 @@ class MTable:
         extra_meta: dict | None = None,
         cluster_files: bool = False,
         stats_cols: list[str] | None = None,
+        allow_evolution: bool = False,
     ) -> int:
         """MERGE by key into the touched partitions only (same semantics as
         ``io.merge_upsert``, but the publish is one atomic manifest commit
         and readers are snapshot-isolated throughout).
         ``partition_col_value``: expression deriving the partition value
         from an updates row (e.g. ``F.date_format("t_ref","yyyy-MM-dd")``).
+        ``allow_evolution=True`` lets ``updates`` carry NEW columns (additive
+        evolution): surviving pre-existing rows take typed nulls there.
 
         Serializable against racing writers: survivors are computed against
         the version read at entry and the commit claims exactly that
@@ -463,7 +530,18 @@ class MTable:
         if old_slice is not None:
             update_keys = F.broadcast(upd.select(*keys).distinct())
             survivors = old_slice.join(update_keys, keys, "left_anti")
-            merged = survivors.unionByName(upd.select(*survivors.columns))
+            if allow_evolution:
+                # survivors take typed nulls in any column only updates has
+                merged = survivors.unionByName(upd, allowMissingColumns=True)
+            else:
+                extra = sorted(set(upd.columns) - set(survivors.columns))
+                if extra:
+                    # silently projecting these away would LOSE update data
+                    raise ValueError(
+                        f"updates add columns {extra}; pass "
+                        "allow_evolution=True to evolve the table additively"
+                    )
+                merged = survivors.unionByName(upd.select(*survivors.columns))
         else:
             merged = upd
         return self.overwrite_partitions(
@@ -473,6 +551,7 @@ class MTable:
             base_version=v0,
             cluster_files=cluster_files,
             stats_cols=stats_cols,
+            allow_evolution=allow_evolution,
         )
 
     # -- read paths ---------------------------------------------------------
@@ -518,7 +597,19 @@ class MTable:
         files = [f"{self.path}/{rel}" for rel in rels]
         if not files:
             return None
-        df = self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if m.get("evolved"):
+            # live files have heterogeneous schemas (additive evolution):
+            # union their footers, then null-fill any manifest column the
+            # SELECTED files happen to predate entirely, so every snapshot
+            # presents the manifest's full schema regardless of which
+            # partitions/files the selection touched
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*files)
+        if m.get("evolved"):
+            for name, typ in self._parse_schema(m["schema"]).items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(typ))
         if pby:
             # partition value is carried in the PATH, not the file: restore
             # it as a column (same as a partitioned directory scan would)
