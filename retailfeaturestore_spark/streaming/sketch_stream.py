@@ -1,0 +1,129 @@
+"""Streaming KMV sketch maintenance — distinct-count SET ALGEBRA over an
+unbounded stream.
+
+Maintains the per-group k-minimum-values sketch (``operators/sketches``)
+across micro-batches: each batch's sketch is merged into the stored state
+by ``k-min(state UNION batch)``.  Any moment's state answers distinct
+counts AND cross-group union/jaccard/intersection estimates
+(``kmv_pair_overlap``) — the streaming audience-overlap / cross-cohort
+monitor, with O(groups x k) state regardless of stream length.
+
+Exactness without a ledger: the merge is a JOIN-SEMILATTICE —
+``merge(S, S) = S`` (idempotent), commutative, associative, and
+``k-min(k-min(X) UNION Y) = k-min(X UNION Y)`` (truncation is a lattice
+homomorphism: every element of the k smallest of ``X UNION Y`` that comes
+from ``X`` is necessarily among the k smallest of ``X``).  So an
+at-least-once foreachBatch REPLAY re-merges a batch already folded in and
+the state is bit-identical — no batch-id bookkeeping needed, unlike the
+gram store's strict ``batch_id < k`` protocol (the hashes are md5 of the
+values: pure data functions, so the streamed state equals the BATCH
+sketch of the stream's full prefix exactly, which is what the
+differential tests assert).
+
+State swap uses the same directory-rename protocol as the gram-store
+compactor: write the merged state aside, rename the old store to trash,
+rename the new one in — a crash leaves either the old complete state (the
+batch replays, converging by idempotence) or the new complete state.
+Single-writer per state dir, like every state-dir operation here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.sketches import kmv_group_sketch
+
+__all__ = [
+    "update_kmv_batch",
+    "kmv_sketch_stream",
+    "read_kmv_state",
+]
+
+_STATE_SCHEMA = "g string, h long"
+
+
+def read_kmv_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current sketch state as ``(g, h)`` rows — feed straight into
+    ``kmv_pair_overlap(state, pairs, "g", k=...)`` for live overlap
+    estimates, or ``groupBy(g).count()`` + the KMV estimator for distinct
+    counts."""
+    if "://" in state_dir:
+        raise ValueError(
+            f"state path {state_dir!r} has a URI scheme — the parquet "
+            "directory sketch store is local-filesystem only; use a "
+            "lakehouse table (e.g. sources.mtable) for object-store state"
+        )
+    if os.path.isdir(state_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    ):
+        return spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
+    return spark.createDataFrame([], _STATE_SCHEMA)
+
+
+def update_kmv_batch(
+    batch: DataFrame,
+    state_dir: str,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> None:
+    """Fold one micro-batch into the sketch store:
+    ``state' = k-min(state UNION sketch(batch))`` per group.
+
+    Plain batch function so the foreachBatch wrapper and the tests drive
+    the identical code path.  Cost: the batch sketch build (map-side
+    distinct + tournament over the BATCH only) plus a window over
+    O(groups x 2k) combined sketch rows — the unbounded stream never
+    reaccumulates."""
+    import shutil
+
+    spark = batch.sparkSession
+    inc = kmv_group_sketch(batch, group_col, value_col, k=k).select(
+        F.col(group_col).cast("string").alias("g"), "h"
+    )
+    state = read_kmv_state(spark, state_dir)
+    merged = state.unionByName(inc).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    new = (
+        merged.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+    tmp = f"{state_dir}_next_{os.getpid()}"
+    new.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(state_dir):
+        trash = f"{state_dir}_trash_{os.getpid()}"
+        os.rename(state_dir, trash)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+    else:
+        os.rename(tmp, state_dir)
+
+
+def kmv_sketch_stream(
+    stream: DataFrame,
+    state_dir: str,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous sketch maintenance over a stream: every micro-batch
+    advances the per-group KMV state; readers query ``read_kmv_state``
+    between (or during) triggers for live distinct/overlap estimates."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        if batch_df.isEmpty():
+            return
+        update_kmv_batch(batch_df, state_dir, group_col, value_col, k=k)
+
+    writer = stream.writeStream.foreachBatch(step)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
