@@ -790,7 +790,7 @@ def search_pq_index(
 def random_projection(
     vectors: DataFrame,
     out_dims: int = 8,
-    in_dims: int = 64,
+    in_dims: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = "rp0",
@@ -813,9 +813,20 @@ def random_projection(
 
     Returns long-form ``(id, j, value_scaled, value)`` — one row per
     output dimension, the layout the differential oracle hashes exactly.
+
+    ``in_dims=None`` (default) derives the width from the data (one
+    control-plane ``head()``) — a hardcoded width longer than the actual
+    vectors made ``zip_with`` null-pad the corpus side and null-poison
+    every projection sum on corpora of a different dim (caught by the r9
+    sf5 sweep on 16-dim synthetic embeddings).
     """
     import hashlib
 
+    if in_dims is None:
+        first = vectors.select(vec_col).head()
+        if first is None:
+            raise ValueError("random_projection on an empty corpus")
+        in_dims = len(first[0])
     signs = [
         [
             1 if int(hashlib.md5(f"{seed}#{i}#{j}".encode()).hexdigest()[0], 16) % 2 == 0

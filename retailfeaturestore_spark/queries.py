@@ -1468,13 +1468,17 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Product-quantization oracle: the same deterministic-Lloyd contract as the
-# KMeans oracle, but per SUBSPACE — 64 dims split into 4 x 16, an independent
-# 16-codeword codebook per subspace (seeds = the 16 smallest vec_ids'
-# subvectors, 2 unrolled iterations), then ADC: per-query LUT of exact integer
-# subspace distances joined to the corpus code assignments and summed.
-# Replays operators/similarity.py:pq_topk_adc bit-for-bit.
+# KMeans oracle, but per SUBSPACE — the embedding dim split into 4 equal
+# subspaces, an independent 16-codeword codebook per subspace (seeds = the
+# 16 smallest vec_ids' subvectors, 2 unrolled iterations), then ADC:
+# per-query LUT of exact integer subspace distances joined to the corpus
+# code assignments and summed.  Replays operators/similarity.py:pq_topk_adc
+# bit-for-bit.  The subvector width is derived FROM THE DATA (max ordinal /
+# m), exactly as the operator computes w = len(vec) // m — a hardcoded
+# width silently collapsed every dimension into subspace 0 on corpora whose
+# dim differs from the one it was written against (caught by the r9 sf5
+# sweep on 16-dim synthetic embeddings: degenerate constant distances).
 _PQ_M = 4
-_PQ_W = 16
 _PQ_K = 16
 _PQ_QUERY_MAX = 10
 
@@ -1507,9 +1511,11 @@ qflat AS (
   SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS q
   FROM flat
 ),
+dims AS (SELECT CAST(max(i) // {_PQ_M} AS BIGINT) AS w FROM qflat),
 sflat AS (
-  SELECT vec_id, CAST(((i - 1) // {_PQ_W}) AS BIGINT) AS sub, ((i - 1) % {_PQ_W}) AS j, q
-  FROM qflat
+  SELECT q.vec_id, CAST(((q.i - 1) // x.w) AS BIGINT) AS sub,
+         ((q.i - 1) % x.w) AS j, q.q
+  FROM qflat q CROSS JOIN dims x
 ),
 pc0 AS (
   SELECT vec_id AS cell, sub, j, q AS c FROM sflat WHERE vec_id < {_PQ_K}
@@ -8176,7 +8182,7 @@ def q_knn_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk, random_projection
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = random_projection(emb, out_dims=8, in_dims=64, seed="rp0").select(
+    proj = random_projection(emb, out_dims=8, seed="rp0").select(
         "id",
         "j",
         F.floor(F.col("value_scaled").cast("double") / F.lit(16.0))
@@ -8246,7 +8252,7 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.similarity import random_projection
 
     return random_projection(
-        load_table(spark, sf_dir, "embeddings"), out_dims=8, in_dims=64, seed="rp0"
+        load_table(spark, sf_dir, "embeddings"), out_dims=8, seed="rp0"
     )
 
 
