@@ -965,11 +965,26 @@ def sign_lsh_neardup(
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-pattern LSH.
 
-    Band b's key = the sign bits of coordinates [b*band_bits, (b+1)*band_bits).
+    Band b's key = the sign bits of coordinates [b*w, (b+1)*w) where
+    ``w = min(band_bits, dim // bands)`` — the band width ADAPTS to the
+    corpus dimension (one control-plane ``head()``).  A hardcoded width
+    longer than dim/bands left the trailing bands with EMPTY keys, turning
+    them into a single whale bucket that degraded candidate generation to
+    an all-pairs self-join (caught by the r9 sf5 sweep on 16-dim synthetic
+    embeddings: the Spark job and the DuckDB oracle both went quadratic).
+    On a 64-dim corpus with the (4, 8) defaults w stays 8 — the original
+    banding, hash-stable.
+
     Vectors agreeing on ANY full band are candidates (cosine-correlated:
     sign agreement probability rises with angle similarity); candidates then
-    pass an exact cosine filter.  Self-join shuffles only (band, 8-char key).
+    pass an exact cosine filter.  Self-join shuffles only (band, w-char key).
     """
+    first = vectors.select(vec_col).head()
+    if first is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    band_bits = max(1, min(band_bits, len(first[0]) // bands))
     sig = F.concat_ws(
         "",
         F.transform(

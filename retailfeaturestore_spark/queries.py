@@ -1657,17 +1657,22 @@ def q_knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIGN_LSH_ORACLE = f"""
 WITH {_FLAT_CTE},
+ldims AS (
+  SELECT CAST(greatest(1, least(8, max(i) // 4)) AS BIGINT) AS w FROM flat
+),
 sigs AS (
-  SELECT vec_id,
-         string_agg(CASE WHEN x >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
-  FROM flat WHERE i <= 32
-  GROUP BY vec_id
+  SELECT f.vec_id,
+         string_agg(CASE WHEN f.x >= 0 THEN '1' ELSE '0' END, '' ORDER BY f.i) AS sig
+  FROM flat f CROSS JOIN ldims x WHERE f.i <= 4 * x.w
+  GROUP BY f.vec_id
 ),
 bands AS (
-  SELECT 0 AS band, substring(sig, 1, 8)  AS band_key, vec_id AS id FROM sigs
-  UNION ALL SELECT 1, substring(sig, 9, 8),  vec_id FROM sigs
-  UNION ALL SELECT 2, substring(sig, 17, 8), vec_id FROM sigs
-  UNION ALL SELECT 3, substring(sig, 25, 8), vec_id FROM sigs
+  SELECT b.band,
+         substring(s.sig, CAST(b.band * x.w + 1 AS INT), CAST(x.w AS INT)) AS band_key,
+         s.vec_id AS id
+  FROM sigs s
+  CROSS JOIN ldims x
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.id AS vec_a, b.id AS vec_b
