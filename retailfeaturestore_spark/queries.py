@@ -8438,9 +8438,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #   displaced pair stays sweep-verified and rotates in next round).
     "approx_customer_overlap_months",
     "events_zorder_pruned_scan",
-    # --- r9 block 3: the ENTIRE remaining stale cohort — all 47 queries
-    # whose last driver green is r5 (everything not in the r7 or r8
-    # windows).  47 + 2 + 1 = exactly the 50-slot window; after this round
+    # --- r9 block 3: the remaining stale cohort — the queries whose last
+    # driver green is r5 (everything not in the r7 or r8 windows), minus
+    # revenue_rollup / orders_priority_pivot (displaced by the two late-r9
+    # queries above).  2 + 6 + 42 = exactly the 50-slot window; after this round
     # NO oracle-backed query has driver evidence older than r7.  The
     # impl-change queries of this round that are not in the window
     # (rfm_segments: batched ranks collects; knn_recall_eval: persisted-
@@ -8491,9 +8492,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_activity_features",
     "user_daily_snapshot_spine",
     # --- r10 handoff: after this window, driver-evidence freshness is
-    # r8 (50) / r7 (45) / r9 (50) + feature_view_build_mtable new.  Next
-    # rotation: any query whose implementation changes in r9/r10, then the
-    # r7-green 45, oldest-evidence-first.  The rotation is one edit here.
+    # r9 (50) / r8 (50) / r7 (45), plus revenue_rollup /
+    # orders_priority_pivot (displaced, last green r5, sweep + sf5
+    # verified this round — rotate them in FIRST).  Next rotation:
+    # the displaced pair, any query whose implementation changes in
+    # r9/r10, then the r7-green 45, oldest-evidence-first.  The rotation
+    # is one edit here.
 )
 
 
