@@ -41,6 +41,9 @@ SHOW = {
     "copurchase_triangles": "Degree-oriented triangle counting: wedge self-join co-partitioned on the oriented source, closing edge a single equi-join (wedge pairs ordered by the SAME (degree,id) key); all joins ShuffledHashJoin, no broadcast.",
     "part_similar_by_copurchase": "Item-item CF: stopword-vertex semi-joins bound the common-neighbor self-join (co-partitioned on the shared neighbor); degree attaches are shuffle-hash, never broadcast; per-part rank window over pair-sized rows.",
     "training_shuffle_shards": "Epoch shuffle: exactly the sharded-write plan — one hashpartitioning(shard) exchange + in-partition sort by the md5 key; no global sort, no rangepartitioning.",
+    "semantic_dedup_embeddings": "SemDeDup: skinny (id, cell, dist) dominance join at full parallelism; pre-quantized int vectors re-attach by id AFTER the pair cut — embedding arrays never ride the cell shuffle.",
+    "approx_customer_overlap_months": "KMV set-op sketch: tournament top-k behind a checkpoint (2 windows total), then the ENTIRE pairwise stage is broadcast joins + per-row array math — zero exchanges beyond the sketch agg; exact leg is the only fact-scale join.",
+    "approx_heavy_hitters": "Frequent-items: KPS counters merged driver-side (no word shuffle for the sketch); the exact-leg groupBy is the harness, broadcast-joined to the one-row total.",
 }
 
 
