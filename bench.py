@@ -137,6 +137,7 @@ HEADLINE = [
     "semantic_dedup_embeddings",
     "approx_heavy_hitters",
     "approx_customer_overlap_months",
+    "approx_customer_retention_months",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

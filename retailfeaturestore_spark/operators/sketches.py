@@ -164,3 +164,67 @@ def kmv_pair_overlap(
         jacc.alias("jaccard_est"),
         (jacc * union_est).alias("inter_est"),
     )
+
+
+def kmv_tuple_overlap(
+    sketch: DataFrame,
+    tuples: DataFrame,
+    group_cols: list[str],
+    group_col: str = "g",
+    k: int = 64,
+) -> DataFrame:
+    """N-WAY distinct-intersection estimate: for every row of ``tuples``
+    (columns ``group_cols`` naming n groups), estimate
+    ``|distinct(g1) INTERSECT ... INTERSECT distinct(gn)|`` from the KMV
+    sketches alone — the k-way generalization of :func:`kmv_pair_overlap`
+    (e.g. "customers active in ALL THREE consecutive months", the
+    retention-cohort shape).
+
+    Estimator over the combined sketch ``K = k-min(UNION of all n
+    sketches)``: ``inter = (|{h in K present in EVERY sketch}| / |K|) *
+    union_est`` — set-algebraic, so array_union/array_intersect nesting
+    order is immaterial and any engine replays it exactly.  Same shape
+    economics as the pair form: n broadcast joins of the packed sketch
+    arrays + per-row array math, zero additional exchanges.
+    Output: ``group_cols..., ku, union_est, inter_est``.
+    """
+    if len(group_cols) < 2:
+        raise ValueError("tuple overlap needs at least two group columns")
+    arr = sketch.groupBy(group_col).agg(
+        F.array_sort(F.collect_list("h")).alias("hs")
+    )
+    j = tuples
+    for i, gc in enumerate(group_cols):
+        j = j.join(
+            F.broadcast(
+                arr.select(F.col(group_col).alias(gc), F.col("hs").alias(f"__h{i}"))
+            ),
+            gc,
+        )
+    u = F.col("__h0")
+    c = F.col("__h0")
+    for i in range(1, len(group_cols)):
+        u = F.array_union(u, F.col(f"__h{i}"))
+        c = F.array_intersect(c, F.col(f"__h{i}"))
+    j = j.withColumn("__mk", F.slice(F.array_sort(u), 1, k))
+    ku = F.size("__mk")
+    hk = F.element_at("__mk", ku)
+    j = j.select(
+        *group_cols,
+        ku.alias("__ku"),
+        hk.alias("__hk"),
+        F.size(
+            F.filter(c, lambda x: x <= F.element_at("__mk", F.size("__mk")))
+        ).alias("__nb"),
+    )
+    unit = (F.col("__hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPAN)
+    union_est = F.when(
+        F.col("__ku") < k, F.col("__ku").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / unit)
+    inter = (F.col("__nb").cast("double") / F.col("__ku").cast("double")) * union_est
+    return j.select(
+        *group_cols,
+        F.col("__ku").cast("long").alias("ku"),
+        union_est.alias("union_est"),
+        inter.alias("inter_est"),
+    )

@@ -3657,6 +3657,157 @@ def q_approx_customer_overlap_months(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_KMV_RETENTION_ORACLE = f"""
+WITH dm AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m, o_custkey AS c FROM orders
+),
+hs AS (
+  SELECT DISTINCT m,
+         CAST('0x' || substr(md5('kmv#' || CAST(c AS VARCHAR)), 1, 14) AS BIGINT) AS h
+  FROM dm
+),
+sk AS (
+  SELECT m, h FROM hs
+  QUALIFY row_number() OVER (PARTITION BY m ORDER BY h) <= {_KMV_K}
+),
+months AS (SELECT DISTINCT m FROM dm),
+trip AS (
+  SELECT a.m AS ga, b.m AS gb, c.m AS gc
+  FROM months a
+  JOIN months b ON b.m = strftime(CAST(a.m || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m')
+  JOIN months c ON c.m = strftime(CAST(b.m || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m')
+),
+u AS (
+  SELECT DISTINCT ga, gb, gc, h FROM (
+    SELECT t.ga, t.gb, t.gc, s.h FROM trip t JOIN sk s ON s.m = t.ga
+    UNION ALL
+    SELECT t.ga, t.gb, t.gc, s.h FROM trip t JOIN sk s ON s.m = t.gb
+    UNION ALL
+    SELECT t.ga, t.gb, t.gc, s.h FROM trip t JOIN sk s ON s.m = t.gc
+  )
+),
+mk AS (
+  SELECT ga, gb, gc, h FROM u
+  QUALIFY row_number() OVER (PARTITION BY ga, gb, gc ORDER BY h) <= {_KMV_K}
+),
+merged AS (
+  SELECT ga, gb, gc, CAST(count(*) AS BIGINT) AS ku, max(h) AS hk
+  FROM mk GROUP BY 1, 2, 3
+),
+common AS (
+  SELECT t.ga, t.gb, t.gc, s1.h
+  FROM trip t
+  JOIN sk s1 ON s1.m = t.ga
+  JOIN sk s2 ON s2.m = t.gb AND s2.h = s1.h
+  JOIN sk s3 ON s3.m = t.gc AND s3.h = s1.h
+),
+nb AS (
+  SELECT mg.ga, mg.gb, mg.gc, mg.ku, mg.hk, count(c.h) AS n_both
+  FROM merged mg
+  LEFT JOIN common c
+    ON c.ga = mg.ga AND c.gb = mg.gb AND c.gc = mg.gc AND c.h <= mg.hk
+  GROUP BY 1, 2, 3, 4, 5
+),
+ex AS (
+  SELECT t.ga, t.gb, t.gc, CAST(count(*) AS BIGINT) AS n_exact
+  FROM trip t
+  JOIN dm a ON a.m = t.ga
+  JOIN dm b ON b.m = t.gb AND b.c = a.c
+  JOIN dm c2 ON c2.m = t.gc AND c2.c = a.c
+  GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT nb.ga, nb.gb, nb.gc,
+         CASE WHEN nb.ku < {_KMV_K} THEN CAST(nb.ku AS DOUBLE)
+              ELSE {float(_KMV_K - 1)} /
+                   ((CAST(nb.hk AS DOUBLE) + 1.0) / 72057594037927936.0)
+         END AS union_est,
+         (CAST(nb.n_both AS DOUBLE) / CAST(nb.ku AS DOUBLE)) *
+         (CASE WHEN nb.ku < {_KMV_K} THEN CAST(nb.ku AS DOUBLE)
+               ELSE {float(_KMV_K - 1)} /
+                    ((CAST(nb.hk AS DOUBLE) + 1.0) / 72057594037927936.0)
+          END) AS inter_est,
+         COALESCE(ex.n_exact, 0) AS n_exact
+  FROM nb LEFT JOIN ex ON ex.ga = nb.ga AND ex.gb = nb.gb AND ex.gc = nb.gc
+)
+SELECT ga AS month_a, gb AS month_b, gc AS month_c, n_exact, inter_est,
+       CAST(CASE WHEN abs(inter_est - CAST(n_exact AS DOUBLE))
+                      <= 2.5 * union_est / 32.0 + 8.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS kmv_ok
+FROM est
+"""
+
+
+@register(
+    "approx_customer_retention_months",
+    oracle=_KMV_RETENTION_ORACLE,
+    tags=("approx", "scale"),
+)
+def q_approx_customer_retention_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-WAY KMV set algebra: customers active in ALL THREE consecutive
+    months, estimated from the three monthly sketches alone
+    (``operators/sketches.kmv_tuple_overlap``) — the retention-cohort
+    question a 100 TB pipeline answers from O(G*k) sketch rows instead of
+    an n-way fact self-join.  Same determinism contract as the pair query
+    (md5 sketches; estimates hash cross-engine); the error envelope
+    (2.5 * union_EST / sqrt(k) + 8) is keyed to the union estimate — also
+    engine-identical — because the 3-way exact union would itself need
+    inclusion-exclusion over pairwise intersections, which is exactly the
+    work the sketch exists to avoid."""
+    from .operators.sketches import kmv_group_sketch, kmv_tuple_overlap
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.col("o_custkey").alias("c"),
+    )
+    dm = o.distinct()
+    sk = kmv_group_sketch(dm, "m", "c", k=_KMV_K).localCheckpoint()
+    months = sk.select("m").distinct()
+
+    def nxt(col):
+        return F.date_format(
+            F.add_months(F.to_date(F.concat(col, F.lit("-01"))), 1), "yyyy-MM"
+        )
+
+    trip = (
+        months.alias("a")
+        .join(months.alias("b"), F.col("b.m") == nxt(F.col("a.m")))
+        .join(months.alias("c"), F.col("c.m") == nxt(F.col("b.m")))
+        .select(
+            F.col("a.m").alias("month_a"),
+            F.col("b.m").alias("month_b"),
+            F.col("c.m").alias("month_c"),
+        )
+    )
+    est = kmv_tuple_overlap(
+        sk, trip, ["month_a", "month_b", "month_c"], "m", k=_KMV_K
+    )
+    exact = (
+        trip.join(dm.select(F.col("m").alias("month_a"), "c"), "month_a")
+        .join(dm.select(F.col("m").alias("month_b"), "c"), ["month_b", "c"])
+        .join(dm.select(F.col("m").alias("month_c"), "c"), ["month_c", "c"])
+        .groupBy("month_a", "month_b", "month_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    j = est.join(exact, ["month_a", "month_b", "month_c"], "left")
+    return j.select(
+        "month_a",
+        "month_b",
+        "month_c",
+        F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias("n_exact"),
+        "inter_est",
+        (
+            F.abs(
+                F.col("inter_est")
+                - F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).cast("double")
+            )
+            <= 2.5 * F.col("union_est") / 32.0 + 8.0
+        )
+        .cast("long")
+        .alias("kmv_ok"),
+    )
+
+
 @register("feature_view_build_set", oracle=_FEATURE_VIEW_ORACLE, tags=("window", "scale"))
 def q_feature_view_build_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME W1-W6 feature family as ``feature_view_build`` but with the

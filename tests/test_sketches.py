@@ -102,6 +102,45 @@ def test_exact_groups_give_exact_set_estimates(spark):
     assert r.inter_est == 20.0
 
 
+def _py_tuple_overlap(sketches, k):
+    merged = sorted(set().union(*sketches))[:k]
+    ku, hk = len(merged), merged[-1]
+    union_est = float(ku) if ku < k else float(k - 1) / ((hk + 1.0) / _SPAN)
+    common = set(sketches[0])
+    for s in sketches[1:]:
+        common &= set(s)
+    n_all = len([h for h in common if h <= hk])
+    return ku, union_est, (n_all / float(ku)) * union_est
+
+
+def test_tuple_overlap_matches_python_three_way(spark):
+    from retailfeaturestore_spark.operators.sketches import kmv_tuple_overlap
+
+    data = {
+        "a": list(range(0, 1000)),
+        "b": list(range(300, 1300)),
+        "c": list(range(600, 1600)),   # a∩b∩c = 600..999 (400 values)
+        "d": list(range(5000, 5020)),  # disjoint tiny group
+    }
+    k = 64
+    sk = kmv_group_sketch(_groups(spark, data), "g", "v", k=k)
+    trips = spark.createDataFrame(
+        [("a", "b", "c"), ("a", "b", "d")], "g1 string, g2 string, g3 string"
+    )
+    got = {
+        (r.g1, r.g2, r.g3): r
+        for r in kmv_tuple_overlap(sk, trips, ["g1", "g2", "g3"], "g", k=k).collect()
+    }
+    for names in (("a", "b", "c"), ("a", "b", "d")):
+        ku, u, i = _py_tuple_overlap([_py_sketch(data[n], k) for n in names], k)
+        r = got[names]
+        assert r.ku == ku
+        assert r.union_est == u
+        assert r.inter_est == i
+    # the disjoint triple estimates zero exactly
+    assert got[("a", "b", "d")].inter_est == 0.0
+
+
 def test_tournament_equals_single_window_topk(spark):
     # the fanout tournament must select EXACTLY the k smallest hashes
     import random
