@@ -40,6 +40,8 @@ __all__ = [
     "update_kmv_batch",
     "kmv_sketch_stream",
     "read_kmv_state",
+    "update_kmv_batch_mtable",
+    "read_kmv_state_mtable",
 ]
 
 _STATE_SCHEMA = "g string, h long"
@@ -53,8 +55,9 @@ def read_kmv_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if "://" in state_dir:
         raise ValueError(
             f"state path {state_dir!r} has a URI scheme — the parquet "
-            "directory sketch store is local-filesystem only; use a "
-            "lakehouse table (e.g. sources.mtable) for object-store state"
+            "directory sketch store is local-filesystem only; use the "
+            "mtable backend (update_kmv_batch_mtable / "
+            "read_kmv_state_mtable) for object-store state"
         )
     if os.path.isdir(state_dir) and any(
         f.endswith(".parquet") for f in os.listdir(state_dir)
@@ -101,6 +104,68 @@ def update_kmv_batch(
         shutil.rmtree(trash, ignore_errors=True)
     else:
         os.rename(tmp, state_dir)
+
+
+def read_kmv_state_mtable(tbl, version: int | None = None) -> DataFrame:
+    """The mtable-backed sketch state as ``(g, h)`` rows.  ``version``
+    gives SKETCH TIME TRAVEL: the per-group distinct/overlap estimates AS
+    OF any committed batch — a capability the parquet-directory backend
+    cannot offer (each swap destroys the previous state)."""
+    from ..sources.mtable import NoSuchVersion
+
+    try:
+        df = tbl.read(version=version)
+    except NoSuchVersion:
+        return tbl.spark.createDataFrame([], _STATE_SCHEMA)
+    return df.select("g", "h") if df is not None else tbl.spark.createDataFrame(
+        [], _STATE_SCHEMA
+    )
+
+
+def update_kmv_batch_mtable(
+    batch: DataFrame,
+    tbl,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> int:
+    """The mtable-backed fold: same semilattice merge as
+    :func:`update_kmv_batch`, committed as a snapshot-isolated mtable
+    version (``write(mode="overwrite")`` — the state is O(groups x k), so
+    a full rewrite per batch is the cheap, always-consistent choice).
+
+    What the lakehouse backend buys over the parquet-directory swap:
+
+    - **object-store safe**: the commit is one manifest PUT, not a
+      directory rename — this closes the dir backend's documented
+      local-filesystem-only caveat;
+    - **racing-writer safety**: two streams folding into one table
+      serialize through the manifest CAS instead of corrupting a swap;
+    - **sketch time travel**: every batch's state is a retained version —
+      ``read_kmv_state_mtable(tbl, version=n)`` answers "what was the
+      distinct-user overlap as of batch n" (vacuum prunes the horizon);
+    - replay is STILL ledger-free: the semilattice merge makes a replayed
+      batch commit a new version with bit-identical content.
+
+    Returns the committed version."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    inc = kmv_group_sketch(batch, group_col, value_col, k=k).select(
+        F.col(group_col).cast("string").alias("g"), "h"
+    )
+    state = read_kmv_state_mtable(tbl)
+    merged = state.unionByName(inc).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    new = (
+        merged.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+    # the merge reads the CURRENT state and the write replaces it, so the
+    # rows must be computed before the commit swaps the file list
+    new = new.localCheckpoint(eager=True)
+    return tbl.write(new, mode="overwrite")
 
 
 def kmv_sketch_stream(

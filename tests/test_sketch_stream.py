@@ -73,6 +73,40 @@ def test_replay_is_idempotent_without_a_ledger(spark, tmp_path):
     assert after == before
 
 
+def test_mtable_backend_equals_dir_backend_and_time_travels(spark, tmp_path):
+    from retailfeaturestore_spark.sources.mtable import MTable
+    from retailfeaturestore_spark.streaming.sketch_stream import (
+        read_kmv_state_mtable,
+        update_kmv_batch_mtable,
+    )
+
+    tbl = MTable(spark, str(tmp_path / "kmv_mt"))
+    batches = _batches()
+    versions = []
+    for rows in batches:
+        versions.append(
+            update_kmv_batch_mtable(
+                spark.createDataFrame(rows, _SCHEMA), tbl, "g", "v", k=K
+            )
+        )
+    assert versions == [1, 2, 3]
+    # final state == batch sketch of the full prefix (same as dir backend)
+    got = {(r.g, r.h) for r in read_kmv_state_mtable(tbl).collect()}
+    assert got == _full_sketch(spark, batches)
+    # SKETCH TIME TRAVEL: state as of batch i == sketch of prefix i
+    for i, v in enumerate(versions):
+        asof = {(r.g, r.h) for r in read_kmv_state_mtable(tbl, version=v).collect()}
+        assert asof == _full_sketch(spark, batches[: i + 1]), f"version {v}"
+    # ledger-free replay: re-folding the last batch commits a NEW version
+    # with bit-identical content (semilattice idempotence)
+    v4 = update_kmv_batch_mtable(
+        spark.createDataFrame(batches[-1], _SCHEMA), tbl, "g", "v", k=K
+    )
+    assert v4 == 4
+    replayed = {(r.g, r.h) for r in read_kmv_state_mtable(tbl).collect()}
+    assert replayed == got
+
+
 def test_foreachbatch_stream_and_live_overlap_estimates(spark, tmp_path):
     state_dir = str(tmp_path / "kmv_stream_state")
     stream = stage_microbatches(spark, tmp_path, _SCHEMA, _batches())
