@@ -686,6 +686,7 @@ class MTable:
         order_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         files_per_partition: int = 4,
+        zorder_method: str = "linear",
         extra_meta: dict | None = None,
     ) -> int:
         """Small-file OPTIMIZE: rewrite each selected partition (default:
@@ -738,7 +739,7 @@ class MTable:
             if missing:
                 raise ValueError(f"zorder columns not in table: {missing}")
             cols = list(df.columns)
-            z = _zvalue_expr(df, zorder_by)
+            z = _zvalue_expr(df, zorder_by, method=zorder_method)
             # range-split on (partition, z): every task holds one
             # partition value's contiguous z-slab -> partitionBy staging
             # emits one file per slab with tight min/max in every zorder
@@ -768,6 +769,7 @@ class MTable:
         meta = {"compacted": sorted(sel)}
         if zorder_by:
             meta["zorder_by"] = list(zorder_by)
+            meta["zorder_method"] = zorder_method
         meta.update(extra_meta or {})
         # base_version: the rewritten rows are v0's — a commit racing in
         # between must fail the CAS, not be replaced by stale bytes
@@ -830,24 +832,54 @@ class MTable:
         return sorted(deleted)
 
 
-def _zvalue_expr(df: DataFrame, cols: list[str], bits: int = 8):
+def _zvalue_expr(
+    df: DataFrame, cols: list[str], bits: int = 8, method: str = "linear"
+):
     """Interleaved-bit z-value Column over ``cols``.
 
-    Each column is linearly bucketed into ``2**bits`` cells between its
-    global min and max (one tiny driver-side agg — control-plane, 2
-    scalars per column), then the cell indices' bits are interleaved:
-    bit i of column j lands at position ``i*len(cols) + j``.  A contiguous
-    z-range therefore bounds EVERY column to a small axis-aligned box,
-    which is what makes per-file min/max tight in all dimensions at once.
+    Each column is bucketed into ``2**bits`` cells, then the cell indices'
+    bits are interleaved: bit i of column j lands at position
+    ``i*len(cols) + j``.  A contiguous z-range therefore bounds EVERY
+    column to a small axis-aligned box, which is what makes per-file
+    min/max tight in all dimensions at once.
 
-    Linear bucketing is skew-sensitive (a heavy-tailed column wastes cells
-    on its tail); rank/quantile bucketing is the upgrade when that bites —
-    the interleave and everything downstream are unchanged.  Nulls bucket
-    to cell 0 (they sort first, and stats-based pruning never drops files
-    on null bounds).  Everything here is a pure Column expression —
-    whole-stage-codegen, no UDFs, no extra exchange beyond the
-    repartitionByRange that consumes it."""
+    Cell methods (both driver-side literals — control-plane sized):
+
+    - ``linear``: equal-width cells between the column's global min/max
+      (one 2-scalar agg).  Cheapest, but skew-sensitive: a heavy-tailed
+      column wastes most cells on its tail and crams the data mass into
+      a few, so files stop separating where the rows actually are.
+    - ``quantile``: equal-MASS cells from ``approxQuantile`` boundaries
+      (Greenwald-Khanna, one pass, rel-err 0.01 — layout only ever needs
+      approximate bounds).  The cell index is a codegen'd literal-array
+      scan (``2**bits`` comparisons per row per column) — no join, no
+      extra exchange; this is Delta's range-partition-id idea expressed
+      as a pure Column.
+
+    Nulls bucket to cell 0 (they sort first, and stats-based pruning
+    never drops files on null bounds).  Everything here is a pure Column
+    expression consumed by the repartitionByRange that follows."""
     n = 2**bits
+    z = F.lit(0).cast("long")
+    if method == "quantile":
+        qs = [i / n for i in range(1, n)]
+        for j, c in enumerate(cols):
+            bounds = df.stat.approxQuantile(c, qs, 0.01)
+            if not bounds or bounds[0] == bounds[-1]:
+                continue  # constant or all-null column contributes nothing
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            idx = F.aggregate(
+                barr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            )
+            z = _interleave(z, idx, bits, j, len(cols))
+        return z
+    if method != "linear":
+        raise ValueError(f"unknown zorder method {method!r}")
     aggs = []
     for j, c in enumerate(cols):
         aggs += [
@@ -855,7 +887,6 @@ def _zvalue_expr(df: DataFrame, cols: list[str], bits: int = 8):
             F.max(F.col(c).cast("double")).alias(f"__mx{j}"),
         ]
     row = df.agg(*aggs).collect()[0]
-    z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         mn, mx = row[f"__mn{j}"], row[f"__mx{j}"]
         if mn is None or mx is None or mx <= mn:
@@ -871,9 +902,14 @@ def _zvalue_expr(df: DataFrame, cols: list[str], bits: int = 8):
             ),
         )
         idx = F.coalesce(idx, F.lit(0)).cast("long")
-        for i in range(bits):
-            bit = F.shiftright(idx, i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+        z = _interleave(z, idx, bits, j, len(cols))
+    return z
+
+
+def _interleave(z, idx, bits: int, j: int, n_cols: int):
+    for i in range(bits):
+        bit = F.shiftright(idx, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit, i * n_cols + j))
     return z
 
 
