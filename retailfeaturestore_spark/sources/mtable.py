@@ -58,6 +58,13 @@ partition" and "open the three files whose range overlaps the predicate".
 Skipping is strictly conservative: a file with no stats for the column (or
 an un-stats'd commit) is always read, and callers still apply the real
 filter — pruning only ever removes provably-irrelevant IO.
+``bloom_cols=[...]`` additionally records a per-file BLOOM FILTER (md5
+double-hashed, ``bloom_bits`` bits, built inside the same stats scan) so
+EQUALITY probes prune files min/max cannot: a point lookup on a key
+uncorrelated with the layout straddles every file's range, but only the
+files whose bloom contains the key are opened.  Blooms and ranges inherit
+independently through merges/compaction; a bloom can only FALSE-POSITIVE
+(extra IO), never false-negative.
 
 **Schema evolution (additive)**: commits made with ``allow_evolution=True``
 may ADD columns; the manifest schema becomes the union, old files stay
@@ -241,19 +248,79 @@ class MTable:
         return out
 
     def _collect_file_stats(
-        self, staged: dict[str, list[str]], stats_cols: list[str]
+        self,
+        staged: dict[str, list[str]],
+        stats_cols: list[str],
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 4096,
     ) -> dict[str, dict]:
-        """Per-file min/max/null-count for ``stats_cols`` over the files
-        just staged: ONE scan grouped by ``input_file_name()`` (the files
-        are page-cache-hot from the write), O(files x cols) driver state.
-        Returns ``{relpath: {col: {"mn": v, "mx": v, "nulls": n}}}``."""
+        """Per-file min/max/null-count for ``stats_cols`` — and, for
+        ``bloom_cols``, a per-file BLOOM FILTER of the column's values —
+        over the files just staged: ONE scan grouped by
+        ``input_file_name()`` (the files are page-cache-hot from the
+        write), O(files x cols) driver state.
+
+        Blooms serve EQUALITY probes that min/max cannot: a point lookup
+        on a key uncorrelated with the file layout has every file's
+        [min, max] straddling it, but only the files whose bloom contains
+        the key need opening.  Build: 4 md5-derived bit positions per
+        value (Kirsch-Mitzenmacher style, same determinism family as the
+        minhash/KMV hashes), OR-ed into ``bloom_bits`` bits as
+        ``bloom_bits/64`` per-file ``bit_or`` aggregates — pure Column
+        expressions in the same single stats scan.  False positives only
+        ever cost IO; false negatives are impossible for the exact string
+        representation the build hashed (``CAST(col AS STRING)``) — the
+        python probe replays the identical md5 arithmetic.
+
+        Returns ``{relpath: {col: {"mn": v, "mx": v, "nulls": n[, "bf":
+        {"m": bits, "x": hex}]}}}``."""
         rels = [rel for files in staged.values() for rel in files]
-        if not rels or not stats_cols:
+        bloom_cols = list(bloom_cols or [])
+        if not rels or not (stats_cols or bloom_cols):
             return {}
         df = self.spark.read.parquet(*[f"{self.path}/{rel}" for rel in rels])
         cols = [c for c in stats_cols if c in df.columns]
-        if not cols:
+        bcols = [c for c in bloom_cols if c in df.columns]
+        if not cols and not bcols:
             return {}
+        nwords = max(bloom_bits, 64) // 64
+        proj = [F.input_file_name().alias("__f"), "*"]
+        for ci, c in enumerate(bcols):
+            for j in range(4):
+                proj.append(
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"bf{j}#"), F.col(c).cast("string")
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(nwords * 64),
+                    ).alias(f"__p{ci}_{j}")
+                )
+        df = df.select(*proj)
+        # word arrays via a SQL lambda (python shiftleft takes only literal
+        # shift counts): for word w, OR the 4 hash masks that land in it.
+        # NULL values hash to NULL positions -> IF NULL-guards to 0: nulls
+        # set no bits.
+        for ci in range(len(bcols)):
+            term = " | ".join(
+                f"IF(shiftright(__p{ci}_{j}, 6) = w, "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p{ci}_{j} & 63 AS INT)), "
+                f"CAST(0 AS BIGINT))"
+                for j in range(4)
+            )
+            df = df.withColumn(
+                f"__bw{ci}",
+                F.expr(f"transform(sequence(0, {nwords - 1}), w -> ({term}))"),
+            )
         aggs = []
         for i, c in enumerate(cols):
             aggs += [
@@ -261,7 +328,12 @@ class MTable:
                 F.max(c).alias(f"__mx{i}"),
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nl{i}"),
             ]
-        rows = df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        for ci in range(len(bcols)):
+            aggs += [
+                F.bit_or(F.element_at(f"__bw{ci}", w + 1)).alias(f"__bf{ci}_{w}")
+                for w in range(nwords)
+            ]
+        rows = df.groupBy("__f").agg(*aggs).collect()
         # input_file_name is a URI; match manifest relpaths by their last
         # TWO components (partition dir + filename).  Filename alone is
         # NOT unique: a multi-task write emits the same part-<task>-<job>
@@ -275,7 +347,7 @@ class MTable:
             rel = by_suffix.get("/".join(str(r["__f"]).split("/")[-2:]))
             if rel is None:
                 continue
-            out[rel] = {
+            ent = {
                 c: {
                     "mn": _json_scalar(r[f"__mn{i}"]),
                     "mx": _json_scalar(r[f"__mx{i}"]),
@@ -283,6 +355,13 @@ class MTable:
                 }
                 for i, c in enumerate(cols)
             }
+            for ci, c in enumerate(bcols):
+                hexs = "".join(
+                    f"{(r[f'__bf{ci}_{w}'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+                    for w in range(nwords)
+                )
+                ent.setdefault(c, {})["bf"] = {"m": nwords * 64, "x": hexs}
+            out[rel] = ent
         return out
 
     def _schema_fingerprint(self, df: DataFrame, partition_by: str | None) -> str:
@@ -334,6 +413,8 @@ class MTable:
         partition_by: str | None = None,
         extra_meta: dict | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 4096,
         allow_evolution: bool = False,
     ) -> int:
         """Commit ``df`` as a new version.  ``mode``: "overwrite" replaces
@@ -367,7 +448,9 @@ class MTable:
         else:
             v0, m0 = 0, None
         staged = self._stage_files(df, partition_by)
-        stats = self._collect_file_stats(staged, stats_cols or [])
+        stats = self._collect_file_stats(
+            staged, stats_cols or [], bloom_cols, bloom_bits
+        )
         if mode == "append" and m0 is not None:
             merged = {k: list(v) for k, v in m0["partitions"].items()}
             for pval, files in staged.items():
@@ -461,18 +544,25 @@ class MTable:
         # with the requested columns (default: whatever the base version
         # was stats'd with, so a stats table keeps skipping after merges)
         scols = stats_cols
+        base_stats = m0.get("stats") or {}
         if scols is None:
             seen: list[str] = []
-            for ent in (m0.get("stats") or {}).values():
-                seen += [c for c in ent if c not in seen]
+            for ent in base_stats.values():
+                seen += [c for c, v in ent.items() if "mn" in v and c not in seen]
             scols = seen
+        # blooms inherit independently of min/max (an entry may carry
+        # either or both); bits follow the largest bloom already committed
+        bseen: list[str] = []
+        bbits = 4096
+        for ent in base_stats.values():
+            for c, v in ent.items():
+                if "bf" in v:
+                    if c not in bseen:
+                        bseen.append(c)
+                    bbits = max(bbits, int(v["bf"]["m"]))
         live = {rel for files in parts.values() for rel in files}
-        stats = {
-            rel: ent
-            for rel, ent in (m0.get("stats") or {}).items()
-            if rel in live
-        }
-        stats.update(self._collect_file_stats(staged, scols))
+        stats = {rel: ent for rel, ent in base_stats.items() if rel in live}
+        stats.update(self._collect_file_stats(staged, scols, bseen, bbits))
         # live files are heterogeneous once any carried file predates an
         # added column; a commit that replaced EVERY live file resets it
         staged_set = {rel for files in staged.values() for rel in files}
@@ -930,14 +1020,48 @@ def _json_scalar(v):
     return str(v)
 
 
+def _bloom_key(value) -> str | None:
+    """The exact string the Spark-side bloom build hashed
+    (``CAST(col AS STRING)``) for this probe value, or None when the
+    python rendering is not guaranteed to match (then the bloom is simply
+    not consulted — conservative)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _bloom_may_contain(bf: dict, value) -> bool:
+    """False only when the file's bloom PROVES the value absent."""
+    import hashlib
+
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    m, hexs = int(bf["m"]), bf["x"]
+    for j in range(4):
+        p = int(hashlib.md5(f"bf{j}#{key}".encode()).hexdigest()[:8], 16) % m
+        w, b = p // 64, p % 64
+        if not (int(hexs[w * 16 : (w + 1) * 16], 16) >> b) & 1:
+            return False
+    return True
+
+
 def _stats_may_match(file_stats: dict | None, col: str, op: str, value) -> bool:
-    """True unless the file's [min, max] range PROVES no row satisfies
-    ``col op value``.  Missing stats (un-stats'd commit, unknown column,
-    all-null file stats) => True: skipping must never drop a file it
-    cannot reason about."""
+    """True unless the file's [min, max] range — or, for equality probes,
+    its bloom filter — PROVES no row satisfies ``col op value``.  Missing
+    stats (un-stats'd commit, unknown column, all-null file stats) =>
+    True: skipping must never drop a file it cannot reason about."""
     if not file_stats or col not in file_stats:
         return True
     ent = file_stats[col]
+    if op == "=" and "bf" in ent and not _bloom_may_contain(ent["bf"], value):
+        return False
+    if "mn" not in ent and "mx" not in ent:
+        return True  # bloom-only entry: no range to reason with
     mn, mx = ent.get("mn"), ent.get("mx")
     if mn is None or mx is None:  # all-null file: no non-null row matches,
         return False              # and NULL op value is never true
