@@ -3492,6 +3492,66 @@ def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "value", "day")
 
 
+_BLOOM_SCAN_ORACLE = """
+SELECT event_id, user_id, value, strftime(ts, '%Y-%m-%d') AS day
+FROM events
+WHERE user_id = 7
+"""
+
+
+@register(
+    "events_bloom_point_lookup",
+    oracle=_BLOOM_SCAN_ORACLE,
+    tags=("acid", "sink", "scale"),
+)
+def q_events_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-FILTER data skipping driven through the driver gate:
+    events committed to an mtable (day-partitioned, several files per day)
+    with blooms on ``user_id``, read back through an equality probe.  The
+    key is UNCORRELATED with the layout — every file's [min, max] range
+    straddles any user id, so min/max skipping reads everything and the
+    bloom is the only thing standing between a point lookup and a full
+    scan.  The oracle is the plain SQL filter: a bloom false NEGATIVE
+    (impossible by construction — the python probe replays the build's md5
+    arithmetic) would drop rows and fail the hash; false positives only
+    cost IO.  Pruning-count assertions live in tests/test_mtable_bloom.py
+    — the oracle certifies values, the suite certifies the IO shrinks."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.mtable import MTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
+    if dirs is None:
+        dirs = spark._rfs_mtable_q_dirs = {}
+    key = f"{sf_dir}#bloom"
+    prev = dirs.pop(key, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = os.path.join(tempfile.gettempdir(), "rfs_mtable_bf", uuid.uuid4().hex)
+    dirs[key] = root
+
+    tbl = MTable(spark, root)
+    tbl.write(
+        ev.repartition(4),
+        partition_by="day",
+        bloom_cols=["user_id"],
+        bloom_bits=4096,
+    )
+    snap = tbl.read(prune=[("user_id", "=", 7)])
+    # pruning is conservative IO elimination, never the filter itself
+    return snap.where(F.col("user_id") == 7).select(
+        "event_id", "user_id", "value", "day"
+    )
+
+
 _KMV_K = 1024  # sqrt(k) = 32 exactly — the error envelope divides by it
 
 _KMV_OVERLAP_ORACLE = f"""
