@@ -644,6 +644,117 @@ class MTable:
             allow_evolution=allow_evolution,
         )
 
+    def delete(
+        self,
+        condition,
+        prune: list[tuple] | None = None,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Row-level DELETE: remove every row where ``condition`` is TRUE
+        (a Column or SQL string; NULL-condition rows are KEPT, standard
+        DELETE semantics), rewriting ONLY the files that could contain a
+        match — the GDPR-delete shape.
+
+        ``prune`` is the same ``[(col, op, value), ...]`` list as
+        :meth:`read` and MUST be a conservative superset of ``condition``
+        (every row the condition matches must satisfy the prune
+        predicates — e.g. ``condition="user_id = 7"`` with
+        ``prune=[("user_id", "=", 7)]``): files whose stats/bloom prove no
+        match are carried BY REFERENCE, byte-identical, so a point delete
+        against a bloom'd key touches only the bloom's candidate files
+        instead of the table.  No ``prune`` = every file is a rewrite
+        candidate (correct, just maximally expensive).
+
+        Snapshot semantics: committed as one new version (CAS on the base
+        read at entry — a racing commit raises :class:`ConcurrentCommit`);
+        older versions still read the deleted rows until vacuum.  Files
+        emptied by the delete are dropped; a fully-emptied partition
+        disappears.  Returns the committed version (the current one when
+        pruning proves nothing to rewrite)."""
+        cur = self._latest()
+        if cur is None:
+            raise ValueError("delete needs an existing table")
+        v0, m0 = cur
+        pby = m0["partition_by"]
+        stats = m0.get("stats") or {}
+        cand: list[str] = []
+        for files in m0["partitions"].values():
+            for rel in files:
+                if prune is not None and not all(
+                    _stats_may_match(stats.get(rel), c, op, v)
+                    for c, op, v in prune
+                ):
+                    continue  # provably match-free: carried by reference
+                cand.append(rel)
+        if not cand:
+            return v0
+        reader = self.spark.read
+        if m0.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[f"{self.path}/{rel}" for rel in cand])
+        if m0.get("evolved"):
+            for name, typ in self._parse_schema(m0["schema"]).items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(typ))
+        if pby:
+            df = df.withColumn(
+                pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+            )
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        kept = df.where(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+        if pby:
+            width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            kept = kept.repartition(width, F.col(pby))
+        staged = self._stage_files(kept, pby)
+        cand_set = set(cand)
+        parts: dict[str, list[str]] = {}
+        for pval, files in m0["partitions"].items():
+            untouched = [r for r in files if r not in cand_set]
+            if untouched:
+                parts[pval] = untouched
+        for pval, files in staged.items():
+            parts[pval] = sorted(parts.get(pval, []) + files)
+        # stats: carry untouched by reference; re-stat the rewritten files
+        # with the table's inherited range AND bloom column sets
+        scols: list[str] = []
+        bseen: list[str] = []
+        bbits = 4096
+        for ent in stats.values():
+            for c, v in ent.items():
+                if "mn" in v and c not in scols:
+                    scols.append(c)
+                if "bf" in v:
+                    if c not in bseen:
+                        bseen.append(c)
+                    bbits = max(bbits, int(v["bf"]["m"]))
+        live = {rel for files in parts.values() for rel in files}
+        new_stats = {rel: ent for rel, ent in stats.items() if rel in live}
+        new_stats.update(self._collect_file_stats(staged, scols, bseen, bbits))
+        staged_set = {rel for files in staged.values() for rel in files}
+        evolved = bool(live - staged_set) and bool(m0.get("evolved"))
+        meta = {
+            "delete_rewrote_files": len(cand),
+            "delete_untouched_files": sum(
+                len(v) for v in m0["partitions"].values()
+            )
+            - len(cand),
+        }
+        meta.update(extra_meta or {})
+        manifest = {
+            "version": v0 + 1,
+            "parent": v0,
+            "operation": "delete",
+            "partition_by": pby,
+            "schema": m0["schema"],
+            "partitions": parts,
+            "stats": new_stats,
+            "committed_at_ms": int(time.time() * 1000),
+            "meta": meta,
+        }
+        if evolved:
+            manifest["evolved"] = True
+        return self._commit(manifest, v0 + 1)
+
     # -- read paths ---------------------------------------------------------
 
     def read(

@@ -1,0 +1,98 @@
+"""Row-level DELETE: stats/bloom-pruned file-surgical rewrites, untouched
+files carried by reference (byte-identical rel paths), snapshot isolation,
+NULL-condition keep semantics, emptied files/partitions dropped.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retailfeaturestore_spark.sources.mtable import ConcurrentCommit, MTable
+
+
+def _table(spark, tmp_path, name, **write_kw):
+    rows = [(i, i % 977, f"d{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, u long, d string").repartition(4)
+    t = MTable(spark, str(tmp_path / name))
+    t.write(df, partition_by="d", **write_kw)
+    return t
+
+
+def test_pruned_delete_touches_only_candidate_files(spark, tmp_path):
+    t = _table(
+        spark, tmp_path, "dl", stats_cols=["k"], bloom_cols=["u"], bloom_bits=4096
+    )
+    m1 = t._read_manifest(1)
+    before_files = {r for fs in m1["partitions"].values() for r in fs}
+    v = t.delete("u = 7", prune=[("u", "=", 7)])
+    assert v == 2
+    m2 = t._read_manifest(2)
+    after_files = {r for fs in m2["partitions"].values() for r in fs}
+    carried = before_files & after_files
+    # bloom pruning left SOME original files byte-identical by reference
+    assert carried, "no file carried by reference"
+    assert m2["meta"]["delete_untouched_files"] == len(carried)
+    # row set = original minus deleted
+    got = {(r.k, r.u) for r in t.read().collect()}
+    assert got == {(i, i % 977) for i in range(3000) if i % 977 != 7}
+    # snapshot isolation: version 1 still has the deleted rows
+    n_deleted = len([i for i in range(3000) if i % 977 == 7])
+    assert t.read(version=1).where("u = 7").count() == n_deleted
+    # rewritten files re-stat'd with the inherited range AND bloom sets
+    for rel in after_files - carried:
+        ent = m2["stats"][rel]
+        assert "mn" in ent["k"] and "bf" in ent["u"], rel
+
+
+def test_range_pruned_delete_and_emptied_partition_drops(spark, tmp_path):
+    rows = [(i, "1" if i < 100 else "2") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, d string").repartition(2)
+    t = MTable(spark, str(tmp_path / "dl2"))
+    t.write(df, partition_by="d", stats_cols=["k"])
+    # delete everything in partition 2's range; partition 1's files are
+    # provably out of range -> carried by reference
+    m1 = t._read_manifest(1)
+    v = t.delete("k >= 100", prune=[("k", ">=", 100)])
+    m2 = t._read_manifest(v)
+    assert "2" not in m2["partitions"], "fully-emptied partition must drop"
+    assert set(m2["partitions"]["1"]) == set(m1["partitions"]["1"])
+    assert {r.k for r in t.read().collect()} == set(range(100))
+
+
+def test_null_condition_rows_are_kept(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 5.0, "1"), (2, None, "1"), (3, 90.0, "1")], "k long, v double, d string"
+    )
+    t = MTable(spark, str(tmp_path / "dl3"))
+    t.write(df, partition_by="d")
+    t.delete(F.col("v") > 50.0)
+    assert {r.k for r in t.read().collect()} == {1, 2}  # NULL v survives
+
+
+def test_delete_nothing_is_a_noop_version(spark, tmp_path):
+    t = _table(spark, tmp_path, "dl4", stats_cols=["k"])
+    # prune proves no file can match -> no new version at all
+    v = t.delete("k = -5", prune=[("k", "=", -5)])
+    assert v == 1
+    assert t.versions() == [1]
+
+
+def test_delete_loses_cas_to_a_commit_racing_its_base(spark, tmp_path, monkeypatch):
+    t = _table(spark, tmp_path, "dl5")
+    # interleave a racing writer between delete()'s base read and its
+    # commit: hook _stage_files (runs after the base read) to claim the
+    # next version first
+    real_stage = MTable._stage_files
+
+    def stage_and_race(self, df, partition_by):
+        out = real_stage(self, df, partition_by)
+        racer = t._read_manifest(1)
+        racer["version"] = 2
+        racer["parent"] = 1
+        t._commit(dict(racer), 2)
+        return out
+
+    monkeypatch.setattr(MTable, "_stage_files", stage_and_race)
+    with pytest.raises(ConcurrentCommit):
+        t.delete("u = 3")
