@@ -75,9 +75,15 @@ files).  Drops/retypes/renames still raise — those need a rewrite, the
 same stance as Delta without ``overwriteSchema``.  A commit that replaces
 every live file re-homogenizes the table and clears the flag.
 
+**Row-level DELETE**: ``delete(condition, prune=...)`` rewrites only the
+files stats/blooms cannot prove match-free (everything else carried by
+reference) and commits one snapshot version — copy-on-write deletes, the
+GDPR shape.
+
 What this deliberately does NOT implement (and real Delta/Iceberg add):
 multi-table transactions, non-additive schema evolution (drop/retype/
-rename), and object-store conditional-PUT CAS.
+rename), deletion vectors (merge-on-read deletes — ours are
+copy-on-write), and object-store conditional-PUT CAS.
 """
 
 from __future__ import annotations
