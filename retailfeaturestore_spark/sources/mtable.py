@@ -677,9 +677,69 @@ class MTable:
         emptied by the delete are dropped; a fully-emptied partition
         disappears.  Returns the committed version (the current one when
         pruning proves nothing to rewrite)."""
+
+        def drop_matched(df, matched):
+            return df.where(~matched)
+
+        return self._rewrite_matching(
+            condition, drop_matched, "delete", prune, extra_meta
+        )
+
+    def update(
+        self,
+        condition,
+        set: dict,
+        prune: list[tuple] | None = None,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Row-level UPDATE: for every row where ``condition`` is TRUE
+        (NULL-condition rows unchanged), assign each ``set`` column its
+        expression (Column or SQL string; expressions see the PRE-update
+        row, standard UPDATE semantics, and may not add columns — use
+        schema evolution + merge for that).  Same file-surgical economics
+        and snapshot/CAS semantics as :meth:`delete`: ``prune`` must be a
+        conservative superset of the condition, and every file it proves
+        match-free is carried by reference."""
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+
+        def apply_set(df, matched):
+            unknown = sorted(k for k in assigns if k not in df.columns)
+            if unknown:
+                raise ValueError(f"UPDATE SET of unknown columns: {unknown}")
+            # ONE select so every assignment resolves against the ORIGINAL
+            # row (sequential withColumn would feed assignment 2 the value
+            # assignment 1 just wrote — a swap like SET k=u, u=k breaks)
+            return df.select(
+                *[
+                    F.when(matched, assigns[c]).otherwise(F.col(c)).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        return self._rewrite_matching(
+            condition, apply_set, "update", prune, extra_meta
+        )
+
+    def _rewrite_matching(
+        self,
+        condition,
+        transform,
+        operation: str,
+        prune: list[tuple] | None,
+        extra_meta: dict | None,
+    ) -> int:
+        """Shared copy-on-write DML core (DELETE/UPDATE): select rewrite
+        candidates via stats/bloom pruning, apply ``transform(df, matched)``
+        to the candidate rows, stage the result, and commit a manifest that
+        replaces exactly the candidate files — everything else by
+        reference."""
         cur = self._latest()
         if cur is None:
-            raise ValueError("delete needs an existing table")
+            raise ValueError(f"{operation} needs an existing table")
         v0, m0 = cur
         pby = m0["partition_by"]
         stats = m0.get("stats") or {}
@@ -707,7 +767,16 @@ class MTable:
                 pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
             )
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        kept = df.where(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+        matched = F.coalesce(cond.cast("boolean"), F.lit(False))
+        kept = transform(df, matched)
+        fp = self._schema_fingerprint(kept, pby)
+        if fp != m0["schema"]:
+            # e.g. an UPDATE SET whose expression retypes the column: the
+            # when/otherwise unification widens the type and the rewritten
+            # files would silently diverge from the manifest schema
+            raise ValueError(
+                f"{operation} changed the schema: {fp} != {m0['schema']}"
+            )
         if pby:
             width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             kept = kept.repartition(width, F.col(pby))
@@ -739,8 +808,8 @@ class MTable:
         staged_set = {rel for files in staged.values() for rel in files}
         evolved = bool(live - staged_set) and bool(m0.get("evolved"))
         meta = {
-            "delete_rewrote_files": len(cand),
-            "delete_untouched_files": sum(
+            f"{operation}_rewrote_files": len(cand),
+            f"{operation}_untouched_files": sum(
                 len(v) for v in m0["partitions"].values()
             )
             - len(cand),
@@ -749,7 +818,7 @@ class MTable:
         manifest = {
             "version": v0 + 1,
             "parent": v0,
-            "operation": "delete",
+            "operation": operation,
             "partition_by": pby,
             "schema": m0["schema"],
             "partitions": parts,

@@ -78,6 +78,53 @@ def test_delete_nothing_is_a_noop_version(spark, tmp_path):
     assert t.versions() == [1]
 
 
+def test_update_assigns_from_preupdate_row_and_prunes(spark, tmp_path):
+    t = _table(
+        spark, tmp_path, "up1", stats_cols=["k"], bloom_cols=["u"], bloom_bits=4096
+    )
+    m1 = t._read_manifest(1)
+    before_files = {r for fs in m1["partitions"].values() for r in fs}
+    # swap-style double assignment: both expressions must see the ORIGINAL row
+    v = t.update(
+        "u = 7", set={"k": "k + 1000000", "u": "k"}, prune=[("u", "=", 7)]
+    )
+    m2 = t._read_manifest(v)
+    after_files = {r for fs in m2["partitions"].values() for r in fs}
+    assert before_files & after_files, "no file carried by reference"
+    got = {(r.k, r.u) for r in t.read().collect()}
+    want = {
+        (i + 1000000, i) if i % 977 == 7 else (i, i % 977) for i in range(3000)
+    }
+    assert got == want
+    # unchanged via time travel
+    assert t.read(version=1).where("u = 7").count() == len(
+        [i for i in range(3000) if i % 977 == 7]
+    )
+
+
+def test_update_null_condition_rows_unchanged(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 5.0, "1"), (2, None, "1"), (3, 90.0, "1")], "k long, v double, d string"
+    )
+    t = MTable(spark, str(tmp_path / "up2"))
+    t.write(df, partition_by="d")
+    t.update(F.col("v") > 50.0, set={"v": F.col("v") * 2})
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, 5.0), (2, None), (3, 180.0)}
+
+
+def test_update_rejects_retypes_and_unknown_columns(spark, tmp_path):
+    t = _table(spark, tmp_path, "up3")
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update("u = 1", set={"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="changed the schema"):
+        # long -> double: when/otherwise widens the column type, which
+        # would silently diverge the rewritten files from the manifest
+        t.update("u = 1", set={"u": F.lit(1.5)})
+    # failed updates commit nothing
+    assert t.versions() == [1]
+
+
 def test_delete_loses_cas_to_a_commit_racing_its_base(spark, tmp_path, monkeypatch):
     t = _table(spark, tmp_path, "dl5")
     # interleave a racing writer between delete()'s base read and its
