@@ -370,6 +370,104 @@ class MTable:
             out[rel] = ent
         return out
 
+    def _collect_file_ndv(
+        self,
+        staged: dict[str, list[str]],
+        ndv_cols: list[str],
+        k: int = 64,
+    ) -> dict[str, dict]:
+        """Per-file KMV distinct-value sketch for ``ndv_cols`` (the k
+        smallest md5 hashes of each file's values — ``operators/sketches``
+        semantics keyed by file): stored in the manifest, these make
+        :meth:`ndv` a ZERO-JOB table statistic, because k-min sketches form
+        a join-semilattice — the k-min of the union of per-file sketches
+        IS the whole table's sketch, exactly.  One windowed pass over the
+        page-cache-hot staged files per call (separate from the aggregate
+        stats scan: sketches need per-file top-k windows, not aggs).
+        Returns ``{relpath: {col: [k smallest hashes]}}``."""
+        from pyspark.sql import Window
+
+        from ..operators.sketches import kmv_hash
+
+        rels = [rel for files in staged.values() for rel in files]
+        if not rels or not ndv_cols:
+            return {}
+        df = self.spark.read.parquet(*[f"{self.path}/{rel}" for rel in rels])
+        cols = [c for c in ndv_cols if c in df.columns]
+        if not cols:
+            return {}
+        out: dict[str, dict] = {}
+        by_suffix = {"/".join(rel.split("/")[-2:]): rel for rel in rels}
+        for c in cols:
+            hashed = (
+                df.select(F.input_file_name().alias("__f"), kmv_hash(F.col(c)).alias("h"))
+                .where(F.col("h").isNotNull())
+                .distinct()
+            )
+            w = Window.partitionBy("__f").orderBy("h")
+            rows = (
+                hashed.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= k)
+                .groupBy("__f")
+                .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+                .collect()
+            )
+            for r in rows:
+                rel = by_suffix.get("/".join(str(r["__f"]).split("/")[-2:]))
+                if rel is not None:
+                    out.setdefault(rel, {})[c] = [int(h) for h in r["hs"]]
+        return out
+
+    def ndv(
+        self,
+        col: str,
+        version: int | None = None,
+        partitions: list[str] | None = None,
+        k: int = 64,
+    ) -> float:
+        """Estimated distinct-value count of ``col`` over the selected
+        snapshot — computed ENTIRELY from the manifest's per-file KMV
+        sketches (``ndv_cols`` commits), no Spark job, no file IO.  The
+        per-file sketches merge exactly (semilattice), so this equals the
+        estimate a direct whole-table sketch would give; files holding
+        fewer than k distinct values contribute their complete hash sets
+        and a small table degrades to an EXACT count.  Raises if any
+        selected file lacks a sketch for the column (conservative: a
+        partial estimate would silently undercount)."""
+        if version is None:
+            cur = self._latest()
+            if cur is None:
+                raise NoSuchVersion(f"{self.path} has no committed version")
+            version, m = cur
+        else:
+            m = self._read_manifest(version)
+        sel = m["partitions"]
+        if partitions is not None:
+            want = {str(p) for p in partitions}
+            sel = {kk: v for kk, v in sel.items() if kk in want}
+        stats = m.get("stats") or {}
+        merged: set[int] = set()
+        missing = []
+        for files in sel.values():
+            for rel in files:
+                ent = (stats.get(rel) or {}).get(col) or {}
+                hs = ent.get("kmv")
+                if hs is None:
+                    missing.append(rel)
+                else:
+                    merged.update(hs)
+        if missing:
+            raise ValueError(
+                f"no KMV sketch for {col!r} on {len(missing)} file(s) "
+                f"(first: {missing[0]}); commit with ndv_cols=[{col!r}]"
+            )
+        if not merged:
+            return 0.0
+        smallest = sorted(merged)[:k]
+        if len(smallest) < k:
+            return float(len(smallest))  # complete hash sets: exact
+        return float(k - 1) / ((smallest[-1] + 1.0) / float(2**56))
+
     def _schema_fingerprint(self, df: DataFrame, partition_by: str | None) -> str:
         cols = [
             f"{f.name}:{f.dataType.simpleString()}"
@@ -421,6 +519,7 @@ class MTable:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 4096,
+        ndv_cols: list[str] | None = None,
         allow_evolution: bool = False,
     ) -> int:
         """Commit ``df`` as a new version.  ``mode``: "overwrite" replaces
@@ -457,6 +556,7 @@ class MTable:
         stats = self._collect_file_stats(
             staged, stats_cols or [], bloom_cols, bloom_bits
         )
+        _merge_ndv(stats, self._collect_file_ndv(staged, ndv_cols or []))
         if mode == "append" and m0 is not None:
             merged = {k: list(v) for k, v in m0["partitions"].items()}
             for pval, files in staged.items():
@@ -566,9 +666,15 @@ class MTable:
                     if c not in bseen:
                         bseen.append(c)
                     bbits = max(bbits, int(v["bf"]["m"]))
+        nseen: list[str] = []
+        for ent in base_stats.values():
+            for c, v in ent.items():
+                if "kmv" in v and c not in nseen:
+                    nseen.append(c)
         live = {rel for files in parts.values() for rel in files}
         stats = {rel: ent for rel, ent in base_stats.items() if rel in live}
         stats.update(self._collect_file_stats(staged, scols, bseen, bbits))
+        _merge_ndv(stats, self._collect_file_ndv(staged, nseen))
         # live files are heterogeneous once any carried file predates an
         # added column; a commit that replaced EVERY live file resets it
         staged_set = {rel for files in staged.values() for rel in files}
@@ -802,9 +908,15 @@ class MTable:
                     if c not in bseen:
                         bseen.append(c)
                     bbits = max(bbits, int(v["bf"]["m"]))
+        nseen: list[str] = []
+        for ent in stats.values():
+            for c, v in ent.items():
+                if "kmv" in v and c not in nseen:
+                    nseen.append(c)
         live = {rel for files in parts.values() for rel in files}
         new_stats = {rel: ent for rel, ent in stats.items() if rel in live}
         new_stats.update(self._collect_file_stats(staged, scols, bseen, bbits))
+        _merge_ndv(new_stats, self._collect_file_ndv(staged, nseen))
         staged_set = {rel for files in staged.values() for rel in files}
         evolved = bool(live - staged_set) and bool(m0.get("evolved"))
         meta = {
@@ -1106,6 +1218,15 @@ class MTable:
             if v not in keep:
                 fs.delete(_jpath(jvm, self._manifest_path(v)), False)
         return sorted(deleted)
+
+
+def _merge_ndv(stats: dict, ndv: dict) -> None:
+    """Attach per-file KMV sketch lists into the stats entries in place
+    (``stats[rel][col]["kmv"] = [hashes]``)."""
+    for rel, cols in ndv.items():
+        ent = stats.setdefault(rel, {})
+        for c, hs in cols.items():
+            ent.setdefault(c, {})["kmv"] = hs
 
 
 def _zvalue_expr(
