@@ -14,7 +14,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["register_persisted", "get_or_register"]
+__all__ = ["register_persisted", "get_or_register", "session_memo"]
 
 
 def _registry(spark: SparkSession) -> dict:
@@ -52,3 +52,16 @@ def get_or_register(
     df = build().persist()
     reg[key] = df
     return df
+
+
+def session_memo(spark: SparkSession) -> dict:
+    """Session memo for driver-side python artifacts (PQ codebooks,
+    quantized query rows) that pair with a registered persisted frame.
+    Keys are tuples whose [1] element is the dataset scope, same contract
+    as the persisted-frame registry, so ``queries.invalidate_caches``
+    evicts memo entries and frames together — a table rewrite can never
+    leave stale codebooks serving a fresh corpus."""
+    memo = getattr(spark, "_rfs_memo", None)
+    if memo is None:
+        memo = spark._rfs_memo = {}
+    return memo

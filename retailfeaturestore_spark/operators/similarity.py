@@ -42,6 +42,7 @@ __all__ = [
     "kmeans_cells",
     "ivf_topk_cells",
     "pq_topk_adc",
+    "pq_topk_adc_resident",
     "build_pq_index",
     "append_pq_index",
     "load_pq_index",
@@ -544,6 +545,93 @@ def pq_topk_adc(
     )
     return _adc_scored_topk(
         coded, cents, qrows, m=m, k_codes=k_codes,
+        k_neighbors=k_neighbors, exclude_self=True,
+    )
+
+
+def pq_topk_adc_resident(
+    corpus: DataFrame,
+    query_ids,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_scope: str | None = None,
+) -> DataFrame:
+    """Serving-semantics PQ ANN: train once per dataset, score per request.
+
+    The first call per ``cache_scope`` pays the identical honest build as
+    :func:`pq_topk_adc` (deterministic Lloyd training + corpus encoding);
+    every later call reuses the memoized codebooks and the PERSISTED
+    encoded corpus and pays only the ADC scoring map + one top-k window —
+    the resident-pipeline lifecycle where an index is (re)built on a
+    schedule and served many times (the in-session analogue of
+    :func:`build_pq_index`/:func:`search_pq_index`; VERDICT r9 next-round
+    #2).  ``queries.invalidate_caches`` evicts the codebook memo and the
+    encoded frame together by scope, so a table rewrite forces retraining.
+    Results are bit-identical to :func:`pq_topk_adc` (same codebooks, same
+    integer ADC, same tiebreak), which is what keeps the SQL oracle —
+    always a fresh-session honest build — hash-exact on either path."""
+    from ._cache import get_or_register, session_memo
+
+    query_ids = list(query_ids)
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    spark = corpus.sparkSession
+    memo = session_memo(spark)
+    mk = ("pq_resident_model", cache_scope)
+    qk = ("pq_resident_queries", cache_scope, tuple(sorted(query_ids)))
+    if mk not in memo:
+        cents, coded0, seed_vecs = pq_train_encode(
+            corpus, m=m, k_codes=k_codes, iters=iters, vec_col=vec_col,
+            id_col=id_col, cache_scope=cache_scope,
+        )
+        missing = [qid for qid in query_ids if qid not in seed_vecs]
+        fetched = {
+            int(r["id"]): [int(x) for x in r["__q"]]
+            for r in (
+                coded0.where(F.col("id").isin(missing)).select("id", "__q").collect()
+                if missing
+                else ()
+            )
+        }
+        absent = [qid for qid in missing if qid not in fetched]
+        if absent:
+            raise ValueError(f"query ids not present in the corpus: {absent[:10]}")
+        memo[mk] = cents
+        memo[qk] = sorted(
+            (int(qid), seed_vecs.get(qid) or fetched[qid]) for qid in query_ids
+        )
+    cents = memo[mk]
+    w = len(cents[0][0][1])
+    coded = get_or_register(
+        spark,
+        ("pq_resident_codes", cache_scope),
+        lambda: corpus.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+        )
+        .withColumn(
+            "__codes",
+            F.array(*[_pq_code_expr(cents[s], s * w + 1, w) for s in range(m)]),
+        )
+        .select("id", "__q", "__codes"),
+    )
+    if qk not in memo:  # new query set against the resident index
+        fetched = {
+            int(r["id"]): [int(x) for x in r["__q"]]
+            for r in coded.where(F.col("id").isin(query_ids))
+            .select("id", "__q")
+            .collect()
+        }
+        absent = [qid for qid in query_ids if qid not in fetched]
+        if absent:
+            raise ValueError(f"query ids not present in the corpus: {absent[:10]}")
+        memo[qk] = sorted((int(qid), fetched[qid]) for qid in query_ids)
+    return _adc_scored_topk(
+        coded, cents, memo[qk], m=m, k_codes=k_codes,
         k_neighbors=k_neighbors, exclude_self=True,
     )
 

@@ -76,6 +76,10 @@ def kmv_group_sketch(
     """
     hashed = (
         df.select(F.col(group_col), kmv_hash(F.col(value_col)).alias("h"))
+        # NULL values hash to NULL; without this filter the (g, NULL) row
+        # survives both tournament windows (Spark orders NULLs FIRST asc),
+        # wasting a sketch slot and diverging from DuckDB's NULLS-LAST
+        .where(F.col("h").isNotNull())
         .groupBy(group_col, "h")
         .agg(F.lit(1))  # map-side combinable distinct
         .select(group_col, "h")

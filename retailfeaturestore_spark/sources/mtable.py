@@ -290,6 +290,11 @@ class MTable:
         if not cols and not bcols:
             return {}
         nwords = max(bloom_bits, 64) // 64
+        # record each bloom'd column's Spark type so probe-time key
+        # rendering can refuse types whose python str() provably differs
+        # from Spark's CAST-to-string (e.g. int probe vs DOUBLE column
+        # renders "7" vs "7.0" -> bloom FALSE NEGATIVE -> silent row loss)
+        btypes = {c: df.schema[c].dataType.simpleString() for c in bcols}
         proj = [F.input_file_name().alias("__f"), "*"]
         for ci, c in enumerate(bcols):
             for j in range(4):
@@ -366,7 +371,11 @@ class MTable:
                     f"{(r[f'__bf{ci}_{w}'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
                     for w in range(nwords)
                 )
-                ent.setdefault(c, {})["bf"] = {"m": nwords * 64, "x": hexs}
+                ent.setdefault(c, {})["bf"] = {
+                    "m": nwords * 64,
+                    "x": hexs,
+                    "t": btypes[c],
+                }
             out[rel] = ent
         return out
 
@@ -526,7 +535,11 @@ class MTable:
         the whole table; "append" carries every existing file forward and
         adds the new ones.  ``stats_cols`` records per-file min/max/null
         stats for data skipping (see module docstring); append commits
-        carry existing files' stats forward.  ``allow_evolution=True``
+        carry existing files' stats forward, and an append that leaves
+        ``stats_cols``/``bloom_cols``/``ndv_cols`` unset inherits the
+        table's existing stats/bloom/ndv column sets so pruning and
+        ``ndv()`` keep working on the appended files (pass ``[]`` to
+        explicitly stat nothing).  ``allow_evolution=True``
         permits an append whose schema ADDS columns (additive evolution —
         readers surface the union schema with typed nulls for files written
         before the column existed; drop/retype still raise).  Returns the
@@ -553,6 +566,35 @@ class MTable:
         else:
             v0, m0 = 0, None
         staged = self._stage_files(df, partition_by)
+        # an append that does not say which columns to stat inherits the
+        # table's existing stats/bloom/ndv column sets (exactly as
+        # overwrite_partitions does) — otherwise a plain append committed
+        # stat-less files, silently degrading pruning and making ndv()
+        # raise on a previously ndv_cols-committed table (ADVICE r9)
+        if mode == "append" and m0 is not None:
+            base_stats = m0.get("stats") or {}
+            if stats_cols is None:
+                stats_cols = []
+                for ent in base_stats.values():
+                    stats_cols += [
+                        c for c, v in ent.items()
+                        if "mn" in v and c not in stats_cols
+                    ]
+            if bloom_cols is None:
+                bloom_cols = []
+                for ent in base_stats.values():
+                    for c, v in ent.items():
+                        if "bf" in v:
+                            if c not in bloom_cols:
+                                bloom_cols.append(c)
+                            bloom_bits = max(bloom_bits, int(v["bf"]["m"]))
+            if ndv_cols is None:
+                ndv_cols = []
+                for ent in base_stats.values():
+                    ndv_cols += [
+                        c for c, v in ent.items()
+                        if "kmv" in v and c not in ndv_cols
+                    ]
         stats = self._collect_file_stats(
             staged, stats_cols or [], bloom_cols, bloom_bits
         )
@@ -1327,17 +1369,48 @@ def _json_scalar(v):
     return str(v)
 
 
-def _bloom_key(value) -> str | None:
+_BLOOM_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _bloom_key(value, dtype: str | None) -> str | None:
     """The exact string the Spark-side bloom build hashed
     (``CAST(col AS STRING)``) for this probe value, or None when the
     python rendering is not guaranteed to match (then the bloom is simply
-    not consulted — conservative)."""
-    if isinstance(value, bool):
-        return "true" if value else "false"
-    if isinstance(value, int):
-        return str(value)
-    if isinstance(value, str):
-        return value
+    not consulted — conservative).
+
+    ``dtype`` is the bloom'd column's Spark type recorded at build time
+    (``bf["t"]``); probe keys are only produced for (type, probe) pairs
+    whose python rendering provably equals Spark's CAST-to-string.  An
+    int probe against a DOUBLE column, for example, would render "7"
+    while the build hashed "7.0" — a guaranteed bloom FALSE NEGATIVE
+    that silently pruned files containing matching rows, so such probes
+    fall back to range-only pruning.  Manifests committed before types
+    were recorded (no ``"t"``) only allow string probes.
+    """
+    import datetime
+
+    if dtype in _BLOOM_INT_TYPES:
+        if isinstance(value, bool):
+            return None  # CAST(int AS STRING) never renders true/false
+        if isinstance(value, int):
+            return str(value)
+        if isinstance(value, float) and value.is_integer():
+            return str(int(value))  # equal int exists; build hashed it
+        return None
+    if dtype == "string":
+        return value if isinstance(value, str) else None
+    if dtype == "boolean":
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        return None
+    if dtype == "date":
+        if isinstance(value, datetime.datetime):
+            return None
+        if isinstance(value, datetime.date):
+            return value.isoformat()  # Spark CAST(date AS STRING) is ISO
+        return None
+    if dtype is None and isinstance(value, str):
+        return value  # legacy manifest: strings render identically
     return None
 
 
@@ -1345,7 +1418,7 @@ def _bloom_may_contain(bf: dict, value) -> bool:
     """False only when the file's bloom PROVES the value absent."""
     import hashlib
 
-    key = _bloom_key(value)
+    key = _bloom_key(value, bf.get("t"))
     if key is None:
         return True
     m, hexs = int(bf["m"]), bf["x"]

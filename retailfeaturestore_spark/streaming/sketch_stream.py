@@ -22,8 +22,13 @@ differential tests assert).
 
 State swap uses the same directory-rename protocol as the gram-store
 compactor: write the merged state aside, rename the old store to trash,
-rename the new one in — a crash leaves either the old complete state (the
-batch replays, converging by idempotence) or the new complete state.
+rename the new one in.  A crash between the two renames leaves NO state
+dir but BOTH complete side dirs (``_next_`` holds the fully-written new
+state — Spark's ``_SUCCESS`` marker proves it; ``_trash_`` holds the old
+one), so :func:`read_kmv_state` RECOVERS: it renames a surviving
+``_next_`` (preferred — it already folded the batch) else ``_trash_``
+back into place before reading.  Either recovery converges under
+at-least-once replay by the semilattice idempotence argument above.
 Single-writer per state dir, like every state-dir operation here.
 """
 
@@ -47,6 +52,37 @@ __all__ = [
 _STATE_SCHEMA = "g string, h long"
 
 
+def _recover_state_dir(state_dir: str) -> None:
+    """If the state dir is absent, restore it from a swap-crash survivor.
+
+    The only moment the dir legitimately does not exist mid-stream is the
+    window between ``rename(state, trash)`` and ``rename(next, state)`` in
+    :func:`update_kmv_batch` — a crash there strands one ``_next_<pid>``
+    (complete iff Spark's ``_SUCCESS`` marker landed) and one
+    ``_trash_<pid>``.  Prefer the newest complete ``_next_`` (the batch is
+    already folded in; a replay re-merges idempotently), else the newest
+    ``_trash_`` (pre-batch state; the replay folds the batch back in)."""
+    import glob
+
+    if os.path.isdir(state_dir):
+        return
+    nexts = [
+        d
+        for d in glob.glob(f"{state_dir}_next_*")
+        if os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+    ]
+    trashes = [d for d in glob.glob(f"{state_dir}_trash_*") if os.path.isdir(d)]
+    for cand in sorted(nexts, key=os.path.getmtime, reverse=True) + sorted(
+        trashes, key=os.path.getmtime, reverse=True
+    ):
+        try:
+            os.rename(cand, state_dir)
+            return
+        except OSError:  # lost a recovery race; state_dir now exists
+            if os.path.isdir(state_dir):
+                return
+
+
 def read_kmv_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The current sketch state as ``(g, h)`` rows — feed straight into
     ``kmv_pair_overlap(state, pairs, "g", k=...)`` for live overlap
@@ -59,6 +95,7 @@ def read_kmv_state(spark: SparkSession, state_dir: str) -> DataFrame:
             "mtable backend (update_kmv_batch_mtable / "
             "read_kmv_state_mtable) for object-store state"
         )
+    _recover_state_dir(state_dir)
     if os.path.isdir(state_dir) and any(
         f.endswith(".parquet") for f in os.listdir(state_dir)
     ):
@@ -104,6 +141,15 @@ def update_kmv_batch(
         shutil.rmtree(trash, ignore_errors=True)
     else:
         os.rename(tmp, state_dir)
+    # sweep any OTHER survivors of an earlier crash (this writer already
+    # recovered/merged past them via read_kmv_state) so a future recovery
+    # can never resurrect a stale snapshot over a newer state
+    import glob
+
+    for stale in glob.glob(f"{state_dir}_next_*") + glob.glob(
+        f"{state_dir}_trash_*"
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def read_kmv_state_mtable(tbl, version: int | None = None) -> DataFrame:

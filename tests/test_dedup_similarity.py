@@ -783,3 +783,46 @@ def test_semantic_dedup_partitioning_invariant(spark):
     a = semantic_dedup(df, k=3, iters=2, threshold=0.5)
     b = semantic_dedup(df.repartition(7), k=3, iters=2, threshold=0.5)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@requires_testdata
+def test_pq_resident_matches_honest_build_and_memoizes(spark):
+    """The serving-semantics path (train once per dataset, score per
+    request) must be bit-identical to the honest per-call build, reuse the
+    memoized codebooks on repeat calls, serve NEW query sets off the
+    resident index, and retrain after invalidate_caches."""
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators._cache import session_memo
+    from retailfeaturestore_spark.operators.similarity import (
+        pq_topk_adc,
+        pq_topk_adc_resident,
+    )
+    from retailfeaturestore_spark.queries import invalidate_caches
+
+    sf = "/root/testdata/sf0.001"
+    scope = sf + "#resident-test"
+    emb = load_table(spark, sf, "embeddings")
+    honest = pq_topk_adc(emb, query_ids=list(range(5)), k_neighbors=5)
+    r1 = pq_topk_adc_resident(
+        emb, query_ids=list(range(5)), k_neighbors=5, cache_scope=scope
+    )
+    assert honest.exceptAll(r1).count() == 0 and r1.exceptAll(honest).count() == 0
+    memo = session_memo(spark)
+    assert ("pq_resident_model", scope) in memo
+    cents_obj = memo[("pq_resident_model", scope)]
+    # repeat call serves from the SAME codebook object (no retrain)
+    r2 = pq_topk_adc_resident(
+        emb, query_ids=list(range(5)), k_neighbors=5, cache_scope=scope
+    )
+    assert memo[("pq_resident_model", scope)] is cents_obj
+    assert r1.exceptAll(r2).count() == 0 and r2.exceptAll(r1).count() == 0
+    # a NEW query set is answered from the resident index, same codebooks
+    honest37 = pq_topk_adc(emb, query_ids=[3, 7], k_neighbors=5)
+    r37 = pq_topk_adc_resident(
+        emb, query_ids=[3, 7], k_neighbors=5, cache_scope=scope
+    )
+    assert memo[("pq_resident_model", scope)] is cents_obj
+    assert honest37.exceptAll(r37).count() == 0 and r37.exceptAll(honest37).count() == 0
+    # table-rewrite protocol: eviction by scope drops memo + frames
+    invalidate_caches(spark, sf_dir=scope)
+    assert ("pq_resident_model", scope) not in memo

@@ -79,6 +79,51 @@ def test_string_blooms_and_python_probe_parity(spark, tmp_path):
     assert {r.tag for r in pruned.where("tag = 'u5'").collect()} == {"u5"}
 
 
+def test_double_column_bloom_never_false_negatives_int_probe(spark, tmp_path):
+    # ADVICE r9: the build hashes CAST(col AS STRING); a DOUBLE column
+    # renders 7.0 as "7.0" while an int probe used to hash "7" -> bloom
+    # false negative -> read() silently pruned files CONTAINING the rows.
+    # The bloom now records the column type and refuses probes whose
+    # python rendering isn't provably Spark's.
+    t = MTable(spark, str(tmp_path / "bldbl"))
+    rows = [(float(i), "1") for i in range(200)]
+    t.write(
+        spark.createDataFrame(rows, "x double, d string").repartition(4),
+        partition_by="d",
+        bloom_cols=["x"],
+    )
+    m = t._read_manifest(1)
+    ent = next(iter(m["stats"].values()))["x"]["bf"]
+    assert ent["t"] == "double"
+    # int probe must NOT be pruned by the bloom (it would have been before)
+    assert _bloom_may_contain(ent, 7)
+    got = t.read(prune=[("x", "=", 7)]).where("x = 7.0").collect()
+    assert [r.x for r in got] == [7.0]
+
+
+def test_bloom_key_type_gating(spark, tmp_path):
+    t = MTable(spark, str(tmp_path / "blgate"))
+    t.write(
+        _uniform(spark, 300).repartition(2),
+        partition_by="d",
+        bloom_cols=["k", "tag"],
+    )
+    m = t._read_manifest(1)
+    ent = next(iter(m["stats"].values()))
+    assert ent["k"]["bf"]["t"] == "bigint"
+    assert ent["tag"]["bf"]["t"] == "string"
+    # integral column: int and integral-float probes render identically;
+    # bool probes never match CAST(int AS STRING)
+    kbf = ent["k"]["bf"]
+    assert _bloom_may_contain(kbf, 5) == _bloom_may_contain(kbf, 5.0)
+    assert _bloom_may_contain(kbf, True)  # refused -> conservative True
+    # string column: int probe refused -> conservative True
+    assert _bloom_may_contain(ent["tag"]["bf"], 12345)
+    # present keys still prune-and-survive through the typed path
+    got = t.read(prune=[("k", "=", 123)]).where("k = 123").collect()
+    assert [r.k for r in got] == [123]
+
+
 def test_blooms_inherit_through_merge_and_compact(spark, tmp_path):
     t = MTable(spark, str(tmp_path / "blmg"))
     t.write(

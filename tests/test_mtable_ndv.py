@@ -61,3 +61,38 @@ def test_ndv_inherits_through_merge_and_time_travels(spark, tmp_path):
     assert t.ndv("k") == _py_ndv(list(range(1000)) + list(range(5000, 5200)))
     # time travel: the old version still answers with the old estimate
     assert t.ndv("k", version=1) == v1_ndv
+
+
+def test_plain_append_inherits_stats_bloom_ndv_sets(spark, tmp_path):
+    # ADVICE r9: write(mode="append") without explicit column sets used to
+    # commit stat-less files — pruning silently degraded and ndv() RAISED
+    # on a previously ndv_cols-committed table after any plain append.
+    from retailfeaturestore_spark.sources.mtable import MTable as _MT
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}", "1") for i in range(500)], "k long, tag string, d string"
+    ).repartition(2)
+    t = _MT(spark, str(tmp_path / "nd4"))
+    t.write(df, partition_by="d", stats_cols=["k"], bloom_cols=["tag"], ndv_cols=["k"])
+    extra = spark.createDataFrame(
+        [(1000 + i, f"v{i}", "1") for i in range(100)], "k long, tag string, d string"
+    )
+    t.write(extra, mode="append")  # no column sets: must inherit
+    m = t._read_manifest(2)
+    appended = [
+        rel for rel in m["partitions"]["1"]
+        if rel not in t._read_manifest(1)["stats"]
+    ]
+    assert appended
+    for rel in appended:
+        ent = m["stats"][rel]
+        assert "mn" in ent["k"] and "kmv" in ent["k"], rel
+        assert "bf" in ent["tag"], rel
+    # ndv still answers and reflects the appended keys
+    assert t.ndv("k") == _py_ndv(list(range(500)) + list(range(1000, 1100)))
+    # explicit [] still means "stat nothing" for the new files
+    t.write(extra.withColumn("k", F.col("k") + 10000), mode="append", stats_cols=[],
+            bloom_cols=[], ndv_cols=[])
+    m3 = t._read_manifest(3)
+    new3 = [rel for rel in m3["partitions"]["1"] if rel not in m["stats"]]
+    assert new3 and all(rel not in m3["stats"] for rel in new3)

@@ -142,3 +142,71 @@ def test_foreachbatch_stream_and_live_overlap_estimates(spark, tmp_path):
         want.union_est,
         want.inter_est,
     )
+
+
+def test_swap_crash_between_renames_recovers_on_read(spark, tmp_path):
+    # ADVICE r9: a crash between rename(state, trash) and rename(next,
+    # state) left NO state dir, so replay re-merged into EMPTY state and
+    # silently lost every prior batch.  read_kmv_state now recovers a
+    # surviving complete _next_ (preferred) else _trash_ directory.
+    import os
+
+    sd = str(tmp_path / "kmv_state")
+    b1, b2 = _batches()[:2]
+    update_kmv_batch(spark.createDataFrame(b1, _SCHEMA), sd, "g", "v", k=K)
+    before = {(r.g, r.h) for r in read_kmv_state(spark, sd).collect()}
+    assert before
+
+    # simulate the crash window: state renamed aside, next fully written
+    inc = kmv_group_sketch(spark.createDataFrame(b2, _SCHEMA), "g", "v", k=K)
+    nxt = f"{sd}_next_99999"
+    inc.select(F.col("g").cast("string").alias("g"), "h").write.parquet(nxt)
+    os.rename(sd, f"{sd}_trash_99999")
+    assert not os.path.isdir(sd)
+
+    # recovery prefers the complete _next_ snapshot
+    got = {(r.g, r.h) for r in read_kmv_state(spark, sd).collect()}
+    exp = {
+        (r.g, r.h)
+        for r in kmv_group_sketch(
+            spark.createDataFrame(b2, _SCHEMA), "g", "v", k=K
+        ).collect()
+    }
+    assert got == exp
+    # replaying both batches converges to the full-prefix sketch
+    update_kmv_batch(spark.createDataFrame(b1, _SCHEMA), sd, "g", "v", k=K)
+    update_kmv_batch(spark.createDataFrame(b2, _SCHEMA), sd, "g", "v", k=K)
+    assert {(r.g, r.h) for r in read_kmv_state(spark, sd).collect()} == _full_sketch(
+        spark, [b1, b2]
+    )
+    # the successful updates swept the stale survivors
+    import glob
+
+    assert not glob.glob(f"{sd}_next_*") and not glob.glob(f"{sd}_trash_*")
+
+
+def test_swap_crash_trash_only_recovers_old_state(spark, tmp_path):
+    import os
+
+    sd = str(tmp_path / "kmv_state2")
+    b1 = _batches()[0]
+    update_kmv_batch(spark.createDataFrame(b1, _SCHEMA), sd, "g", "v", k=K)
+    before = {(r.g, r.h) for r in read_kmv_state(spark, sd).collect()}
+    os.rename(sd, f"{sd}_trash_4242")  # crash right after the first rename
+    got = {(r.g, r.h) for r in read_kmv_state(spark, sd).collect()}
+    assert got == before
+
+
+def test_null_values_never_consume_sketch_slots(spark):
+    # ADVICE r9: kmv_hash(NULL) is NULL; Spark orders NULLs FIRST asc so a
+    # (g, NULL) row survived both tournament windows, wasting a slot and
+    # diverging from DuckDB's NULLS-LAST ordering.
+    rows = [("a", v) for v in range(50)] + [("a", None)] * 7 + [("b", None)] * 3
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_group_sketch(df, "g", "v", k=K).collect()
+    assert all(r.h is not None for r in sk)
+    # group b had ONLY nulls -> empty sketch, no phantom row
+    assert {r.g for r in sk} == {"a"}
+    # with k=32 < 50 distinct, the k slots hold 32 real hashes (the null
+    # used to displace the k-th smallest and bias the estimate)
+    assert sum(1 for r in sk if r.g == "a") == K
