@@ -8632,98 +8632,83 @@ def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r9 block 1: the two substring-dedup queries added after the r8
-    # rotation commit — oracle-backed and sweep-green at sf0.001/0.01/5.0
-    # but with ZERO driver history (VERDICT r8 Missing #2 / next-round #1).
-    "dedup_repeated_ngrams",
-    "dedup_remove_repeated_spans",
-    # --- r9 block 2: the queries NEW this round — every one oracle-backed
-    # and sweep-green but with zero driver history by construction; giving
-    # new surface a first-round verdict beats re-refreshing three more
-    # r5-green simple aggregates (the three displaced — promo_revenue_share,
-    # nation_market_share, shipping_priority — stay sweep-verified and
-    # rotate in next round).
-    #   feature_view_build_mtable: gold feature view committed through the
-    #     mtable ACID format, read from the snapshot (VERDICT r8 #2).
-    #   feature_view_incremental_mtable: incremental maintenance MERGE whose
-    #     snapshot must equal the full recompute bit-for-bit.
-    #   semantic_dedup_embeddings: SemDeDup cluster-then-prune dedup.
-    #   approx_heavy_hitters: frequent-items sketch w/ verdict oracle.
-    "feature_view_build_mtable",
-    "feature_view_incremental_mtable",
-    "semantic_dedup_embeddings",
-    "approx_heavy_hitters",
-    #   approx_customer_overlap_months: KMV set-operation sketch (added
-    #     late-r9; deterministic estimates hash cross-engine).
-    #   events_zorder_pruned_scan: OPTIMIZE ZORDER + stats-pruned snapshot
-    #     read whose oracle hash caught a real per-file-stats keying bug —
-    #     exactly the class of query the driver gate exists for.
-    #   These two displace revenue_rollup / orders_priority_pivot from the
-    #   stale cohort below (same call as r8's: a first-round verdict for
-    #   new surface beats re-refreshing r5-green single-scan rollups; the
-    #   displaced pair stays sweep-verified and rotates in next round).
-    "approx_customer_overlap_months",
-    "events_zorder_pruned_scan",
-    # --- r9 block 3: the remaining stale cohort — the queries whose last
-    # driver green is r5 (everything not in the r7 or r8 windows), minus
-    # revenue_rollup / orders_priority_pivot (displaced by the two late-r9
-    # queries above).  2 + 6 + 42 = exactly the 50-slot window; after this round
-    # NO oracle-backed query has driver evidence older than r7.  The
-    # impl-change queries of this round that are not in the window
-    # (rfm_segments: batched ranks collects; knn_recall_eval: persisted-
-    # index reuse) are r8-green and re-verified by tools/check_oracle.py —
-    # the full-registry sweep the judge re-runs independently.  The
-    # dedup-CC eviction A/B queries (dedup_clusters, dedup_clusters_star)
-    # ARE in this cohort, so the r9 protocol change gets driver hashes.
-    "benchmark_contamination",
-    "brand_basket_affinity",
-    "churn_labels_orders",
-    "corpus_importance_sample",
-    "corpus_temperature_mix",
-    "corpus_token_budget_sample",
-    "customer_onehot",
-    "dau_mau_stickiness",
-    "dedup_canonical_by_quality",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_cross_source_matrix",
-    "dedup_ngram_jaccard",
-    "doc_chunk_overlap",
-    "doc_fingerprint",
-    "doc_ngram_commonality",
-    "doc_pack_context_windows",
-    "doc_repetition_ratio",
-    "embedding_dedup_clusters",
-    "embedding_neardup_lsh",
-    "events_tumbling_daily",
-    "feature_rank_normalize",
-    "first_event_per_user",
-    "hash_split_train_val",
-    "knn_ivf_bucketed",
+    # --- r10 block 1: the evidence gaps VERDICT r9 (Missing #2, next-round
+    # #3) ordered first — two queries with ZERO driver history and the five
+    # whose last driver green is r5.
+    #   events_bloom_point_lookup: bloom-pruned mtable point read — never in
+    #     a driver window (sweep-green only), and the bloom PROBE path just
+    #     changed this round (type-gated keys), so first-party evidence now.
+    #   approx_customer_retention_months: N-way KMV sketch added late r9.
+    "events_bloom_point_lookup",
+    "approx_customer_retention_months",
+    "revenue_rollup",
+    "orders_priority_pivot",
+    "nation_market_share",
+    "promo_revenue_share",
+    "shipping_priority",
+    # --- r10 block 2: the one query whose implementation changed this
+    # round — knn_ivf_pq now serves from the resident (memoized-codebook)
+    # index path; the driver's fresh session pays the honest build, so a
+    # green hash certifies both paths (they are bit-identical by
+    # construction, and the full sweep re-proves the rest).
     "knn_ivf_pq",
-    "knn_mmr_diverse",
-    "latest_order_maxby",
-    "order_navigation",
-    "order_sequence_analytics",
-    "priority_mode_per_customer",
-    "purchase_multitouch_attribution",
-    "segment_priority_grouping_sets",
-    "source_length_ks_drift",
-    "source_token_divergence",
-    "text_quality_score",
-    "text_simhash",
-    "tfidf_top_terms",
-    "token_count",
-    "topk_segments",
-    "user_activity_features",
-    "user_daily_snapshot_spine",
-    # --- r10 handoff: after this window, driver-evidence freshness is
-    # r9 (50) / r8 (50) / r7 (45), plus revenue_rollup /
-    # orders_priority_pivot (displaced, last green r5, sweep + sf5
-    # verified this round — rotate them in FIRST).  Next rotation:
-    # the displaced pair, any query whose implementation changes in
-    # r9/r10, then the r7-green 45, oldest-evidence-first.  The rotation
-    # is one edit here.
+    # --- r10 block 3: the r7-green cohort, oldest-evidence-first (48 minus
+    # the 6 simplest single-exchange shapes displaced to r11: brand_margin,
+    # customers_with_urgent_orders, customers_without_recent_orders,
+    # embedding_norms, forecast_revenue_change, returned_item_ranking — all
+    # sweep-verified every round).  7 + 1 + 42 = exactly the 50-slot
+    # window; after this round no oracle-backed query has driver evidence
+    # older than r7, and only those 6 remain at r7.  knn_recall_eval (r9
+    # impl change) and feature_view_build / training_set_build /
+    # recs_negative_samples (the r9 bench-weak rows) are all in this
+    # cohort, so their re-measure comes with fresh driver hashes.
+    "asof_join_clicks_purchases",
+    "bm25_retrieval",
+    "boilerplate_passage_scrub",
+    "bpe_token_count",
+    "brand_revenue_concentration",
+    "bulk_part_suppliers",
+    "cross_nation_trade",
+    "daily_feature_snapshots",
+    "dedup_containment",
+    "discounted_revenue",
+    "doc_lm_score",
+    "events_sliding_7d_daily",
+    "feature_view_build",
+    "hybrid_retrieval_rrf",
+    "knn_recall_eval",
+    "large_volume_orders",
+    "linestatus_priority_counts",
+    "min_price_supplier_per_part",
+    "multimodal_payload_meta",
+    "order_calendar_features",
+    "order_count_distribution",
+    "part_pagerank_copurchase",
+    "qty_price_correlation",
+    "recs_negative_samples",
+    "returns_by_priority",
+    "revenue_by_nation",
+    "rows_rolling_spend",
+    "segment_priority_cube",
+    "seq_packing_chunk_text",
+    "seq_packing_chunks",
+    "seq_packing_ffd",
+    "small_qty_revenue",
+    "stratified_sample_balanced",
+    "supplier_variety_by_part",
+    "text_string_features",
+    "top_customers_by_revenue",
+    "top_revenue_supplier",
+    "training_set_build",
+    "training_shuffle_shards",
+    "union_slices",
+    "user_days_view_no_purchase",
+    "users_purchase_and_signup",
+    # --- r11 handoff: after this window, driver-evidence freshness is
+    # r10 (50) / r9 (50) / r8 (50), plus the 6 displaced r7-green simple
+    # shapes named in block 3 — rotate those 6 in FIRST next round, then
+    # any query whose implementation changes in r10/r11, then the r8-green
+    # cohort oldest-first.  The rotation is one edit here.
 )
 
 
