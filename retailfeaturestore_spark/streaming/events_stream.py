@@ -215,18 +215,24 @@ def purchase_attribution_stream(
     click columns) — but only once the watermark has passed the end of the
     purchase's join window, because until then a matching click could still
     arrive.  That is the outer-join eviction contract: the null row is a
-    watermark-certified "no click existed", not a timing artifact.  Only
-    these two modes are supported: the output schema keys on the purchase
-    side (``user_id`` from ``p_user``), so a right/full outer would emit
-    null-keyed rows for unmatched clicks.
+    watermark-certified "no click existed", not a timing artifact.
+    ``how="right_outer"`` emits the other side's certified negatives
+    instead: clicks that CONVERTED TO NO PURCHASE within the window (null
+    purchase columns once the watermark passes ``click_ts + within``) —
+    the abandoned-click / funnel-drop signal.  ``how="full_outer"`` emits
+    both certified-negative populations plus the matches.  ``user_id`` is
+    ``coalesce(purchase side, click side)``, so unmatched rows from either
+    side stay keyed (r10, VERDICT r9 next-round #8).
     """
     canonical = how.lower().replace("_", "")
-    if canonical not in ("inner", "left", "leftouter"):
+    if canonical not in (
+        "inner", "left", "leftouter", "right", "rightouter", "full",
+        "fullouter", "outer",
+    ):
         raise ValueError(
-            f"how={how!r}: purchase attribution supports 'inner' and "
-            "'left_outer' (and Spark's aliases 'left'/'leftouter') — the "
-            "purchase side keys the output schema, so right/full outer "
-            "would emit null-keyed rows for unmatched clicks"
+            f"how={how!r}: purchase attribution supports 'inner', "
+            "'left_outer', 'right_outer', and 'full_outer' (and Spark's "
+            "aliases)"
         )
     clicks = (
         events.where(F.col("event_type") == "click")
@@ -255,7 +261,8 @@ def purchase_attribution_stream(
         how,
     ).select(
         "purchase_id", "purchase_ts", "purchase_value",
-        F.col("p_user").alias("user_id"), "click_id", "click_ts",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "click_id", "click_ts",
     )
 
 

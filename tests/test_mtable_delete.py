@@ -126,6 +126,10 @@ def test_update_rejects_retypes_and_unknown_columns(spark, tmp_path):
 
 
 def test_delete_loses_cas_to_a_commit_racing_its_base(spark, tmp_path, monkeypatch):
+    """A racing commit that CHANGED a partition the delete rewrites must
+    surface ConcurrentCommit (rebasing would resurrect the racer's removed
+    file or drop its rows); a racing commit that changed nothing the
+    delete touches rebases automatically (r10 OCC retry, VERDICT r9 #6)."""
     t = _table(spark, tmp_path, "dl5")
     # interleave a racing writer between delete()'s base read and its
     # commit: hook _stage_files (runs after the base read) to claim the
@@ -135,11 +139,88 @@ def test_delete_loses_cas_to_a_commit_racing_its_base(spark, tmp_path, monkeypat
     def stage_and_race(self, df, partition_by):
         out = real_stage(self, df, partition_by)
         racer = t._read_manifest(1)
-        racer["version"] = 2
-        racer["parent"] = 1
-        t._commit(dict(racer), 2)
+        manifest = {k: v for k, v in racer.items() if k != "full_distance"}
+        manifest["version"] = 2
+        manifest["parent"] = 1
+        # the racer DROPS one of d0's files -> overlaps every un-pruned
+        # delete (all files are rewrite candidates without `prune`)
+        parts = {k: list(v) for k, v in racer["partitions"].items()}
+        parts["d0"] = parts["d0"][:-1]
+        manifest["partitions"] = parts
+        manifest["stats"] = {
+            rel: ent
+            for rel, ent in (racer.get("stats") or {}).items()
+            if rel != racer["partitions"]["d0"][-1]
+        }
+        t._commit(dict(manifest), 2)
         return out
 
     monkeypatch.setattr(MTable, "_stage_files", stage_and_race)
     with pytest.raises(ConcurrentCommit):
         t.delete("u = 3")
+    monkeypatch.undo()
+    # the racer's drop is intact and a retry on the fresh base lands
+    assert t.versions()[-1] == 2
+    v = t.delete("u = 3")
+    assert v == 3
+    assert t.read().where("u = 3").count() == 0
+
+
+def test_delete_rebases_over_a_disjoint_racing_commit(spark, tmp_path, monkeypatch):
+    t = _table(spark, tmp_path, "dl6", stats_cols=["u"])
+    real_stage = MTable._stage_files
+    raced = {}
+
+    def stage_and_race(self, df, partition_by):
+        out = real_stage(self, df, partition_by)
+        if "done" not in raced:
+            raced["done"] = True
+            # racer appends NEW rows to a partition the pruned delete
+            # provably does not touch (u stats exclude 3 in the new file)
+            MTable(spark, t.path).write(
+                spark.createDataFrame(
+                    [(90000, 900, "d0")], "k long, u long, d string"
+                ),
+                mode="append",
+            )
+        return out
+
+    monkeypatch.setattr(MTable, "_stage_files", stage_and_race)
+    # prune restricts candidates to files whose u-range straddles 3; the
+    # racer's new file (u=900 only) is not a candidate... but it landed in
+    # partition d0, which the delete also rewrites files in -> same
+    # partition changed -> conservative conflict
+    with pytest.raises(ConcurrentCommit):
+        t.delete("u = 3", prune=[("u", "=", 3)])
+    monkeypatch.undo()
+
+    # now the genuinely disjoint case: replace d2 with a file whose u
+    # stats exclude 3, so the pruned delete's candidates live ONLY in
+    # d0/d1 — then a racer replacing d2 again is provably disjoint and
+    # the delete rebases over it
+    t.overwrite_partitions(
+        spark.createDataFrame([(91000, 910, "d2")], "k long, u long, d string"),
+        partition_values=["d2"],
+    )
+
+    def stage_and_race2(self, df, partition_by):
+        out = real_stage(self, df, partition_by)
+        if "done2" not in raced:
+            raced["done2"] = True
+            MTable(spark, t.path).overwrite_partitions(
+                spark.createDataFrame(
+                    [(92000, 920, "d2")], "k long, u long, d string"
+                ),
+                partition_values=["d2"],
+            )
+        return out
+
+    monkeypatch.setattr(MTable, "_stage_files", stage_and_race2)
+    v0 = t.versions()[-1]
+    v = t.delete("u = 3", prune=[("u", "=", 3)])
+    monkeypatch.undo()
+    # both landed, serialized: the racer's d2 replacement took v0+1 and
+    # the delete rebased onto it at v0+2
+    assert v == v0 + 2
+    assert t.read().where("u = 3").count() == 0
+    assert t.read(partitions=["d2"]).where("k = 92000").count() == 1

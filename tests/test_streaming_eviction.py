@@ -164,3 +164,106 @@ def test_late_events_merge_into_pending_session(spark, tmp_path):
         if r.user_id == 5
     }
     assert got == {(5, _m(65), _m(100), 3, 7.0)}
+
+
+def test_right_outer_attribution_emits_abandoned_clicks(spark, tmp_path):
+    """right_outer: a click with NO purchase in its window appears with
+    null purchase columns only after the watermark certifies no purchase
+    can still arrive (click_ts + within passed) — the abandoned-click
+    funnel signal.  Unmatched purchases do NOT appear."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    stream = _stage(
+        spark,
+        tmp_path,
+        schema,
+        [
+            [
+                (10, _m(0), 1, "click", 0.0),
+                (11, _m(10), 1, "purchase", 9.99),
+                (12, _m(5), 2, "purchase", 5.0),   # no click for u2
+                (13, _m(7), 3, "click", 0.0),      # u3 never purchases
+            ],
+            [
+                (20, _m(24 * 60), 700, "click", 0.0),
+                (21, _m(24 * 60 + 1), 700, "purchase", 7.0),
+            ],
+            [(30, _m(3 * 24 * 60), 701, "click", 0.0)],
+        ],
+    )
+    q = (
+        purchase_attribution_stream(stream, within="1 hour", how="right_outer")
+        .writeStream.format("memory")
+        .queryName("attr_right")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("attr_right").collect()
+    by_click = {r.click_id: r for r in rows if r.click_id is not None}
+    # matches keep full attribution
+    assert by_click[10].purchase_id == 11 and by_click[10].user_id == 1
+    assert by_click[20].purchase_id == 21
+    # the abandoned click emits watermark-certified null purchase columns,
+    # keyed by the CLICK side's user (the coalesce fix)
+    assert by_click[13].purchase_id is None
+    assert by_click[13].purchase_ts is None
+    assert by_click[13].user_id == 3
+    # unmatched PURCHASES never appear under right_outer
+    assert all(r.purchase_id != 12 for r in rows)
+    # the final batch's click (701) cannot be certified yet -> absent
+    assert 30 not in by_click
+
+
+def test_full_outer_attribution_emits_both_certified_negatives(spark, tmp_path):
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    stream = _stage(
+        spark,
+        tmp_path,
+        schema,
+        [
+            [
+                (10, _m(0), 1, "click", 0.0),
+                (11, _m(10), 1, "purchase", 9.99),
+                (12, _m(5), 2, "purchase", 5.0),   # no click for u2
+                (13, _m(7), 3, "click", 0.0),      # u3 never purchases
+            ],
+            # pusher batch advances BOTH sides' watermarks (each side's
+            # watermark only moves on its own events), certifying batch 1
+            [
+                (20, _m(24 * 60), 700, "click", 0.0),
+                (21, _m(24 * 60 + 1), 700, "purchase", 7.0),
+            ],
+            [
+                (30, _m(3 * 24 * 60), 701, "click", 0.0),
+                (31, _m(3 * 24 * 60), 702, "purchase", 1.0),
+            ],
+        ],
+    )
+    q = (
+        purchase_attribution_stream(stream, within="1 hour", how="full_outer")
+        .writeStream.format("memory")
+        .queryName("attr_full")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("attr_full").collect()
+    matched = sorted(
+        (r.purchase_id, r.click_id)
+        for r in rows
+        if r.purchase_id is not None and r.click_id is not None
+    )
+    assert matched == [(11, 10), (21, 20)]
+    # both certified-negative populations, each keyed by its own side
+    no_click = {r.purchase_id: r for r in rows if r.click_id is None}
+    no_purchase = {r.click_id: r for r in rows if r.purchase_id is None}
+    assert no_click[12].user_id == 2 and no_click[12].click_ts is None
+    assert no_purchase[13].user_id == 3 and no_purchase[13].purchase_ts is None
+    # the final batch's rows can never certify -> absent from both sets
+    assert 30 not in no_purchase and 31 not in no_click
