@@ -2844,22 +2844,29 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the purchase set, first-5 by slot.  Reproducible across
     runs, partitionings, and engines: no RNG, no cross product.
 
-    Plan (r6 fold, VERDICT r5 #4): the big side is touched ONCE.  The
-    customer spine comes from ``orders`` (map-side-combined distinct of a
-    long column), NOT from the purchase pairs, so the lineitem-join-orders
-    subtree has a single consumer (the anti-join probe) and the r5 plan's
-    localCheckpoint barrier plus its distinct pass over the raw pairs both
-    disappear — left-anti semantics are duplicate-tolerant, so the raw
-    (customer, part) join output probes directly.  The pad-slot duplicate
-    collapse folds into a lag() window whose clustering requirement is
-    already met by the spine's hashpartitioning(customer_id) (local sort,
-    no exchange), eliminating the r5 groupBy(customer, guess) shuffle.
-    Exchanges on data-proportional volume: the orderkey equi-join and the
-    (customer, guess) anti-join probe — everything else is |C|-sized.  (A
-    first r6 cut instead computed a 12-bit guess-hit mask per purchase row
-    and bit_or-aggregated it: 12 md5 evaluations per LINEITEM row is
-    data-proportional CPU that measured 25x worse than shuffling the
-    skinny pairs.)"""
+    Plan (r10 fold, BENCH_r09 3.7x anchor): ONE data-volume exchange and
+    no window operators or data-side joins at all.  The spine and the
+    purchase sets fold into a single aggregation: order customers enter as
+    ``(customer, NULL)`` rows unioned with the purchase pairs, and ONE
+    ``collect_set`` groupBy (map-side partial combine; ``collect_set``
+    ignores NULLs, so lineitem-less customers keep an EMPTY set rather
+    than vanishing) yields every spine customer with their distinct
+    purchased parts — the r6-r9 plan anti-joined on ``(customer, guess)``
+    and re-exchanged for the top-5 window: three full-volume shuffles
+    (Spark 4's requireAllClusterKeysForCoPartition default rejects the
+    subset-key reuse that used to collapse them).  Negative selection is
+    then pure per-row ARRAY algebra: a fold over the 12 md5 guesses keeps
+    first-occurrence, not-purchased values until 5 are found —
+    bit-identical to the oracle's min-slot dedup + anti join + slot-rank
+    window because scanning slots in order IS ranking distinct guesses by
+    min slot.  Whale valve: a customer's array is their DISTINCT purchased
+    parts — bounded by catalog size, not order volume.  Measured floor
+    context: the bare 2-column lineitem scan is 0.41s at sf0.1 (the
+    documented one-row-group-per-file bench artifact), so the remaining
+    gap to the 0.36s embedded anchor is scan-shaped, not plan-shaped.
+    (A first r6 cut computed a 12-bit guess-hit mask per purchase row:
+    12 md5 evaluations per LINEITEM row is data-proportional CPU that
+    measured 25x worse.)"""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "part"))
     # Guess domain anchored at the ACTUAL partkey range (count + min):
     # the driver testdata is 0-based, the CI generator 1-based — a bare
@@ -2870,60 +2877,49 @@ def q_recs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("np"), F.min("p_partkey").alias("pmin")
         )
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("neg#"),
-                    F.col("customer_id").cast("string"),
-                    F.lit("#"),
-                    F.col("slot").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    guesses = (
-        t["orders"]
-        .select(F.col("o_custkey").alias("customer_id"))
-        .distinct()
-        .crossJoin(nparts)
-        .select(
-            "customer_id",
-            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("slot"),
-            "np",
-            "pmin",
-        )
-        .withColumn("guess", F.col("pmin") + h % F.col("np"))
-    )
-    # duplicate-guess collapse (keep min slot) via lag over the spine's
-    # existing customer_id partitioning — no shuffle, unlike a
-    # groupBy(customer_id, guess)
-    w_dedup = Window.partitionBy("customer_id").orderBy("guess", "slot")
-    deduped = guesses.withColumn("__prev", F.lag("guess").over(w_dedup)).where(
-        F.col("__prev").isNull() | (F.col("__prev") != F.col("guess"))
-    )
-    purchased = (
+    pairs = (
         t["lineitem"]
-        .select("l_orderkey", F.col("l_partkey").alias("guess"))
+        .select("l_orderkey", F.col("l_partkey").alias("__g"))
         .join(
             t["orders"].select("o_orderkey", F.col("o_custkey").alias("customer_id")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .select("customer_id", "guess")
+        .select("customer_id", "__g")
     )
-    neg = deduped.join(purchased, ["customer_id", "guess"], "left_anti")
-    w_rank = Window.partitionBy("customer_id").orderBy("slot")
+    psets = (
+        t["orders"]
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.lit(None).cast("long").alias("__g"),
+        )
+        .unionByName(pairs)
+        .groupBy("customer_id")
+        .agg(F.collect_set("__g").alias("__pset"))
+        .crossJoin(nparts)
+    )
+    # 12 guesses materialized once, then a single left-to-right fold keeps
+    # first-occurrence not-purchased values until 5 are found
+    negs = F.expr(
+        """
+        aggregate(
+          transform(sequence(0, 11), s ->
+            pmin + CAST(conv(substring(md5(concat(
+              'neg#', CAST(customer_id AS STRING), '#', CAST(s AS STRING)
+            )), 1, 8), 16, 10) AS BIGINT) % np),
+          CAST(array() AS ARRAY<BIGINT>),
+          (acc, x) -> CASE WHEN size(acc) < 5
+                            AND NOT array_contains(acc, x)
+                            AND NOT array_contains(__pset, x)
+                      THEN array_append(acc, x) ELSE acc END
+        )
+        """
+    )
     return (
-        neg.withColumn("slot_rank", F.row_number().over(w_rank).cast("long"))
-        .where(F.col("slot_rank") <= 5)
+        psets.select("customer_id", F.posexplode(negs).alias("__pos", "neg_partkey"))
         .select(
             "customer_id",
-            F.col("guess").cast("long").alias("neg_partkey"),
-            "slot_rank",
+            F.col("neg_partkey").cast("long").alias("neg_partkey"),
+            (F.col("__pos") + 1).cast("long").alias("slot_rank"),
         )
     )
 
