@@ -367,21 +367,22 @@ def test_multitouch_range_join_is_equi_not_nested_loop(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
 
 
-def test_negative_samples_anti_join_no_cartesian(spark):
+def test_negative_samples_single_exchange_no_cartesian(spark):
     """Negative sampling must never materialize a customer x part cross
-    product: the exclusion is a LeftAnti equi-join over the raw purchase
-    pairs (duplicate-tolerant, so no distinct pass), and the r6 fold keeps
-    the pad-slot dedup window on the spine's existing partitioning — at
-    most 4 data exchanges total (spine distinct, both anti-join sides,
-    rank window) and no exchange between the spine distinct and the
-    dedup lag window."""
+    product — and after the r10 fold it needs exactly ONE data-volume
+    exchange: the null-tagged union of the order spine and the purchase
+    pairs collapses into a single collect_set groupBy, and the selection
+    is per-row array algebra (no anti join, no window, no survivor
+    re-exchange; Spark 4's requireAllClusterKeysForCoPartition default
+    made the old 3-exchange anti-join plan unsalvageable)."""
     df = REGISTRY["recs_negative_samples"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert "LeftAnti" in plan
-    # 4 hash exchanges; the SinglePartition exchange under the one-row
-    # part-domain aggregate and the broadcasts are not data-scale shuffles
-    assert plan.count("Arguments: hashpartitioning") <= 4, plan[:2500]
+    assert "Window" not in plan
+    # one hash exchange (the spine+pairs collect_set groupBy); the
+    # SinglePartition exchange under the one-row part-domain aggregate and
+    # the broadcasts are not data-scale shuffles
+    assert plan.count("Arguments: hashpartitioning") <= 1, plan[:2500]
 
 
 def test_summary_queries_scan_corpus_once(spark):
