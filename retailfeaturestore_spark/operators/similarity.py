@@ -47,6 +47,9 @@ __all__ = [
     "append_pq_index",
     "load_pq_index",
     "search_pq_index",
+    "build_pq_index_mtable",
+    "append_pq_index_mtable",
+    "search_pq_index_mtable",
     "mmr_diverse_topk",
     "sign_lsh_neardup",
     "semantic_dedup",
@@ -871,6 +874,190 @@ def search_pq_index(
         qrows.append((qid, [math.floor(float(x) * scale) for x in vec]))
     return _adc_scored_topk(
         codes, cents, qrows, m=meta["m"], k_codes=meta["k_codes"],
+        k_neighbors=k_neighbors, exclude_self=False,
+    )
+
+
+def build_pq_index_mtable(
+    corpus: DataFrame,
+    tbl,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """The ANN index AS AN ACID TABLE: train PQ once and commit the encoded
+    corpus as one mtable version, with the codebooks + parameters riding
+    the SAME atomic manifest commit (``extra_meta``) — composing the two
+    scale subsystems into the production index lifecycle the directory
+    backend (:func:`build_pq_index`) can only approximate:
+
+    - **atomic publish / rollback**: a crashed build publishes NOTHING (no
+      marker-file ordering to reason about); a bad rebuild rolls back by
+      reading the previous version;
+    - **index time travel**: ``search_pq_index_mtable(tbl, q, version=n)``
+      answers with EXACTLY the index as of version n — codes AND the
+      codebooks that encoded them (reproducing yesterday's retrieval for
+      an eval re-run);
+    - **OCC appends**: racing ingest appends rebase through the manifest
+      CAS instead of corrupting the codes directory;
+    - **compaction**: streaming appends' small files collapse via
+      ``tbl.compact()`` under snapshot isolation — searches never see a
+      half-compacted index.
+
+    The codes table is partitioned by the FIRST subspace code (``c0``,
+    <= ``k_codes`` partitions): compactable, and the layout clusters the
+    coarsest quantization cell together.  Returns the committed version."""
+    cents, coded, _seed = pq_train_encode(
+        corpus, m=m, k_codes=k_codes, iters=iters,
+        vec_col=vec_col, id_col=id_col, cache_scope=f"mtable:{tbl.path}",
+    )
+    rows = coded.select(
+        "id",
+        "__codes",
+        F.element_at("__codes", 1).cast("string").alias("c0"),
+    )
+    meta = {
+        "pq": {
+            "m": m,
+            "k_codes": k_codes,
+            "iters": iters,
+            "d_sub": len(cents[0][0][1]),
+            "fixed_point_scale": FIXED_POINT_SCALE,
+            "codebooks": [[[cid, list(vec)] for cid, vec in sub] for sub in cents],
+        }
+    }
+    return tbl.write(rows, mode="overwrite", partition_by="c0", extra_meta=meta)
+
+
+def _pq_meta_mtable(tbl, version: int) -> dict:
+    """The codebook record governing ``version``: its own manifest meta,
+    else the nearest ancestor's (compaction commits carry their own meta;
+    codebooks only change on a rebuild, which always writes one)."""
+    v = version
+    while v is not None:
+        raw = tbl._read_manifest_raw(v)
+        pq = (raw.get("meta") or {}).get("pq")
+        if pq:
+            return pq
+        v = raw.get("parent")
+    raise ValueError(
+        f"{tbl.path} version {version} has no PQ codebook meta in its "
+        "history: not an index table built by build_pq_index_mtable"
+    )
+
+
+def append_pq_index_mtable(
+    tbl,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental index maintenance on the table backend: encode NEW
+    vectors against the FROZEN codebooks and commit them as an mtable
+    append — same guards as :func:`append_pq_index` (dimension check,
+    batch-internal and against-index duplicate ids), but the publish is a
+    CAS'd manifest commit: a racing append/compaction rebases instead of
+    interleaving files, and the pre-append index version remains
+    searchable (time travel) until vacuum.  Returns the committed
+    version."""
+    cur = tbl._latest()
+    if cur is None:
+        raise ValueError(f"no committed index at {tbl.path}: build first")
+    v0, _m0 = cur
+    pq = _pq_meta_mtable(tbl, v0)
+    cents = [
+        [(int(cid), [int(x) for x in vec]) for cid, vec in sub]
+        for sub in pq["codebooks"]
+    ]
+    m, w = int(pq["m"]), int(pq["d_sub"])
+    dims = m * w
+    newv = vectors.select(
+        F.col(id_col).alias("id"),
+        F.size(F.col(vec_col)).alias("__dims"),
+        F.transform(F.col(vec_col), lambda x: _quant(x)).alias("__q"),
+    ).localCheckpoint(eager=True)
+    bad = newv.where(F.col("__dims") != dims).count()
+    if bad:
+        raise ValueError(
+            f"{bad} append vectors have dims != {dims} (index m={m} d_sub={w})"
+        )
+    dup_in = newv.groupBy("id").count().where(F.col("count") > 1).count()
+    if dup_in:
+        raise ValueError(
+            f"{dup_in} ids appear more than once in the append batch at "
+            f"{tbl.path!r}: dedupe the batch before appending"
+        )
+    existing = tbl.read(version=v0)
+    if existing is not None:
+        dup = newv.join(existing.select("id"), "id", "left_semi").count()
+        if dup:
+            raise ValueError(
+                f"{dup} append ids already exist in the index at "
+                f"{tbl.path!r}: ids are search identities — use a fresh id "
+                "range or rebuild"
+            )
+    coded = newv.withColumn(
+        "__codes",
+        F.array(*[_pq_code_expr(cents[s], s * w + 1, w) for s in range(m)]),
+    ).select(
+        "id",
+        "__codes",
+        F.element_at("__codes", 1).cast("string").alias("c0"),
+    )
+    return tbl.write(
+        coded,
+        mode="append",
+        extra_meta={
+            "pq": pq,
+            "appended_batch": True,
+        },
+    )
+
+
+def search_pq_index_mtable(
+    tbl,
+    queries,
+    k_neighbors: int = 5,
+    version: int | None = None,
+) -> DataFrame:
+    """Serve ANN queries from the table-backed index — optionally from ANY
+    retained version (``version=n``): the snapshot read plans against
+    exactly that version's code files and the codebooks that encoded them,
+    so a historical search replays bit-for-bit (the eval-reproducibility
+    contract no directory index can offer).  Same driver-side LUT protocol
+    as :func:`search_pq_index`; external query ids, no self-exclusion."""
+    import math
+
+    queries = list(queries)
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if version is None:
+        cur = tbl._latest()
+        if cur is None:
+            raise ValueError(f"no committed index at {tbl.path}")
+        version = cur[0]
+    pq = _pq_meta_mtable(tbl, version)
+    cents = [
+        [(int(cid), [int(x) for x in vec]) for cid, vec in sub]
+        for sub in pq["codebooks"]
+    ]
+    scale = float(pq["fixed_point_scale"])
+    dims = int(pq["d_sub"]) * int(pq["m"])
+    qrows = []
+    for qid, vec in sorted((int(q), list(v)) for q, v in queries):
+        if len(vec) != dims:
+            raise ValueError(
+                f"query {qid} has {len(vec)} dims, index expects {dims}"
+            )
+        qrows.append((qid, [math.floor(float(x) * scale) for x in vec]))
+    codes = tbl.read(version=version)
+    if codes is None:
+        raise ValueError(f"index version {version} at {tbl.path} is empty")
+    return _adc_scored_topk(
+        codes.select("id", "__codes"), cents, qrows,
+        m=int(pq["m"]), k_codes=int(pq["k_codes"]),
         k_neighbors=k_neighbors, exclude_self=False,
     )
 

@@ -1590,6 +1590,106 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Table-backed PQ index lifecycle oracle: codebooks trained ONLY on the
+# build slice (vec_id < 90% of the id space — `tflat`), then EVERY vector
+# (build + append) encoded with the FROZEN codebooks (`paf` over sflat) —
+# exactly the frozen-codebook append semantics of append_pq_index_mtable.
+# Queries are the first _PQ_QUERY_MAX vectors presented as EXTERNAL ids
+# (vec_id + 9000), so no self-exclusion applies.  The hash certifies the
+# whole build -> OCC append -> compact -> snapshot search cycle.
+_PQ_MTABLE_ORACLE = f"""
+WITH {_FLAT_CTE},
+qflat AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 33554432.0) AS BIGINT) AS q
+  FROM flat
+),
+dims AS (SELECT CAST(max(i) // {_PQ_M} AS BIGINT) AS w FROM qflat),
+sflat AS (
+  SELECT q.vec_id, CAST(((q.i - 1) // x.w) AS BIGINT) AS sub,
+         ((q.i - 1) % x.w) AS j, q.q
+  FROM qflat q CROSS JOIN dims x
+),
+spl AS (SELECT CAST((max(vec_id) + 1) * 9 // 10 AS BIGINT) AS s FROM flat),
+tflat AS (SELECT f.* FROM sflat f CROSS JOIN spl WHERE f.vec_id < spl.s),
+pc0 AS (
+  SELECT vec_id AS cell, sub, j, q AS c FROM tflat WHERE vec_id < {_PQ_K}
+),
+{_pq_assign_cte("pc0", "pa1").replace("sflat", "tflat")},
+{_pq_update_cte("pa1", "pc1").replace("sflat", "tflat")},
+{_pq_assign_cte("pc1", "pa2").replace("sflat", "tflat")},
+{_pq_update_cte("pa2", "pc2").replace("sflat", "tflat")},
+{_pq_assign_cte("pc2", "paf")},
+lut AS (
+  SELECT f.vec_id + 9000 AS q_id, f.sub, c.cell,
+         sum((f.q - c.c) * (f.q - c.c)) AS d
+  FROM sflat f JOIN pc2 c ON c.sub = f.sub AND c.j = f.j
+  WHERE f.vec_id < {_PQ_QUERY_MAX}
+  GROUP BY f.vec_id, f.sub, c.cell
+),
+adc AS (
+  SELECT l.q_id, a.vec_id AS n_id, sum(l.d) AS dist
+  FROM paf a JOIN lut l ON l.sub = a.sub AND l.cell = a.cell
+  GROUP BY l.q_id, a.vec_id
+)
+SELECT q_id, n_id, CAST(dist AS DOUBLE) AS adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rank
+FROM adc QUALIFY rank <= 5
+"""
+
+
+@register(
+    "knn_pq_index_mtable", oracle=_PQ_MTABLE_ORACLE, tags=("similarity", "acid", "scale")
+)
+def q_knn_pq_index_mtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index AS AN ACID TABLE, certified end to end (r10): PQ codes
+    committed as an mtable version with the codebooks riding the same
+    atomic manifest commit, a frozen-codebook APPEND of the last 10% of
+    the id space (the incremental-ingest protocol), a small-file COMPACT
+    (snapshot-isolated), and the search served from the committed snapshot
+    with EXTERNAL query ids — one oracle hash over the whole
+    build -> OCC append -> compact -> snapshot-search lifecycle.  What the
+    table backend buys over the directory index (build/append/search_pq_
+    index): atomic publish/rollback, index TIME TRAVEL (any retained
+    version answers with its own codes AND codebooks), racing appends
+    serialized through the manifest CAS.  See
+    operators/similarity.py:build_pq_index_mtable and
+    tests/test_pq_mtable.py for the race/travel/rollback matrix."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.similarity import (
+        append_pq_index_mtable,
+        build_pq_index_mtable,
+        search_pq_index_mtable,
+    )
+    from .sources.mtable import MTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nmax = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    split = (nmax + 1) * 9 // 10
+    dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
+    if dirs is None:
+        dirs = spark._rfs_mtable_q_dirs = {}
+    key = f"pqidx:{sf_dir}"
+    prev = dirs.pop(key, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = os.path.join(tempfile.gettempdir(), "rfs_pq_mtable", uuid.uuid4().hex)
+    dirs[key] = root
+    tbl = MTable(spark, root)
+    build_pq_index_mtable(
+        emb.where(F.col("vec_id") < split), tbl, m=_PQ_M, k_codes=_PQ_K, iters=2
+    )
+    append_pq_index_mtable(tbl, emb.where(F.col("vec_id") >= split))
+    tbl.compact()
+    qs = [
+        (9000 + int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < _PQ_QUERY_MAX).collect()
+    ]
+    return search_pq_index_mtable(tbl, qs, k_neighbors=5)
+
+
 # MMR oracle: top-20 exact-cosine candidates per query, then the greedy
 # Maximal-Marginal-Relevance selection unrolled as one CTE pair per pick —
 # score = 0.7*rel - 0.3*max(sim to already-selected), ties to the smallest
@@ -8711,14 +8811,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_revenue_supplier",
     "training_set_build",
     "training_shuffle_shards",
-    "union_slices",
+    # knn_pq_index_mtable: NEW late-r10 surface (ACID index lifecycle:
+    # build -> frozen-codebook OCC append -> compact -> snapshot search,
+    # one oracle hash) — zero driver history by construction; displaces
+    # union_slices (r7-green, single-exchange set-op, sweep-verified)
+    # under the same first-verdict-beats-refresh call as r8/r9.
+    "knn_pq_index_mtable",
     "user_days_view_no_purchase",
     "users_purchase_and_signup",
     # --- r11 handoff: after this window, driver-evidence freshness is
-    # r10 (50) / r9 (50) / r8 (50), plus the 6 displaced r7-green simple
-    # shapes named in block 3 — rotate those 6 in FIRST next round, then
-    # any query whose implementation changes in r10/r11, then the r8-green
-    # cohort oldest-first.  The rotation is one edit here.
+    # r10 (50) / r9 (50) / r8 (50), plus union_slices and the 6 displaced
+    # r7-green simple shapes named in block 3 — rotate those 7 in FIRST
+    # next round, then any query whose implementation changes in r10/r11,
+    # then the r8-green cohort oldest-first.  The rotation is one edit
+    # here.
 )
 
 
