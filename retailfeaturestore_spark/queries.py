@@ -4161,6 +4161,182 @@ def q_feature_view_incremental_mtable(spark: SparkSession, sf_dir: str) -> DataF
     return tbl.read().select(*_FEATURE_COL_ORDER)
 
 
+def _orders_cdc_table(spark: SparkSession, sf_dir: str, key: str):
+    """Shared deterministic 4-commit orders mtable for the CDC queries:
+    v1 full write (< 1997-01-01, month-partitioned), v2 append (the rest),
+    v3 row-level DELETE (status 'P'), v4 row-level UPDATE (+1.00 on cheap
+    open orders).  The logical row effect is SQL-expressible, so the feed
+    and its consumers get hash-exact oracles; the FILE effect (which rows
+    ride rewrite delete+insert pairs) is layout noise the consumers must
+    cancel — exactly what the oracle check proves they do."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.mtable import MTable
+
+    dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
+    if dirs is None:
+        dirs = spark._rfs_mtable_q_dirs = {}
+    dkey = f"{sf_dir}#{key}"
+    prev = dirs.pop(dkey, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = os.path.join(tempfile.gettempdir(), "rfs_mtable_cdc", uuid.uuid4().hex)
+    dirs[dkey] = root
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.to_date(F.lit("1997-01-01"))
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = MTable(spark, root)
+    tbl.write(
+        orders.where(F.col("o_orderdate") < cut)
+        .withColumn("month", month)
+        .repartition(width, F.col("month")),
+        partition_by="month",
+        stats_cols=["o_orderstatus", "o_totalprice"],
+    )
+    tbl.write(
+        orders.where(F.col("o_orderdate") >= cut)
+        .withColumn("month", month)
+        .repartition(width, F.col("month")),
+        mode="append",
+    )
+    # stats-pruned file surgery: only files whose min/max admit a match are
+    # rewritten — the untouched files never appear in the change feed
+    tbl.delete(
+        F.col("o_orderstatus") == "P", prune=[("o_orderstatus", "=", "P")]
+    )
+    tbl.update(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 20000.0),
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.0)},
+        prune=[("o_totalprice", "<", 20000.0)],
+    )
+    return tbl
+
+
+_CDC_SIGN = "_change_type"
+
+
+def _cdc_sign():
+    return F.when(F.col(_CDC_SIGN) == "insert", F.lit(1)).otherwise(F.lit(-1))
+
+
+_CHANGE_FEED_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+),
+final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'O' AND o_totalprice < 20000.0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderstatus <> 'P'
+),
+pm AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, -1 AS s FROM v1
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice,  1 AS s FROM final
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(sum(s) AS BIGINT) AS net
+FROM pm
+GROUP BY o_orderkey, o_orderstatus, o_totalprice
+HAVING sum(s) <> 0
+"""
+
+
+@register(
+    "mtable_change_feed",
+    oracle=_CHANGE_FEED_ORACLE,
+    tags=("acid", "cdc", "incremental"),
+)
+def q_mtable_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed consumption (r10): commit append + DELETE + UPDATE
+    against the orders mtable, then read ``read_changes(v1)`` — the
+    O(changed-files) feed ``MTable.diff`` is not — and NET it per row.
+    The netted feed must equal the logical row delta between snapshot v1
+    and the final state, which is exactly the consumer contract: copy-on-
+    write rewrite pairs (a rewritten file's untouched rows leave as a
+    delete and return as an insert in the same commit) are layout noise
+    that cancels under ``GROUP BY row HAVING SUM(±1) != 0``, while real
+    inserts, deletes, and both halves of every update survive.  At 100 TB
+    the feed plans the day's changed files, never the table — the
+    consumption shape that replaces the reference's full gold rebuild
+    (jobs/build_feature_views.py)."""
+    tbl = _orders_cdc_table(spark, sf_dir, "feed")
+    feed = tbl.read_changes(1)
+    return (
+        feed.groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(F.sum(_cdc_sign()).cast("long").alias("net"))
+        .where(F.col("net") != 0)
+    )
+
+
+_ROLLUP_CDF_ORACLE = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'O' AND o_totalprice < 20000.0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderstatus <> 'P'
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       (CAST(sum(CAST(round(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+         AS revenue
+FROM final
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "revenue_rollup_incremental_cdf",
+    oracle=_ROLLUP_CDF_ORACLE,
+    tags=("acid", "cdc", "incremental", "agg"),
+)
+def q_revenue_rollup_incremental_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AGGREGATE maintenance from the change feed (r10): the
+    per-priority revenue rollup is bootstrapped from snapshot v1, then
+    brought current by folding in the SIGNED aggregate of the feed —
+    count += Σ(±1), cents += Σ(±cents) — never re-reading v1's untouched
+    files.  The oracle computes the same rollup from the logical final
+    state directly, so a hash match proves state ⊕ Δ(feed) ==
+    full-recompute exactly (cents-integer accumulation makes ⊕ exact and
+    order-independent).  This is the O(delta) maintenance loop a 100 TB
+    nightly rollup needs: the full recompute reads the table, this reads
+    yesterday's state plus the day's commits."""
+    tbl = _orders_cdc_table(spark, sf_dir, "rollup")
+    s = _cdc_sign()
+    state = (
+        tbl.read(version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"), 2)).alias("cents"),
+        )
+    )
+    delta = (
+        tbl.read_changes(1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(s).alias("n"),
+            F.sum(s * cents(F.col("o_totalprice"), 2)).alias("cents"),
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .where(F.col("n") > 0)
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_orders"),
+            from_cents(F.col("cents"), 2).alias("revenue"),
+        )
+    )
+
+
 _DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_SH_CTE},
 sig AS (SELECT doc_id, {_mh_cols} FROM {_MH_PAIR_SRC} GROUP BY doc_id),
@@ -8787,7 +8963,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "feature_view_build",
     "hybrid_retrieval_rrf",
     "knn_recall_eval",
-    "large_volume_orders",
+    # mtable_change_feed / revenue_rollup_incremental_cdf: NEW r10 surface
+    # (file-granularity CDC: read_changes netting + O(delta) aggregate
+    # maintenance) — zero driver history by construction; they displace
+    # large_volume_orders and small_qty_revenue (r7-green single-exchange
+    # filter/agg shapes, sweep-verified every round) under the same
+    # first-verdict-beats-refresh call as knn_pq_index_mtable below.
+    "mtable_change_feed",
+    "revenue_rollup_incremental_cdf",
     "linestatus_priority_counts",
     "min_price_supplier_per_part",
     "multimodal_payload_meta",
@@ -8803,7 +8986,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_packing_chunk_text",
     "seq_packing_chunks",
     "seq_packing_ffd",
-    "small_qty_revenue",
     "stratified_sample_balanced",
     "supplier_variety_by_part",
     "text_string_features",

@@ -1386,6 +1386,115 @@ class MTable:
             for m in (self._read_manifest_raw(v) for v in self.versions())
         ]
 
+    def read_changes(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame | None:
+        """File-granularity CHANGE DATA FEED: every row added or removed by
+        the commits AFTER snapshot ``v_from`` (0 = "before the first
+        commit") up to and including ``v_to`` (None = latest), tagged with
+        ``_change_type`` ('insert' | 'delete'), ``_commit_version`` and
+        ``_commit_operation``.  This is the O(delta) consumption path
+        :meth:`diff` is not: ``diff`` re-reads BOTH snapshots in full,
+        while the feed plans exactly the manifests' per-commit file-list
+        differences — a downstream pipeline over a 100 TB table reads the
+        day's changed files, never the table.
+
+        Semantics are Delta Lake's CDF-without-change-files contract:
+        copy-on-write DML (delete/update/merge/compact) rewrites whole
+        files, so a rewritten file's rows appear as delete+insert pairs
+        and untouched rows cancel under the per-row netting every
+        consumer applies (``GROUP BY row HAVING SUM(±1) != 0``, or
+        signed-sum aggregate maintenance).  Per-commit fidelity is
+        preserved: a row inserted at v2 and deleted at v3 appears twice,
+        once per commit, in commit order.
+
+        Requires manifests ``v_from .. v_to`` retained (vacuum raises
+        :class:`NoSuchVersion` past its horizon); the removed files
+        themselves are safe while the PREVIOUS manifest is retained,
+        which the same horizon guarantees.  Returns None when no commit
+        in the range changed any file.  Reference stake: the reference
+        rebuilds gold from scratch every run (jobs/build_feature_views.py)
+        — this feed is what lets a consumer NOT do that."""
+        if v_to is None:
+            cur = self._latest()
+            if cur is None:
+                raise NoSuchVersion(f"{self.path} has no committed version")
+            v_to = cur[0]
+        if v_from < 0 or v_to < v_from:
+            raise ValueError(f"bad change range ({v_from}, {v_to}]")
+        if v_to == v_from:
+            return None
+
+        def live(v: int) -> set[str]:
+            if v == 0:
+                return set()
+            m = self._read_manifest(v)
+            return {rel for fl in m["partitions"].values() for rel in fl}
+
+        m_to = self._read_manifest(v_to)
+        target = self._parse_schema(m_to["schema"])  # sorted name -> type
+        pby_to = m_to["partition_by"]
+        scans: list[tuple[int, str, str, list[str]]] = []
+        prev = live(v_from)
+        for v in range(v_from + 1, v_to + 1):
+            op = self._read_manifest_raw(v).get("operation") or ""
+            curr = live(v)
+            added = sorted(curr - prev)
+            removed = sorted(prev - curr)
+            if added:
+                scans.append((v, op, "insert", added))
+            if removed:
+                scans.append((v, op, "delete", removed))
+            prev = curr
+        if not scans:
+            return None
+        frames = []
+        for v, op, ctype, rels in scans:
+            # deletes at v are files that were live at v-1: THAT manifest
+            # owns their schema/partition context (an overwrite may have
+            # changed both at v)
+            bm = self._read_manifest(v if ctype == "insert" else v - 1)
+            reader = self.spark.read
+            if bm.get("evolved"):
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*[f"{self.path}/{rel}" for rel in rels])
+            pby = bm["partition_by"]
+            if pby:
+                df = df.withColumn(
+                    pby,
+                    F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1),
+                )
+            # normalize every scan to v_to's schema: null-fill columns the
+            # files predate, drop columns an overwrite retired — so the
+            # union is well-typed across evolution and schema-changing
+            # overwrites alike
+            cols = [
+                F.col(c).alias(c)
+                if c in df.columns
+                else F.lit(None).cast(t).alias(c)
+                for c, t in target.items()
+            ]
+            if pby_to:
+                cols.append(
+                    (
+                        F.col(pby_to)
+                        if pby_to in df.columns
+                        else F.lit(None).cast("string")
+                    ).alias(pby_to)
+                )
+            frames.append(
+                df.select(
+                    *cols,
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                    F.lit(op).alias("_commit_operation"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(
