@@ -1495,6 +1495,46 @@ class MTable:
             out = out.unionByName(f)
         return out
 
+    def restore(self, version: int, extra_meta: dict | None = None) -> int:
+        """RESTORE the table to the exact state of ``version`` as a NEW
+        commit (the Delta RESTORE shape): the target's partition map,
+        stats, schema, and evolution flag are re-committed BY REFERENCE —
+        no file is read, copied, or rewritten, so undoing a bad commit on
+        a 100 TB table costs one manifest write.  History is preserved:
+        time travel still reaches the undone commits until vacuum, and the
+        change feed shows the restore as one commit whose file delta
+        exactly un-does what it reverts (netted consumers see the logical
+        rollback).  The target's files are guaranteed live because vacuum
+        retains every file referenced by a retained manifest, and reading
+        the target's manifest is what this starts with (vacuumed targets
+        raise :class:`NoSuchVersion`).  A racing commit surfaces
+        :class:`ConcurrentCommit` unrebased — a restore pins an exact
+        state, so silently replaying it onto a different base would be
+        wrong.  Restoring the current version is a no-op (returns it)."""
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion(f"{self.path} has no committed version")
+        v0, m0 = cur
+        if version == v0:
+            return v0
+        tgt = self._read_manifest(version)
+        meta = dict(extra_meta or {})
+        meta["restored_version"] = version
+        manifest = {
+            "version": v0 + 1,
+            "parent": v0,
+            "operation": "restore",
+            "partition_by": tgt["partition_by"],
+            "schema": tgt["schema"],
+            "partitions": {k: list(f) for k, f in tgt["partitions"].items()},
+            "stats": dict(tgt.get("stats") or {}),
+            "committed_at_ms": int(time.time() * 1000),
+            "meta": meta,
+        }
+        if tgt.get("evolved"):
+            manifest["evolved"] = True
+        return self._commit_state(manifest, v0 + 1, m0)
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(

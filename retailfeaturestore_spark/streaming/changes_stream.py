@@ -1,0 +1,134 @@
+"""Incremental consumption of an mtable CHANGE FEED — streaming a table.
+
+The Delta-streaming-source shape, built Spark-first: a micro-batch is one
+``MTable.read_changes(v0, v1)`` call (a JVM-side parquet scan of exactly
+the commits' changed files — data never moves through Python), and the
+consumer's offset is simply the table VERSION processed through.  This is
+the ``Trigger.AvailableNow`` pattern: :meth:`ChangeFeedConsumer.run_available`
+drains every committed-but-unprocessed version in bounded version batches
+and stops; a scheduler (cron, Airflow, a driver loop) re-invokes it to
+tail the table.  At 100 TB cadence each invocation plans the day's
+changed files, never the table — the consumption loop that replaces the
+reference's full gold rebuild (jobs/build_feature_views.py).
+
+Delivery semantics, explicitly:
+
+- The local version checkpoint alone is AT-LEAST-ONCE: a crash between
+  ``process()`` returning and the checkpoint write replays that one
+  version batch on restart.  Fine for idempotent/semilattice consumers
+  (the KMV state merge next door, overwrite-by-key sinks).
+- EXACTLY-ONCE needs the sink to be transactional: pass ``ledger`` (e.g.
+  ``lambda: dest.ledger_max("cdc_through")`` for an mtable sink that
+  commits ``extra_meta={"cdc_through": v1}`` WITH each batch's data —
+  one atomic manifest PUT carries both).  ``processed_through`` takes the
+  max of checkpoint and ledger, so a replayed batch whose commit already
+  landed is skipped.  :func:`mtable_append_sink` wires this up.
+
+The checkpoint file is swapped atomically (temp + ``os.replace``); it is
+an optimization, not the truth — lose it and the ledger (or, ledger-less,
+an at-least-once replay) recovers.  Single consumer per checkpoint dir,
+like every state-dir protocol in this package.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ChangeFeedConsumer", "mtable_append_sink"]
+
+
+class ChangeFeedConsumer:
+    """Versioned cursor over an :class:`~..sources.mtable.MTable`'s change
+    feed.  ``max_versions_per_batch`` bounds how many commits one
+    ``process()`` call sees (None = all available): small batches bound
+    sink-commit size and replay cost; large ones amortize job overhead."""
+
+    def __init__(
+        self,
+        tbl,
+        checkpoint_dir: str,
+        max_versions_per_batch: int | None = None,
+        ledger=None,
+    ):
+        self.tbl = tbl
+        self.checkpoint_dir = checkpoint_dir
+        self.max_versions = max_versions_per_batch
+        self.ledger = ledger
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    @property
+    def _ckpt(self) -> str:
+        return os.path.join(self.checkpoint_dir, "processed_through")
+
+    def processed_through(self) -> int:
+        """Highest version durably processed: max of the checkpoint file
+        and the sink ledger (the ledger is authoritative when present —
+        it rode the sink's own atomic commit)."""
+        v = 0
+        try:
+            with open(self._ckpt, encoding="utf-8") as f:
+                v = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        if self.ledger is not None:
+            lv = self.ledger()
+            if lv is not None:
+                v = max(v, int(lv))
+        return v
+
+    def _write_ckpt(self, v: int) -> None:
+        tmp = f"{self._ckpt}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(v))
+        os.replace(tmp, self._ckpt)
+
+    def run_available(self, process) -> list[tuple[int, int]]:
+        """Drain every unprocessed commit: repeatedly feed ``process(df,
+        v_from, v_to)`` the next version batch until the cursor reaches
+        the latest version AT ENTRY of each iteration (a writer racing
+        ahead extends the drain — run_available returns only when it
+        observes no remaining work).  Returns the ``(v_from, v_to]``
+        ranges processed.  A batch whose commits changed no files still
+        advances the cursor (process is not called with an empty feed)."""
+        done: list[tuple[int, int]] = []
+        while True:
+            v0 = self.processed_through()
+            cur = self.tbl._latest()
+            if cur is None or cur[0] <= v0:
+                return done
+            latest = cur[0]
+            v1 = (
+                latest
+                if self.max_versions is None
+                else min(latest, v0 + self.max_versions)
+            )
+            feed = self.tbl.read_changes(v0, v1)
+            if feed is not None:
+                process(feed, v0, v1)
+            self._write_ckpt(v1)
+            done.append((v0, v1))
+
+
+def mtable_append_sink(dest, transform=None, ledger_key: str = "cdc_through"):
+    """(process, ledger) pair for EXACTLY-ONCE append into another mtable:
+    each batch's rows commit WITH ``extra_meta={ledger_key: v_to}`` in one
+    atomic manifest PUT, and the ledger reads it back via
+    ``dest.ledger_max`` — so a replayed batch (crash before the consumer
+    checkpoint landed) is skipped, never double-appended.  ``transform``
+    maps the raw feed batch (data columns + ``_change_type`` /
+    ``_commit_version`` / ``_commit_operation``) to the rows to append —
+    e.g. the signed per-group aggregate for O(delta) rollup maintenance.
+    Vacuum note: ``ledger_max`` scans retained manifests, so ``dest``'s
+    vacuum must keep at least the newest manifest (it always does)."""
+
+    def process(feed: DataFrame, v_from: int, v_to: int) -> None:
+        batch = transform(feed) if transform is not None else feed
+        dest.write(batch, mode="append", extra_meta={ledger_key: v_to})
+
+    def ledger():
+        return dest.ledger_max(ledger_key)
+
+    return process, ledger

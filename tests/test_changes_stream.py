@@ -1,0 +1,177 @@
+"""Change-feed consumer (streaming a table) + RESTORE semantics.
+
+Covers: the Trigger.AvailableNow drain loop with version-batch bounding,
+exactly-once into an mtable sink via the ledger riding the sink's own
+atomic commit (crash-before-checkpoint replays are SKIPPED), and RESTORE
+as an O(manifest) commit whose change-feed delta exactly un-does what it
+reverts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from retailfeaturestore_spark.sources.mtable import MTable, NoSuchVersion
+from retailfeaturestore_spark.streaming.changes_stream import (
+    ChangeFeedConsumer,
+    mtable_append_sink,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        rows, "customer_id long, t_ref string, score double"
+    ).withColumn("t_ref", F.col("t_ref").cast("timestamp"))
+
+
+def _with_date(df):
+    return df.withColumn("date", F.date_format("t_ref", "yyyy-MM-dd"))
+
+
+BASE = [
+    (1, "2024-01-01 10:00:00", 1.0),
+    (2, "2024-01-01 11:00:00", 2.0),
+    (3, "2024-01-02 10:00:00", 3.0),
+]
+
+APPEND = [
+    (4, "2024-01-03 10:00:00", 4.0),
+    (5, "2024-01-03 11:00:00", 5.0),
+]
+
+
+def _mk4(spark, tmp_path, name="src"):
+    t = MTable(spark, str(tmp_path / name))
+    t.write(_with_date(_snap(spark, BASE)), partition_by="date")
+    t.write(_with_date(_snap(spark, APPEND)), mode="append")
+    t.delete(F.col("customer_id") == 2)
+    t.update(F.col("customer_id") == 3, {"score": F.lit(30.0)})
+    return t
+
+
+def _rows(df):
+    return {(r.customer_id, r.score, r.date) for r in df.collect()}
+
+
+# -- restore ----------------------------------------------------------------
+
+
+def test_restore_rolls_back_state_without_rewriting_files(spark, tmp_path):
+    t = _mk4(spark, tmp_path)
+    v1_rows = _rows(t.read(version=1))
+    v1_files = set(t.read(version=1).inputFiles())
+    assert t.restore(1) == 5
+    assert _rows(t.read()) == v1_rows
+    # O(manifest): the restored snapshot plans the ORIGINAL v1 files
+    assert set(t.read().inputFiles()) == v1_files
+    assert t.history()[-1]["operation"] == "restore"
+    # time travel still reaches the undone commits
+    assert {r.customer_id for r in t.read(version=4).collect()} == {1, 3, 4, 5}
+    # restoring the current version is a no-op
+    assert t.restore(5) == 5
+
+
+def test_restore_nets_to_zero_in_the_feed(spark, tmp_path):
+    t = _mk4(spark, tmp_path)
+    t.restore(1)
+    feed = t.read_changes(1)  # v2..v5: everything done, then undone
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    net = (
+        feed.groupBy("customer_id", "score", "date")
+        .agg(F.sum(sign).alias("net"))
+        .where(F.col("net") != 0)
+    )
+    assert net.count() == 0
+    # and the restore commit alone is the exact inverse of v1..v4's delta
+    inv = {
+        (r.customer_id, r.score, r.date): r.net
+        for r in t.read_changes(4, 5)
+        .groupBy("customer_id", "score", "date")
+        .agg(F.sum(sign).alias("net"))
+        .where(F.col("net") != 0)
+        .collect()
+    }
+    fwd = {
+        (r.customer_id, r.score, r.date): r.net
+        for r in t.read_changes(1, 4)
+        .groupBy("customer_id", "score", "date")
+        .agg(F.sum(sign).alias("net"))
+        .where(F.col("net") != 0)
+        .collect()
+    }
+    assert inv == {k: -v for k, v in fwd.items()}
+
+
+def test_restore_guards(spark, tmp_path):
+    t = MTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(NoSuchVersion):
+        t.restore(1)
+    t.write(_with_date(_snap(spark, BASE)), partition_by="date")
+    with pytest.raises(NoSuchVersion):
+        t.restore(7)
+
+
+# -- consumer ----------------------------------------------------------------
+
+
+def _signed_date_counts(feed):
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    return feed.groupBy("date").agg(F.sum(sign).cast("long").alias("n"))
+
+
+def _dest_counts(dest):
+    return {
+        r.date: r.n
+        for r in dest.read()
+        .groupBy("date")
+        .agg(F.sum("n").alias("n"))
+        .where(F.col("n") != 0)
+        .collect()
+    }
+
+
+def test_consumer_exactly_once_rollup(spark, tmp_path):
+    src = _mk4(spark, tmp_path)
+    dest = MTable(spark, str(tmp_path / "rollup"))
+    process, ledger = mtable_append_sink(dest, transform=_signed_date_counts)
+    c = ChangeFeedConsumer(
+        src, str(tmp_path / "ckpt"), max_versions_per_batch=2, ledger=ledger
+    )
+    ranges = c.run_available(process)
+    assert ranges == [(0, 2), (2, 4)]
+    want = {
+        r.date: r.n
+        for r in src.read().groupBy("date").agg(F.count("*").alias("n")).collect()
+    }
+    assert _dest_counts(dest) == want
+    # drained: nothing to do
+    assert c.run_available(process) == []
+    # crash-before-checkpoint: losing the cursor file must NOT double-apply
+    # — the ledger rode the sink's own commits
+    os.remove(os.path.join(str(tmp_path / "ckpt"), "processed_through"))
+    assert c.processed_through() == 4
+    assert c.run_available(process) == []
+    assert _dest_counts(dest) == want
+    # new upstream commit -> one more batch, state stays consistent
+    src.delete(F.col("customer_id") == 1)
+    assert c.run_available(process) == [(4, 5)]
+    want = {
+        r.date: r.n
+        for r in src.read().groupBy("date").agg(F.count("*").alias("n")).collect()
+    }
+    assert _dest_counts(dest) == want
+
+
+def test_consumer_version_batching_and_bootstrap(spark, tmp_path):
+    src = _mk4(spark, tmp_path)
+    seen: list[tuple[int, int]] = []
+    c = ChangeFeedConsumer(
+        src, str(tmp_path / "ckpt1"), max_versions_per_batch=1
+    )
+    ranges = c.run_available(lambda df, a, b: seen.append((a, b)))
+    # v_from=0 bootstraps: the first batch is v1's initial content as inserts
+    assert ranges == [(0, 1), (1, 2), (2, 3), (3, 4)] == seen
+    assert c.processed_through() == 4
