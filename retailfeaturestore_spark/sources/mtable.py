@@ -1387,7 +1387,10 @@ class MTable:
         ]
 
     def read_changes(
-        self, v_from: int, v_to: int | None = None
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        skip_compactions: bool = False,
     ) -> DataFrame | None:
         """File-granularity CHANGE DATA FEED: every row added or removed by
         the commits AFTER snapshot ``v_from`` (0 = "before the first
@@ -1414,7 +1417,24 @@ class MTable:
         which the same horizon guarantees.  Returns None when no commit
         in the range changed any file.  Reference stake: the reference
         rebuilds gold from scratch every run (jobs/build_feature_views.py)
-        — this feed is what lets a consumer NOT do that."""
+        — this feed is what lets a consumer NOT do that.
+
+        ``skip_compactions=True`` omits the events of commits whose meta
+        carries ``compacted`` (the :meth:`compact`/zorder maintenance
+        path — the one rewrite surface that preserves the row multiset by
+        construction).  Sound for NETTING consumers even when a later DML
+        rewrites a compacted file: the compacted file's values equal the
+        values of the files it replaced, which the feed DID emit (or the
+        v_from baseline holds), so per-row sums still cancel exactly — the
+        Delta ``dataChange=false`` analogue.  Per-commit-fidelity
+        consumers (audit trails) must leave it off.  At scale this is the
+        difference between a consumer re-reading a compacted terabyte of
+        no-op churn and reading nothing.
+
+        The version walk itself is metadata-cheap: a DELTA manifest's
+        events are computed from its ``delta`` entry in O(touched
+        partitions' files); only full manifests (overwrites, checkpoint
+        boundaries) pay a full-map diff."""
         if v_to is None:
             cur = self._latest()
             if cur is None:
@@ -1425,27 +1445,49 @@ class MTable:
         if v_to == v_from:
             return None
 
-        def live(v: int) -> set[str]:
-            if v == 0:
-                return set()
-            m = self._read_manifest(v)
-            return {rel for fl in m["partitions"].values() for rel in fl}
-
         m_to = self._read_manifest(v_to)
         target = self._parse_schema(m_to["schema"])  # sorted name -> type
         pby_to = m_to["partition_by"]
         scans: list[tuple[int, str, str, list[str]]] = []
-        prev = live(v_from)
+        # rolling partition map, advanced per commit — delta manifests
+        # touch only their own entries, never a full-table rebuild
+        parts: dict[str, list[str]] = (
+            {}
+            if v_from == 0
+            else {
+                pv: list(fl)
+                for pv, fl in self._read_manifest(v_from)["partitions"].items()
+            }
+        )
         for v in range(v_from + 1, v_to + 1):
-            op = self._read_manifest_raw(v).get("operation") or ""
-            curr = live(v)
-            added = sorted(curr - prev)
-            removed = sorted(prev - curr)
+            raw = self._read_manifest_raw(v)
+            op = raw.get("operation") or ""
+            added: list[str] = []
+            removed: list[str] = []
+            if "delta" in raw:
+                d = raw["delta"]
+                for pv in d.get("partitions_dropped", ()):
+                    removed += parts.pop(pv, [])
+                for pv, files in (d.get("partitions_set") or {}).items():
+                    old = set(parts.get(pv, ()))
+                    new = set(files)
+                    added += new - old
+                    removed += old - new
+                    parts[pv] = list(files)
+            else:
+                newparts = raw["partitions"]
+                for pv in set(parts) | set(newparts):
+                    old = set(parts.get(pv, ()))
+                    new = set(newparts.get(pv, ()))
+                    added += new - old
+                    removed += old - new
+                parts = {pv: list(fl) for pv, fl in newparts.items()}
+            if skip_compactions and "compacted" in (raw.get("meta") or {}):
+                continue
             if added:
-                scans.append((v, op, "insert", added))
+                scans.append((v, op, "insert", sorted(added)))
             if removed:
-                scans.append((v, op, "delete", removed))
-            prev = curr
+                scans.append((v, op, "delete", sorted(removed)))
         if not scans:
             return None
         frames = []

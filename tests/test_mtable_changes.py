@@ -140,6 +140,29 @@ def test_vacuum_past_range_raises_but_retained_range_works(spark, tmp_path):
     assert net == {(3, 3.0, "2024-01-02"): -1, (3, 30.0, "2024-01-02"): 1}
 
 
+def test_skip_compactions_drops_churn_but_keeps_netting_exact(spark, tmp_path):
+    t = MTable(spark, str(tmp_path / "cmp"))
+    t.write(_with_date(_snap(spark, BASE)), partition_by="date")
+    t.write(_with_date(_snap(spark, APPEND)), mode="append")
+    assert t.compact() == 3  # multi-file partitions collapse; rows unchanged
+    # the DML-after-compaction case from the docstring: a delete rewrites a
+    # COMPACTED file whose insert events were skipped — netting must still
+    # equal the logical delta because the compacted file's values equal the
+    # values the feed did emit
+    t.delete(F.col("customer_id") == 1)
+
+    full = t.read_changes(0)
+    lean = t.read_changes(0, skip_compactions=True)
+    # the compaction commit contributes events only to the full feed
+    assert [r for r in full.collect() if r._commit_version == 3]
+    assert not [r for r in lean.collect() if r._commit_version == 3]
+    final = _multiset(t.read())
+    assert _netted(full) == final
+    assert _netted(lean) == final
+    # the omitted churn (compaction's delete+insert pairs) never ships
+    assert full.count() > lean.count()
+
+
 def test_schema_evolution_null_fills_old_events(spark, tmp_path):
     t = MTable(spark, str(tmp_path / "evo"))
     t.write(_with_date(_snap(spark, BASE)), partition_by="date")
