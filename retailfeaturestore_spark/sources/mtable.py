@@ -114,6 +114,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "MTable",
     "ConcurrentCommit",
+    "ConstraintViolation",
     "NoSuchVersion",
 ]
 
@@ -127,6 +128,10 @@ class ConcurrentCommit(RuntimeError):
 
 class NoSuchVersion(ValueError):
     pass
+
+
+class ConstraintViolation(ValueError):
+    """A write's rows break a table CHECK constraint; nothing committed."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -382,6 +387,9 @@ class MTable:
                 conflicting = (
                     m1["schema"] != m0["schema"]
                     or bool(m1.get("evolved")) != bool(m0.get("evolved"))
+                    # a racing ADD/DROP CONSTRAINT changed what this
+                    # writer's rows were validated against
+                    or (m1.get("constraints") or {}) != (m0.get("constraints") or {})
                     or any(
                         m1["partitions"].get(pv) != m0["partitions"].get(pv)
                         for pv in touched
@@ -788,6 +796,8 @@ class MTable:
                 )
         else:
             v0, m0 = 0, None
+        if m0 is not None and m0.get("constraints"):
+            self._enforce(df, m0["constraints"], f"{mode} rows")
         staged = self._stage_files(df, partition_by)
         # an append that does not say which columns to stat inherits the
         # table's existing stats/bloom/ndv column sets (exactly as
@@ -849,6 +859,8 @@ class MTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if mb is not None and mb.get("constraints"):
+                manifest["constraints"] = dict(mb["constraints"])
             return manifest
 
         if mode != "append" or m0 is None:
@@ -869,6 +881,12 @@ class MTable:
                 cur = self._latest()
                 assert cur is not None  # someone committed: latest exists
                 vb, mb = cur
+                if (mb.get("constraints") or {}) != (
+                    (m0.get("constraints") or {}) if m0 else {}
+                ):
+                    # a racing ADD/DROP CONSTRAINT changed what these rows
+                    # were validated against — surface, don't auto-rebase
+                    raise
                 schema_fp = self._evolve_schema(
                     mb["schema"],
                     self._schema_fingerprint(df, partition_by),
@@ -921,6 +939,11 @@ class MTable:
             raise ValueError("table is unpartitioned")
         fp = self._schema_fingerprint(df, partition_by)
         schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
+        if m0.get("constraints") and not (extra_meta or {}).get("compacted"):
+            # maintenance rewrites (compaction/zorder) carry rows that
+            # already passed at their original commit — re-validating a
+            # terabyte of unchanged rows would be pure waste
+            self._enforce(df, m0["constraints"], "overwritten partition rows")
         if cluster_files:
             # every partition value's rows land in one task -> one staged
             # file per partition dir; parallelism stays at the session's
@@ -996,6 +1019,8 @@ class MTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if mb.get("constraints"):
+                manifest["constraints"] = dict(mb["constraints"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, replaced | set(staged))
@@ -1186,6 +1211,10 @@ class MTable:
             raise ValueError(
                 f"{operation} changed the schema: {fp} != {m0['schema']}"
             )
+        if operation == "update" and m0.get("constraints"):
+            # a DELETE can only remove rows; an UPDATE's SET expressions can
+            # break a CHECK — validate exactly the rewritten candidates
+            self._enforce(kept, m0["constraints"], "updated rows")
         if pby:
             width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             kept = kept.repartition(width, F.col(pby))
@@ -1256,6 +1285,8 @@ class MTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if mb.get("constraints"):
+                manifest["constraints"] = dict(mb["constraints"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -1575,7 +1606,106 @@ class MTable:
         }
         if tgt.get("evolved"):
             manifest["evolved"] = True
+        if tgt.get("constraints"):
+            # a restore restores the table's METADATA too: the target's
+            # constraint set, under which its data was provably validated
+            # (add_constraint scans the whole table; every later write is
+            # enforced) — so no re-validation scan is needed
+            manifest["constraints"] = dict(tgt["constraints"])
         return self._commit_state(manifest, v0 + 1, m0)
+
+    # -- constraints ---------------------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints ({name: SQL boolean expr}), as of
+        the latest commit ({} before any commit or constraint)."""
+        cur = self._latest()
+        return dict(cur[1].get("constraints") or {}) if cur else {}
+
+    def add_constraint(self, name: str, expr: str, validate: bool = True) -> int:
+        """Add a CHECK constraint (the Delta ``ADD CONSTRAINT`` shape):
+        every row of every subsequent write/merge/update must satisfy
+        ``expr`` (SQL boolean; NULL passes, standard CHECK semantics) or
+        the whole commit fails with :class:`ConstraintViolation` — nothing
+        partial lands, because enforcement happens before the manifest CAS.
+        ``validate=True`` (default) first proves the CURRENT table
+        satisfies it (one aggregate scan — the one-time cost that makes
+        every later snapshot trustworthy); the constraint then rides the
+        manifest chain, an O(manifest) metadata commit like
+        :meth:`restore`.  Maintenance rewrites (compaction) skip
+        re-validation: their rows already passed."""
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion("add_constraint needs a committed table")
+        v0, m0 = cur
+        cons = dict(m0.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if validate:
+            snap = self.read(version=v0)
+            if snap is not None:
+                self._enforce(snap, {name: expr}, "existing rows")
+        cons[name] = expr
+        return self._commit_meta_change(v0, m0, "add_constraint", cons)
+
+    def drop_constraint(self, name: str) -> int:
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion("drop_constraint needs a committed table")
+        v0, m0 = cur
+        cons = dict(m0.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        return self._commit_meta_change(v0, m0, "drop_constraint", cons)
+
+    def _commit_meta_change(
+        self, v0: int, m0: dict, operation: str, cons: dict[str, str]
+    ) -> int:
+        manifest = {
+            "version": v0 + 1,
+            "parent": v0,
+            "operation": operation,
+            "partition_by": m0["partition_by"],
+            "schema": m0["schema"],
+            "partitions": {k: list(f) for k, f in m0["partitions"].items()},
+            "stats": dict(m0.get("stats") or {}),
+            "committed_at_ms": int(time.time() * 1000),
+            "meta": {},
+            "constraints": dict(sorted(cons.items())),
+        }
+        if m0.get("evolved"):
+            manifest["evolved"] = True
+        return self._commit_state(manifest, v0 + 1, m0)
+
+    def _enforce(self, df: DataFrame, cons: dict[str, str], what: str) -> None:
+        """ONE aggregate job counting violators of every constraint at
+        once (violation = expr IS FALSE; NULL passes).  Raises with the
+        per-constraint counts; the commit that called this never happens.
+        The validation scan is the enforcement cost — at table scale the
+        write being validated dominates it, and it runs on exactly the
+        rows being committed (DML rewrites validate only the rewritten
+        candidates)."""
+        if not cons:
+            return
+        names = sorted(cons)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(cons[n]).cast("boolean"), F.lit(True)),
+                        1,
+                    ).otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        bad = {n: int(row[n]) for n in names if row[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"{what} violate CHECK constraints "
+                + ", ".join(f"{n} ({cons[n]!r}): {c} rows" for n, c in bad.items())
+            )
 
     # -- maintenance ---------------------------------------------------------
 
