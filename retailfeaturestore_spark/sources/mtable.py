@@ -1298,6 +1298,7 @@ class MTable:
         version: int | None = None,
         partitions: list[str] | None = None,
         prune: list[tuple] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame | None:
         """Snapshot read: plan against exactly the files the manifest names
         (never a directory listing).  ``version=None`` = latest;
@@ -1307,7 +1308,13 @@ class MTable:
         evaluated against the manifest's per-file stats: a file is dropped
         only when its min/max PROVE no row matches — conservative data
         skipping; the caller still applies the real filter.  Returns None
-        for an empty selection."""
+        for an empty selection.  ``as_of_ms`` is TIMESTAMP AS OF (mutually
+        exclusive with ``version``): the snapshot a reader at that
+        wall-clock moment saw, via :meth:`version_at`."""
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ms, not both")
+            version = self.version_at(as_of_ms)
         if version is None:
             cur = self._latest()
             if cur is None:
@@ -1407,6 +1414,26 @@ class MTable:
         if old is None or new is None:
             raise NoSuchVersion("diff needs two non-empty versions")
         return table_diff(old, new, keys, compare_cols=compare_cols)
+
+    def version_at(self, ts_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the newest retained version whose
+        ``committed_at_ms`` <= ``ts_ms`` (the snapshot a reader at that
+        wall-clock moment would have seen).  O(retained versions) raw
+        manifest reads — cheap, ledger-style.  Raises
+        :class:`NoSuchVersion` when ``ts_ms`` predates the oldest retained
+        commit (vacuum horizon) or the table is empty."""
+        best = None
+        for v in self.versions():
+            m = self._read_manifest_raw(v)
+            if m.get("committed_at_ms", 0) <= ts_ms and (
+                best is None or v > best
+            ):
+                best = v
+        if best is None:
+            raise NoSuchVersion(
+                f"{self.path} has no retained version at or before {ts_ms}"
+            )
+        return best
 
     def history(self) -> list[dict]:
         return [

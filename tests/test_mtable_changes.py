@@ -163,6 +163,22 @@ def test_skip_compactions_drops_churn_but_keeps_netting_exact(spark, tmp_path):
     assert full.count() > lean.count()
 
 
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    t = _mk4(spark, tmp_path)
+    hist = {h["version"]: h["committed_at_ms"] for h in t.history()}
+    # at each commit's own timestamp, that commit is the snapshot
+    for v, ts in hist.items():
+        assert t.version_at(ts) == v or hist[t.version_at(ts)] == ts
+    # just before v3's commit, v2 (or a same-ms sibling) is what a reader saw
+    v = t.version_at(hist[3] - 1)
+    assert v < 3
+    assert t.read(as_of_ms=hist[2]).count() == t.read(version=2).count()
+    with pytest.raises(NoSuchVersion):
+        t.version_at(hist[1] - 1)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of_ms=hist[1])
+
+
 def test_schema_evolution_null_fills_old_events(spark, tmp_path):
     t = MTable(spark, str(tmp_path / "evo"))
     t.write(_with_date(_snap(spark, BASE)), partition_by="date")
