@@ -4337,6 +4337,117 @@ def q_revenue_rollup_incremental_cdf(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_CDC_ADMIT_ORACLE_TMPL = """
+WITH {sh},
+sig AS (SELECT doc_id, {mh} FROM {src} GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh pa ON pa.doc_id = c.doc_a
+  JOIN sh pb ON pb.doc_id = c.doc_b AND pb.sh = pa.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+dup AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_int AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) >= 0.5
+),
+m AS (
+  SELECT doc_b AS doc_id,
+         min(doc_a) AS matched_id,
+         CAST(count(*) AS BIGINT) AS n_matches
+  FROM dup GROUP BY doc_b
+)
+SELECT d.doc_id,
+       (m.matched_id IS NOT NULL) AS is_neardup,
+       m.matched_id,
+       COALESCE(m.n_matches, 0) AS n_matches
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+"""
+
+_CDC_ADMIT_ORACLE = _CDC_ADMIT_ORACLE_TMPL.format(
+    sh=_SH_CTE, mh=_mh_cols, src=_MH_PAIR_SRC, bands=_band_selects
+)
+
+
+@register(
+    "corpus_cdc_dedup_admission",
+    oracle=_CDC_ADMIT_ORACLE,
+    tags=("dedup", "acid", "cdc", "incremental"),
+)
+def q_corpus_cdc_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole O(delta) ingestion story in one oracle hash (r10): the
+    corpus is an mtable receiving two id-ordered commits (a 90% bootstrap
+    and a 10% arrival — the daily-drop shape), a ``ChangeFeedConsumer``
+    tails it one version per batch, and each feed batch runs ACID near-dup
+    admission (``ingest_batch_neardup_mtable``: atomic band+posting state
+    commits, time-travel-exact replay).  Because the batches are id-ordered
+    the admission policy equals the BATCH greedy-by-id rule, so the oracle
+    is the plain corpus-wide MinHash-LSH dedup SQL — a hash match proves
+    the incremental pipeline computes exactly what the full recompute
+    would, which is the guarantee that lets it replace the nightly rerun
+    at 100 TB (each day verifies only the arrivals against banded state,
+    never corpus x corpus)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.mtable import MTable
+    from .streaming.changes_stream import ChangeFeedConsumer
+    from .streaming.neardup_stream import ingest_batch_neardup_mtable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
+    if dirs is None:
+        dirs = spark._rfs_mtable_q_dirs = {}
+    key = f"{sf_dir}#cdc_admit"
+    prev = dirs.pop(key, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    root = os.path.join(tempfile.gettempdir(), "rfs_cdc_admit", uuid.uuid4().hex)
+    dirs[key] = root
+
+    # id-ordered 90/10 split: greedy-by-id == batch rule needs every
+    # earlier-id doc in the same or an earlier commit
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = int(max_id * 0.9)
+    corpus = MTable(spark, os.path.join(root, "corpus"))
+    corpus.write(docs.where(F.col("doc_id") <= cut), mode="append")
+    corpus.write(docs.where(F.col("doc_id") > cut), mode="append")
+
+    state = MTable(spark, os.path.join(root, "state"))
+    out: list[DataFrame] = []
+
+    def admit(feed: DataFrame, v_from: int, v_to: int) -> None:
+        batch = feed.where(F.col("_change_type") == "insert").select(
+            "doc_id", "text"
+        )
+        out.append(ingest_batch_neardup_mtable(batch, state, v_to))
+
+    ChangeFeedConsumer(
+        corpus, os.path.join(root, "ckpt"), max_versions_per_batch=1
+    ).run_available(admit)
+    dec = out[0]
+    for d in out[1:]:
+        dec = dec.unionByName(d)
+    return dec.select(
+        "doc_id",
+        "is_neardup",
+        "matched_id",
+        F.col("n_matches").cast("long").alias("n_matches"),
+    )
+
+
 _DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_SH_CTE},
 sig AS (SELECT doc_id, {_mh_cols} FROM {_MH_PAIR_SRC} GROUP BY doc_id),
@@ -8979,7 +9090,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "part_pagerank_copurchase",
     "qty_price_correlation",
     "recs_negative_samples",
-    "returns_by_priority",
+    # corpus_cdc_dedup_admission: NEW r10 surface (the full O(delta)
+    # ingestion pipeline: corpus mtable -> ChangeFeedConsumer -> ACID
+    # near-dup admission, hashed against the corpus-wide batch dedup SQL)
+    # — zero driver history by construction; displaces returns_by_priority
+    # (r7-green single-exchange agg, sweep-verified every round) under the
+    # same first-verdict-beats-refresh call as the other r10 entries.
+    "corpus_cdc_dedup_admission",
     "revenue_by_nation",
     "rows_rolling_spend",
     "segment_priority_cube",
