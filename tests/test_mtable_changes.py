@@ -140,6 +140,36 @@ def test_vacuum_past_range_raises_but_retained_range_works(spark, tmp_path):
     assert net == {(3, 3.0, "2024-01-02"): -1, (3, 30.0, "2024-01-02"): 1}
 
 
+def test_long_commit_chain_across_checkpoint_boundaries(spark, tmp_path):
+    """12 commits with checkpoint_interval=3: the walk crosses multiple
+    FULL-manifest boundaries (whole-map diffs) interleaved with delta
+    manifests (touched-entry diffs) — per-commit tags and netting must be
+    oblivious to the manifest FORM, and vacuum's checkpoint materialization
+    must not disturb the retained-range feed."""
+    t = MTable(spark, str(tmp_path / "chain"), checkpoint_interval=3)
+    rows = [(i, f"2024-01-{(i % 3) + 1:02d} 10:00:00", float(i)) for i in range(12)]
+    t.write(_with_date(_snap(spark, rows[:1])), partition_by="date")
+    for i in range(1, 12):
+        t.write(_with_date(_snap(spark, [rows[i]])), mode="append")
+    feed = t.read_changes(0)
+    ev = {
+        (r.customer_id, r._change_type, r._commit_version)
+        for r in feed.collect()
+    }
+    assert ev == {(i, "insert", i + 1) for i in range(12)}
+    assert _netted(feed) == _multiset(t.read())
+    # a mid-chain slice also resolves exactly
+    mid = t.read_changes(4, 9)
+    assert {r.customer_id for r in mid.collect()} == set(range(4, 9))
+    # vacuum to the newest 5: the retained slice still feeds, below raises
+    t.vacuum(keep_versions=5, min_age_ms=0)
+    assert {
+        r.customer_id for r in t.read_changes(8, 12).collect()
+    } == set(range(8, 12))
+    with pytest.raises(NoSuchVersion):
+        t.read_changes(4, 9)
+
+
 def test_skip_compactions_drops_churn_but_keeps_netting_exact(spark, tmp_path):
     t = MTable(spark, str(tmp_path / "cmp"))
     t.write(_with_date(_snap(spark, BASE)), partition_by="date")
