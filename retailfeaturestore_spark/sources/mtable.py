@@ -796,9 +796,8 @@ class MTable:
                 )
         else:
             v0, m0 = 0, None
-        if m0 is not None and m0.get("constraints"):
-            self._enforce(df, m0["constraints"], f"{mode} rows")
         staged = self._stage_files(df, partition_by)
+        self._enforce_staged(staged, partition_by, f"{mode} rows")
         # an append that does not say which columns to stat inherits the
         # table's existing stats/bloom/ndv column sets (exactly as
         # overwrite_partitions does) — otherwise a plain append committed
@@ -939,11 +938,6 @@ class MTable:
             raise ValueError("table is unpartitioned")
         fp = self._schema_fingerprint(df, partition_by)
         schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
-        if m0.get("constraints") and not (extra_meta or {}).get("compacted"):
-            # maintenance rewrites (compaction/zorder) carry rows that
-            # already passed at their original commit — re-validating a
-            # terabyte of unchanged rows would be pure waste
-            self._enforce(df, m0["constraints"], "overwritten partition rows")
         if cluster_files:
             # every partition value's rows land in one task -> one staged
             # file per partition dir; parallelism stays at the session's
@@ -955,6 +949,11 @@ class MTable:
             width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             df = df.repartition(width, F.col(partition_by))
         staged = self._stage_files(df, partition_by)
+        if not (extra_meta or {}).get("compacted"):
+            # maintenance rewrites (compaction/zorder) carry rows that
+            # already passed at their original commit — re-validating a
+            # terabyte of unchanged rows would be pure waste
+            self._enforce_staged(staged, partition_by, "overwritten partition rows")
         replaced = set(
             partition_values if partition_values is not None else staged
         )
@@ -1211,14 +1210,14 @@ class MTable:
             raise ValueError(
                 f"{operation} changed the schema: {fp} != {m0['schema']}"
             )
-        if operation == "update" and m0.get("constraints"):
-            # a DELETE can only remove rows; an UPDATE's SET expressions can
-            # break a CHECK — validate exactly the rewritten candidates
-            self._enforce(kept, m0["constraints"], "updated rows")
         if pby:
             width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             kept = kept.repartition(width, F.col(pby))
         staged = self._stage_files(kept, pby)
+        if operation == "update":
+            # a DELETE can only remove rows; an UPDATE's SET expressions can
+            # break a CHECK — validate exactly the rewritten candidates
+            self._enforce_staged(staged, pby, "updated rows")
         cand_set = set(cand)
         # stats: carry untouched by reference; re-stat the rewritten files
         # with the table's inherited range AND bloom column sets
@@ -1704,6 +1703,39 @@ class MTable:
         if m0.get("evolved"):
             manifest["evolved"] = True
         return self._commit_state(manifest, v0 + 1, m0)
+
+    def _enforce_staged(
+        self, staged: dict[str, list[str]], pby: str | None, what: str
+    ) -> None:
+        """Enforce the table's constraints on JUST-STAGED files, deleting
+        them before raising so a violating commit leaves no garbage.
+        Validating the staged parquet (page-cache-hot, column-pruned to
+        the constraint columns) is strictly cheaper than re-executing the
+        caller's input plan — which at table scale may be a full join
+        pipeline — and is why every write path enforces post-stage,
+        pre-CAS."""
+        cur = self._latest()
+        cons = dict(cur[1].get("constraints") or {}) if cur else {}
+        if not cons:
+            return
+        rels = [rel for files in staged.values() for rel in files]
+        if not rels:
+            return
+        df = self.spark.read.parquet(*[f"{self.path}/{rel}" for rel in rels])
+        if pby and pby not in df.columns:
+            df = df.withColumn(
+                pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+            )
+        try:
+            self._enforce(df, cons, what)
+        except ConstraintViolation:
+            fs, jvm = _fs(self.spark, self.path)
+            for rel in rels:
+                try:
+                    fs.delete(_jpath(jvm, f"{self.path}/{rel}"), False)
+                except Exception:  # noqa: BLE001 — unreferenced; vacuum sweeps
+                    pass
+            raise
 
     def _enforce(self, df: DataFrame, cons: dict[str, str], what: str) -> None:
         """ONE aggregate job counting violators of every constraint at
