@@ -37,6 +37,8 @@ import uuid
 
 from pyspark.sql import DataFrame
 
+from ..sources.mtable import NoSuchVersion
+
 __all__ = ["ChangeFeedConsumer", "mtable_append_sink"]
 
 
@@ -105,7 +107,23 @@ class ChangeFeedConsumer:
                 if self.max_versions is None
                 else min(latest, v0 + self.max_versions)
             )
-            feed = self.tbl.read_changes(v0, v1)
+            try:
+                feed = self.tbl.read_changes(v0, v1)
+            except NoSuchVersion as e:
+                # vacuum outran this consumer: the cursor's base manifest is
+                # gone, so the delta between "what the sink has" and "what
+                # the table holds" is no longer computable.  Deciding what
+                # to do is the OPERATOR's call (a silent full-snapshot
+                # re-feed would double every row in a non-idempotent sink),
+                # so fail with the remedy spelled out.
+                raise NoSuchVersion(
+                    f"consumer cursor {v0} predates {self.tbl.path}'s "
+                    "retained history (vacuum outran this consumer). "
+                    "Either raise vacuum keep_versions above the consumer "
+                    "lag, or re-bootstrap: reset the cursor to 0 against a "
+                    "FRESH sink (the v0 feed replays the full snapshot as "
+                    "inserts)."
+                ) from e
             if feed is not None:
                 process(feed, v0, v1)
             self._write_ckpt(v1)

@@ -165,6 +165,27 @@ def test_consumer_exactly_once_rollup(spark, tmp_path):
     assert _dest_counts(dest) == want
 
 
+def test_consumer_horizon_loss_is_a_loud_operator_error(spark, tmp_path):
+    src = _mk4(spark, tmp_path)
+    c = ChangeFeedConsumer(src, str(tmp_path / "ckpt"), max_versions_per_batch=2)
+    c.run_available(lambda df, a, b: None)
+    # vacuum past the cursor... then new commits arrive
+    src.delete(F.col("customer_id") == 1)
+    src.vacuum(keep_versions=1, min_age_ms=0)
+    src.write(
+        _with_date(_snap(spark, [(7, "2024-01-07 10:00:00", 7.0)])),
+        mode="append",
+    )
+    # cursor 4, retained history starts at 5: the delta is uncomputable
+    c2 = ChangeFeedConsumer(src, str(tmp_path / "ckpt_lag"))
+    c2._write_ckpt(3)  # a consumer that lagged behind the vacuum horizon
+    import pytest as _pytest
+    from retailfeaturestore_spark.sources.mtable import NoSuchVersion
+
+    with _pytest.raises(NoSuchVersion, match="vacuum outran"):
+        c2.run_available(lambda df, a, b: None)
+
+
 def test_consumer_version_batching_and_bootstrap(spark, tmp_path):
     src = _mk4(spark, tmp_path)
     seen: list[tuple[int, int]] = []
