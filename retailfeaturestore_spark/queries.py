@@ -4161,19 +4161,13 @@ def q_feature_view_incremental_mtable(spark: SparkSession, sf_dir: str) -> DataF
     return tbl.read().select(*_FEATURE_COL_ORDER)
 
 
-def _orders_cdc_table(spark: SparkSession, sf_dir: str, key: str):
-    """Shared deterministic 4-commit orders mtable for the CDC queries:
-    v1 full write (< 1997-01-01, month-partitioned), v2 append (the rest),
-    v3 row-level DELETE (status 'P'), v4 row-level UPDATE (+1.00 on cheap
-    open orders).  The logical row effect is SQL-expressible, so the feed
-    and its consumers get hash-exact oracles; the FILE effect (which rows
-    ride rewrite delete+insert pairs) is layout noise the consumers must
-    cancel — exactly what the oracle check proves they do."""
+def _q_tmp_root(spark: SparkSession, sf_dir: str, key: str, prefix: str) -> str:
+    """Session-tracked scratch root for queries that build mtables: the
+    previous run's directory for the same (sf_dir, key) is reclaimed
+    first, and the registry lets invalidation/teardown find live roots."""
     import shutil
     import tempfile
     import uuid
-
-    from .sources.mtable import MTable
 
     dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
     if dirs is None:
@@ -4182,9 +4176,22 @@ def _orders_cdc_table(spark: SparkSession, sf_dir: str, key: str):
     prev = dirs.pop(dkey, None)
     if prev:
         shutil.rmtree(prev, ignore_errors=True)
-    root = os.path.join(tempfile.gettempdir(), "rfs_mtable_cdc", uuid.uuid4().hex)
+    root = os.path.join(tempfile.gettempdir(), prefix, uuid.uuid4().hex)
     dirs[dkey] = root
+    return root
 
+
+def _orders_cdc_table(spark: SparkSession, sf_dir: str, key: str):
+    """Shared deterministic 4-commit orders mtable for the CDC queries:
+    v1 full write (< 1997-01-01, month-partitioned), v2 append (the rest),
+    v3 row-level DELETE (status 'P'), v4 row-level UPDATE (+1.00 on cheap
+    open orders).  The logical row effect is SQL-expressible, so the feed
+    and its consumers get hash-exact oracles; the FILE effect (which rows
+    ride rewrite delete+insert pairs) is layout noise the consumers must
+    cancel — exactly what the oracle check proves they do."""
+    from .sources.mtable import MTable
+
+    root = _q_tmp_root(spark, sf_dir, key, "rfs_mtable_cdc")
     orders = load_table(spark, sf_dir, "orders")
     cut = F.to_date(F.lit("1997-01-01"))
     month = F.date_format("o_orderdate", "yyyy-MM")
@@ -4397,25 +4404,12 @@ def q_corpus_cdc_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     would, which is the guarantee that lets it replace the nightly rerun
     at 100 TB (each day verifies only the arrivals against banded state,
     never corpus x corpus)."""
-    import shutil
-    import tempfile
-    import uuid
-
     from .sources.mtable import MTable
     from .streaming.changes_stream import ChangeFeedConsumer
     from .streaming.neardup_stream import ingest_batch_neardup_mtable
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
-    if dirs is None:
-        dirs = spark._rfs_mtable_q_dirs = {}
-    key = f"{sf_dir}#cdc_admit"
-    prev = dirs.pop(key, None)
-    if prev:
-        shutil.rmtree(prev, ignore_errors=True)
-    root = os.path.join(tempfile.gettempdir(), "rfs_cdc_admit", uuid.uuid4().hex)
-    dirs[key] = root
+    root = _q_tmp_root(spark, sf_dir, "cdc_admit", "rfs_cdc_admit")
 
     # id-ordered 90/10 split: greedy-by-id == batch rule needs every
     # earlier-id doc in the same or an earlier commit

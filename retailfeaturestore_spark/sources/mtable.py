@@ -797,7 +797,10 @@ class MTable:
         else:
             v0, m0 = 0, None
         staged = self._stage_files(df, partition_by)
-        self._enforce_staged(staged, partition_by, f"{mode} rows")
+        self._enforce_staged(
+            staged, partition_by, f"{mode} rows",
+            (m0.get("constraints") or {}) if m0 is not None else {},
+        )
         # an append that does not say which columns to stat inherits the
         # table's existing stats/bloom/ndv column sets (exactly as
         # overwrite_partitions does) — otherwise a plain append committed
@@ -905,6 +908,7 @@ class MTable:
         cluster_files: bool = False,
         stats_cols: list[str] | None = None,
         allow_evolution: bool = False,
+        _maintenance: bool = False,
     ) -> int:
         """Commit a version where the partitions carried by ``df`` (or the
         explicit ``partition_values``) are REPLACED and every other
@@ -949,11 +953,16 @@ class MTable:
             width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             df = df.repartition(width, F.col(partition_by))
         staged = self._stage_files(df, partition_by)
-        if not (extra_meta or {}).get("compacted"):
-            # maintenance rewrites (compaction/zorder) carry rows that
-            # already passed at their original commit — re-validating a
-            # terabyte of unchanged rows would be pure waste
-            self._enforce_staged(staged, partition_by, "overwritten partition rows")
+        if not _maintenance:
+            # maintenance rewrites (compaction/zorder, via the INTERNAL
+            # flag only — user metadata must not be able to waive
+            # enforcement) carry rows that already passed at their
+            # original commit; re-validating a terabyte of unchanged rows
+            # would be pure waste
+            self._enforce_staged(
+                staged, partition_by, "overwritten partition rows",
+                m0.get("constraints") or {},
+            )
         replaced = set(
             partition_values if partition_values is not None else staged
         )
@@ -1217,7 +1226,9 @@ class MTable:
         if operation == "update":
             # a DELETE can only remove rows; an UPDATE's SET expressions can
             # break a CHECK — validate exactly the rewritten candidates
-            self._enforce_staged(staged, pby, "updated rows")
+            self._enforce_staged(
+                staged, pby, "updated rows", m0.get("constraints") or {}
+            )
         cand_set = set(cand)
         # stats: carry untouched by reference; re-stat the rewritten files
         # with the table's inherited range AND bloom column sets
@@ -1564,11 +1575,14 @@ class MTable:
                     F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1),
                 )
             # normalize every scan to v_to's schema: null-fill columns the
-            # files predate, drop columns an overwrite retired — so the
-            # union is well-typed across evolution and schema-changing
-            # overwrites alike
+            # files predate, drop columns an overwrite retired, and CAST
+            # present columns to the endpoint type (a full overwrite is the
+            # sanctioned retype path, so pre-overwrite events may carry the
+            # old type) — the union is well-typed across evolution and
+            # schema-changing overwrites alike; a non-coercible retype
+            # surfaces as an AnalysisException here, not a silent mistype
             cols = [
-                F.col(c).alias(c)
+                F.col(c).cast(t).alias(c)
                 if c in df.columns
                 else F.lit(None).cast(t).alias(c)
                 for c, t in target.items()
@@ -1667,6 +1681,19 @@ class MTable:
         cons = dict(m0.get("constraints") or {})
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists")
+        # ALWAYS resolve the expression against the table schema (driver-
+        # side analysis, no job) — a typo'd column committed with
+        # validate=False would otherwise brick every subsequent write with
+        # an unresolved-column error until the operator finds
+        # drop_constraint
+        schema = ", ".join(
+            f"`{c}` {t}" for c, t in self._parse_schema(m0["schema"]).items()
+        )
+        if m0["partition_by"]:
+            schema += f", `{m0['partition_by']}` string"
+        self.spark.createDataFrame([], schema).select(
+            F.expr(expr).cast("boolean")
+        )
         if validate:
             snap = self.read(version=v0)
             if snap is not None:
@@ -1705,17 +1732,21 @@ class MTable:
         return self._commit_state(manifest, v0 + 1, m0)
 
     def _enforce_staged(
-        self, staged: dict[str, list[str]], pby: str | None, what: str
+        self,
+        staged: dict[str, list[str]],
+        pby: str | None,
+        what: str,
+        cons: dict[str, str],
     ) -> None:
-        """Enforce the table's constraints on JUST-STAGED files, deleting
-        them before raising so a violating commit leaves no garbage.
-        Validating the staged parquet (page-cache-hot, column-pruned to
-        the constraint columns) is strictly cheaper than re-executing the
-        caller's input plan — which at table scale may be a full join
-        pipeline — and is why every write path enforces post-stage,
-        pre-CAS."""
-        cur = self._latest()
-        cons = dict(cur[1].get("constraints") or {}) if cur else {}
+        """Enforce ``cons`` (the CALLER's base-snapshot constraint set —
+        the same set the OCC rebase guard compares, so validation and
+        conflict detection can never disagree) on JUST-STAGED files,
+        deleting them before raising so a violating commit leaves no
+        garbage.  Validating the staged parquet (page-cache-hot,
+        column-pruned to the constraint columns) is strictly cheaper than
+        re-executing the caller's input plan — which at table scale may
+        be a full join pipeline — and is why every write path enforces
+        post-stage, pre-CAS."""
         if not cons:
             return
         rels = [rel for files in staged.values() for rel in files]
@@ -1867,6 +1898,7 @@ class MTable:
             extra_meta=meta,
             base_version=v0,
             stats_cols=stats_cols,
+            _maintenance=True,
         )
 
     def vacuum(

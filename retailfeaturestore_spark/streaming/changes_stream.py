@@ -24,10 +24,16 @@ Delivery semantics, explicitly:
   max of checkpoint and ledger, so a replayed batch whose commit already
   landed is skipped.  :func:`mtable_append_sink` wires this up.
 
-The checkpoint file is swapped atomically (temp + ``os.replace``); it is
-an optimization, not the truth — lose it and the ledger (or, ledger-less,
-an at-least-once replay) recovers.  Single consumer per checkpoint dir,
-like every state-dir protocol in this package.
+The checkpoint file is swapped atomically (temp + ``os.replace``).  With a
+transactional sink it is usually recoverable from the ledger — but the
+ledger's horizon is the sink's VACUUM retention over ledger-CARRYING
+manifests (maintenance commits carry no ledger key, the same caveat
+``ledger_max`` documents), so the cursor file is the durable record
+whenever the sink is vacuumed aggressively.  The lost-cursor +
+vacuumed-ledger + non-empty-sink state is detected and REFUSED rather
+than silently re-fed (see :meth:`ChangeFeedConsumer.processed_through`).
+Single consumer per checkpoint dir, like every state-dir protocol in
+this package.
 """
 
 from __future__ import annotations
@@ -68,17 +74,35 @@ class ChangeFeedConsumer:
     def processed_through(self) -> int:
         """Highest version durably processed: max of the checkpoint file
         and the sink ledger (the ledger is authoritative when present —
-        it rode the sink's own atomic commit)."""
-        v = 0
+        it rode the sink's own atomic commit).
+
+        Catastrophe guard: a MISSING cursor with an EMPTY ledger over a
+        NON-EMPTY sink is indistinguishable from a fresh bootstrap, and
+        re-feeding from 0 would double every row — this happens when the
+        sink's vacuum dropped all ledger-carrying manifests (maintenance
+        commits carry no ledger key) AND the cursor file was lost.  When
+        the ledger exposes a ``sink_nonempty`` probe (``mtable_append_sink``
+        does), that state raises instead of silently re-feeding."""
+        ckpt = None
         try:
             with open(self._ckpt, encoding="utf-8") as f:
-                v = int(f.read().strip())
+                ckpt = int(f.read().strip())
         except (FileNotFoundError, ValueError):
             pass
-        if self.ledger is not None:
-            lv = self.ledger()
-            if lv is not None:
-                v = max(v, int(lv))
+        lv = self.ledger() if self.ledger is not None else None
+        if ckpt is None and lv is None and self.ledger is not None:
+            probe = getattr(self.ledger, "sink_nonempty", None)
+            if probe is not None and probe():
+                raise RuntimeError(
+                    "change-feed cursor lost AND the sink's ledger trail "
+                    "was vacuumed away, but the sink holds data — a "
+                    "re-feed from version 0 would double every row. "
+                    "Restore the checkpoint file, or rebuild the sink "
+                    "from scratch (cursor 0 against an empty sink)."
+                )
+        v = ckpt or 0
+        if lv is not None:
+            v = max(v, int(lv))
         return v
 
     def _write_ckpt(self, v: int) -> None:
@@ -96,8 +120,11 @@ class ChangeFeedConsumer:
         ranges processed.  A batch whose commits changed no files still
         advances the cursor (process is not called with an empty feed)."""
         done: list[tuple[int, int]] = []
+        # one ledger consult at entry (it is an O(retained versions)
+        # manifest scan); within the drain the local cursor is exact —
+        # single consumer per checkpoint dir, as documented
+        v0 = self.processed_through()
         while True:
-            v0 = self.processed_through()
             cur = self.tbl._latest()
             if cur is None or cur[0] <= v0:
                 return done
@@ -128,6 +155,7 @@ class ChangeFeedConsumer:
                 process(feed, v0, v1)
             self._write_ckpt(v1)
             done.append((v0, v1))
+            v0 = v1
 
 
 def mtable_append_sink(dest, transform=None, ledger_key: str = "cdc_through"):
@@ -139,8 +167,12 @@ def mtable_append_sink(dest, transform=None, ledger_key: str = "cdc_through"):
     maps the raw feed batch (data columns + ``_change_type`` /
     ``_commit_version`` / ``_commit_operation``) to the rows to append —
     e.g. the signed per-group aggregate for O(delta) rollup maintenance.
-    Vacuum note: ``ledger_max`` scans retained manifests, so ``dest``'s
-    vacuum must keep at least the newest manifest (it always does)."""
+    Vacuum note: ``ledger_max`` scans retained manifests and maintenance
+    commits (compact/zorder) carry no ledger key, so ``dest``'s vacuum
+    must retain at least the newest LEDGER-CARRYING manifest for the
+    ledger to recover a lost cursor — vacuum past it and the cursor file
+    becomes the only record (the consumer refuses the ambiguous
+    lost-both-over-data state instead of re-feeding)."""
 
     def process(feed: DataFrame, v_from: int, v_to: int) -> None:
         batch = transform(feed) if transform is not None else feed
@@ -149,4 +181,5 @@ def mtable_append_sink(dest, transform=None, ledger_key: str = "cdc_through"):
     def ledger():
         return dest.ledger_max(ledger_key)
 
+    ledger.sink_nonempty = lambda: dest._latest() is not None
     return process, ledger

@@ -292,12 +292,22 @@ def ingest_batch_neardup_mtable(
     band_schema = "id long, band int, band_key string"
     post_schema = "id long, sh string"
 
-    # replay probe: the retained manifest trail IS the ledger
+    # replay probe: the retained manifest trail IS the ledger.  Batch ids
+    # commit in INCREASING order (single-writer stream; a change-feed
+    # consumer passes its monotone v_to), so the newest-first walk stops at
+    # the first ledger-bearing manifest whose id falls at-or-below
+    # batch_id — the common not-a-replay case reads ONE manifest, keeping
+    # long-lived ingestion O(1) metadata per batch instead of O(commits).
     replay_v = None
-    for v in state_tbl.versions():
-        meta = state_tbl._read_manifest_raw(v).get("meta") or {}
-        if meta.get("neardup_batch") == batch_id:
+    for v in reversed(state_tbl.versions()):
+        b = (state_tbl._read_manifest_raw(v).get("meta") or {}).get(
+            "neardup_batch"
+        )
+        if b is None:
+            continue  # interleaved non-stream commit (compaction, backfill)
+        if b == batch_id:
             replay_v = v
+        if b <= batch_id:
             break
 
     def _kind(version, kind, schema):

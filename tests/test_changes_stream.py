@@ -165,6 +165,32 @@ def test_consumer_exactly_once_rollup(spark, tmp_path):
     assert _dest_counts(dest) == want
 
 
+def test_lost_cursor_with_vacuumed_ledger_refuses_to_refeed(spark, tmp_path):
+    src = _mk4(spark, tmp_path)
+    dest = MTable(spark, str(tmp_path / "sink"))
+    process, ledger = mtable_append_sink(dest, transform=_signed_date_counts)
+    c = ChangeFeedConsumer(src, str(tmp_path / "ckpt"), ledger=ledger)
+    c.run_available(process)
+    # a commit WITHOUT the ledger key (manual backfill/maintenance) then
+    # aggressive vacuum: every ledger-carrying manifest is gone
+    dest.write(
+        spark.createDataFrame([("2024-01-09", 0)], "date string, n long"),
+        mode="append",
+    )
+    dest.vacuum(keep_versions=1, min_age_ms=0)
+    assert ledger() is None and dest._latest() is not None
+    # cursor intact: normal operation continues (nothing new -> no-op)
+    assert c.run_available(process) == []
+    # cursor lost on top: the ambiguous state must refuse, not re-feed
+    os.remove(os.path.join(str(tmp_path / "ckpt"), "processed_through"))
+    with pytest.raises(RuntimeError, match="double every row"):
+        c.processed_through()
+    n = dest.read().count()
+    with pytest.raises(RuntimeError):
+        c.run_available(process)
+    assert dest.read().count() == n  # nothing re-fed
+
+
 def test_consumer_horizon_loss_is_a_loud_operator_error(spark, tmp_path):
     src = _mk4(spark, tmp_path)
     c = ChangeFeedConsumer(src, str(tmp_path / "ckpt"), max_versions_per_batch=2)

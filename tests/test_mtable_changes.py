@@ -193,6 +193,34 @@ def test_skip_compactions_drops_churn_but_keeps_netting_exact(spark, tmp_path):
     assert full.count() > lean.count()
 
 
+def test_retype_via_overwrite_casts_old_events_to_endpoint_type(spark, tmp_path):
+    t = MTable(spark, str(tmp_path / "rt"))
+    t.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "customer_id long, score int")
+    )
+    # full overwrite is the sanctioned retype path: score int -> double
+    t.write(
+        spark.createDataFrame(
+            [(1, 10.5), (3, 30.0)], "customer_id long, score double"
+        )
+    )
+    feed = t.read_changes(0)
+    assert dict(feed.dtypes)["score"] == "double"
+    # v1's int events surface as doubles; netting is still exact
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    net = {
+        (r.customer_id, r.score): r.net
+        for r in feed.groupBy("customer_id", "score")
+        .agg(F.sum(sign).alias("net"))
+        .where(F.col("net") != 0)
+        .collect()
+    }
+    # v1's (1,10)/(2,20) surface as 10.0/20.0 on BOTH the insert@1 and
+    # delete@2 sides, so they cancel exactly; the overwrite's new rows are
+    # the whole net — the cast is what makes that cancellation well-typed
+    assert net == {(1, 10.5): 1, (3, 30.0): 1}
+
+
 def test_timestamp_as_of_resolution(spark, tmp_path):
     t = _mk4(spark, tmp_path)
     hist = {h["version"]: h["committed_at_ms"] for h in t.history()}

@@ -130,6 +130,34 @@ def test_constraints_ride_the_chain_and_compaction_skips_revalidation(
         t.drop_constraint("nope")
 
 
+def test_user_metadata_cannot_waive_enforcement(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_constraint("score_pos", "score > 0")
+    bad = _with_date(_snap(spark, [(9, "2024-01-01 12:00:00", -1.0)]))
+    # forging the compaction marker through extra_meta must NOT bypass the
+    # CHECK — the maintenance exemption is an internal flag only
+    with pytest.raises(ConstraintViolation):
+        t.overwrite_partitions(
+            bad, partition_values=["2024-01-01"], extra_meta={"compacted": True}
+        )
+    assert t.read().where(F.col("score") < 0).count() == 0
+
+
+def test_add_constraint_resolves_expression_even_without_validation(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="scoer|UNRESOLVED|cannot be resolved"):
+        t.add_constraint("typo", "scoer > 0", validate=False)
+    assert t.constraints() == {}
+    # partition column is resolvable too
+    t.add_constraint("date_set", "date IS NOT NULL", validate=False)
+    t.write(
+        _with_date(_snap(spark, [(5, "2024-01-05 10:00:00", 5.0)])),
+        mode="append",
+    )
+
+
 def test_restore_restores_the_constraint_set(spark, tmp_path):
     t = _mk(spark, tmp_path)
     v_con = t.add_constraint("score_pos", "score > 0")
