@@ -140,6 +140,40 @@ def test_vacuum_past_range_raises_but_retained_range_works(spark, tmp_path):
     assert net == {(3, 3.0, "2024-01-02"): -1, (3, 30.0, "2024-01-02"): 1}
 
 
+def test_every_version_pair_nets_to_the_snapshot_delta(spark, tmp_path):
+    """The feed's algebraic contract, exhaustively: over a mixed op
+    sequence (write, append, delete, update, compact, restore), EVERY
+    ``(v_from, v_to)`` pair's netted feed equals the snapshot multiset
+    delta — including ranges that span compaction churn and a restore."""
+    t = MTable(spark, str(tmp_path / "alg"), checkpoint_interval=3)
+    t.write(_with_date(_snap(spark, BASE)), partition_by="date")         # v1
+    t.write(_with_date(_snap(spark, APPEND)), mode="append")             # v2
+    t.delete(F.col("customer_id") == 2)                                  # v3
+    t.update(F.col("customer_id") == 3, {"score": F.lit(30.0)})          # v4
+    t.compact()                                                          # v5
+    t.restore(2)                                                         # v6
+    last = t.write(
+        _with_date(_snap(spark, [(8, "2024-01-04 10:00:00", 8.0)])),
+        mode="append",
+    )
+    # compact() may legitimately no-op (every partition already one file),
+    # so derive the chain length instead of assuming it
+    assert last >= 6
+    snaps = {0: {}}
+    for v in range(1, last + 1):
+        snaps[v] = _multiset(t.read(version=v))
+    for v_from in range(0, last):
+        for v_to in range(v_from + 1, last + 1):
+            feed = t.read_changes(v_from, v_to)
+            got = {} if feed is None else _netted(feed)
+            want = {}
+            for k in set(snaps[v_to]) | set(snaps[v_from]):
+                d = snaps[v_to].get(k, 0) - snaps[v_from].get(k, 0)
+                if d:
+                    want[k] = d
+            assert got == want, (v_from, v_to)
+
+
 def test_long_commit_chain_across_checkpoint_boundaries(spark, tmp_path):
     """12 commits with checkpoint_interval=3: the walk crosses multiple
     FULL-manifest boundaries (whole-map diffs) interleaved with delta
