@@ -44,6 +44,8 @@ SHOW = {
     "semantic_dedup_embeddings": "SemDeDup: skinny (id, cell, dist) dominance join at full parallelism; pre-quantized int vectors re-attach by id AFTER the pair cut — embedding arrays never ride the cell shuffle.",
     "approx_customer_overlap_months": "KMV set-op sketch: tournament top-k behind a checkpoint (2 windows total), then the ENTIRE pairwise stage is broadcast joins + per-row array math — zero exchanges beyond the sketch agg; exact leg is the only fact-scale join.",
     "approx_heavy_hitters": "Frequent-items: KPS counters merged driver-side (no word shuffle for the sketch); the exact-leg groupBy is the harness, broadcast-joined to the one-row total.",
+    "mtable_change_feed": "Change data feed netting: one scan PER CHANGE SET with ReadSchema pruned to the 3 output columns (the partition-restore regexp is eliminated by pruning), map-side partial HashAggregate under ONE exchange — the feed plans the changed files, never the table.",
+    "revenue_rollup_incremental_cdf": "O(delta) rollup maintenance: the v1-state agg and the signed feed agg are two independent partial-agg pipelines unioned into one final 5-row exchange; cents-integer sums make state + delta exactly the full recompute.",
 }
 
 
