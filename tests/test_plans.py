@@ -498,3 +498,28 @@ def test_similar_parts_no_broadcast_no_cartesian(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastExchange" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_change_feed_prunes_columns_and_aggregates_map_side(spark):
+    """The CDC netting plan: every change-set scan's ReadSchema is pruned
+    to exactly the 3 output columns (the partition-restore regexp must be
+    eliminated by column pruning — input_file_name forcing a full-width
+    read would be the regression), and the netting is ONE exchange with a
+    map-side partial HashAggregate below it."""
+    df = REGISTRY["mtable_change_feed"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "o_comment" not in plan and "o_clerk" not in plan, plan[:2000]
+    assert "input_file_name" not in plan, plan[:2000]
+    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+    # partial agg below the exchange: at least two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_incremental_rollup_is_two_partial_pipelines_one_union(spark):
+    """state(v1) ⊕ Δ(feed): both leg aggregations must partial-aggregate
+    before their exchanges and meet in a final tiny group-by — no join
+    between state and delta anywhere."""
+    df = REGISTRY["revenue_rollup_incremental_cdf"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Union" in plan, plan[:2000]
