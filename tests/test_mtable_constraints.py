@@ -177,6 +177,49 @@ def test_restore_restores_the_constraint_set(spark, tmp_path):
         )
 
 
+def test_racing_constraint_change_is_a_rebase_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """A writer validated its rows against the base snapshot's constraint
+    set; if ADD CONSTRAINT lands before its commit, the lost CAS must
+    SURFACE (recompute-and-retry) instead of auto-rebasing rows onto a
+    constraint set they were never validated against — in both OCC loops
+    (the append fast path and the overwrite_partitions rebase)."""
+    from retailfeaturestore_spark.sources.mtable import ConcurrentCommit
+
+    t = _mk(spark, tmp_path)
+    real_stage = MTable._stage_files
+    raced = {}
+
+    def stage_with_race(self, df, partition_by):
+        out = real_stage(self, df, partition_by)
+        if "done" not in raced:
+            raced["done"] = True
+            MTable(spark, self.path).add_constraint(
+                "score_pos", "score > 0", validate=False
+            )
+        return out
+
+    monkeypatch.setattr(MTable, "_stage_files", stage_with_race)
+    ok = _with_date(_snap(spark, [(5, "2024-01-05 10:00:00", 5.0)]))
+    with pytest.raises(ConcurrentCommit):
+        t.write(ok, mode="append")
+    monkeypatch.undo()
+    # retry on the fresh base re-validates under the new set and lands
+    t.write(ok, mode="append")
+    assert t.read().count() == 4
+
+    raced.clear()
+    t2 = _mk(spark, tmp_path, name="tbl2")
+    monkeypatch.setattr(MTable, "_stage_files", stage_with_race)
+    with pytest.raises(ConcurrentCommit):
+        t2.overwrite_partitions(
+            _with_date(_snap(spark, [(9, "2024-01-01 12:00:00", 9.0)])),
+            partition_values=["2024-01-01"],
+        )
+    monkeypatch.undo()
+
+
 def test_empty_table_guard(spark, tmp_path):
     t = MTable(spark, str(tmp_path / "empty"))
     with pytest.raises(NoSuchVersion):
