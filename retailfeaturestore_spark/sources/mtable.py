@@ -563,7 +563,9 @@ class MTable:
                 f"__bw{ci}",
                 F.expr(f"transform(sequence(0, {nwords - 1}), w -> ({term}))"),
             )
-        aggs = []
+        # per-file rowcount rides the same scan: exact table row counts
+        # (describe) and size-aware maintenance without ever scanning data
+        aggs = [F.count(F.lit(1)).alias("__cnt")]
         for i, c in enumerate(cols):
             aggs += [
                 F.min(c).alias(f"__mn{i}"),
@@ -597,6 +599,9 @@ class MTable:
                 }
                 for i, c in enumerate(cols)
             }
+            # "#" is not a column name: the file's rowcount entry, skipped
+            # by every per-column consumer (they key on "mn"/"bf"/"kmv")
+            ent["#"] = {"n": int(r["__cnt"])}
             for ci, c in enumerate(bcols):
                 hexs = "".join(
                     f"{(r[f'__bf{ci}_{w}'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
@@ -1424,6 +1429,55 @@ class MTable:
         if old is None or new is None:
             raise NoSuchVersion("diff needs two non-empty versions")
         return table_diff(old, new, keys, compare_cols=compare_cols)
+
+    def describe(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL from the manifest alone — no data scan: version,
+        operation, commit time, partition layout, file/partition counts,
+        schema, constraints, and (when the table was committed with
+        stats_cols) per-column null counts plus exact-row-count when every
+        file carries stats.  O(manifest) driver work; the operational
+        at-a-glance a 100 TB table needs before anyone plans a scan."""
+        if version is None:
+            cur = self._latest()
+            if cur is None:
+                raise NoSuchVersion(f"{self.path} has no committed version")
+            version, m = cur
+        else:
+            m = self._read_manifest(version)
+        files = [rel for fl in m["partitions"].values() for rel in fl]
+        stats = m.get("stats") or {}
+        out = {
+            "path": self.path,
+            "version": version,
+            "operation": m.get("operation"),
+            "committed_at_ms": m.get("committed_at_ms"),
+            "partition_by": m["partition_by"],
+            "n_partitions": len(m["partitions"]),
+            "n_files": len(files),
+            "schema": self._parse_schema(m["schema"]),
+            "evolved": bool(m.get("evolved")),
+            "constraints": dict(m.get("constraints") or {}),
+            "stats_cols": sorted(
+                {c for ent in stats.values() for c, v in ent.items() if "mn" in v}
+            ),
+            "bloom_cols": sorted(
+                {c for ent in stats.values() for c, v in ent.items() if "bf" in v}
+            ),
+        }
+        # exact row count falls out of the null-count bookkeeping only when
+        # EVERY live file was stats'd with at least one column recording
+        # both a rowcount ("n") — older stats entries lack it, so absence
+        # degrades to None rather than a wrong number
+        counts = []
+        for rel in files:
+            ent = stats.get(rel) or {}
+            ns = [v["n"] for v in ent.values() if isinstance(v, dict) and "n" in v]
+            if not ns:
+                counts = None
+                break
+            counts.append(ns[0])
+        out["n_rows"] = sum(counts) if counts is not None else None
+        return out
 
     def version_at(self, ts_ms: int) -> int:
         """TIMESTAMP AS OF resolution: the newest retained version whose

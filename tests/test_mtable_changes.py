@@ -255,6 +255,30 @@ def test_retype_via_overwrite_casts_old_events_to_endpoint_type(spark, tmp_path)
     assert net == {(1, 10.5): 1, (3, 30.0): 1}
 
 
+def test_describe_is_manifest_only(spark, tmp_path):
+    t = MTable(spark, str(tmp_path / "desc"))
+    t.write(
+        _with_date(_snap(spark, BASE)),
+        partition_by="date",
+        stats_cols=["score"],
+    )
+    t.write(_with_date(_snap(spark, APPEND)), mode="append")
+    d = t.describe()
+    assert d["version"] == 2 and d["operation"] == "append"
+    assert d["partition_by"] == "date" and d["n_partitions"] == 3
+    assert d["stats_cols"] == ["score"] and d["constraints"] == {}
+    assert d["schema"]["score"] == "double"
+    # exact row count from the stats scan's per-file rowcounts — no data read
+    assert d["n_rows"] == 5
+    assert t.describe(version=1)["n_rows"] == 3
+    t.add_constraint("score_pos", "score > 0")
+    assert t.describe()["constraints"] == {"score_pos": "score > 0"}
+    # a stats-less table degrades to None, never a wrong number
+    t2 = MTable(spark, str(tmp_path / "nostats"))
+    t2.write(_with_date(_snap(spark, BASE)), partition_by="date")
+    assert t2.describe()["n_rows"] is None
+
+
 def test_timestamp_as_of_resolution(spark, tmp_path):
     t = _mk4(spark, tmp_path)
     hist = {h["version"]: h["committed_at_ms"] for h in t.history()}
