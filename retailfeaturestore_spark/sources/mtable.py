@@ -95,6 +95,28 @@ files stats/blooms cannot prove match-free (everything else carried by
 reference) and commits one snapshot version — copy-on-write deletes, the
 GDPR shape.
 
+**Change data feed**: ``read_changes(v_from, v_to)`` plans exactly the
+per-commit file-list differences (O(changed files), never the table; delta
+manifests diff in O(touched files)), tagging rows insert/delete per commit
+— copy-on-write rewrite pairs cancel under per-row netting, and
+``skip_compactions=True`` omits row-preserving maintenance churn entirely.
+The O(delta) consumption path ``diff()`` (a full two-snapshot re-read) is
+not; ``streaming/changes_stream.ChangeFeedConsumer`` tails it with
+table-version offsets and an exactly-once mtable sink.
+
+**RESTORE / TIMESTAMP AS OF / DESCRIBE**: ``restore(v)`` re-commits a
+historical state by reference (one manifest write, history preserved,
+feed delta = exact inverse); ``version_at(ts_ms)`` + ``read(as_of_ms=...)``
+resolve wall-clock snapshots; ``describe()`` reports layout/schema/
+constraints/exact rowcounts from the manifest alone.
+
+**CHECK constraints**: ``add_constraint(name, expr)`` validates the
+current table once, then rides the manifest chain; every write path
+enforces on the just-staged files BEFORE the commit CAS (compaction
+exempt via an internal flag — its rows already passed), racing ADD/DROP
+is an OCC conflict, and RESTORE restores the constraint set its data was
+validated under.
+
 What this deliberately does NOT implement (and real Delta/Iceberg add):
 multi-table transactions, non-additive schema evolution (drop/retype/
 rename), deletion vectors (merge-on-read deletes — ours are
