@@ -590,7 +590,9 @@ def test_stats_recorded_and_data_skipping_prunes_files(spark, tmp_path):
     m = t._read_manifest(1)
     assert m["stats"], "stats recorded in the manifest"
     for ent in m["stats"].values():
-        assert set(ent) == {"score", "customer_id"} and ent["score"]["nulls"] == 0
+        # "#" is the per-file rowcount entry riding the same stats scan
+        assert set(ent) == {"score", "customer_id", "#"}
+        assert ent["score"]["nulls"] == 0 and ent["#"]["n"] >= 1
     full = t.read()
     pruned = t.read(prune=[("score", ">=", 100.0)])
     assert len(pruned.inputFiles()) < len(full.inputFiles())
