@@ -190,6 +190,18 @@ class MTable:
 
     # -- manifest plumbing --------------------------------------------------
 
+    def _abs(self, rel: str) -> str:
+        """Manifest file reference -> plannable path.  References are
+        normally table-relative; a SHALLOW CLONE's manifest references the
+        source's files by ABSOLUTE path (zero data copied), so absolute /
+        scheme-qualified entries pass through untouched.  Every read-side
+        expansion goes through here; vacuum never does (it walks only this
+        table's own data/ directory, which is exactly why a clone's vacuum
+        can never delete source files)."""
+        if rel.startswith("/") or "://" in rel:
+            return rel
+        return f"{self.path}/{rel}"
+
     def _manifest_path(self, version: int) -> str:
         return f"{self.path}/{_MANIFEST_DIR}/v{version:010d}.json"
 
@@ -537,7 +549,7 @@ class MTable:
         bloom_cols = list(bloom_cols or [])
         if not rels or not (stats_cols or bloom_cols):
             return {}
-        df = self.spark.read.parquet(*[f"{self.path}/{rel}" for rel in rels])
+        df = self.spark.read.parquet(*[self._abs(rel) for rel in rels])
         cols = [c for c in stats_cols if c in df.columns]
         bcols = [c for c in bloom_cols if c in df.columns]
         if not cols and not bcols:
@@ -659,7 +671,7 @@ class MTable:
         rels = [rel for files in staged.values() for rel in files]
         if not rels or not ndv_cols:
             return {}
-        df = self.spark.read.parquet(*[f"{self.path}/{rel}" for rel in rels])
+        df = self.spark.read.parquet(*[self._abs(rel) for rel in rels])
         cols = [c for c in ndv_cols if c in df.columns]
         if not cols:
             return {}
@@ -1226,7 +1238,7 @@ class MTable:
         reader = self.spark.read
         if m0.get("evolved"):
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[f"{self.path}/{rel}" for rel in cand])
+        df = reader.parquet(*[self._abs(rel) for rel in cand])
         if m0.get("evolved"):
             for name, typ in self._parse_schema(m0["schema"]).items():
                 if name not in df.columns:
@@ -1375,7 +1387,7 @@ class MTable:
                     for col, op, val in prune
                 )
             ]
-        files = [f"{self.path}/{rel}" for rel in rels]
+        files = [self._abs(rel) for rel in rels]
         if not files:
             return None
         reader = self.spark.read
@@ -1643,7 +1655,7 @@ class MTable:
             reader = self.spark.read
             if bm.get("evolved"):
                 reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(*[f"{self.path}/{rel}" for rel in rels])
+            df = reader.parquet(*[self._abs(rel) for rel in rels])
             pby = bm["partition_by"]
             if pby:
                 df = df.withColumn(
@@ -1729,6 +1741,60 @@ class MTable:
             # enforced) — so no re-validation scan is needed
             manifest["constraints"] = dict(tgt["constraints"])
         return self._commit_state(manifest, v0 + 1, m0)
+
+    def clone_to(self, dest_path: str, version: int | None = None) -> "MTable":
+        """SHALLOW CLONE (the Delta ``CLONE`` shape): commit ``dest_path``'s
+        v1 whose partition map references THIS table's files by absolute
+        path — zero bytes copied, O(manifest) cost, so a dev/test branch of
+        a 100 TB table is instant.  The clone is a fully independent table
+        from then on: its writes/DML stage into its OWN data directory
+        (copy-on-write progressively materializes it), its vacuum walks
+        only its own ``data/`` and can never delete source files, and its
+        change feed bootstraps with the cloned content as v1 inserts.
+        Stats/blooms/schema/evolution/constraints all carry, re-keyed to
+        the absolute references, so data skipping and enforcement work
+        unchanged.
+
+        The ONE caveat, same as Delta's: the SOURCE does not know its
+        clones.  A source ``vacuum`` may delete files a clone still
+        references — clone from a version the source's retention protects,
+        or treat clones as bounded-lifetime scratch.  ``version=None`` =
+        latest; the target must be empty."""
+        if version is None:
+            cur = self._latest()
+            if cur is None:
+                raise NoSuchVersion(f"{self.path} has no committed version")
+            version, m = cur
+        else:
+            m = self._read_manifest(version)
+        dest = MTable(
+            self.spark, dest_path, checkpoint_interval=self.checkpoint_interval
+        )
+        if dest._latest() is not None:
+            raise ValueError(f"clone target {dest_path!r} is not empty")
+        manifest = {
+            "version": 1,
+            "parent": None,
+            "operation": "clone",
+            "partition_by": m["partition_by"],
+            "schema": m["schema"],
+            "partitions": {
+                pv: [self._abs(rel) for rel in fl]
+                for pv, fl in m["partitions"].items()
+            },
+            "stats": {
+                self._abs(rel): ent
+                for rel, ent in (m.get("stats") or {}).items()
+            },
+            "committed_at_ms": int(time.time() * 1000),
+            "meta": {"cloned_from": self.path, "cloned_version": version},
+        }
+        if m.get("evolved"):
+            manifest["evolved"] = True
+        if m.get("constraints"):
+            manifest["constraints"] = dict(m["constraints"])
+        dest._commit_state(manifest, 1, None)
+        return dest
 
     # -- constraints ---------------------------------------------------------
 
@@ -1828,7 +1894,7 @@ class MTable:
         rels = [rel for files in staged.values() for rel in files]
         if not rels:
             return
-        df = self.spark.read.parquet(*[f"{self.path}/{rel}" for rel in rels])
+        df = self.spark.read.parquet(*[self._abs(rel) for rel in rels])
         if pby and pby not in df.columns:
             df = df.withColumn(
                 pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
@@ -1839,7 +1905,7 @@ class MTable:
             fs, jvm = _fs(self.spark, self.path)
             for rel in rels:
                 try:
-                    fs.delete(_jpath(jvm, f"{self.path}/{rel}"), False)
+                    fs.delete(_jpath(jvm, self._abs(rel)), False)
                 except Exception:  # noqa: BLE001 — unreferenced; vacuum sweeps
                     pass
             raise
