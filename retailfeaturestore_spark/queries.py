@@ -4344,6 +4344,51 @@ def q_revenue_rollup_incremental_cdf(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_POSITION_DELETE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus <> 'P'
+  AND NOT (o_orderstatus = 'O' AND o_totalprice < 20000.0)
+"""
+
+
+@register(
+    "orders_position_delete_scan",
+    oracle=_POSITION_DELETE_ORACLE,
+    tags=("acid", "dv"),
+)
+def q_orders_position_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (r10): two
+    ``delete_positions`` commits write (file, row_index) tombstones —
+    never rewriting a data file — and the snapshot read anti-applies
+    them through one broadcast join.  The oracle is the plain logical
+    filter, so a hash match proves tombstone accounting (including the
+    second commit's idempotent re-match exclusion) is row-exact.  The
+    100 TB stake: dropping a compliance-flagged sliver from a petabyte
+    partition costs a KB tombstone, not the partition rewrite —
+    ``compact`` folds the vectors away when they stop being small."""
+    from .sources.mtable import MTable
+
+    root = _q_tmp_root(spark, sf_dir, "dv_scan", "rfs_mtable_dv")
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = MTable(spark, root)
+    tbl.write(
+        orders.withColumn("month", month).repartition(width, F.col("month")),
+        partition_by="month",
+        stats_cols=["o_orderstatus", "o_totalprice"],
+    )
+    tbl.delete_positions(
+        F.col("o_orderstatus") == "P", prune=[("o_orderstatus", "=", "P")]
+    )
+    tbl.delete_positions(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 20000.0),
+        prune=[("o_totalprice", "<", 20000.0)],
+    )
+    return tbl.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 _CDC_ADMIT_ORACLE_TMPL = """
 WITH {sh},
 sig AS (SELECT doc_id, {mh} FROM {src} GROUP BY doc_id),

@@ -90,10 +90,17 @@ files).  Drops/retypes/renames still raise — those need a rewrite, the
 same stance as Delta without ``overwriteSchema``.  A commit that replaces
 every live file re-homogenizes the table and clears the flag.
 
-**Row-level DELETE**: ``delete(condition, prune=...)`` rewrites only the
-files stats/blooms cannot prove match-free (everything else carried by
-reference) and commits one snapshot version — copy-on-write deletes, the
-GDPR shape.
+**Row-level DELETE, both physical strategies**: ``delete(condition,
+prune=...)`` rewrites only the files stats/blooms cannot prove match-free
+(copy-on-write, the GDPR shape); ``delete_positions(condition, prune=...)``
+is the MERGE-ON-READ alternative — matching rows become (file, row_index)
+tombstones in small DELETION-VECTOR files the manifest carries, every
+read anti-applies via one broadcast join, copy-on-write rewrites and
+compaction read through them (folding them away), vacuum treats live DV
+files as referenced state, and the change feed emits position deletes as
+row-level delete events.  Dropping 100 rows from a 1 GB file costs a KB
+tombstone instead of the rewrite; when tombstones stop being small,
+``compact`` materializes them away.
 
 **Change data feed**: ``read_changes(v_from, v_to)`` plans exactly the
 per-commit file-list differences (O(changed files), never the table; delta
@@ -119,8 +126,9 @@ validated under.
 
 What this deliberately does NOT implement (and real Delta/Iceberg add):
 multi-table transactions, non-additive schema evolution (drop/retype/
-rename), deletion vectors (merge-on-read deletes — ours are
-copy-on-write), and object-store conditional-PUT CAS.
+rename), bitmap-compressed deletion vectors (ours are plain parquet
+position tombstones — same read semantics, simpler encoding), and
+object-store conditional-PUT CAS.
 """
 
 from __future__ import annotations
@@ -198,7 +206,11 @@ class MTable:
         expansion goes through here; vacuum never does (it walks only this
         table's own data/ directory, which is exactly why a clone's vacuum
         can never delete source files)."""
-        if rel.startswith("/") or "://" in rel:
+        head = rel.split("/", 1)[0]
+        if rel.startswith("/") or ":" in head:
+            # absolute, or scheme-qualified in either URI form (s3a://…
+            # AND the single-slash file:/… that _metadata.file_path
+            # yields); table-relative refs always start "data/"
             return rel
         return f"{self.path}/{rel}"
 
@@ -902,6 +914,10 @@ class MTable:
                 manifest["evolved"] = True
             if mb is not None and mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
+            # deletion vectors survive an append (their files stay live);
+            # a full overwrite replaces every file, so tombstones die here
+            if mode == "append" and mb is not None and mb.get("dv"):
+                manifest["dv"] = list(mb["dv"])
             return manifest
 
         if mode != "append" or m0 is None:
@@ -1068,6 +1084,10 @@ class MTable:
                 manifest["evolved"] = True
             if mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
+            if mb.get("dv"):
+                # tombstones for replaced files go stale-harmless (dead
+                # paths match nothing); untouched files keep theirs
+                manifest["dv"] = list(mb["dv"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, replaced | set(staged))
@@ -1166,6 +1186,109 @@ class MTable:
             condition, drop_matched, "delete", prune, extra_meta
         )
 
+    def delete_positions(
+        self,
+        condition,
+        prune: list[tuple] | None = None,
+        extra_meta: dict | None = None,
+    ) -> int:
+        """Merge-on-read DELETE via DELETION VECTORS — the high-frequency
+        path copy-on-write :meth:`delete` is not: matching rows are
+        recorded as (file, row_index) tombstones in small parquet files
+        the manifest carries in ``dv``, and every read anti-applies them
+        — dropping 100 rows from a 1 GB file costs a KB-scale tombstone
+        write instead of a 1 GB rewrite.  ``prune`` bounds the scan to
+        candidate files exactly as in :meth:`delete`.  Tombstones
+        accumulate across commits (already-deleted rows are never
+        re-tombstoned — idempotent), are folded away by any rewrite of
+        the covered file (compaction and copy-on-write DML read THROUGH
+        the DVs), and die with a full overwrite.  Snapshot semantics and
+        OCC are :meth:`delete`'s: commit claims base+1; a racing commit
+        touching a candidate partition conflicts.  The read-side cost is
+        one broadcast anti-join while any DV is live — once tombstones
+        stop being small, :meth:`compact` materializes them away.
+        Returns the committed version (the current one when nothing
+        matched)."""
+        cur = self._latest()
+        if cur is None:
+            raise ValueError("delete_positions needs an existing table")
+        v0, m0 = cur
+        pby = m0["partition_by"]
+        stats = m0.get("stats") or {}
+        cand: list[str] = []
+        for files in m0["partitions"].values():
+            for rel in files:
+                if prune is not None and not all(
+                    _stats_may_match(stats.get(rel), c, op, v)
+                    for c, op, v in prune
+                ):
+                    continue
+                cand.append(rel)
+        if not cand:
+            return v0
+        reader = self.spark.read
+        if m0.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[self._abs(rel) for rel in cand])
+        if m0.get("evolved"):
+            for name, typ in self._parse_schema(m0["schema"]).items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(typ))
+        if pby:
+            df = df.withColumn(
+                pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+            )
+        df = df.withColumn("__dvf", F.col("_metadata.file_path")).withColumn(
+            "__dvi", F.col("_metadata.row_index")
+        )
+        dv0 = m0.get("dv") or []
+        if dv0:
+            tomb0 = self.spark.read.parquet(
+                *[self._abs(r) for r in dv0]
+            ).select("__dvf", "__dvi")
+            df = df.join(F.broadcast(tomb0), ["__dvf", "__dvi"], "left_anti")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = df.where(
+            F.coalesce(cond.cast("boolean"), F.lit(False))
+        ).select("__dvf", "__dvi").localCheckpoint()
+        n = matched.count()
+        if n == 0:
+            return v0
+        # one tombstone file per commit: DVs are small by contract, and a
+        # part-file per task would just multiply the read-side broadcast
+        staged = self._stage_files(matched.coalesce(1), None)
+        new_dv = staged.get("", [])
+        touched = {
+            pval
+            for pval, files in m0["partitions"].items()
+            if any(r in set(cand) for r in files)
+        }
+
+        def build_manifest(vb: int, mb: dict) -> dict:
+            manifest = {
+                "version": vb + 1,
+                "parent": vb,
+                "operation": "delete_positions",
+                "partition_by": pby,
+                "schema": mb["schema"],
+                "partitions": {
+                    k: list(f) for k, f in mb["partitions"].items()
+                },
+                "stats": dict(mb.get("stats") or {}),
+                "committed_at_ms": int(time.time() * 1000),
+                "meta": dict(
+                    extra_meta or {}, delete_positions_rows=n
+                ),
+                "dv": sorted((mb.get("dv") or []) + new_dv),
+            }
+            if mb.get("evolved"):
+                manifest["evolved"] = True
+            if mb.get("constraints"):
+                manifest["constraints"] = dict(mb["constraints"])
+            return manifest
+
+        return self._commit_rebase(build_manifest, v0, m0, touched)
+
     def update(
         self,
         condition,
@@ -1247,6 +1370,11 @@ class MTable:
             df = df.withColumn(
                 pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
             )
+        # copy-on-write reads THROUGH the deletion vectors: a rewrite of a
+        # DV-covered file folds its tombstones away (the rewritten file
+        # simply no longer contains those rows; the stale tombstones then
+        # reference a dead path and match nothing)
+        df = self._apply_dv(df, m0.get("dv") or [])
         cond = F.expr(condition) if isinstance(condition, str) else condition
         matched = F.coalesce(cond.cast("boolean"), F.lit(False))
         kept = transform(df, matched)
@@ -1336,6 +1464,8 @@ class MTable:
                 manifest["evolved"] = True
             if mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
+            if mb.get("dv"):
+                manifest["dv"] = list(mb["dv"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -1410,7 +1540,11 @@ class MTable:
                 F.input_file_name(), f"{pby}=([^/]+)/", 1
             )
             df = df.withColumn(pby, part_of)
-        return df
+        # merge-on-read position deletes: tombstones anti-apply LAST, after
+        # the projection chain (which keeps _metadata resolvable) and after
+        # the path-derived columns (input_file_name is scan-stage-only and
+        # would go blank after the anti-join)
+        return self._apply_dv(df, m.get("dv") or [])
 
     def latest_meta(self) -> dict:
         """The newest committed version's ``extra_meta`` ({} before any
@@ -1498,10 +1632,12 @@ class MTable:
                 {c for ent in stats.values() for c, v in ent.items() if "bf" in v}
             ),
         }
+        out["n_dv_files"] = len(m.get("dv") or [])
         # exact row count falls out of the null-count bookkeeping only when
         # EVERY live file was stats'd with at least one column recording
         # both a rowcount ("n") — older stats entries lack it, so absence
-        # degrades to None rather than a wrong number
+        # degrades to None rather than a wrong number; live deletion
+        # vectors likewise degrade it (file rowcounts are pre-tombstone)
         counts = []
         for rel in files:
             ent = stats.get(rel) or {}
@@ -1510,8 +1646,31 @@ class MTable:
                 counts = None
                 break
             counts.append(ns[0])
-        out["n_rows"] = sum(counts) if counts is not None else None
+        out["n_rows"] = (
+            sum(counts) if counts is not None and not out["n_dv_files"] else None
+        )
         return out
+
+    def _apply_dv(self, df: DataFrame, dv_rels: list[str]) -> DataFrame:
+        """Anti-apply position tombstones to a SCAN DataFrame (``df`` must
+        be directly off ``spark.read.parquet`` so ``_metadata`` resolves).
+        The tombstone side broadcasts: deletion vectors are small by
+        design — that is their entire point (drop 100 rows from a 1 GB
+        file without rewriting it); once tombstones stop being small,
+        copy-on-write :meth:`delete` (or :meth:`compact`, which reads
+        through the DVs and so folds them in) is the right tool."""
+        if not dv_rels:
+            return df
+        tomb = self.spark.read.parquet(
+            *[self._abs(r) for r in dv_rels]
+        ).select("__dvf", "__dvi")
+        out_cols = df.columns
+        return (
+            df.withColumn("__dvf", F.col("_metadata.file_path"))
+            .withColumn("__dvi", F.col("_metadata.row_index"))
+            .join(F.broadcast(tomb), ["__dvf", "__dvi"], "left_anti")
+            .select(*out_cols)
+        )
 
     def version_at(self, ts_ms: int) -> int:
         """TIMESTAMP AS OF resolution: the newest retained version whose
@@ -1604,7 +1763,14 @@ class MTable:
         m_to = self._read_manifest(v_to)
         target = self._parse_schema(m_to["schema"])  # sorted name -> type
         pby_to = m_to["partition_by"]
-        scans: list[tuple[int, str, str, list[str]]] = []
+        # scan tuples: (v, op, change_type, files, dv_apply, dv_select) —
+        # dv_apply anti-filters tombstones already in force at the scan's
+        # snapshot side (dv(v) for inserts, dv(v-1) for removals, so a
+        # position-deleted row never rides a later full-file event);
+        # dv_select is the DELETION-VECTOR delta itself: the commit's new
+        # tombstones SEMI-select their rows out of the covered files as
+        # delete events
+        scans: list[tuple[int, str, str, list[str], list[str], list[str]]] = []
         # rolling partition map, advanced per commit — delta manifests
         # touch only their own entries, never a full-table rebuild
         parts: dict[str, list[str]] = (
@@ -1615,9 +1781,15 @@ class MTable:
                 for pv, fl in self._read_manifest(v_from)["partitions"].items()
             }
         )
+        dv_prev: set[str] = (
+            set()
+            if v_from == 0
+            else set(self._read_manifest(v_from).get("dv") or [])
+        )
         for v in range(v_from + 1, v_to + 1):
             raw = self._read_manifest_raw(v)
             op = raw.get("operation") or ""
+            dv_curr = set(raw.get("dv") or [])
             added: list[str] = []
             removed: list[str] = []
             if "delta" in raw:
@@ -1638,16 +1810,30 @@ class MTable:
                     added += new - old
                     removed += old - new
                 parts = {pv: list(fl) for pv, fl in newparts.items()}
+            dv_new = sorted(dv_curr - dv_prev)
+            dv_before, dv_prev = sorted(dv_prev), dv_curr
             if skip_compactions and "compacted" in (raw.get("meta") or {}):
                 continue
             if added:
-                scans.append((v, op, "insert", sorted(added)))
+                scans.append((v, op, "insert", sorted(added), sorted(dv_curr), []))
             if removed:
-                scans.append((v, op, "delete", sorted(removed)))
+                scans.append((v, op, "delete", sorted(removed), dv_before, []))
+            if dv_new:
+                scans.append((v, op, "delete", [], dv_before, dv_new))
         if not scans:
             return None
         frames = []
-        for v, op, ctype, rels in scans:
+        for v, op, ctype, rels, dv_apply, dv_select in scans:
+            if dv_select:
+                # the tombstone files name their covered data files; the
+                # distinct-file collect is tombstone-sized (small by the
+                # DV design contract), never table-sized
+                tomb = self.spark.read.parquet(
+                    *[self._abs(r) for r in dv_select]
+                )
+                rels = [
+                    r[0] for r in tomb.select("__dvf").distinct().collect()
+                ]
             # deletes at v are files that were live at v-1: THAT manifest
             # owns their schema/partition context (an overwrite may have
             # changed both at v)
@@ -1662,6 +1848,22 @@ class MTable:
                     pby,
                     F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1),
                 )
+            if dv_apply or dv_select:
+                df = df.withColumn(
+                    "__dvf", F.col("_metadata.file_path")
+                ).withColumn("__dvi", F.col("_metadata.row_index"))
+            if dv_apply:
+                # tombstones already in force at this scan's snapshot side
+                # must not ride a later full-file event
+                t0 = self.spark.read.parquet(
+                    *[self._abs(r) for r in dv_apply]
+                ).select("__dvf", "__dvi")
+                df = df.join(F.broadcast(t0), ["__dvf", "__dvi"], "left_anti")
+            if dv_select:
+                t1 = self.spark.read.parquet(
+                    *[self._abs(r) for r in dv_select]
+                ).select("__dvf", "__dvi")
+                df = df.join(F.broadcast(t1), ["__dvf", "__dvi"], "left_semi")
             # normalize every scan to v_to's schema: null-fill columns the
             # files predate, drop columns an overwrite retired, and CAST
             # present columns to the endpoint type (a full overwrite is the
@@ -1740,6 +1942,8 @@ class MTable:
             # (add_constraint scans the whole table; every later write is
             # enforced) — so no re-validation scan is needed
             manifest["constraints"] = dict(tgt["constraints"])
+        if tgt.get("dv"):
+            manifest["dv"] = list(tgt["dv"])
         return self._commit_state(manifest, v0 + 1, m0)
 
     def clone_to(self, dest_path: str, version: int | None = None) -> "MTable":
@@ -1793,6 +1997,8 @@ class MTable:
             manifest["evolved"] = True
         if m.get("constraints"):
             manifest["constraints"] = dict(m["constraints"])
+        if m.get("dv"):
+            manifest["dv"] = [self._abs(r) for r in m["dv"]]
         dest._commit_state(manifest, 1, None)
         return dest
 
@@ -1871,6 +2077,8 @@ class MTable:
         }
         if m0.get("evolved"):
             manifest["evolved"] = True
+        if m0.get("dv"):
+            manifest["dv"] = list(m0["dv"])
         return self._commit_state(manifest, v0 + 1, m0)
 
     def _enforce_staged(
@@ -2063,8 +2271,12 @@ class MTable:
         keep = vs[-max(keep_versions, 1) :]
         referenced: set[str] = set()
         for v in keep:
-            for files in self._read_manifest(v)["partitions"].values():
+            mv = self._read_manifest(v)
+            for files in mv["partitions"].values():
                 referenced.update(files)
+            # deletion-vector files are live state: deleting one would
+            # RESURRECT its tombstoned rows in every retained snapshot
+            referenced.update(mv.get("dv") or [])
         fs, jvm = _fs(self.spark, self.path)
         # The oldest retained version may be a DELTA manifest whose
         # reconstruction chain runs through manifests about to be deleted:
