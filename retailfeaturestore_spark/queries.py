@@ -9143,7 +9143,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_packing_chunks",
     "seq_packing_ffd",
     "stratified_sample_balanced",
-    "supplier_variety_by_part",
+    # orders_position_delete_scan: NEW r10 surface (deletion vectors —
+    # merge-on-read position deletes, two accumulating DV commits hashed
+    # against the plain logical filter) — zero driver history by
+    # construction; displaces supplier_variety_by_part (r7-green
+    # single-exchange grouping, sweep-verified every round).
+    "orders_position_delete_scan",
     "text_string_features",
     "top_customers_by_revenue",
     "top_revenue_supplier",
