@@ -4389,6 +4389,68 @@ def q_orders_position_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     return tbl.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+_COLUMN_MAPPING_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+FROM orders
+WHERE o_totalprice < 400000.0
+"""
+
+
+@register(
+    "orders_column_mapping_scan",
+    oracle=_COLUMN_MAPPING_ORACLE,
+    tags=("acid", "schema"),
+)
+def q_orders_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME/DROP COLUMN without rewriting a byte (r10 session 3 — the
+    Delta column-mapping name-mode shape; upgrades a former module
+    non-goal): v1 writes two-thirds of orders month-partitioned with
+    stats on ``o_totalprice``; v2 RENAMES it to ``price`` and v3 DROPS
+    ``o_orderpriority`` — both O(manifest) metadata commits, zero data
+    IO; v4 appends the remaining third under the NEW logical schema
+    (staged back to the stable physical names); v5 issues a deletion-
+    vector delete whose condition AND stats prune speak the logical
+    name against the physically-keyed file stats.  The oracle is the
+    plain logical filter over raw orders, so a hash match proves the
+    logical<->physical indirection is value-exact through every layer
+    it crosses: rename, drop, physical re-staging of appends, pruned
+    DV accounting, and the final logical read.  The 100 TB stake:
+    renaming a column on a petabyte table is one manifest PUT, and a
+    dropped blob column stops being decoded on the very next scan.
+
+    Reference contrast: pandas ``df.rename(columns=...)``
+    (jobs/ingest_xlsx_to_parquet.py:14-24) rewrites the whole dataset at
+    the next save."""
+    from .sources.mtable import MTable
+
+    root = _q_tmp_root(spark, sf_dir, "col_map", "rfs_mtable_cm")
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = MTable(spark, root)
+    tbl.write(
+        orders.where(F.col("o_orderkey") % 3 != 0)
+        .withColumn("month", month)
+        .repartition(width, F.col("month")),
+        partition_by="month",
+        stats_cols=["o_totalprice"],
+    )
+    tbl.rename_column("o_totalprice", "price")
+    tbl.drop_column("o_orderpriority")
+    tbl.write(
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumnRenamed("o_totalprice", "price")
+        .drop("o_orderpriority")
+        .withColumn("month", month)
+        .repartition(width, F.col("month")),
+        mode="append",
+    )
+    tbl.delete_positions(
+        F.col("price") >= 400000.0, prune=[("price", ">=", 400000.0)]
+    )
+    return tbl.read().select("o_orderkey", "o_orderstatus", "price")
+
+
 _CDC_ADMIT_ORACLE_TMPL = """
 WITH {sh},
 sig AS (SELECT doc_id, {mh} FROM {src} GROUP BY doc_id),

@@ -86,9 +86,21 @@ may ADD columns; the manifest schema becomes the union, old files stay
 byte-identical, and readers surface typed nulls for rows written before a
 column existed (``mergeSchema`` over the manifest's explicit file list,
 plus a driver-side null-fill for selections that touch only pre-evolution
-files).  Drops/retypes/renames still raise — those need a rewrite, the
-same stance as Delta without ``overwriteSchema``.  A commit that replaces
-every live file re-homogenizes the table and clears the flag.
+files).  Retypes still raise — those need a rewrite, the same stance as
+Delta without ``overwriteSchema``.  A commit that replaces every live file
+re-homogenizes the table and clears the flag.
+
+**Column mapping (RENAME / DROP COLUMN without rewrite)**: files carry
+stable PHYSICAL column names; the manifest's ``mapping`` (logical ->
+physical) and ``dropped`` (retired physicals) make
+``rename_column``/``drop_column`` O(manifest) metadata commits — the
+Delta column-mapping (name mode) shape.  ``read()`` and the change feed
+present logical names; every write path maps back at staging; a re-added
+logical name gets a FRESH physical so retired bytes never resurrect;
+stats/blooms/KMV/DVs stay physically keyed, so data skipping survives
+renames; time travel shows each version under its own names; racing a
+rename/drop against any in-flight writer is an OCC conflict.  A full
+overwrite resets both fields (logical names become physical again).
 
 **Row-level DELETE, both physical strategies**: ``delete(condition,
 prune=...)`` rewrites only the files stats/blooms cannot prove match-free
@@ -125,10 +137,9 @@ is an OCC conflict, and RESTORE restores the constraint set its data was
 validated under.
 
 What this deliberately does NOT implement (and real Delta/Iceberg add):
-multi-table transactions, non-additive schema evolution (drop/retype/
-rename), bitmap-compressed deletion vectors (ours are plain parquet
-position tombstones — same read semantics, simpler encoding), and
-object-store conditional-PUT CAS.
+multi-table transactions, column RETYPES without rewrite, bitmap-compressed
+deletion vectors (ours are plain parquet position tombstones — same read
+semantics, simpler encoding), and object-store conditional-PUT CAS.
 """
 
 from __future__ import annotations
@@ -436,6 +447,10 @@ class MTable:
                     # a racing ADD/DROP CONSTRAINT changed what this
                     # writer's rows were validated against
                     or (m1.get("constraints") or {}) != (m0.get("constraints") or {})
+                    # a racing RENAME/DROP COLUMN changed the logical<->
+                    # physical contract the staged files were written under
+                    or (m1.get("mapping") or {}) != (m0.get("mapping") or {})
+                    or list(m1.get("dropped") or ()) != list(m0.get("dropped") or ())
                     or any(
                         m1["partitions"].get(pv) != m0["partitions"].get(pv)
                         for pv in touched
@@ -737,6 +752,7 @@ class MTable:
             want = {str(p) for p in partitions}
             sel = {kk: v for kk, v in sel.items() if kk in want}
         stats = m.get("stats") or {}
+        col = self._p(m, col)  # sketches are keyed by physical name
         merged: set[int] = set()
         missing = []
         for files in sel.values():
@@ -801,6 +817,217 @@ class MTable:
             )
         return new_fp
 
+    # -- column mapping (logical <-> physical names) -------------------------
+    #
+    # Files carry PHYSICAL column names, fixed at first write; the manifest's
+    # ``mapping`` ({logical: physical}, entries only where they differ) and
+    # ``dropped`` (retired physical names) make RENAME and DROP COLUMN
+    # metadata-only commits — the Delta column-mapping (name mode) shape.
+    # ``read()`` and the change feed are the logical boundary (physical scan
+    # -> _logical_view); every write path maps back at staging
+    # (_physical_input).  Physical state (schema fingerprint, stats/bloom/kmv
+    # keys, partition directory names) never changes under a rename, so data
+    # skipping, DVs, and the feed's per-file algebra are rename-oblivious.
+    # A full overwrite replaces every file and RESETS both fields (logical
+    # names become the physical reality again), same re-homogenization rule
+    # as the ``evolved`` flag.
+
+    def _p(self, m: dict | None, name: str) -> str:
+        """Physical name of logical column ``name`` (identity unless
+        renamed)."""
+        return ((m or {}).get("mapping") or {}).get(name, name)
+
+    @staticmethod
+    def _inv(m: dict | None) -> dict[str, str]:
+        """physical -> logical for the renamed columns of manifest ``m``."""
+        return {p: l for l, p in ((m or {}).get("mapping") or {}).items()}
+
+    def _logical_view(self, df: DataFrame, m: dict | None) -> DataFrame:
+        """Present a PHYSICAL-named frame under the table's LOGICAL names:
+        retired (``dropped``) physical columns vanish — Catalyst then never
+        even decodes them from the files — renamed ones take their logical
+        alias, everything else (including internal ``__dv*`` helpers) passes
+        through.  No-op for tables that never renamed or dropped."""
+        if m is None:
+            return df
+        mp = m.get("mapping") or {}
+        retired = set(m.get("dropped") or ())
+        if not mp and not retired:
+            return df
+        inv = {p: l for l, p in mp.items()}
+        return df.select(
+            *[
+                F.col(c).alias(inv[c]) if c in inv else F.col(c)
+                for c in df.columns
+                if c not in retired
+            ]
+        )
+
+    def _physical_input(
+        self, df: DataFrame, m: dict | None
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Rename a LOGICAL-named input frame to the table's PHYSICAL names
+        for staging.  A NEW logical column (additive evolution) takes its own
+        name as physical unless that name is already spoken for — retired by
+        a DROP, or serving as a live column's physical — in which case it
+        gets a fresh suffixed physical name (recorded in the returned
+        mapping) so the old bytes in existing files can never resurrect
+        through the new column.  Returns ``(physical df, updated mapping)``;
+        no-op ``(df, {})`` for tables that never renamed or dropped."""
+        if m is None:
+            return df, {}
+        mp = dict(m.get("mapping") or {})
+        retired = set(m.get("dropped") or ())
+        if not mp and not retired:
+            return df, mp
+        phys = set(self._parse_schema(m["schema"]))
+        if m.get("partition_by"):
+            phys.add(m["partition_by"])
+        inv = {p: l for l, p in mp.items()}
+        live = {inv.get(p, p) for p in phys}
+        taken = phys | retired | set(mp.values())
+        sel = []
+        for c in df.columns:
+            if c in mp:
+                sel.append(F.col(c).alias(mp[c]))
+            elif c in live:
+                sel.append(F.col(c))
+            else:
+                pn = c
+                if pn in taken:
+                    pn = f"{c}_{uuid.uuid4().hex[:8]}"
+                    mp[c] = pn
+                sel.append(F.col(c).alias(pn) if pn != c else F.col(c))
+        return df.select(*sel), mp
+
+    def _logical_pby(self, m: dict | None) -> str | None:
+        pby = (m or {}).get("partition_by")
+        return self._inv(m).get(pby, pby) if pby else pby
+
+    def _constraints_must_resolve(
+        self,
+        m0: dict,
+        mapping: dict[str, str],
+        dropped,
+        cons: dict[str, str],
+        changed: str,
+    ) -> None:
+        """Refuse a rename/drop that would break an existing CHECK
+        constraint's expression (driver-side analysis against the
+        post-change logical schema, no job) — the Delta stance: update the
+        constraint first."""
+        if not cons:
+            return
+        inv = {p: l for l, p in mapping.items()}
+        retired = set(dropped or ())
+        fields = [
+            f"`{inv.get(c, c)}` {t}"
+            for c, t in self._parse_schema(m0["schema"]).items()
+            if c not in retired
+        ]
+        if m0["partition_by"]:
+            pl = inv.get(m0["partition_by"], m0["partition_by"])
+            fields.append(f"`{pl}` string")
+        probe = self.spark.createDataFrame([], ", ".join(fields))
+        for name, expr in sorted(cons.items()):
+            try:
+                probe.select(F.expr(expr).cast("boolean"))
+            except Exception as e:  # noqa: BLE001 — analysis failure = ref
+                raise ValueError(
+                    f"column {changed!r} is referenced by CHECK constraint "
+                    f"{name!r} ({expr!r}); drop or re-add the constraint "
+                    "under the new schema first"
+                ) from e
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN without rewriting a byte (the Delta
+        column-mapping shape; reference contrast: a pandas ``df.rename``
+        rewrites the whole dataset on the next save,
+        ``jobs/ingest_xlsx_to_parquet.py:14-24``): files keep their physical
+        column names, the manifest's mapping takes the new logical name, and
+        the commit is O(manifest) metadata.  Snapshot-isolated and
+        time-travel-faithful — ``read(version=...)`` presents each version
+        under ITS OWN names.  Stats, blooms, KMV sketches, deletion vectors
+        and the partition layout are keyed physically, so data skipping and
+        DML pruning keep working across the rename.  Refused while a CHECK
+        constraint references ``old``; the partition column may be renamed
+        (directory names stay physical — values, and therefore pruning, are
+        unaffected)."""
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion("rename_column needs a committed table")
+        v0, m0 = cur
+        mp = dict(m0.get("mapping") or {})
+        inv = {p: l for l, p in mp.items()}
+        live = {
+            inv.get(p, p) for p in self._parse_schema(m0["schema"])
+        }
+        pby_l = self._logical_pby(m0)
+        if pby_l:
+            live.add(pby_l)
+        if old not in live:
+            raise ValueError(f"no column {old!r} (live columns: {sorted(live)})")
+        if new in live:
+            raise ValueError(f"column {new!r} already exists")
+        if not new or any(ch in new for ch in ";:`,"):
+            raise ValueError(f"invalid column name {new!r}")
+        p = mp.pop(old, old)
+        if p != new:
+            mp[new] = p
+        self._constraints_must_resolve(
+            m0, mp, m0.get("dropped") or [], m0.get("constraints") or {}, old
+        )
+        return self._commit_meta_change(
+            v0,
+            m0,
+            "rename_column",
+            dict(m0.get("constraints") or {}),
+            mapping=mp,
+            meta={"renamed": [old, new]},
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN without rewriting a byte: the physical
+        column is RETIRED — removed from the manifest schema and recorded in
+        ``dropped``, so reads stop projecting it (Catalyst never decodes the
+        bytes again; dropping a wide blob column pays off on the very next
+        scan), old snapshots still time-travel to it until vacuum retires
+        their manifests, and a later re-add of the same logical name (an
+        ``allow_evolution=True`` append) is assigned a FRESH physical name so
+        the retired bytes can never resurrect.  Refused for the partition
+        column and while a CHECK constraint references it."""
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion("drop_column needs a committed table")
+        v0, m0 = cur
+        mp = dict(m0.get("mapping") or {})
+        inv = {p: l for l, p in mp.items()}
+        phys = self._parse_schema(m0["schema"])
+        live = {inv.get(p, p) for p in phys}
+        pby_l = self._logical_pby(m0)
+        if name == pby_l:
+            raise ValueError(f"cannot drop the partition column {name!r}")
+        if name not in live:
+            raise ValueError(f"no column {name!r} (live columns: {sorted(live)})")
+        p = mp.pop(name, name)
+        dropped = sorted(set(m0.get("dropped") or ()) | {p})
+        schema = ";".join(
+            sorted(f"{c}:{t}" for c, t in phys.items() if c != p)
+        )
+        self._constraints_must_resolve(
+            m0, mp, dropped, m0.get("constraints") or {}, name
+        )
+        return self._commit_meta_change(
+            v0,
+            m0,
+            "drop_column",
+            dict(m0.get("constraints") or {}),
+            mapping=mp,
+            dropped=dropped,
+            schema=schema,
+            meta={"dropped_column": name},
+        )
+
     def write(
         self,
         df: DataFrame,
@@ -828,11 +1055,31 @@ class MTable:
         committed version."""
         schema_fp = None
         evolved = False
+        mapping: dict[str, str] = {}
         cur = self._latest()
         if cur is not None:
             v0, m0 = cur
-            partition_by = partition_by or m0["partition_by"]
+            # the caller speaks LOGICAL names (column-mapping surface);
+            # partition equality is checked there, and an append's frame +
+            # user stat column lists convert to physical for staging.  A
+            # full overwrite replaces every file, so logical names become
+            # the physical reality again (mapping/dropped reset below).
+            pby_l = self._logical_pby(m0)
+            partition_by = partition_by or pby_l
+            if (pby_l or None) != (partition_by or None):
+                raise ValueError(
+                    f"partition_by {partition_by!r} != table's "
+                    f"{pby_l!r}"
+                )
             if mode == "append":
+                df, mapping = self._physical_input(df, m0)
+                partition_by = m0["partition_by"]
+                if stats_cols:
+                    stats_cols = [self._p(m0, c) for c in stats_cols]
+                if bloom_cols:
+                    bloom_cols = [self._p(m0, c) for c in bloom_cols]
+                if ndv_cols:
+                    ndv_cols = [self._p(m0, c) for c in ndv_cols]
                 fp = self._schema_fingerprint(df, partition_by)
                 schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
                 # heterogeneous live files once any carried file predates
@@ -840,17 +1087,13 @@ class MTable:
                 evolved = bool(m0.get("evolved")) or (
                     schema_fp != m0["schema"] and bool(m0["partitions"])
                 )
-            if (m0["partition_by"] or None) != (partition_by or None):
-                raise ValueError(
-                    f"partition_by {partition_by!r} != table's "
-                    f"{m0['partition_by']!r}"
-                )
         else:
             v0, m0 = 0, None
         staged = self._stage_files(df, partition_by)
         self._enforce_staged(
             staged, partition_by, f"{mode} rows",
             (m0.get("constraints") or {}) if m0 is not None else {},
+            m0 if mode == "append" else None,
         )
         # an append that does not say which columns to stat inherits the
         # table's existing stats/bloom/ndv column sets (exactly as
@@ -918,6 +1161,13 @@ class MTable:
             # a full overwrite replaces every file, so tombstones die here
             if mode == "append" and mb is not None and mb.get("dv"):
                 manifest["dv"] = list(mb["dv"])
+            # column mapping likewise: appends carry it (staged files were
+            # converted to physical names); an overwrite resets it
+            if mode == "append":
+                if mapping:
+                    manifest["mapping"] = dict(mapping)
+                if mb is not None and mb.get("dropped"):
+                    manifest["dropped"] = sorted(mb["dropped"])
             return manifest
 
         if mode != "append" or m0 is None:
@@ -943,6 +1193,15 @@ class MTable:
                 ):
                     # a racing ADD/DROP CONSTRAINT changed what these rows
                     # were validated against — surface, don't auto-rebase
+                    raise
+                if (mb.get("mapping") or {}) != (
+                    (m0.get("mapping") or {}) if m0 else {}
+                ) or list(mb.get("dropped") or ()) != list(
+                    (m0.get("dropped") or ()) if m0 else ()
+                ):
+                    # a racing RENAME/DROP COLUMN changed the logical<->
+                    # physical contract the staged files were written under
+                    # — replaying them could resurrect a retired column
                     raise
                 schema_fp = self._evolve_schema(
                     mb["schema"],
@@ -995,6 +1254,10 @@ class MTable:
         partition_by = m0["partition_by"]
         if not partition_by:
             raise ValueError("table is unpartitioned")
+        # caller speaks logical names; staging/stats are physical
+        df, mapping = self._physical_input(df, m0)
+        if stats_cols:
+            stats_cols = [self._p(m0, c) for c in stats_cols]
         fp = self._schema_fingerprint(df, partition_by)
         schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
         if cluster_files:
@@ -1016,7 +1279,7 @@ class MTable:
             # would be pure waste
             self._enforce_staged(
                 staged, partition_by, "overwritten partition rows",
-                m0.get("constraints") or {},
+                m0.get("constraints") or {}, m0,
             )
         replaced = set(
             partition_values if partition_values is not None else staged
@@ -1088,6 +1351,10 @@ class MTable:
                 # tombstones for replaced files go stale-harmless (dead
                 # paths match nothing); untouched files keep theirs
                 manifest["dv"] = list(mb["dv"])
+            if mapping:
+                manifest["mapping"] = dict(mapping)
+            if mb.get("dropped"):
+                manifest["dropped"] = sorted(mb["dropped"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, replaced | set(staged))
@@ -1120,7 +1387,9 @@ class MTable:
         if cur is None:
             raise ValueError("merge into an empty table: use write() first")
         v0, m0 = cur
-        pby = m0["partition_by"]
+        # the merge is computed in LOGICAL space (read() output + caller's
+        # updates); overwrite_partitions converts back at staging
+        pby = self._logical_pby(m0)
         upd = updates.withColumn(pby, partition_col_value.cast("string"))
         touched = [r[0] for r in upd.select(pby).distinct().collect()]
         old_slice = self.read(version=v0, partitions=touched)
@@ -1215,6 +1484,9 @@ class MTable:
         v0, m0 = cur
         pby = m0["partition_by"]
         stats = m0.get("stats") or {}
+        if prune is not None:
+            # prune predicates speak logical names; stats are keyed physical
+            prune = [(self._p(m0, c), op, v) for c, op, v in prune]
         cand: list[str] = []
         for files in m0["partitions"].values():
             for rel in files:
@@ -1247,6 +1519,8 @@ class MTable:
                 *[self._abs(r) for r in dv0]
             ).select("__dvf", "__dvi")
             df = df.join(F.broadcast(tomb0), ["__dvf", "__dvi"], "left_anti")
+        # the condition speaks logical names; __dv* helpers pass through
+        df = self._logical_view(df, m0)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         matched = df.where(
             F.coalesce(cond.cast("boolean"), F.lit(False))
@@ -1285,6 +1559,10 @@ class MTable:
                 manifest["evolved"] = True
             if mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
+            if mb.get("mapping"):
+                manifest["mapping"] = dict(mb["mapping"])
+            if mb.get("dropped"):
+                manifest["dropped"] = sorted(mb["dropped"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -1347,6 +1625,9 @@ class MTable:
         v0, m0 = cur
         pby = m0["partition_by"]
         stats = m0.get("stats") or {}
+        if prune is not None:
+            # prune predicates speak logical names; stats are keyed physical
+            prune = [(self._p(m0, c), op, v) for c, op, v in prune]
         cand: list[str] = []
         for files in m0["partitions"].values():
             for rel in files:
@@ -1375,9 +1656,15 @@ class MTable:
         # simply no longer contains those rows; the stale tombstones then
         # reference a dead path and match nothing)
         df = self._apply_dv(df, m0.get("dv") or [])
+        # condition and SET expressions speak LOGICAL names; the rewrite
+        # stages back under physical names (a rewrite after DROP COLUMN
+        # also materializes the drop for the rewritten files — old
+        # snapshots keep reading the originals)
+        df = self._logical_view(df, m0)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         matched = F.coalesce(cond.cast("boolean"), F.lit(False))
         kept = transform(df, matched)
+        kept, _ = self._physical_input(kept, m0)
         fp = self._schema_fingerprint(kept, pby)
         if fp != m0["schema"]:
             # e.g. an UPDATE SET whose expression retypes the column: the
@@ -1394,7 +1681,7 @@ class MTable:
             # a DELETE can only remove rows; an UPDATE's SET expressions can
             # break a CHECK — validate exactly the rewritten candidates
             self._enforce_staged(
-                staged, pby, "updated rows", m0.get("constraints") or {}
+                staged, pby, "updated rows", m0.get("constraints") or {}, m0
             )
         cand_set = set(cand)
         # stats: carry untouched by reference; re-stat the rewritten files
@@ -1466,6 +1753,10 @@ class MTable:
                 manifest["constraints"] = dict(mb["constraints"])
             if mb.get("dv"):
                 manifest["dv"] = list(mb["dv"])
+            if mb.get("mapping"):
+                manifest["mapping"] = dict(mb["mapping"])
+            if mb.get("dropped"):
+                manifest["dropped"] = sorted(mb["dropped"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -1509,11 +1800,12 @@ class MTable:
         rels = [rel for v in sel.values() for rel in v]
         if prune:
             stats = m.get("stats") or {}
+            # prune predicates speak logical names; stats are keyed physical
             rels = [
                 rel
                 for rel in rels
                 if all(
-                    _stats_may_match(stats.get(rel), col, op, val)
+                    _stats_may_match(stats.get(rel), self._p(m, col), op, val)
                     for col, op, val in prune
                 )
             ]
@@ -1543,8 +1835,10 @@ class MTable:
         # merge-on-read position deletes: tombstones anti-apply LAST, after
         # the projection chain (which keeps _metadata resolvable) and after
         # the path-derived columns (input_file_name is scan-stage-only and
-        # would go blank after the anti-join)
-        return self._apply_dv(df, m.get("dv") or [])
+        # would go blank after the anti-join); the logical view (column
+        # mapping: renames surface, retired columns vanish) is a pure
+        # projection on top
+        return self._logical_view(self._apply_dv(df, m.get("dv") or []), m)
 
     def latest_meta(self) -> dict:
         """The newest committed version's ``extra_meta`` ({} before any
@@ -1614,22 +1908,40 @@ class MTable:
             m = self._read_manifest(version)
         files = [rel for fl in m["partitions"].values() for rel in fl]
         stats = m.get("stats") or {}
+        inv = self._inv(m)
+        retired = set(m.get("dropped") or ())
         out = {
             "path": self.path,
             "version": version,
             "operation": m.get("operation"),
             "committed_at_ms": m.get("committed_at_ms"),
-            "partition_by": m["partition_by"],
+            "partition_by": self._logical_pby(m),
             "n_partitions": len(m["partitions"]),
             "n_files": len(files),
-            "schema": self._parse_schema(m["schema"]),
+            # user-facing: LOGICAL names (column mapping applied)
+            "schema": {
+                inv.get(c, c): t
+                for c, t in self._parse_schema(m["schema"]).items()
+            },
             "evolved": bool(m.get("evolved")),
             "constraints": dict(m.get("constraints") or {}),
+            "column_mapping": dict(m.get("mapping") or {}),
+            "dropped_columns": sorted(retired),
             "stats_cols": sorted(
-                {c for ent in stats.values() for c, v in ent.items() if "mn" in v}
+                {
+                    inv.get(c, c)
+                    for ent in stats.values()
+                    for c, v in ent.items()
+                    if "mn" in v and c not in retired
+                }
             ),
             "bloom_cols": sorted(
-                {c for ent in stats.values() for c, v in ent.items() if "bf" in v}
+                {
+                    inv.get(c, c)
+                    for ent in stats.values()
+                    for c, v in ent.items()
+                    if "bf" in v and c not in retired
+                }
             ),
         }
         out["n_dv_files"] = len(m.get("dv") or [])
@@ -1763,6 +2075,12 @@ class MTable:
         m_to = self._read_manifest(v_to)
         target = self._parse_schema(m_to["schema"])  # sorted name -> type
         pby_to = m_to["partition_by"]
+        # the feed's output schema is the ENDPOINT's logical view: matching
+        # is by PHYSICAL name (stable across renames, so a mid-feed rename
+        # carries values seamlessly — the rename commit itself emits no
+        # events), aliasing is by v_to's mapping, and columns v_to retired
+        # (DROP COLUMN) are absent from its schema so they never ride
+        inv_to = self._inv(m_to)
         # scan tuples: (v, op, change_type, files, dv_apply, dv_select) —
         # dv_apply anti-filters tombstones already in force at the scan's
         # snapshot side (dv(v) for inserts, dv(v-1) for removals, so a
@@ -1872,9 +2190,9 @@ class MTable:
             # schema-changing overwrites alike; a non-coercible retype
             # surfaces as an AnalysisException here, not a silent mistype
             cols = [
-                F.col(c).cast(t).alias(c)
+                F.col(c).cast(t).alias(inv_to.get(c, c))
                 if c in df.columns
-                else F.lit(None).cast(t).alias(c)
+                else F.lit(None).cast(t).alias(inv_to.get(c, c))
                 for c, t in target.items()
             ]
             if pby_to:
@@ -1883,7 +2201,7 @@ class MTable:
                         F.col(pby_to)
                         if pby_to in df.columns
                         else F.lit(None).cast("string")
-                    ).alias(pby_to)
+                    ).alias(inv_to.get(pby_to, pby_to))
                 )
             frames.append(
                 df.select(
@@ -1944,6 +2262,12 @@ class MTable:
             manifest["constraints"] = dict(tgt["constraints"])
         if tgt.get("dv"):
             manifest["dv"] = list(tgt["dv"])
+        if tgt.get("mapping"):
+            # the target's column mapping is part of its state: restoring
+            # across a rename/drop restores the names of that era
+            manifest["mapping"] = dict(tgt["mapping"])
+        if tgt.get("dropped"):
+            manifest["dropped"] = sorted(tgt["dropped"])
         return self._commit_state(manifest, v0 + 1, m0)
 
     def clone_to(self, dest_path: str, version: int | None = None) -> "MTable":
@@ -1999,6 +2323,10 @@ class MTable:
             manifest["constraints"] = dict(m["constraints"])
         if m.get("dv"):
             manifest["dv"] = [self._abs(r) for r in m["dv"]]
+        if m.get("mapping"):
+            manifest["mapping"] = dict(m["mapping"])
+        if m.get("dropped"):
+            manifest["dropped"] = sorted(m["dropped"])
         dest._commit_state(manifest, 1, None)
         return dest
 
@@ -2034,11 +2362,13 @@ class MTable:
         # validate=False would otherwise brick every subsequent write with
         # an unresolved-column error until the operator finds
         # drop_constraint
+        inv = self._inv(m0)
         schema = ", ".join(
-            f"`{c}` {t}" for c, t in self._parse_schema(m0["schema"]).items()
+            f"`{inv.get(c, c)}` {t}"
+            for c, t in self._parse_schema(m0["schema"]).items()
         )
         if m0["partition_by"]:
-            schema += f", `{m0['partition_by']}` string"
+            schema += f", `{self._logical_pby(m0)}` string"
         self.spark.createDataFrame([], schema).select(
             F.expr(expr).cast("boolean")
         )
@@ -2061,24 +2391,42 @@ class MTable:
         return self._commit_meta_change(v0, m0, "drop_constraint", cons)
 
     def _commit_meta_change(
-        self, v0: int, m0: dict, operation: str, cons: dict[str, str]
+        self,
+        v0: int,
+        m0: dict,
+        operation: str,
+        cons: dict[str, str],
+        *,
+        mapping: dict[str, str] | None = None,
+        dropped: list[str] | None = None,
+        schema: str | None = None,
+        meta: dict | None = None,
     ) -> int:
+        """O(manifest) metadata commit: same files, new table metadata
+        (constraint set, column mapping, retired columns, logical schema).
+        ``None`` keyword = carry ``m0``'s value unchanged."""
         manifest = {
             "version": v0 + 1,
             "parent": v0,
             "operation": operation,
             "partition_by": m0["partition_by"],
-            "schema": m0["schema"],
+            "schema": m0["schema"] if schema is None else schema,
             "partitions": {k: list(f) for k, f in m0["partitions"].items()},
             "stats": dict(m0.get("stats") or {}),
             "committed_at_ms": int(time.time() * 1000),
-            "meta": {},
+            "meta": dict(meta or {}),
             "constraints": dict(sorted(cons.items())),
         }
         if m0.get("evolved"):
             manifest["evolved"] = True
         if m0.get("dv"):
             manifest["dv"] = list(m0["dv"])
+        mp = m0.get("mapping") if mapping is None else mapping
+        dr = m0.get("dropped") if dropped is None else dropped
+        if mp:
+            manifest["mapping"] = dict(mp)
+        if dr:
+            manifest["dropped"] = sorted(dr)
         return self._commit_state(manifest, v0 + 1, m0)
 
     def _enforce_staged(
@@ -2087,6 +2435,7 @@ class MTable:
         pby: str | None,
         what: str,
         cons: dict[str, str],
+        m: dict | None = None,
     ) -> None:
         """Enforce ``cons`` (the CALLER's base-snapshot constraint set —
         the same set the OCC rebase guard compares, so validation and
@@ -2108,7 +2457,9 @@ class MTable:
                 pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
             )
         try:
-            self._enforce(df, cons, what)
+            # constraint expressions speak logical names; staged files are
+            # physical (``m`` = the base manifest whose mapping applies)
+            self._enforce(self._logical_view(df, m), cons, what)
         except ConstraintViolation:
             fs, jvm = _fs(self.spark, self.path)
             for rel in rels:
@@ -2201,7 +2552,13 @@ class MTable:
         ]
         if not sel:
             return v0
+        # the read() snapshot is LOGICAL (column mapping applied); all frame
+        # operations below therefore use logical names, and the
+        # overwrite_partitions hand-off converts back at staging
         df = self.read(version=v0, partitions=sel)
+        pby = self._logical_pby(m0)
+        inv = self._inv(m0)
+        retired = set(m0.get("dropped") or ())
         stats_cols = None
         if zorder_by:
             missing = [c for c in zorder_by if c not in df.columns]
@@ -2227,7 +2584,12 @@ class MTable:
             )
             inherited: list[str] = []
             for ent in (m0.get("stats") or {}).values():
-                inherited += [c for c in ent if c not in inherited]
+                # stats keys are physical; the hand-off below speaks logical
+                inherited += [
+                    inv.get(c, c)
+                    for c in ent
+                    if c not in retired and inv.get(c, c) not in inherited
+                ]
             stats_cols = inherited + [c for c in zorder_by if c not in inherited]
         else:
             # hash-clustering on the partition value puts every value's
