@@ -4451,6 +4451,75 @@ def q_orders_column_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().select("o_orderkey", "o_orderstatus", "price")
 
 
+_TYPE_WIDENING_ORACLE = """
+WITH widened AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+              ELSE o_totalprice END AS base
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN base < 50000.0 THEN base + 1.0 ELSE base END AS price
+FROM widened
+"""
+
+
+@register(
+    "orders_type_widening_scan",
+    oracle=_TYPE_WIDENING_ORACLE,
+    tags=("acid", "schema"),
+)
+def q_orders_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING without rewriting a byte (r10 session 3 — the Delta
+    type-widening shape; upgrades the module's former retype non-goal):
+    v1 writes the even order keys NARROW (int key, float price,
+    month-partitioned, stats on the price); v2 appends the odd keys
+    WIDE (bigint/double) under ``allow_widening=True`` — the manifest
+    takes the wide types while v1's files stay byte-identical, and
+    every later read resolves the width inside the scan via the
+    manifest's explicit schema (mergeSchema refuses mixed widths); v3
+    RENAMES the price column (column mapping composes with widening);
+    v4 runs a pruned copy-on-write UPDATE whose candidates re-stage
+    wide.  The oracle replays the same float32 round-trip with
+    ``CAST(CAST(x AS REAL) AS DOUBLE)`` — IEEE-identical in both
+    engines — so a hash match proves the widened values are bit-exact,
+    not merely close.  The 100 TB stake: outgrowing an int32 key or a
+    float32 metric is a one-manifest commit, not a petabyte rewrite."""
+    from .sources.mtable import MTable
+
+    root = _q_tmp_root(spark, sf_dir, "widen", "rfs_mtable_widen")
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = MTable(spark, root)
+    tbl.write(
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").cast("float").alias("o_totalprice"),
+            month.alias("month"),
+        )
+        .repartition(width, F.col("month")),
+        partition_by="month",
+        stats_cols=["o_totalprice"],
+    )
+    tbl.write(
+        orders.where(F.col("o_orderkey") % 2 != 0)
+        .select("o_orderkey", "o_totalprice", month.alias("month"))
+        .repartition(width, F.col("month")),
+        mode="append",
+        allow_widening=True,
+    )
+    tbl.rename_column("o_totalprice", "price")
+    tbl.update(
+        "price < 50000.0",
+        {"price": F.col("price") + F.lit(1.0)},
+        prune=[("price", "<", 50000.0)],
+    )
+    return tbl.read().select("o_orderkey", "price")
+
+
 _CDC_ADMIT_ORACLE_TMPL = """
 WITH {sh},
 sig AS (SELECT doc_id, {mh} FROM {src} GROUP BY doc_id),

@@ -86,9 +86,19 @@ may ADD columns; the manifest schema becomes the union, old files stay
 byte-identical, and readers surface typed nulls for rows written before a
 column existed (``mergeSchema`` over the manifest's explicit file list,
 plus a driver-side null-fill for selections that touch only pre-evolution
-files).  Retypes still raise — those need a rewrite, the same stance as
-Delta without ``overwriteSchema``.  A commit that replaces every live file
-re-homogenizes the table and clears the flag.
+files).  Non-widening retypes still raise — those need a rewrite, the
+same stance as Delta without ``overwriteSchema``.  A commit that replaces
+every live file re-homogenizes the table and clears the flag.
+
+**Type widening (RETYPE without rewrite)**: commits made with
+``allow_widening=True`` may UP-cast column types (the integer chain,
+float -> double, <=int32 -> double, same-scale decimal precision growth
+— exactly the casts Spark's parquet reader performs losslessly in the
+scan).  The manifest takes the wide type, files stay byte-identical, and
+widened tables read under the manifest's explicit schema instead of
+mergeSchema (which refuses mixed widths).  Narrower frames appended to
+an already-widened table are accepted as-is — the scan up-casts.
+Non-widening retypes still require the full-overwrite rewrite.
 
 **Column mapping (RENAME / DROP COLUMN without rewrite)**: files carry
 stable PHYSICAL column names; the manifest's ``mapping`` (logical ->
@@ -137,9 +147,10 @@ is an OCC conflict, and RESTORE restores the constraint set its data was
 validated under.
 
 What this deliberately does NOT implement (and real Delta/Iceberg add):
-multi-table transactions, column RETYPES without rewrite, bitmap-compressed
-deletion vectors (ours are plain parquet position tombstones — same read
-semantics, simpler encoding), and object-store conditional-PUT CAS.
+multi-table transactions, NARROWING/lossy retypes without rewrite (only
+the lossless widening set above), bitmap-compressed deletion vectors
+(ours are plain parquet position tombstones — same read semantics,
+simpler encoding), and object-store conditional-PUT CAS.
 """
 
 from __future__ import annotations
@@ -444,6 +455,7 @@ class MTable:
                 conflicting = (
                     m1["schema"] != m0["schema"]
                     or bool(m1.get("evolved")) != bool(m0.get("evolved"))
+                    or bool(m1.get("widened")) != bool(m0.get("widened"))
                     # a racing ADD/DROP CONSTRAINT changed what this
                     # writer's rows were validated against
                     or (m1.get("constraints") or {}) != (m0.get("constraints") or {})
@@ -794,28 +806,61 @@ class MTable:
                 out[name] = typ
         return out
 
-    def _evolve_schema(self, old_fp: str, new_fp: str, allow: bool) -> str:
-        """Validate a schema change between commits.  Identical -> old.
-        ADDITIVE superset (every existing column present with the identical
-        type, plus new ones) with ``allow_evolution=True`` -> the new
-        fingerprint.  Anything else (drop, retype, rename) raises — those
-        need a full rewrite, same stance as Delta without overwriteSchema."""
+    def _evolve_schema(
+        self, old_fp: str, new_fp: str, allow: bool, allow_widening: bool = False
+    ) -> tuple[str, bool]:
+        """Validate a schema change between commits; returns ``(resulting
+        fingerprint, widening_happened)``.  Identical -> old.  ADDITIVE
+        superset (every existing column present with the identical type,
+        plus new ones) with ``allow_evolution=True`` -> the new
+        fingerprint.  With ``allow_widening=True``, per-column TYPE
+        WIDENING is also accepted in either direction — the incoming frame
+        may widen the table's type (int -> bigint, float -> double, the
+        manifest takes the wide type) or be narrower than an already-
+        widened table (the manifest keeps the wide type); files stay
+        byte-identical and reads resolve the width via an explicit
+        manifest schema (``_widens``).  Anything else (drop, non-widening
+        retype, rename) raises — a full rewrite is the sanctioned path,
+        same stance as Delta without overwriteSchema (rename/drop have
+        their own metadata path: column mapping)."""
         if new_fp == old_fp:
-            return old_fp
+            return old_fp, False
         old, new = self._parse_schema(old_fp), self._parse_schema(new_fp)
         changed = {c: (old[c], new[c]) for c in old if c in new and old[c] != new[c]}
         missing = sorted(set(old) - set(new))
-        if missing or changed:
+        widen = {
+            c: p
+            for c, p in changed.items()
+            if _widens(p[0], p[1]) or _widens(p[1], p[0])
+        }
+        bad = {c: p for c, p in changed.items() if c not in widen}
+        if missing or bad:
             raise ValueError(
                 f"schema mismatch is not additive: missing={missing} "
-                f"retyped={changed} (evolution only ADDS columns)"
+                f"retyped={bad} (evolution only ADDS columns; integer/"
+                "float/decimal UP-casts need allow_widening=True)"
             )
-        if not allow:
+        if widen and not allow_widening:
             raise ValueError(
-                f"schema adds columns {sorted(set(new) - set(old))}; pass "
+                f"schema widens column types {widen}; pass "
+                "allow_widening=True to accept the up-cast without a rewrite"
+            )
+        added = sorted(set(new) - set(old))
+        if added and not allow:
+            raise ValueError(
+                f"schema adds columns {added}; pass "
                 "allow_evolution=True to evolve the table additively"
             )
-        return new_fp
+        if not widen:
+            return new_fp, False
+        # per column, the WIDER of the two types wins the manifest
+        result = dict(old)
+        for c, t in new.items():
+            result[c] = (
+                t if c not in result or _widens(result[c], t) else result[c]
+            )
+        fp = ";".join(sorted(f"{c}:{t}" for c, t in result.items()))
+        return fp, True
 
     # -- column mapping (logical <-> physical names) -------------------------
     #
@@ -903,6 +948,35 @@ class MTable:
     def _logical_pby(self, m: dict | None) -> str | None:
         pby = (m or {}).get("partition_by")
         return self._inv(m).get(pby, pby) if pby else pby
+
+    def _scan_files(self, m: dict, rels: list[str]) -> DataFrame:
+        """Scan ``rels`` under manifest ``m``'s PHYSICAL schema contract.
+
+        A WIDENED table (type widening accepted without rewrite) reads
+        under the manifest's explicit schema — Spark's parquet reader
+        up-casts each file's narrower physical type in the scan itself
+        (int->bigint, float->double, decimal precision), which mergeSchema
+        refuses to reconcile; the explicit schema also null-fills columns
+        a file predates, so it subsumes the evolved path.  Non-widened
+        tables keep the original footer/mergeSchema strategy (identical
+        plans and column order to the pre-widening code)."""
+        if m.get("widened"):
+            ddl = ", ".join(
+                f"`{c}` {t}"
+                for c, t in self._parse_schema(m["schema"]).items()
+            )
+            return self.spark.read.schema(ddl).parquet(
+                *[self._abs(rel) for rel in rels]
+            )
+        reader = self.spark.read
+        if m.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[self._abs(rel) for rel in rels])
+        if m.get("evolved"):
+            for name, typ in self._parse_schema(m["schema"]).items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.lit(None).cast(typ))
+        return df
 
     def _constraints_must_resolve(
         self,
@@ -1039,6 +1113,7 @@ class MTable:
         bloom_bits: int = 4096,
         ndv_cols: list[str] | None = None,
         allow_evolution: bool = False,
+        allow_widening: bool = False,
     ) -> int:
         """Commit ``df`` as a new version.  ``mode``: "overwrite" replaces
         the whole table; "append" carries every existing file forward and
@@ -1055,6 +1130,7 @@ class MTable:
         committed version."""
         schema_fp = None
         evolved = False
+        widened = False
         mapping: dict[str, str] = {}
         cur = self._latest()
         if cur is not None:
@@ -1081,11 +1157,20 @@ class MTable:
                 if ndv_cols:
                     ndv_cols = [self._p(m0, c) for c in ndv_cols]
                 fp = self._schema_fingerprint(df, partition_by)
-                schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
+                schema_fp, widen_d = self._evolve_schema(
+                    m0["schema"], fp, allow_evolution, allow_widening
+                )
                 # heterogeneous live files once any carried file predates
-                # an added column; sticky until a full overwrite
+                # an added column (or carries a narrower accepted type);
+                # sticky until a full overwrite
+                added_cols = set(self._parse_schema(schema_fp)) - set(
+                    self._parse_schema(m0["schema"])
+                )
                 evolved = bool(m0.get("evolved")) or (
-                    schema_fp != m0["schema"] and bool(m0["partitions"])
+                    bool(added_cols) and bool(m0["partitions"])
+                )
+                widened = bool(m0.get("widened")) or (
+                    widen_d and bool(m0["partitions"])
                 )
         else:
             v0, m0 = 0, None
@@ -1155,6 +1240,8 @@ class MTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if widened:
+                manifest["widened"] = True
             if mb is not None and mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
             # deletion vectors survive an append (their files stay live);
@@ -1203,13 +1290,20 @@ class MTable:
                     # physical contract the staged files were written under
                     # — replaying them could resurrect a retired column
                     raise
-                schema_fp = self._evolve_schema(
+                schema_fp, widen_d = self._evolve_schema(
                     mb["schema"],
                     self._schema_fingerprint(df, partition_by),
                     allow_evolution,
+                    allow_widening,
+                )
+                added_cols = set(self._parse_schema(schema_fp)) - set(
+                    self._parse_schema(mb["schema"])
                 )
                 evolved = bool(mb.get("evolved")) or (
-                    schema_fp != mb["schema"] and bool(mb["partitions"])
+                    bool(added_cols) and bool(mb["partitions"])
+                )
+                widened = bool(mb.get("widened")) or (
+                    widen_d and bool(mb["partitions"])
                 )
         raise AssertionError("unreachable")
 
@@ -1222,6 +1316,7 @@ class MTable:
         cluster_files: bool = False,
         stats_cols: list[str] | None = None,
         allow_evolution: bool = False,
+        allow_widening: bool = False,
         _maintenance: bool = False,
     ) -> int:
         """Commit a version where the partitions carried by ``df`` (or the
@@ -1259,7 +1354,12 @@ class MTable:
         if stats_cols:
             stats_cols = [self._p(m0, c) for c in stats_cols]
         fp = self._schema_fingerprint(df, partition_by)
-        schema_fp = self._evolve_schema(m0["schema"], fp, allow_evolution)
+        schema_fp, widen_d = self._evolve_schema(
+            m0["schema"], fp, allow_evolution, allow_widening
+        )
+        added_cols = set(self._parse_schema(schema_fp)) - set(
+            self._parse_schema(m0["schema"])
+        )
         if cluster_files:
             # every partition value's rows land in one task -> one staged
             # file per partition dir; parallelism stays at the session's
@@ -1330,7 +1430,10 @@ class MTable:
             # live files are heterogeneous once any carried file predates an
             # added column; a commit that replaced EVERY live file resets it
             evolved = bool(live - staged_set) and (
-                bool(mb.get("evolved")) or schema_fp != mb["schema"]
+                bool(mb.get("evolved")) or bool(added_cols)
+            )
+            widened = bool(live - staged_set) and (
+                bool(mb.get("widened")) or widen_d
             )
             manifest = {
                 "version": vb + 1,
@@ -1345,6 +1448,8 @@ class MTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if widened:
+                manifest["widened"] = True
             if mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
             if mb.get("dv"):
@@ -1368,6 +1473,7 @@ class MTable:
         cluster_files: bool = False,
         stats_cols: list[str] | None = None,
         allow_evolution: bool = False,
+        allow_widening: bool = False,
     ) -> int:
         """MERGE by key into the touched partitions only (same semantics as
         ``io.merge_upsert``, but the publish is one atomic manifest commit
@@ -1418,6 +1524,7 @@ class MTable:
             cluster_files=cluster_files,
             stats_cols=stats_cols,
             allow_evolution=allow_evolution,
+            allow_widening=allow_widening,
         )
 
     def delete(
@@ -1498,14 +1605,7 @@ class MTable:
                 cand.append(rel)
         if not cand:
             return v0
-        reader = self.spark.read
-        if m0.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[self._abs(rel) for rel in cand])
-        if m0.get("evolved"):
-            for name, typ in self._parse_schema(m0["schema"]).items():
-                if name not in df.columns:
-                    df = df.withColumn(name, F.lit(None).cast(typ))
+        df = self._scan_files(m0, cand)
         if pby:
             df = df.withColumn(
                 pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
@@ -1557,6 +1657,8 @@ class MTable:
             }
             if mb.get("evolved"):
                 manifest["evolved"] = True
+            if mb.get("widened"):
+                manifest["widened"] = True
             if mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
             if mb.get("mapping"):
@@ -1639,14 +1741,7 @@ class MTable:
                 cand.append(rel)
         if not cand:
             return v0
-        reader = self.spark.read
-        if m0.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[self._abs(rel) for rel in cand])
-        if m0.get("evolved"):
-            for name, typ in self._parse_schema(m0["schema"]).items():
-                if name not in df.columns:
-                    df = df.withColumn(name, F.lit(None).cast(typ))
+        df = self._scan_files(m0, cand)
         if pby:
             df = df.withColumn(
                 pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
@@ -1728,6 +1823,7 @@ class MTable:
             }
             new_stats.update(staged_stats)
             evolved = bool(live - staged_set) and bool(mb.get("evolved"))
+            widened = bool(live - staged_set) and bool(mb.get("widened"))
             meta = {
                 f"{operation}_rewrote_files": len(cand),
                 f"{operation}_untouched_files": sum(
@@ -1749,6 +1845,8 @@ class MTable:
             }
             if evolved:
                 manifest["evolved"] = True
+            if widened:
+                manifest["widened"] = True
             if mb.get("constraints"):
                 manifest["constraints"] = dict(mb["constraints"])
             if mb.get("dv"):
@@ -1809,22 +1907,11 @@ class MTable:
                     for col, op, val in prune
                 )
             ]
-        files = [self._abs(rel) for rel in rels]
-        if not files:
+        if not rels:
             return None
-        reader = self.spark.read
-        if m.get("evolved"):
-            # live files have heterogeneous schemas (additive evolution):
-            # union their footers, then null-fill any manifest column the
-            # SELECTED files happen to predate entirely, so every snapshot
-            # presents the manifest's full schema regardless of which
-            # partitions/files the selection touched
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*files)
-        if m.get("evolved"):
-            for name, typ in self._parse_schema(m["schema"]).items():
-                if name not in df.columns:
-                    df = df.withColumn(name, F.lit(None).cast(typ))
+        # heterogeneous live files (additive evolution and/or accepted type
+        # widening) resolve to the manifest's schema inside the scan
+        df = self._scan_files(m, rels)
         if pby:
             # partition value is carried in the PATH, not the file: restore
             # it as a column (same as a partitioned directory scan would)
@@ -1924,6 +2011,7 @@ class MTable:
                 for c, t in self._parse_schema(m["schema"]).items()
             },
             "evolved": bool(m.get("evolved")),
+            "widened": bool(m.get("widened")),
             "constraints": dict(m.get("constraints") or {}),
             "column_mapping": dict(m.get("mapping") or {}),
             "dropped_columns": sorted(retired),
@@ -2156,10 +2244,7 @@ class MTable:
             # owns their schema/partition context (an overwrite may have
             # changed both at v)
             bm = self._read_manifest(v if ctype == "insert" else v - 1)
-            reader = self.spark.read
-            if bm.get("evolved"):
-                reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(*[self._abs(rel) for rel in rels])
+            df = self._scan_files(bm, rels)
             pby = bm["partition_by"]
             if pby:
                 df = df.withColumn(
@@ -2254,6 +2339,8 @@ class MTable:
         }
         if tgt.get("evolved"):
             manifest["evolved"] = True
+        if tgt.get("widened"):
+            manifest["widened"] = True
         if tgt.get("constraints"):
             # a restore restores the table's METADATA too: the target's
             # constraint set, under which its data was provably validated
@@ -2319,6 +2406,8 @@ class MTable:
         }
         if m.get("evolved"):
             manifest["evolved"] = True
+        if m.get("widened"):
+            manifest["widened"] = True
         if m.get("constraints"):
             manifest["constraints"] = dict(m["constraints"])
         if m.get("dv"):
@@ -2419,6 +2508,8 @@ class MTable:
         }
         if m0.get("evolved"):
             manifest["evolved"] = True
+        if m0.get("widened"):
+            manifest["widened"] = True
         if m0.get("dv"):
             manifest["dv"] = list(m0["dv"])
         mp = m0.get("mapping") if mapping is None else mapping
@@ -2792,6 +2883,33 @@ def _json_scalar(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
     return str(v)
+
+
+_INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+_FLOAT_RANK = {"float": 1, "double": 2}
+
+
+def _widens(old: str, new: str) -> bool:
+    """True when parquet files written as ``old`` read losslessly under an
+    explicit ``new`` schema (verified against Spark's vectorized reader):
+    the integer chain, float -> double, any integer -> double, and
+    same-scale decimal precision growth."""
+    if old == new:
+        return False
+    if old in _INT_RANK and new in _INT_RANK:
+        return _INT_RANK[old] < _INT_RANK[new]
+    if old in _FLOAT_RANK and new == "double":
+        return True
+    if _INT_RANK.get(old, 9) <= 3 and new == "double":
+        return True  # <= int32 is float64-exact; bigint -> double is LOSSY
+    if old.startswith("decimal(") and new.startswith("decimal("):
+        try:
+            po, so = (int(x) for x in old[8:-1].split(","))
+            pn, sn = (int(x) for x in new[8:-1].split(","))
+        except ValueError:
+            return False
+        return sn == so and pn > po
+    return False
 
 
 _BLOOM_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}

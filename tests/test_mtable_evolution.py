@@ -77,9 +77,21 @@ def test_nonadditive_changes_always_raise(spark, tmp_path):
     dropped = spark.createDataFrame([(9, "a")], "k int, d string")
     with pytest.raises(ValueError, match="not additive"):
         t.write(dropped, mode="append", partition_by="d", allow_evolution=True)
+    # a retype in the LOSSLESS widening family is no longer categorically
+    # refused — but it still raises without the explicit allow_widening flag
     retyped = spark.createDataFrame([(9, 1, "a")], "k int, v int, d string")
-    with pytest.raises(ValueError, match="not additive"):
+    with pytest.raises(ValueError, match="allow_widening"):
         t.write(retyped, mode="append", partition_by="d", allow_evolution=True)
+    # a non-widening retype is refused regardless of flags
+    restring = spark.createDataFrame([(9, "x", "a")], "k int, v string, d string")
+    with pytest.raises(ValueError, match="not additive"):
+        t.write(
+            restring,
+            mode="append",
+            partition_by="d",
+            allow_evolution=True,
+            allow_widening=True,
+        )
 
 
 def test_full_overwrite_rehomogenizes(spark, tmp_path):
