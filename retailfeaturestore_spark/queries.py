@@ -9238,7 +9238,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_nation_trade",
     "daily_feature_snapshots",
     "dedup_containment",
-    "discounted_revenue",
+    # orders_column_mapping_scan / orders_type_widening_scan: NEW r10
+    # session-3 surface (column mapping: RENAME/DROP without rewrite;
+    # type widening: lossless RETYPE without rewrite — both exercised
+    # end-to-end against plain logical-filter oracles) — zero driver
+    # history by construction; they displace discounted_revenue and
+    # qty_price_correlation (r7-green single-exchange agg shapes,
+    # sweep-verified every round) under the same
+    # first-verdict-beats-refresh call as the other r10 entries.
+    "orders_column_mapping_scan",
+    "orders_type_widening_scan",
     "doc_lm_score",
     "events_sliding_7d_daily",
     "feature_view_build",
@@ -9258,7 +9267,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "order_calendar_features",
     "order_count_distribution",
     "part_pagerank_copurchase",
-    "qty_price_correlation",
     "recs_negative_samples",
     # corpus_cdc_dedup_admission: NEW r10 surface (the full O(delta)
     # ingestion pipeline: corpus mtable -> ChangeFeedConsumer -> ACID
@@ -9294,11 +9302,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_days_view_no_purchase",
     "users_purchase_and_signup",
     # --- r11 handoff: after this window, driver-evidence freshness is
-    # r10 (50) / r9 (50) / r8 (50), plus union_slices and the 6 displaced
-    # r7-green simple shapes named in block 3 — rotate those 7 in FIRST
-    # next round, then any query whose implementation changes in r10/r11,
-    # then the r8-green cohort oldest-first.  The rotation is one edit
-    # here.
+    # r10 (50) / r9 (50) / r8 (50), plus union_slices, discounted_revenue,
+    # qty_price_correlation and the 6 displaced r7-green simple shapes
+    # named in block 3 — rotate those 9 in FIRST next round, then any
+    # query whose implementation changes in r10/r11, then the r8-green
+    # cohort oldest-first.  The rotation is one edit here.
 )
 
 
