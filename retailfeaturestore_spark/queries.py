@@ -4520,6 +4520,73 @@ def q_orders_type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read().select("o_orderkey", "price")
 
 
+_RESPEC_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 30000.0
+            THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+       o_orderpriority,
+       strftime(o_orderdate, '%Y-%m') AS month
+FROM orders
+"""
+
+
+@register(
+    "orders_partition_respec_scan",
+    oracle=_RESPEC_ORACLE,
+    tags=("acid", "schema", "layout"),
+)
+def q_orders_partition_respec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION without rewriting a byte (r10 session 3 —
+    the Iceberg capability Delta answers with a table rewrite): v1 writes
+    pre-1997 orders month-partitioned with price stats; v2 RESPECS the
+    table to partition by o_orderpriority — one manifest commit, zero
+    data IO, the month column becoming data and the old files frozen as
+    legacy entries with their stats intact; v3 appends the remaining
+    orders under the NEW layout; v4 runs a pruned copy-on-write UPDATE
+    whose candidate files (both layouts) re-stage under the new spec —
+    DML migrates as a side effect; v5 ``migrate()`` merge-rewrites the
+    rest.  The oracle is the plain projection with the update applied,
+    so a hash match proves every row crossed the layout change intact:
+    path-restored months for legacy files, data-stored months for new
+    ones, and no row lost or doubled by the migration's merge semantics.
+    The 100 TB stake: repartitioning a petabyte table for a new query
+    pattern costs one manifest PUT plus an incremental, bounded rewrite
+    — not an offline full-table rebuild."""
+    from .sources.mtable import MTable
+
+    root = _q_tmp_root(spark, sf_dir, "respec", "rfs_mtable_respec")
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cut = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    cols = [
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        "o_orderpriority",
+        month.alias("month"),
+    ]
+    tbl = MTable(spark, root)
+    tbl.write(
+        orders.where(cut).select(*cols).repartition(width, F.col("month")),
+        partition_by="month",
+        stats_cols=["price"],
+    )
+    tbl.repartition_table("o_orderpriority")
+    tbl.write(
+        orders.where(~cut)
+        .select(*cols)
+        .repartition(width, F.col("o_orderpriority")),
+        mode="append",
+    )
+    tbl.update(
+        "price < 30000.0",
+        {"price": F.col("price") + F.lit(1.0)},
+        prune=[("price", "<", 30000.0)],
+    )
+    tbl.migrate()
+    return tbl.read().select("o_orderkey", "price", "o_orderpriority", "month")
+
+
 _CDC_ADMIT_ORACLE_TMPL = """
 WITH {sh},
 sig AS (SELECT doc_id, {mh} FROM {src} GROUP BY doc_id),

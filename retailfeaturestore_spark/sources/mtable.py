@@ -100,6 +100,21 @@ mergeSchema (which refuses mixed widths).  Narrower frames appended to
 an already-widened table are accepted as-is — the scan up-casts.
 Non-widening retypes still require the full-overwrite rewrite.
 
+**Partition spec evolution (REPARTITION without rewrite)**: the Iceberg
+capability Delta lacks — ``repartition_table(new_col)`` changes the
+partition layout for future writes in one O(manifest) metadata commit.
+Existing files freeze as LEGACY entries (namespaced keys in the same
+partition map) with their stats/blooms intact; the old partition column
+becomes a data column (new files store it, legacy files restore it from
+their paths), and the new one must already be a data column (that is what
+makes the evolution rewrite-free).  Reads present one logical table
+across layouts; value selection targets the current spec; copy-on-write
+DML and ``migrate()`` progressively rewrite legacy files into the new
+layout (merge semantics); ``merge_upsert``/``overwrite_partitions``
+refuse while legacy entries exist (keyed/replace semantics are
+ill-defined across hidden legacy rows — migrate first); the change feed
+emits nothing for the respec itself (flat file-set diffing).
+
 **Column mapping (RENAME / DROP COLUMN without rewrite)**: files carry
 stable PHYSICAL column names; the manifest's ``mapping`` (logical ->
 physical) and ``dropped`` (retired physicals) make
@@ -172,6 +187,54 @@ __all__ = [
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+# Legacy-spec partition keys are namespaced "<old_pby>\x1f<value>".  The unit
+# separator cannot appear in a key's value half: partition directory names
+# escape control characters (%1F), and the map values come from those escaped
+# path components — so plain current-spec keys and legacy keys never collide.
+_SPEC_SEP = "\x1f"
+
+# Hive-style partition-path escaping: Spark's writer escapes a fixed char set
+# ("%XX", '%' itself included) in partition directory names, and the manifest
+# keys carry that ESCAPED form (they come from the staged dir names).  Any
+# value surfaced to the user — the restored partition column, a value-match
+# against caller-supplied partition values — must DECODE, or a value like
+# "4-NOT SPECIFIED" round-trips as "4-NOT%20SPECIFIED" and re-escapes on
+# every subsequent rewrite.  Decode order matters only for "%25" ('%'
+# itself): Hive escaping guarantees no other code can overlap it, so it
+# decodes LAST.
+_PVAL_UNESCAPES = (
+    ("%22", '"'),
+    ("%23", "#"),
+    ("%27", "'"),
+    ("%2A", "*"),
+    ("%2F", "/"),
+    ("%3A", ":"),
+    ("%3D", "="),
+    ("%3F", "?"),
+    ("%5B", "["),
+    ("%5C", "\\"),
+    ("%5D", "]"),
+    ("%7B", "{"),
+    ("%7D", "}"),
+    ("%20", " "),
+    ("%25", "%"),
+)
+
+
+def _unescape_pval_col(col):
+    """JVM-side decode of a path-extracted partition value (chained literal
+    replaces — scalar, codegen-friendly; no UDF in the scan)."""
+    for code, ch in _PVAL_UNESCAPES:
+        col = F.replace(col, F.lit(code), F.lit(ch))
+    return col
+
+
+def _unq(s: str) -> str:
+    """Python-side Hive path unescape (≡ URL %XX decode) for comparing
+    caller-supplied TRUE partition values against escaped manifest keys."""
+    from urllib.parse import unquote
+
+    return unquote(s)
 
 
 class ConcurrentCommit(RuntimeError):
@@ -384,6 +447,9 @@ class MTable:
         full = (
             parent_state is None
             or state.get("operation") == "overwrite"
+            # a respec renames every partition key (current -> legacy
+            # namespace): as a delta it would carry the whole map anyway
+            or state.get("operation") == "repartition_table"
             or pdist + 1 >= self.checkpoint_interval
         )
         if full:
@@ -463,6 +529,10 @@ class MTable:
                     # physical contract the staged files were written under
                     or (m1.get("mapping") or {}) != (m0.get("mapping") or {})
                     or list(m1.get("dropped") or ()) != list(m0.get("dropped") or ())
+                    # a racing RESPEC changed the layout the staged files
+                    # were partitioned under
+                    or (m1.get("partition_by") or None) != (m0.get("partition_by") or None)
+                    or (m1.get("partition_type") or None) != (m0.get("partition_type") or None)
                     or any(
                         m1["partitions"].get(pv) != m0["partitions"].get(pv)
                         for pv in touched
@@ -762,7 +832,11 @@ class MTable:
         sel = m["partitions"]
         if partitions is not None:
             want = {str(p) for p in partitions}
-            sel = {kk: v for kk, v in sel.items() if kk in want}
+            sel = {
+                kk: v
+                for kk, v in sel.items()
+                if kk in want or _unq(kk) in want
+            }
         stats = m.get("stats") or {}
         col = self._p(m, col)  # sketches are keyed by physical name
         merged: set[int] = set()
@@ -949,6 +1023,49 @@ class MTable:
         pby = (m or {}).get("partition_by")
         return self._inv(m).get(pby, pby) if pby else pby
 
+    @staticmethod
+    def _has_legacy(m: dict) -> bool:
+        return any(_SPEC_SEP in k for k in m.get("partitions") or {})
+
+    @staticmethod
+    def _legacy_pbys(m: dict) -> list[str]:
+        """Old partition columns still carried as legacy-spec entries in
+        ``m["partitions"]`` (files laid out under a retired spec)."""
+        out: list[str] = []
+        for k in m.get("partitions") or {}:
+            if _SPEC_SEP in k:
+                p = k.split(_SPEC_SEP, 1)[0]
+                if p and p not in out:
+                    out.append(p)
+        return out
+
+    def _restore_partition_cols(self, df: DataFrame, m: dict) -> DataFrame:
+        """Restore every partition-carried column of a (possibly
+        mixed-spec) scan: the CURRENT spec's column lives in the path for
+        files written under it and as DATA in legacy files; each retired
+        spec's column lives in its files' paths and as data in newer
+        files.  One ``when(path-derived, else data)`` per column covers
+        both populations; the current column casts to the recorded
+        ``partition_type`` (a respec'd-from typed column), everything
+        else is the path-string convention."""
+        pby = m["partition_by"]
+        ptype = m.get("partition_type") or "string"
+        cols = ([(pby, ptype)] if pby else []) + [
+            (p, "string") for p in self._legacy_pbys(m) if p != pby
+        ]
+        for col, typ in cols:
+            ex = F.regexp_extract(F.input_file_name(), f"{col}=([^/]+)/", 1)
+            val = _unescape_pval_col(ex)
+            if typ != "string":
+                val = val.cast(typ)
+            if col in df.columns:
+                df = df.withColumn(
+                    col, F.when(ex != "", val).otherwise(F.col(col))
+                )
+            else:
+                df = df.withColumn(col, val)
+        return df
+
     def _scan_files(self, m: dict, rels: list[str]) -> DataFrame:
         """Scan ``rels`` under manifest ``m``'s PHYSICAL schema contract.
 
@@ -957,14 +1074,22 @@ class MTable:
         up-casts each file's narrower physical type in the scan itself
         (int->bigint, float->double, decimal precision), which mergeSchema
         refuses to reconcile; the explicit schema also null-fills columns
-        a file predates, so it subsumes the evolved path.  Non-widened
-        tables keep the original footer/mergeSchema strategy (identical
-        plans and column order to the pre-widening code)."""
-        if m.get("widened"):
-            ddl = ", ".join(
-                f"`{c}` {t}"
-                for c, t in self._parse_schema(m["schema"]).items()
-            )
+        a file predates, so it subsumes the evolved path.  A RESPEC'd
+        table (partition spec evolution) likewise needs the explicit
+        schema: the current partition column is DATA in legacy files but
+        absent from new files' footers (and vice versa for retired
+        columns), so footer sampling could drop either.  Non-widened,
+        single-spec tables keep the original footer/mergeSchema strategy
+        (identical plans and column order to the pre-widening code)."""
+        legacy = self._has_legacy(m)
+        if m.get("widened") or legacy:
+            schema = dict(self._parse_schema(m["schema"]))
+            if m["partition_by"] and legacy:
+                # current spec's column is data in legacy files: scan it
+                schema.setdefault(
+                    m["partition_by"], m.get("partition_type") or "string"
+                )
+            ddl = ", ".join(f"`{c}` {t}" for c, t in schema.items())
             return self.spark.read.schema(ddl).parquet(
                 *[self._abs(rel) for rel in rels]
             )
@@ -1001,7 +1126,8 @@ class MTable:
         ]
         if m0["partition_by"]:
             pl = inv.get(m0["partition_by"], m0["partition_by"])
-            fields.append(f"`{pl}` string")
+            pt = m0.get("partition_type") or "string"
+            fields.append(f"`{pl}` {pt}")
         probe = self.spark.createDataFrame([], ", ".join(fields))
         for name, expr in sorted(cons.items()):
             try:
@@ -1100,6 +1226,196 @@ class MTable:
             dropped=dropped,
             schema=schema,
             meta={"dropped_column": name},
+        )
+
+    def repartition_table(self, new_partition_by: str | None) -> int:
+        """PARTITION SPEC EVOLUTION (the Iceberg capability Delta lacks —
+        Delta repartitions by rewriting the table): change the partition
+        layout for FUTURE writes in one O(manifest) metadata commit.
+        Existing files are frozen as LEGACY-spec entries (namespaced keys
+        in the same partition map), stay byte-identical, and keep their
+        stats/blooms, so data skipping over them is unchanged.  The old
+        partition column becomes a regular DATA column (new files store
+        it; legacy files restore it from their paths); the new partition
+        column must already be a live data column (legacy files carry its
+        values — that is what makes the evolution possible without a
+        rewrite), and its type is recorded so path-derived values cast
+        back exactly.
+
+        Semantics after a respec:
+
+        - ``read()`` presents one logical table across both layouts;
+          ``read(partitions=[...])`` selects CURRENT-spec values only
+          (legacy files are always planned — stats pruning still applies;
+          migrate to regain value pruning over old data).
+        - copy-on-write DML naturally MIGRATES: legacy candidate files
+          rewrite into the current layout.  ``migrate()`` does it
+          explicitly (merge semantics — staged files join any live
+          current-spec entry for the same value); ``compact()`` skips
+          legacy entries (its replace semantics would clobber such an
+          entry) and points at ``migrate()``.
+        - ``merge_upsert`` refuses while legacy entries exist (a keyed
+          merge must see every key's row; run ``migrate()`` first) — the
+          one documented restriction.
+        - the change feed emits NO events for the respec (no file
+          changed), and RESTORE/CLONE carry the full mixed-spec state.
+
+        ``new_partition_by=None`` makes the table unpartitioned going
+        forward.  Returns the committed version (current one if the spec
+        is unchanged)."""
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion("repartition_table needs a committed table")
+        v0, m0 = cur
+        pby_l = self._logical_pby(m0)
+        if (new_partition_by or None) == (pby_l or None):
+            return v0
+        phys = dict(self._parse_schema(m0["schema"]))
+        inv = self._inv(m0)
+        live = {inv.get(p, p) for p in phys}
+        new_p = None
+        ptype = None
+        if new_partition_by is not None:
+            if new_partition_by not in live:
+                raise ValueError(
+                    f"new partition column {new_partition_by!r} must be a "
+                    f"live data column (have: {sorted(live)}) — legacy "
+                    "files must already carry its values"
+                )
+            new_p = self._p(m0, new_partition_by)
+            ptype = phys[new_p]
+        # freeze current entries under the old spec's namespace; carry
+        # already-legacy entries as they are
+        old_p = m0["partition_by"]
+        parts: dict[str, list[str]] = {}
+        for k, files in m0["partitions"].items():
+            if _SPEC_SEP in k or not old_p:
+                parts[k if _SPEC_SEP in k else f"{_SPEC_SEP}{k}"] = list(files)
+            else:
+                parts[f"{old_p}{_SPEC_SEP}{k}"] = list(files)
+        # schema: the new partition column leaves the data schema (new
+        # files carry it in the path); the old one joins it (new files
+        # store it as data, type = the path-string convention — or its
+        # recorded type if the old spec itself came from a respec)
+        if new_p is not None:
+            phys.pop(new_p, None)
+        if old_p:
+            phys[old_p] = m0.get("partition_type") or "string"
+        schema = ";".join(sorted(f"{c}:{t}" for c, t in phys.items()))
+        manifest = {
+            "version": v0 + 1,
+            "parent": v0,
+            "operation": "repartition_table",
+            "partition_by": new_p,
+            "schema": schema,
+            "partitions": parts,
+            "stats": dict(m0.get("stats") or {}),
+            "committed_at_ms": int(time.time() * 1000),
+            "meta": {"respec": [pby_l, new_partition_by]},
+        }
+        if ptype is not None:
+            manifest["partition_type"] = ptype
+        for k in ("evolved", "widened", "constraints", "dv", "mapping", "dropped"):
+            if m0.get(k):
+                manifest[k] = (
+                    dict(m0[k]) if isinstance(m0[k], dict) else (
+                        list(m0[k]) if isinstance(m0[k], list) else m0[k]
+                    )
+                )
+        return self._commit_state(manifest, v0 + 1, m0)
+
+    def migrate(self, partitions: list[str] | None = None) -> int:
+        """Rewrite LEGACY-spec files into the CURRENT partition layout
+        (the follow-up job to :meth:`repartition_table`, same motivation
+        as compaction): reads the selected legacy entries, restages under
+        the current spec, and commits a version where those entries are
+        gone.  ``partitions=None`` migrates every legacy entry; pass
+        specific legacy keys (as returned in ``describe()['legacy']``)
+        to bound the rewrite.  No-op (current version) without legacy
+        entries."""
+        cur = self._latest()
+        if cur is None:
+            raise ValueError("migrate needs an existing table")
+        v0, m0 = cur
+        sel = [
+            k
+            for k in m0["partitions"]
+            if _SPEC_SEP in k and (partitions is None or k in set(partitions))
+        ]
+        if not sel:
+            return v0
+        pby = m0["partition_by"]
+        pby_l = self._logical_pby(m0)
+        # row-preserving maintenance, same contract as compact
+        # (meta["compacted"] keeps the change feed's skip_compactions
+        # netting sound).  Staged files MERGE into existing current-spec
+        # entries — a migrated row's partition value may already hold live
+        # files, so replace semantics (overwrite_partitions) would clobber
+        # them.
+        df = self.read(version=v0, partitions=sel, _exact_partitions=True)
+        df, _ = self._physical_input(df, m0)
+        if pby:
+            width = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartition(width, F.col(pby))
+        staged = self._stage_files(df, pby)
+        stats = m0.get("stats") or {}
+        scols: list[str] = []
+        bseen: list[str] = []
+        bbits = 4096
+        nseen: list[str] = []
+        for ent in stats.values():
+            for c, v in ent.items():
+                if "mn" in v and c not in scols:
+                    scols.append(c)
+                if "bf" in v:
+                    if c not in bseen:
+                        bseen.append(c)
+                    bbits = max(bbits, int(v["bf"]["m"]))
+                if "kmv" in v and c not in nseen:
+                    nseen.append(c)
+        staged_stats = self._collect_file_stats(staged, scols, bseen, bbits)
+        _merge_ndv(staged_stats, self._collect_file_ndv(staged, nseen))
+        sel_set = set(sel)
+
+        def build_manifest(vb: int, mb: dict) -> dict:
+            parts = {
+                k: list(f)
+                for k, f in mb["partitions"].items()
+                if k not in sel_set
+            }
+            for pval, files in staged.items():
+                parts[pval] = sorted(parts.get(pval, []) + files)
+            live = {rel for fl in parts.values() for rel in fl}
+            new_stats = {
+                rel: ent
+                for rel, ent in (mb.get("stats") or {}).items()
+                if rel in live
+            }
+            new_stats.update(staged_stats)
+            manifest = {
+                "version": vb + 1,
+                "parent": vb,
+                "operation": "migrate",
+                "partition_by": pby,
+                "schema": mb["schema"],
+                "partitions": parts,
+                "stats": new_stats,
+                "committed_at_ms": int(time.time() * 1000),
+                "meta": {"compacted": sorted(sel)},
+            }
+            if mb.get("partition_type"):
+                manifest["partition_type"] = mb["partition_type"]
+            for k in ("evolved", "widened", "constraints", "dv", "mapping", "dropped"):
+                if mb.get(k):
+                    manifest[k] = (
+                        dict(mb[k])
+                        if isinstance(mb[k], dict)
+                        else (list(mb[k]) if isinstance(mb[k], list) else mb[k])
+                    )
+            return manifest
+
+        return self._commit_rebase(
+            build_manifest, v0, m0, sel_set | set(staged)
         )
 
     def write(
@@ -1255,6 +1571,8 @@ class MTable:
                     manifest["mapping"] = dict(mapping)
                 if mb is not None and mb.get("dropped"):
                     manifest["dropped"] = sorted(mb["dropped"])
+                if mb is not None and mb.get("partition_type"):
+                    manifest["partition_type"] = mb["partition_type"]
             return manifest
 
         if mode != "append" or m0 is None:
@@ -1349,6 +1667,15 @@ class MTable:
         partition_by = m0["partition_by"]
         if not partition_by:
             raise ValueError("table is unpartitioned")
+        if not _maintenance and self._has_legacy(m0):
+            # "replace partition value V" is ill-defined while rows with
+            # value V still hide in legacy-spec files (they would survive
+            # the replacement); maintenance rewrites of current-spec
+            # entries are exempt — they preserve the row multiset
+            raise ValueError(
+                "overwrite_partitions on a table with legacy-spec "
+                "partitions (after repartition_table): run migrate() first"
+            )
         # caller speaks logical names; staging/stats are physical
         df, mapping = self._physical_input(df, m0)
         if stats_cols:
@@ -1381,9 +1708,18 @@ class MTable:
                 staged, partition_by, "overwritten partition rows",
                 m0.get("constraints") or {}, m0,
             )
-        replaced = set(
-            partition_values if partition_values is not None else staged
-        )
+        # removal set, matched on TRUE (unescaped) values: caller-supplied
+        # partition_values are true values while manifest/staged keys carry
+        # the path-escaped form
+        wanted = {
+            _unq(str(v))
+            for v in (
+                partition_values if partition_values is not None else staged
+            )
+        }
+        replaced = {
+            k for k in m0["partitions"] if _unq(k) in wanted
+        } | set(staged)
         # stat the staged files with the requested columns (default:
         # whatever the base version was stats'd with, so a stats table
         # keeps skipping after merges); untouched files' stats are carried
@@ -1416,7 +1752,9 @@ class MTable:
 
         def build_manifest(vb: int, mb: dict) -> dict:
             parts = {
-                k: list(v) for k, v in mb["partitions"].items() if k not in replaced
+                k: list(v)
+                for k, v in mb["partitions"].items()
+                if _unq(k) not in wanted
             }
             for pval, files in staged.items():
                 parts[pval] = files
@@ -1460,6 +1798,8 @@ class MTable:
                 manifest["mapping"] = dict(mapping)
             if mb.get("dropped"):
                 manifest["dropped"] = sorted(mb["dropped"])
+            if mb.get("partition_type"):
+                manifest["partition_type"] = mb["partition_type"]
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, replaced | set(staged))
@@ -1493,6 +1833,15 @@ class MTable:
         if cur is None:
             raise ValueError("merge into an empty table: use write() first")
         v0, m0 = cur
+        if self._has_legacy(m0):
+            # a keyed merge must see EVERY existing row of the touched
+            # keys; legacy-spec files are not addressable by current-spec
+            # partition value, so silently merging would resurrect old
+            # rows.  Migration is the documented prerequisite.
+            raise ValueError(
+                "merge_upsert on a table with legacy-spec partitions "
+                "(after repartition_table): run migrate() first"
+            )
         # the merge is computed in LOGICAL space (read() output + caller's
         # updates); overwrite_partitions converts back at staging
         pby = self._logical_pby(m0)
@@ -1606,9 +1955,14 @@ class MTable:
         if not cand:
             return v0
         df = self._scan_files(m0, cand)
-        if pby:
+        if self._has_legacy(m0) or m0.get("partition_type"):
+            df = self._restore_partition_cols(df, m0)
+        elif pby:
             df = df.withColumn(
-                pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+                pby,
+                _unescape_pval_col(
+                    F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+                ),
             )
         df = df.withColumn("__dvf", F.col("_metadata.file_path")).withColumn(
             "__dvi", F.col("_metadata.row_index")
@@ -1665,6 +2019,8 @@ class MTable:
                 manifest["mapping"] = dict(mb["mapping"])
             if mb.get("dropped"):
                 manifest["dropped"] = sorted(mb["dropped"])
+            if mb.get("partition_type"):
+                manifest["partition_type"] = mb["partition_type"]
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -1742,9 +2098,14 @@ class MTable:
         if not cand:
             return v0
         df = self._scan_files(m0, cand)
-        if pby:
+        if self._has_legacy(m0) or m0.get("partition_type"):
+            df = self._restore_partition_cols(df, m0)
+        elif pby:
             df = df.withColumn(
-                pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+                pby,
+                _unescape_pval_col(
+                    F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+                ),
             )
         # copy-on-write reads THROUGH the deletion vectors: a rewrite of a
         # DV-covered file folds its tombstones away (the rewritten file
@@ -1855,6 +2216,8 @@ class MTable:
                 manifest["mapping"] = dict(mb["mapping"])
             if mb.get("dropped"):
                 manifest["dropped"] = sorted(mb["dropped"])
+            if mb.get("partition_type"):
+                manifest["partition_type"] = mb["partition_type"]
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -1867,6 +2230,7 @@ class MTable:
         partitions: list[str] | None = None,
         prune: list[tuple] | None = None,
         as_of_ms: int | None = None,
+        _exact_partitions: bool = False,
     ) -> DataFrame | None:
         """Snapshot read: plan against exactly the files the manifest names
         (never a directory listing).  ``version=None`` = latest;
@@ -1894,7 +2258,19 @@ class MTable:
         sel = m["partitions"]
         if partitions is not None:
             want = {str(p) for p in partitions}
-            sel = {k: v for k, v in sel.items() if k in want}
+            if _exact_partitions or any(_SPEC_SEP in w for w in want):
+                # maintenance selection (compact/migrate): exact manifest
+                # keys, nothing implied
+                sel = {k: v for k, v in sel.items() if k in want}
+            else:
+                # user value selection: match the TRUE (path-unescaped)
+                # value; legacy-spec entries stay planned — their rows are
+                # not addressable by current value until migrate()
+                sel = {
+                    k: v
+                    for k, v in sel.items()
+                    if k in want or _unq(k) in want or _SPEC_SEP in k
+                }
         rels = [rel for v in sel.values() for rel in v]
         if prune:
             stats = m.get("stats") or {}
@@ -1912,13 +2288,18 @@ class MTable:
         # heterogeneous live files (additive evolution and/or accepted type
         # widening) resolve to the manifest's schema inside the scan
         df = self._scan_files(m, rels)
-        if pby:
+        if self._has_legacy(m) or m.get("partition_type"):
+            # mixed-spec selection (partition evolution) or typed current
+            # spec: the general per-column path/data restore
+            df = self._restore_partition_cols(df, m)
+        elif pby:
             # partition value is carried in the PATH, not the file: restore
-            # it as a column (same as a partitioned directory scan would)
+            # it as a column (same as a partitioned directory scan would),
+            # decoding the path escaping back to the true value
             part_of = F.regexp_extract(
                 F.input_file_name(), f"{pby}=([^/]+)/", 1
             )
-            df = df.withColumn(pby, part_of)
+            df = df.withColumn(pby, _unescape_pval_col(part_of))
         # merge-on-read position deletes: tombstones anti-apply LAST, after
         # the projection chain (which keeps _metadata resolvable) and after
         # the path-derived columns (input_file_name is scan-stage-only and
@@ -2033,6 +2414,15 @@ class MTable:
             ),
         }
         out["n_dv_files"] = len(m.get("dv") or [])
+        out["partition_type"] = m.get("partition_type") or (
+            "string" if m["partition_by"] else None
+        )
+        # partition spec evolution: entries still laid out under retired
+        # specs ("<old_col>\x1f<value>" keys) — migrate() rewrites them
+        out["legacy"] = sorted(k for k in m["partitions"] if _SPEC_SEP in k)
+        out["n_legacy_files"] = sum(
+            len(m["partitions"][k]) for k in out["legacy"]
+        )
         # exact row count falls out of the null-count bookkeeping only when
         # EVERY live file was stats'd with at least one column recording
         # both a rowcount ("n") — older stats entries lack it, so absence
@@ -2209,12 +2599,15 @@ class MTable:
                     removed += old - new
                     parts[pv] = list(files)
             else:
+                # FULL manifest: diff the FLAT file sets, not per-key lists
+                # — a respec (partition spec evolution) renames every key
+                # while touching no file, and per-key diffing would emit a
+                # whole-table delete+insert pair of pure churn for it
                 newparts = raw["partitions"]
-                for pv in set(parts) | set(newparts):
-                    old = set(parts.get(pv, ()))
-                    new = set(newparts.get(pv, ()))
-                    added += new - old
-                    removed += old - new
+                flat_old = {f for fl in parts.values() for f in fl}
+                flat_new = {f for fl in newparts.values() for f in fl}
+                added += flat_new - flat_old
+                removed += flat_old - flat_new
                 parts = {pv: list(fl) for pv, fl in newparts.items()}
             dv_new = sorted(dv_curr - dv_prev)
             dv_before, dv_prev = sorted(dv_prev), dv_curr
@@ -2246,10 +2639,16 @@ class MTable:
             bm = self._read_manifest(v if ctype == "insert" else v - 1)
             df = self._scan_files(bm, rels)
             pby = bm["partition_by"]
-            if pby:
+            if self._has_legacy(bm) or bm.get("partition_type"):
+                df = self._restore_partition_cols(df, bm)
+            elif pby:
                 df = df.withColumn(
                     pby,
-                    F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1),
+                    _unescape_pval_col(
+                        F.regexp_extract(
+                            F.input_file_name(), f"{pby}=([^/]+)/", 1
+                        )
+                    ),
                 )
             if dv_apply or dv_select:
                 df = df.withColumn(
@@ -2281,11 +2680,12 @@ class MTable:
                 for c, t in target.items()
             ]
             if pby_to:
+                pt_to = m_to.get("partition_type") or "string"
                 cols.append(
                     (
-                        F.col(pby_to)
+                        F.col(pby_to).cast(pt_to)
                         if pby_to in df.columns
-                        else F.lit(None).cast("string")
+                        else F.lit(None).cast(pt_to)
                     ).alias(inv_to.get(pby_to, pby_to))
                 )
             frames.append(
@@ -2355,6 +2755,8 @@ class MTable:
             manifest["mapping"] = dict(tgt["mapping"])
         if tgt.get("dropped"):
             manifest["dropped"] = sorted(tgt["dropped"])
+        if tgt.get("partition_type"):
+            manifest["partition_type"] = tgt["partition_type"]
         return self._commit_state(manifest, v0 + 1, m0)
 
     def clone_to(self, dest_path: str, version: int | None = None) -> "MTable":
@@ -2416,6 +2818,8 @@ class MTable:
             manifest["mapping"] = dict(m["mapping"])
         if m.get("dropped"):
             manifest["dropped"] = sorted(m["dropped"])
+        if m.get("partition_type"):
+            manifest["partition_type"] = m["partition_type"]
         dest._commit_state(manifest, 1, None)
         return dest
 
@@ -2457,7 +2861,8 @@ class MTable:
             for c, t in self._parse_schema(m0["schema"]).items()
         )
         if m0["partition_by"]:
-            schema += f", `{self._logical_pby(m0)}` string"
+            pt = m0.get("partition_type") or "string"
+            schema += f", `{self._logical_pby(m0)}` {pt}"
         self.spark.createDataFrame([], schema).select(
             F.expr(expr).cast("boolean")
         )
@@ -2518,6 +2923,8 @@ class MTable:
             manifest["mapping"] = dict(mp)
         if dr:
             manifest["dropped"] = sorted(dr)
+        if m0.get("partition_type"):
+            manifest["partition_type"] = m0["partition_type"]
         return self._commit_state(manifest, v0 + 1, m0)
 
     def _enforce_staged(
@@ -2544,9 +2951,11 @@ class MTable:
             return
         df = self.spark.read.parquet(*[self._abs(rel) for rel in rels])
         if pby and pby not in df.columns:
-            df = df.withColumn(
-                pby, F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
+            ex = _unescape_pval_col(
+                F.regexp_extract(F.input_file_name(), f"{pby}=([^/]+)/", 1)
             )
+            pt = (m or {}).get("partition_type")
+            df = df.withColumn(pby, ex.cast(pt) if pt else ex)
         try:
             # constraint expressions speak logical names; staged files are
             # physical (``m`` = the base manifest whose mapping applies)
@@ -2635,18 +3044,33 @@ class MTable:
         pby = m0["partition_by"]
         if not pby:
             raise ValueError("compact targets partitioned tables")
+        if partitions is not None and any(_SPEC_SEP in p for p in partitions):
+            # replace-semantics would clobber a current-spec entry sharing
+            # the migrated rows' partition value; migrate() merges instead
+            raise ValueError(
+                "legacy-spec entries cannot be compacted in place: "
+                "use migrate() to rewrite them into the current layout"
+            )
+        want = (
+            {_unq(str(x)) for x in partitions} if partitions is not None else None
+        )
         sel = [
             p
             for p, files in m0["partitions"].items()
-            if (partitions is None and len(files) > 1)
-            or (partitions is not None and p in set(partitions))
+            if _SPEC_SEP not in p
+            and (
+                (want is None and len(files) > 1)
+                or (want is not None and _unq(p) in want)
+            )
         ]
         if not sel:
             return v0
         # the read() snapshot is LOGICAL (column mapping applied); all frame
         # operations below therefore use logical names, and the
-        # overwrite_partitions hand-off converts back at staging
-        df = self.read(version=v0, partitions=sel)
+        # overwrite_partitions hand-off converts back at staging.  Exact
+        # key selection: a maintenance rewrite must read exactly the
+        # entries it replaces — never the always-planned legacy files.
+        df = self.read(version=v0, partitions=sel, _exact_partitions=True)
         pby = self._logical_pby(m0)
         inv = self._inv(m0)
         retired = set(m0.get("dropped") or ())
