@@ -9315,6 +9315,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # first-verdict-beats-refresh call as the other r10 entries.
     "orders_column_mapping_scan",
     "orders_type_widening_scan",
+    # orders_partition_respec_scan: NEW r10 session-3 surface (partition
+    # spec evolution: respec + mixed-spec DML migration + merge-semantics
+    # migrate, hashed against the plain projection) — zero driver history
+    # by construction; displaces order_count_distribution (r7-green
+    # single-exchange distribution agg, sweep-verified every round).
+    "orders_partition_respec_scan",
     "doc_lm_score",
     "events_sliding_7d_daily",
     "feature_view_build",
@@ -9332,7 +9338,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "min_price_supplier_per_part",
     "multimodal_payload_meta",
     "order_calendar_features",
-    "order_count_distribution",
     "part_pagerank_copurchase",
     "recs_negative_samples",
     # corpus_cdc_dedup_admission: NEW r10 surface (the full O(delta)
@@ -9370,10 +9375,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "users_purchase_and_signup",
     # --- r11 handoff: after this window, driver-evidence freshness is
     # r10 (50) / r9 (50) / r8 (50), plus union_slices, discounted_revenue,
-    # qty_price_correlation and the 6 displaced r7-green simple shapes
-    # named in block 3 — rotate those 9 in FIRST next round, then any
-    # query whose implementation changes in r10/r11, then the r8-green
-    # cohort oldest-first.  The rotation is one edit here.
+    # qty_price_correlation, order_count_distribution and the 6 displaced
+    # r7-green simple shapes named in block 3 — rotate those 10 in FIRST
+    # next round, then any query whose implementation changes in r10/r11,
+    # then the r8-green cohort oldest-first.  The rotation is one edit
+    # here.
 )
 
 
