@@ -4587,6 +4587,83 @@ def q_orders_partition_respec_scan(spark: SparkSession, sf_dir: str) -> DataFram
     return tbl.read().select("o_orderkey", "price", "o_orderpriority", "month")
 
 
+_GENERATED_ORACLE = """
+WITH final AS (
+  SELECT ts,
+         CASE WHEN event_id % 100 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+         AS total_value
+FROM final
+GROUP BY day
+"""
+
+
+@register(
+    "events_generated_partition_rollup",
+    oracle=_GENERATED_ORACLE,
+    tags=("acid", "schema", "layout"),
+)
+def q_events_generated_partition_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED COLUMNS as hidden partitioning (r10 session 3 — the
+    Delta generated-columns shape, driving an Iceberg-style ergonomic):
+    the table declares ``day GENERATED ALWAYS AS date_format(ts, ...)``
+    and partitions by it, so every writer ships RAW events — v1 writes
+    two-thirds of the stream day-partitioned without ever materializing
+    a day column, v2 appends the rest raw, v3 MERGEs a keyed correction
+    batch with NO partition_col_value (the generated declaration derives
+    the routing), each derived value re-validated pre-CAS by the
+    implicit null-safe-equality CHECK.  The oracle recomputes the same
+    per-day rollup (cents-integer accumulation) from raw events, so a
+    hash match proves derivation, routing, and the merge's re-derivation
+    agree with the declaration row-for-row.  The 100 TB stake: the
+    partition scheme lives in the TABLE, not in every producer's code —
+    a fleet of writers cannot drift from the layout contract, and a
+    wrong derived value is a refused commit, not a misplaced file."""
+    from .sources.mtable import MTable
+
+    root = _q_tmp_root(spark, sf_dir, "genpart", "rfs_mtable_gen")
+    events = load_table(spark, sf_dir, "events")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    gen = {"day": "date_format(ts, 'yyyy-MM-dd')"}
+    # hash-cluster the staging on the (about-to-be-derived) day so each
+    # day partition gets one file, not one per task — the small-file
+    # valve, same motivation as cluster_files
+    day = F.date_format("ts", "yyyy-MM-dd")
+    tbl = MTable(spark, root)
+    tbl.write(
+        events.where(F.col("event_id") % 3 != 0).repartition(width, day),
+        partition_by="day",
+        generated=gen,
+    )
+    tbl.write(
+        events.where(F.col("event_id") % 3 == 0).repartition(width, day),
+        mode="append",
+    )
+    tbl.merge_upsert(
+        events.where(F.col("event_id") % 100 == 0).withColumn(
+            "value", F.col("value") + F.lit(1.0)
+        ),
+        ["event_id"],
+        cluster_files=True,
+    )
+    return (
+        tbl.read()
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            from_cents(
+                F.sum(cents(F.col("value"), 2)), 2
+            ).alias("total_value"),
+        )
+    )
+
+
 _CDC_ADMIT_ORACLE_TMPL = """
 WITH {sh},
 sig AS (SELECT doc_id, {mh} FROM {src} GROUP BY doc_id),
@@ -9334,7 +9411,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # first-verdict-beats-refresh call as knn_pq_index_mtable below.
     "mtable_change_feed",
     "revenue_rollup_incremental_cdf",
-    "linestatus_priority_counts",
     "min_price_supplier_per_part",
     "multimodal_payload_meta",
     "order_calendar_features",
@@ -9347,6 +9423,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (r7-green single-exchange agg, sweep-verified every round) under the
     # same first-verdict-beats-refresh call as the other r10 entries.
     "corpus_cdc_dedup_admission",
+    # events_generated_partition_rollup: NEW r10 session-3 surface
+    # (generated columns as hidden partitioning: derive + route + enforce
+    # + partition-free merge, hashed against the raw-events rollup) —
+    # zero driver history by construction; displaces
+    # linestatus_priority_counts (r7-green single-exchange counts,
+    # sweep-verified every round).
+    "events_generated_partition_rollup",
     "revenue_by_nation",
     "rows_rolling_spend",
     "segment_priority_cube",
@@ -9375,11 +9458,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "users_purchase_and_signup",
     # --- r11 handoff: after this window, driver-evidence freshness is
     # r10 (50) / r9 (50) / r8 (50), plus union_slices, discounted_revenue,
-    # qty_price_correlation, order_count_distribution and the 6 displaced
-    # r7-green simple shapes named in block 3 — rotate those 10 in FIRST
-    # next round, then any query whose implementation changes in r10/r11,
-    # then the r8-green cohort oldest-first.  The rotation is one edit
-    # here.
+    # qty_price_correlation, order_count_distribution,
+    # linestatus_priority_counts and the 6 displaced r7-green simple
+    # shapes named in block 3 — rotate those 11 in FIRST next round, then
+    # any query whose implementation changes in r10/r11, then the
+    # r8-green cohort oldest-first.  The rotation is one edit here.
 )
 
 

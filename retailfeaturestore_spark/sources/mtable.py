@@ -100,6 +100,17 @@ mergeSchema (which refuses mixed widths).  Narrower frames appended to
 an already-widened table are accepted as-is — the scan up-casts.
 Non-widening retypes still require the full-overwrite rewrite.
 
+**Generated columns**: ``write(..., generated={"col": "expr"})`` at
+creation (or ``add_generated_column`` later, validated) declares a column
+GENERATED ALWAYS AS its expression: writers may omit it (derived before
+staging) and may not disagree with it (implicit null-safe-equality CHECK,
+enforced pre-CAS with the constraints scan); UPDATE refuses to SET it and
+re-derives it when sources change; rename follows it, dropping a source
+is refused.  Declaring the PARTITION column generated gives
+hidden-partitioning ergonomics: writers append raw rows, the table
+derives its own layout (and ``merge_upsert`` no longer needs a
+``partition_col_value``).
+
 **Partition spec evolution (REPARTITION without rewrite)**: the Iceberg
 capability Delta lacks — ``repartition_table(new_col)`` changes the
 partition layout for future writes in one O(manifest) metadata commit.
@@ -533,6 +544,9 @@ class MTable:
                     # were partitioned under
                     or (m1.get("partition_by") or None) != (m0.get("partition_by") or None)
                     or (m1.get("partition_type") or None) != (m0.get("partition_type") or None)
+                    # a racing generated-column change alters what the
+                    # staged rows should have derived/validated
+                    or (m1.get("generated") or {}) != (m0.get("generated") or {})
                     or any(
                         m1["partitions"].get(pv) != m0["partitions"].get(pv)
                         for pv in touched
@@ -1174,8 +1188,16 @@ class MTable:
         p = mp.pop(old, old)
         if p != new:
             mp[new] = p
+        # a renamed GENERATED column keeps its declaration under the new
+        # name; renaming one of a declaration's SOURCE columns breaks its
+        # expression and is refused (resolution check below)
+        gen = dict(m0.get("generated") or {})
+        if old in gen:
+            gen[new] = gen.pop(old)
+        check = dict(m0.get("constraints") or {})
+        check.update(self._gen_constraints(gen))
         self._constraints_must_resolve(
-            m0, mp, m0.get("dropped") or [], m0.get("constraints") or {}, old
+            m0, mp, m0.get("dropped") or [], check, old
         )
         return self._commit_meta_change(
             v0,
@@ -1184,6 +1206,7 @@ class MTable:
             dict(m0.get("constraints") or {}),
             mapping=mp,
             meta={"renamed": [old, new]},
+            generated=gen,
         )
 
     def drop_column(self, name: str) -> int:
@@ -1214,9 +1237,14 @@ class MTable:
         schema = ";".join(
             sorted(f"{c}:{t}" for c, t in phys.items() if c != p)
         )
-        self._constraints_must_resolve(
-            m0, mp, dropped, m0.get("constraints") or {}, name
-        )
+        # dropping a generated column drops its declaration with it;
+        # dropping one of a declaration's SOURCE columns is refused
+        # (resolution check over the remaining declarations)
+        gen = dict(m0.get("generated") or {})
+        gen.pop(name, None)
+        check = dict(m0.get("constraints") or {})
+        check.update(self._gen_constraints(gen))
+        self._constraints_must_resolve(m0, mp, dropped, check, name)
         return self._commit_meta_change(
             v0,
             m0,
@@ -1226,6 +1254,104 @@ class MTable:
             dropped=dropped,
             schema=schema,
             meta={"dropped_column": name},
+            generated=gen,
+        )
+
+    # -- generated columns ---------------------------------------------------
+
+    @staticmethod
+    def _gen_constraints(gen: dict[str, str]) -> dict[str, str]:
+        """The implicit CHECK each generated column carries: stored value
+        null-safe-equals its expression.  ``<=>`` never yields NULL, so
+        the standard NULL-passes CHECK semantics become strict equality —
+        a caller-supplied wrong value (including a wrong NULL) fails the
+        commit."""
+        return {
+            f"__generated_{c}": f"`{c}` <=> ({e})" for c, e in gen.items()
+        }
+
+    def _apply_generated(self, df: DataFrame, gen: dict[str, str]) -> DataFrame:
+        """Fill in MISSING generated columns (logical space).  Present
+        columns are left alone — the implicit CHECK validates them at
+        commit instead, so a caller can never silently ship a value that
+        disagrees with the declaration."""
+        for c in sorted(gen):
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(gen[c]))
+        return df
+
+    def add_generated_column(
+        self, name: str, expr: str, validate: bool = True
+    ) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS (``expr``) (the Delta
+        generated-columns shape, declarable after creation): subsequent
+        writes may omit the column (it is derived) and may not disagree
+        with the expression (implicit null-safe-equality CHECK, enforced
+        pre-CAS like every constraint).  The column must already exist —
+        a brand-new generated column would require backfilling every
+        file, which is a rewrite, not metadata.  ``validate=True`` proves
+        the CURRENT rows already satisfy the expression (one aggregate
+        scan).  Declaring the table's partition column makes the layout
+        self-deriving — hidden-partitioning ergonomics: writers append
+        raw rows and the table computes its own partition values."""
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion("add_generated_column needs a committed table")
+        v0, m0 = cur
+        gen = dict(m0.get("generated") or {})
+        if name in gen:
+            raise ValueError(f"column {name!r} is already generated")
+        inv = self._inv(m0)
+        live = {inv.get(p, p) for p in self._parse_schema(m0["schema"])}
+        pby_l = self._logical_pby(m0)
+        if pby_l:
+            live.add(pby_l)
+        if name not in live:
+            raise ValueError(
+                f"no column {name!r} to declare generated (a new generated "
+                "column would need a backfill rewrite; add it with an "
+                "evolution append first)"
+            )
+        gen[name] = expr
+        # the expression must resolve against the logical schema NOW, not
+        # at first write (same stance as add_constraint)
+        self._constraints_must_resolve(
+            m0, m0.get("mapping") or {}, m0.get("dropped") or [],
+            self._gen_constraints({name: expr}), name,
+        )
+        if validate:
+            snap = self.read(version=v0)
+            if snap is not None:
+                self._enforce(
+                    snap, self._gen_constraints({name: expr}), "existing rows"
+                )
+        return self._commit_meta_change(
+            v0,
+            m0,
+            "add_generated_column",
+            dict(m0.get("constraints") or {}),
+            meta={"generated": [name, expr]},
+            generated=gen,
+        )
+
+    def drop_generated_column(self, name: str) -> int:
+        """Remove the GENERATED declaration (the column stays, as a plain
+        column)."""
+        cur = self._latest()
+        if cur is None:
+            raise NoSuchVersion("drop_generated_column needs a committed table")
+        v0, m0 = cur
+        gen = dict(m0.get("generated") or {})
+        if name not in gen:
+            raise ValueError(f"column {name!r} is not generated")
+        del gen[name]
+        return self._commit_meta_change(
+            v0,
+            m0,
+            "drop_generated_column",
+            dict(m0.get("constraints") or {}),
+            meta={"dropped_generated": name},
+            generated=gen,
         )
 
     def repartition_table(self, new_partition_by: str | None) -> int:
@@ -1315,7 +1441,10 @@ class MTable:
         }
         if ptype is not None:
             manifest["partition_type"] = ptype
-        for k in ("evolved", "widened", "constraints", "dv", "mapping", "dropped"):
+        for k in (
+            "evolved", "widened", "constraints", "dv", "mapping",
+            "dropped", "generated",
+        ):
             if m0.get(k):
                 manifest[k] = (
                     dict(m0[k]) if isinstance(m0[k], dict) else (
@@ -1405,7 +1534,10 @@ class MTable:
             }
             if mb.get("partition_type"):
                 manifest["partition_type"] = mb["partition_type"]
-            for k in ("evolved", "widened", "constraints", "dv", "mapping", "dropped"):
+            for k in (
+            "evolved", "widened", "constraints", "dv", "mapping",
+            "dropped", "generated",
+        ):
                 if mb.get(k):
                     manifest[k] = (
                         dict(mb[k])
@@ -1430,6 +1562,7 @@ class MTable:
         ndv_cols: list[str] | None = None,
         allow_evolution: bool = False,
         allow_widening: bool = False,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """Commit ``df`` as a new version.  ``mode``: "overwrite" replaces
         the whole table; "append" carries every existing file forward and
@@ -1449,6 +1582,12 @@ class MTable:
         widened = False
         mapping: dict[str, str] = {}
         cur = self._latest()
+        if cur is not None and mode == "append" and generated is not None:
+            raise ValueError(
+                "generated columns are declared at create/overwrite (or via "
+                "add_generated_column); appends inherit the table's set"
+            )
+        gen = dict(generated or {})
         if cur is not None:
             v0, m0 = cur
             # the caller speaks LOGICAL names (column-mapping surface);
@@ -1464,6 +1603,10 @@ class MTable:
                     f"{pby_l!r}"
                 )
             if mode == "append":
+                # derived columns fill in BEFORE staging (logical space);
+                # caller-supplied values are validated post-stage instead
+                gen = dict(m0.get("generated") or {})
+                df = self._apply_generated(df, gen)
                 df, mapping = self._physical_input(df, m0)
                 partition_by = m0["partition_by"]
                 if stats_cols:
@@ -1490,10 +1633,15 @@ class MTable:
                 )
         else:
             v0, m0 = 0, None
+        if mode != "append":
+            df = self._apply_generated(df, gen)
         staged = self._stage_files(df, partition_by)
+        cons_eff = dict(
+            (m0.get("constraints") or {}) if m0 is not None else {}
+        )
+        cons_eff.update(self._gen_constraints(gen))
         self._enforce_staged(
-            staged, partition_by, f"{mode} rows",
-            (m0.get("constraints") or {}) if m0 is not None else {},
+            staged, partition_by, f"{mode} rows", cons_eff,
             m0 if mode == "append" else None,
         )
         # an append that does not say which columns to stat inherits the
@@ -1573,6 +1721,8 @@ class MTable:
                     manifest["dropped"] = sorted(mb["dropped"])
                 if mb is not None and mb.get("partition_type"):
                     manifest["partition_type"] = mb["partition_type"]
+            if gen:
+                manifest["generated"] = dict(gen)
             return manifest
 
         if mode != "append" or m0 is None:
@@ -1607,6 +1757,12 @@ class MTable:
                     # a racing RENAME/DROP COLUMN changed the logical<->
                     # physical contract the staged files were written under
                     # — replaying them could resurrect a retired column
+                    raise
+                if (mb.get("generated") or {}) != (
+                    (m0.get("generated") or {}) if m0 else {}
+                ):
+                    # a racing generated-column change alters what these
+                    # rows should have derived/validated
                     raise
                 schema_fp, widen_d = self._evolve_schema(
                     mb["schema"],
@@ -1677,6 +1833,8 @@ class MTable:
                 "partitions (after repartition_table): run migrate() first"
             )
         # caller speaks logical names; staging/stats are physical
+        gen = dict(m0.get("generated") or {})
+        df = self._apply_generated(df, gen)
         df, mapping = self._physical_input(df, m0)
         if stats_cols:
             stats_cols = [self._p(m0, c) for c in stats_cols]
@@ -1704,9 +1862,11 @@ class MTable:
             # enforcement) carry rows that already passed at their
             # original commit; re-validating a terabyte of unchanged rows
             # would be pure waste
+            cons_eff = dict(m0.get("constraints") or {})
+            cons_eff.update(self._gen_constraints(gen))
             self._enforce_staged(
                 staged, partition_by, "overwritten partition rows",
-                m0.get("constraints") or {}, m0,
+                cons_eff, m0,
             )
         # removal set, matched on TRUE (unescaped) values: caller-supplied
         # partition_values are true values while manifest/staged keys carry
@@ -1800,6 +1960,8 @@ class MTable:
                 manifest["dropped"] = sorted(mb["dropped"])
             if mb.get("partition_type"):
                 manifest["partition_type"] = mb["partition_type"]
+            if mb.get("generated"):
+                manifest["generated"] = dict(mb["generated"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, replaced | set(staged))
@@ -1808,7 +1970,7 @@ class MTable:
         self,
         updates: DataFrame,
         keys: list[str],
-        partition_col_value: F.Column,
+        partition_col_value: F.Column | None = None,
         extra_meta: dict | None = None,
         cluster_files: bool = False,
         stats_cols: list[str] | None = None,
@@ -1843,8 +2005,20 @@ class MTable:
                 "(after repartition_table): run migrate() first"
             )
         # the merge is computed in LOGICAL space (read() output + caller's
-        # updates); overwrite_partitions converts back at staging
+        # updates); overwrite_partitions converts back at staging.
+        # Generated columns missing from the updates derive here (a
+        # generated PARTITION column also defaults partition_col_value —
+        # the hidden-partitioning merge ergonomics).
         pby = self._logical_pby(m0)
+        gen = dict(m0.get("generated") or {})
+        updates = self._apply_generated(updates, gen)
+        if partition_col_value is None:
+            if pby not in gen and pby not in updates.columns:
+                raise ValueError(
+                    "partition_col_value is required unless the partition "
+                    "column is generated (or already present in updates)"
+                )
+            partition_col_value = F.col(pby)
         upd = updates.withColumn(pby, partition_col_value.cast("string"))
         touched = [r[0] for r in upd.select(pby).distinct().collect()]
         old_slice = self.read(version=v0, partitions=touched)
@@ -2021,6 +2195,8 @@ class MTable:
                 manifest["dropped"] = sorted(mb["dropped"])
             if mb.get("partition_type"):
                 manifest["partition_type"] = mb["partition_type"]
+            if mb.get("generated"):
+                manifest["generated"] = dict(mb["generated"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -2043,6 +2219,15 @@ class MTable:
         assigns = {
             c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
         }
+        cur = self._latest()
+        gen = dict((cur[1].get("generated") or {})) if cur else {}
+        bad = sorted(k for k in assigns if k in gen)
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE generated columns {bad}: their values "
+                "derive from their expressions — update the source columns "
+                "(the rewrite re-derives them automatically)"
+            )
 
         def apply_set(df, matched):
             unknown = sorted(k for k in assigns if k not in df.columns)
@@ -2120,6 +2305,15 @@ class MTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         matched = F.coalesce(cond.cast("boolean"), F.lit(False))
         kept = transform(df, matched)
+        gen = dict(m0.get("generated") or {})
+        if operation == "update" and gen:
+            # an UPDATE of a source column must not leave a generated
+            # column stale: re-derive every declared column over the
+            # rewritten rows (deterministic; unmatched rows recompute to
+            # their stored values)
+            for c in sorted(gen):
+                if c in kept.columns:
+                    kept = kept.withColumn(c, F.expr(gen[c]))
         kept, _ = self._physical_input(kept, m0)
         fp = self._schema_fingerprint(kept, pby)
         if fp != m0["schema"]:
@@ -2136,9 +2330,9 @@ class MTable:
         if operation == "update":
             # a DELETE can only remove rows; an UPDATE's SET expressions can
             # break a CHECK — validate exactly the rewritten candidates
-            self._enforce_staged(
-                staged, pby, "updated rows", m0.get("constraints") or {}, m0
-            )
+            cons_eff = dict(m0.get("constraints") or {})
+            cons_eff.update(self._gen_constraints(gen))
+            self._enforce_staged(staged, pby, "updated rows", cons_eff, m0)
         cand_set = set(cand)
         # stats: carry untouched by reference; re-stat the rewritten files
         # with the table's inherited range AND bloom column sets
@@ -2218,6 +2412,8 @@ class MTable:
                 manifest["dropped"] = sorted(mb["dropped"])
             if mb.get("partition_type"):
                 manifest["partition_type"] = mb["partition_type"]
+            if mb.get("generated"):
+                manifest["generated"] = dict(mb["generated"])
             return manifest
 
         return self._commit_rebase(build_manifest, v0, m0, touched)
@@ -2394,6 +2590,7 @@ class MTable:
             "evolved": bool(m.get("evolved")),
             "widened": bool(m.get("widened")),
             "constraints": dict(m.get("constraints") or {}),
+            "generated": dict(m.get("generated") or {}),
             "column_mapping": dict(m.get("mapping") or {}),
             "dropped_columns": sorted(retired),
             "stats_cols": sorted(
@@ -2757,6 +2954,8 @@ class MTable:
             manifest["dropped"] = sorted(tgt["dropped"])
         if tgt.get("partition_type"):
             manifest["partition_type"] = tgt["partition_type"]
+        if tgt.get("generated"):
+            manifest["generated"] = dict(tgt["generated"])
         return self._commit_state(manifest, v0 + 1, m0)
 
     def clone_to(self, dest_path: str, version: int | None = None) -> "MTable":
@@ -2820,6 +3019,8 @@ class MTable:
             manifest["dropped"] = sorted(m["dropped"])
         if m.get("partition_type"):
             manifest["partition_type"] = m["partition_type"]
+        if m.get("generated"):
+            manifest["generated"] = dict(m["generated"])
         dest._commit_state(manifest, 1, None)
         return dest
 
@@ -2895,6 +3096,7 @@ class MTable:
         dropped: list[str] | None = None,
         schema: str | None = None,
         meta: dict | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """O(manifest) metadata commit: same files, new table metadata
         (constraint set, column mapping, retired columns, logical schema).
@@ -2925,6 +3127,9 @@ class MTable:
             manifest["dropped"] = sorted(dr)
         if m0.get("partition_type"):
             manifest["partition_type"] = m0["partition_type"]
+        gn = m0.get("generated") if generated is None else generated
+        if gn:
+            manifest["generated"] = dict(gn)
         return self._commit_state(manifest, v0 + 1, m0)
 
     def _enforce_staged(
