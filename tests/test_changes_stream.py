@@ -222,3 +222,32 @@ def test_consumer_version_batching_and_bootstrap(spark, tmp_path):
     # v_from=0 bootstraps: the first batch is v1's initial content as inserts
     assert ranges == [(0, 1), (1, 2), (2, 3), (3, 4)] == seen
     assert c.processed_through() == 4
+
+
+def test_consumer_sails_through_respec_and_migrate(spark, tmp_path):
+    """Partition spec evolution must be invisible to a netting feed
+    consumer: the respec commit emits no events, the post-respec append
+    flows normally, and migrate()'s row-preserving churn nets to zero in
+    the signed rollup."""
+    src = MTable(spark, str(tmp_path / "src_respec"))
+    src.write(_with_date(_snap(spark, BASE)), partition_by="date")
+    dest = MTable(spark, str(tmp_path / "rollup_respec"))
+    process, ledger = mtable_append_sink(dest, transform=_signed_date_counts)
+    c = ChangeFeedConsumer(src, str(tmp_path / "ckpt_respec"), ledger=ledger)
+    c.run_available(process)
+
+    src.repartition_table("customer_id")  # metadata-only: no events
+    src.write(
+        _with_date(_snap(spark, [(6, "2024-01-04 10:00:00", 6.0)])),
+        mode="append",
+    )
+    src.migrate()  # row-preserving churn: nets to zero downstream
+    c.run_available(process)
+    want = {
+        r.date: r.n
+        for r in src.read().groupBy("date").agg(F.count("*").alias("n")).collect()
+    }
+    assert _dest_counts(dest) == want
+    # nothing left to drain, and the cursor sits at the migrate commit
+    assert c.run_available(process) == []
+    assert c.processed_through() == src.versions()[-1]

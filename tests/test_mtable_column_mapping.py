@@ -264,6 +264,58 @@ def test_racing_rename_is_an_occ_conflict(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
 
 
+def test_logical_view_keeps_pruning_and_pushdown(spark, tmp_path):
+    """The mapping projection must be transparent to Catalyst: a
+    two-column selection prunes the other physical columns out of
+    ReadSchema, and a filter on the LOGICAL name pushes down to the scan
+    under the PHYSICAL name."""
+    from retailfeaturestore_spark.plans import formatted_plan, pushed_filters
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("score", "quality")
+    df = t.read().select("customer_id", "quality")
+    plan = formatted_plan(df)
+    # note/t_ref never referenced -> absent from the scan schema
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert readschema and all("note" not in ln for ln in readschema)
+    # pushdown through the alias projection: assert on an UNPARTITIONED
+    # table — the partitioned read's input_file_name() restore column
+    # blocks pushdown through its projection for ANY mtable read
+    # (pre-existing, mapping-independent; stats pruning covers that case)
+    u = MTable(spark, str(tmp_path / "flat"))
+    u.write(_snap(spark, BASE), partition_by=None)
+    u.rename_column("score", "quality")
+    pushed = pushed_filters(u.read().where(F.col("quality") > 1.5))
+    assert any("score" in p for p in pushed), pushed
+
+
+def test_widened_explicit_schema_scan_still_prunes_columns(spark, tmp_path):
+    """The explicit-schema read strategy widened tables use must not
+    defeat column pruning: unreferenced columns stay out of ReadSchema."""
+    from retailfeaturestore_spark.plans import formatted_plan
+
+    t = MTable(spark, str(tmp_path / "widen_prune"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 1.5, "x", "a")], "id int, v float, note string, day string"
+        ),
+        partition_by="day",
+    )
+    t.write(
+        spark.createDataFrame(
+            [(2, 2.5, "y", "b")], "id bigint, v double, note string, day string"
+        ),
+        mode="append",
+        allow_widening=True,
+    )
+    df = t.read().select("id", "v")
+    readschema = [
+        ln for ln in formatted_plan(df).splitlines() if "ReadSchema" in ln
+    ]
+    assert readschema and all("note" not in ln for ln in readschema)
+    assert df.schema["id"].dataType.simpleString() == "bigint"
+
+
 def test_mapping_survives_delta_manifests_and_vacuum_checkpoint(
     spark, tmp_path
 ):
