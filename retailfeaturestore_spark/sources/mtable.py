@@ -3334,7 +3334,10 @@ class MTable:
         )
 
     def vacuum(
-        self, keep_versions: int = 2, min_age_ms: int = 3_600_000
+        self,
+        keep_versions: int = 2,
+        min_age_ms: int = 3_600_000,
+        keep_ms: int | None = None,
     ) -> list[str]:
         """Delete data files referenced by NO retained manifest and any
         abandoned stage directories; drop manifests older than the newest
@@ -3346,11 +3349,30 @@ class MTable:
         staged-but-not-yet-committed files are unreferenced by definition,
         and the age guard (Delta's retention-period mitigation) keeps a
         concurrent vacuum from eating its commit.  Pass ``min_age_ms=0``
-        only when no writer can be live."""
+        only when no writer can be live.
+
+        ``keep_ms`` adds TIME-BASED retention (Delta's
+        ``delta.deletedFileRetentionDuration`` shape): every version
+        committed within the last ``keep_ms`` milliseconds is retained in
+        ADDITION to the newest ``keep_versions`` — "time travel stays
+        available for N days" becomes a policy instead of a version-count
+        guess at commit cadence.  Commit timestamps are monotone, so the
+        union is still a contiguous suffix."""
         vs = self.versions()
         if not vs:
             return []
         keep = vs[-max(keep_versions, 1) :]
+        if keep_ms is not None:
+            cutoff_ts = int(time.time() * 1000) - max(keep_ms, 0)
+            keep = sorted(
+                set(keep)
+                | {
+                    v
+                    for v in vs
+                    if self._read_manifest_raw(v).get("committed_at_ms", 0)
+                    >= cutoff_ts
+                }
+            )
         referenced: set[str] = set()
         for v in keep:
             mv = self._read_manifest(v)

@@ -217,3 +217,24 @@ def test_respec_composes_with_rename(spark, tmp_path):
     assert {(r.id, r.zone) for r in t.read().collect()} == {
         (1, "EU"), (2, "US"), (3, "EU"), (4, "AP")
     }
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """keep_ms retains every version committed within the window in
+    ADDITION to keep_versions — time travel by policy, not by guessing
+    commit cadence."""
+    import time as _time
+
+    t = _mk(spark, tmp_path, name="vac")
+    t.write(_rows(spark, [(4, "AP", 40.0, "2024-01-03")]), mode="append")
+    t.write(_rows(spark, [(5, "AP", 50.0, "2024-01-04")]), mode="append")
+    assert t.versions() == [1, 2, 3]
+    # a generous window keeps everything despite keep_versions=1
+    t.vacuum(keep_versions=1, min_age_ms=0, keep_ms=10**9)
+    assert t.versions() == [1, 2, 3]
+    assert t.read(version=1).count() == 3  # time travel intact
+    # a zero window degrades to the version-count horizon
+    _time.sleep(0.05)
+    t.vacuum(keep_versions=1, min_age_ms=0, keep_ms=0)
+    assert t.versions() == [3]
+    assert t.read().count() == 5
