@@ -2680,10 +2680,18 @@ class MTable:
         return best
 
     def history(self) -> list[dict]:
+        """DESCRIBE HISTORY from raw manifests alone — O(1) JSON per
+        retained version, no state reconstruction, no data IO: version
+        chain, operation, commit time, and the operation's own metadata
+        (merge/delete rewrite counts, compacted partitions, rename/respec
+        parameters, stream batch ids — whatever the commit recorded)."""
         return [
             {
-                k: m[k]
-                for k in ("version", "parent", "operation", "committed_at_ms")
+                "version": m["version"],
+                "parent": m.get("parent"),
+                "operation": m.get("operation"),
+                "committed_at_ms": m.get("committed_at_ms"),
+                "meta": dict(m.get("meta") or {}),
             }
             for m in (self._read_manifest_raw(v) for v in self.versions())
         ]

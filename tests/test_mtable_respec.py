@@ -238,3 +238,13 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     t.vacuum(keep_versions=1, min_age_ms=0, keep_ms=0)
     assert t.versions() == [3]
     assert t.read().count() == 5
+
+
+def test_history_carries_operation_metadata(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="hist")
+    t.repartition_table("region")
+    h = t.history()
+    assert [e["version"] for e in h] == [1, 2]
+    assert h[1]["operation"] == "repartition_table"
+    assert h[1]["meta"]["respec"] == ["day", "region"]
+    assert h[0]["parent"] is None and h[1]["parent"] == 1
