@@ -9343,126 +9343,84 @@ def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r10 block 1: the evidence gaps VERDICT r9 (Missing #2, next-round
-    # #3) ordered first — two queries with ZERO driver history and the five
-    # whose last driver green is r5.
-    #   events_bloom_point_lookup: bloom-pruned mtable point read — never in
-    #     a driver window (sweep-green only), and the bloom PROBE path just
-    #     changed this round (type-gated keys), so first-party evidence now.
-    #   approx_customer_retention_months: N-way KMV sketch added late r9.
-    "events_bloom_point_lookup",
-    "approx_customer_retention_months",
-    "revenue_rollup",
-    "orders_priority_pivot",
-    "nation_market_share",
-    "promo_revenue_share",
-    "shipping_priority",
-    # --- r10 block 2: the one query whose implementation changed this
-    # round — knn_ivf_pq now serves from the resident (memoized-codebook)
-    # index path; the driver's fresh session pays the honest build, so a
-    # green hash certifies both paths (they are bit-identical by
-    # construction, and the full sweep re-proves the rest).
-    "knn_ivf_pq",
-    # --- r10 block 3: the r7-green cohort, oldest-evidence-first (48 minus
-    # the 6 simplest single-exchange shapes displaced to r11: brand_margin,
-    # customers_with_urgent_orders, customers_without_recent_orders,
-    # embedding_norms, forecast_revenue_change, returned_item_ranking — all
-    # sweep-verified every round).  7 + 1 + 42 = exactly the 50-slot
-    # window; after this round no oracle-backed query has driver evidence
-    # older than r7, and only those 6 remain at r7.  knn_recall_eval (r9
-    # impl change) and feature_view_build / training_set_build /
-    # recs_negative_samples (the r9 bench-weak rows) are all in this
-    # cohort, so their re-measure comes with fresh driver hashes.
-    "asof_join_clicks_purchases",
-    "bm25_retrieval",
-    "boilerplate_passage_scrub",
-    "bpe_token_count",
-    "brand_revenue_concentration",
-    "bulk_part_suppliers",
-    "cross_nation_trade",
-    "daily_feature_snapshots",
-    "dedup_containment",
-    # orders_column_mapping_scan / orders_type_widening_scan: NEW r10
-    # session-3 surface (column mapping: RENAME/DROP without rewrite;
-    # type widening: lossless RETYPE without rewrite — both exercised
-    # end-to-end against plain logical-filter oracles) — zero driver
-    # history by construction; they displace discounted_revenue and
-    # qty_price_correlation (r7-green single-exchange agg shapes,
-    # sweep-verified every round) under the same
-    # first-verdict-beats-refresh call as the other r10 entries.
-    "orders_column_mapping_scan",
-    "orders_type_widening_scan",
-    # orders_partition_respec_scan: NEW r10 session-3 surface (partition
-    # spec evolution: respec + mixed-spec DML migration + merge-semantics
-    # migrate, hashed against the plain projection) — zero driver history
-    # by construction; displaces order_count_distribution (r7-green
-    # single-exchange distribution agg, sweep-verified every round).
-    "orders_partition_respec_scan",
-    "doc_lm_score",
-    "events_sliding_7d_daily",
-    "feature_view_build",
-    "hybrid_retrieval_rrf",
-    "knn_recall_eval",
-    # mtable_change_feed / revenue_rollup_incremental_cdf: NEW r10 surface
-    # (file-granularity CDC: read_changes netting + O(delta) aggregate
-    # maintenance) — zero driver history by construction; they displace
-    # large_volume_orders and small_qty_revenue (r7-green single-exchange
-    # filter/agg shapes, sweep-verified every round) under the same
-    # first-verdict-beats-refresh call as knn_pq_index_mtable below.
-    "mtable_change_feed",
-    "revenue_rollup_incremental_cdf",
-    "min_price_supplier_per_part",
-    "multimodal_payload_meta",
-    "order_calendar_features",
-    "part_pagerank_copurchase",
-    "recs_negative_samples",
-    # corpus_cdc_dedup_admission: NEW r10 surface (the full O(delta)
-    # ingestion pipeline: corpus mtable -> ChangeFeedConsumer -> ACID
-    # near-dup admission, hashed against the corpus-wide batch dedup SQL)
-    # — zero driver history by construction; displaces returns_by_priority
-    # (r7-green single-exchange agg, sweep-verified every round) under the
-    # same first-verdict-beats-refresh call as the other r10 entries.
-    "corpus_cdc_dedup_admission",
-    # events_generated_partition_rollup: NEW r10 session-3 surface
-    # (generated columns as hidden partitioning: derive + route + enforce
-    # + partition-free merge, hashed against the raw-events rollup) —
-    # zero driver history by construction; displaces
-    # linestatus_priority_counts (r7-green single-exchange counts,
-    # sweep-verified every round).
-    "events_generated_partition_rollup",
-    "revenue_by_nation",
-    "rows_rolling_spend",
-    "segment_priority_cube",
-    "seq_packing_chunk_text",
-    "seq_packing_chunks",
-    "seq_packing_ffd",
-    "stratified_sample_balanced",
-    # orders_position_delete_scan: NEW r10 surface (deletion vectors —
-    # merge-on-read position deletes, two accumulating DV commits hashed
-    # against the plain logical filter) — zero driver history by
-    # construction; displaces supplier_variety_by_part (r7-green
-    # single-exchange grouping, sweep-verified every round).
-    "orders_position_delete_scan",
-    "text_string_features",
-    "top_customers_by_revenue",
-    "top_revenue_supplier",
-    "training_set_build",
-    "training_shuffle_shards",
-    # knn_pq_index_mtable: NEW late-r10 surface (ACID index lifecycle:
-    # build -> frozen-codebook OCC append -> compact -> snapshot search,
-    # one oracle hash) — zero driver history by construction; displaces
-    # union_slices (r7-green, single-exchange set-op, sweep-verified)
-    # under the same first-verdict-beats-refresh call as r8/r9.
-    "knn_pq_index_mtable",
-    "user_days_view_no_purchase",
-    "users_purchase_and_signup",
-    # --- r11 handoff: after this window, driver-evidence freshness is
-    # r10 (50) / r9 (50) / r8 (50), plus union_slices, discounted_revenue,
-    # qty_price_correlation, order_count_distribution,
-    # linestatus_priority_counts and the 6 displaced r7-green simple
-    # shapes named in block 3 — rotate those 11 in FIRST next round, then
-    # any query whose implementation changes in r10/r11, then the
-    # r8-green cohort oldest-first.  The rotation is one edit here.
+    # --- r11 block 1: the 11 stale-evidence queries (VERDICT r10 Missing
+    # #2 / next-round #4): last driver green r7 or earlier, every one
+    # sweep-verified every round since.  After this window no oracle-backed
+    # query's driver evidence is older than r8.
+    "union_slices",
+    "discounted_revenue",
+    "qty_price_correlation",
+    "order_count_distribution",
+    "linestatus_priority_counts",
+    "brand_margin",
+    "customers_with_urgent_orders",
+    "customers_without_recent_orders",
+    "embedding_norms",
+    "forecast_revenue_change",
+    "returned_item_ranking",
+    # --- r11 block 2: queries whose implementation changes THIS round —
+    # the ranks-engine consumers move to the resident (get_or_register)
+    # artifact path (VERDICT r10 next-round #5), so a fresh driver hash
+    # certifies both the honest-build and resident-serve paths, exactly
+    # the r10 knn_ivf_pq precedent.
+    "rfm_segments",
+    "model_eval_auc",
+    "model_calibration_bins",
+    # --- r11 block 3: the r8-green cohort (50 queries whose last driver
+    # evidence is r8), complex / LLM-pipeline shapes first; the 14 simplest
+    # single-exchange shapes (pricing_summary, value_percentiles,
+    # normalize_lineitem, top_balance_inactive_customers,
+    # sole_return_supplier, text_lang_id, decayed_user_value,
+    # late_shipment_priority_check, supplier_profit_by_year,
+    # distinct_parts_per_customer, asof_snapshot_lookup,
+    # approx_value_percentiles, funnel_time_to_convert,
+    # customer_priority_scd2) roll to r12's window — all sweep-verified
+    # every round.
+    "approx_distinct_users_daily",
+    "cohort_revenue_retention",
+    "copurchase_triangles",
+    "corpus_curation_pipeline",
+    "data_quality_report",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "doc_quality_gopher",
+    "embedding_label_centroids",
+    "embedding_random_projection",
+    "events_funnel_conversion",
+    "events_props_json",
+    "events_session_windows",
+    "feature_drift_bins",
+    "feature_view_build_set",
+    "knn_cosine_bruteforce",
+    "knn_ivf_kmeans",
+    "knn_projection_recall",
+    "latest_event_per_user",
+    "nation_daily_revenue_outliers",
+    "ngram_topk_global",
+    "order_interarrival_stats",
+    "orders_range_join_followups",
+    "part_ppr_brand_affinity",
+    "part_similar_by_copurchase",
+    "purchase_labels_after_signup",
+    "segment_spend_deciles",
+    "session_event_transitions",
+    "text_pii_scrub",
+    "user_retention_cohorts",
+    "xlsx_ingest_normalize",
+    # (3 spare cohort slots intentionally held for queries added or
+    # re-implemented later in r11 — any left unused at round end are
+    # filled by the next-oldest cohort entries below.)
+    "dedup_cross_source_matrix",
+    "source_token_divergence",
+    "user_daily_snapshot_spine",
+    # --- r12 handoff: after this window, driver-evidence freshness is
+    # r11 (50) / r10 (50) / r9 (50) minus overlap, plus the 14 simple
+    # r8-green shapes named in block 3 — rotate those in FIRST next
+    # round, then any query whose implementation changes in r11/r12,
+    # then the r9-green cohort oldest-first.  The rotation is one edit
+    # here.
 )
 
 
