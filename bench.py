@@ -1,15 +1,26 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines: first the FULL per-query map (also persisted to
-BENCH_FULL_r{N}.json so the record survives stdout tail truncation), then
-a compact final summary line — {"metric": ..., "value": total_sec,
-"unit": "sec", "queries": {slowest-12}, "sf": ..., "versus_prev": ...} —
+DRIFT-PROOF RECORD (VERDICT r10 next-round #1): two consecutive rounds of
+uniform box drift (+19.5%, +26.5% on untouched code) made absolute seconds
+meaningless round-over-round, so every query's DuckDB oracle is now
+CO-MEASURED in the same run on the same box, and the per-query RATIO
+(spark_sec / duck_sec) is the number of record; absolute seconds stay as
+diagnostics.  A box that slows down slows both engines, so the ratio is
+immune to drift by construction.
+
+Prints TWO JSON lines: first the FULL per-query record — spark seconds,
+duck seconds, and ratios (also persisted to BENCH_FULL_r{N}.json so the
+record survives stdout tail truncation) — then a compact final summary
+line with the aggregate/heavy/median ratios and the slowest-12 spark map,
 guaranteed under the driver's ~2 kB tail buffer at any query count.
 
-Method: each query materializes through the noop sink (forces evaluation of
-every output column — count() would let Catalyst prune the feature columns
-away and fake the numbers), 2 runs, min per query (first run pays scan-cache
-warmup).
+Method: each Spark query materializes through the noop sink (forces
+evaluation of every output column — count() would let Catalyst prune the
+feature columns away and fake the numbers), min-of-3; its DuckDB oracle
+then runs on the same parquet (min-of-3, degraded to fewer runs past 5s /
+20s so whale anchors don't dominate wall time).  Spark runs first, so the
+OS page cache is warm for DuckDB — the bias favors the anchor, keeping
+the recorded ratios conservative.
 """
 
 from __future__ import annotations
@@ -186,11 +197,48 @@ def _evict_all(spark, sf_dir: str) -> None:
             pass
 
 
+def _duck_connect(sf_dir: str):
+    """Embedded DuckDB with the testdata tables as views — the same-box
+    anchor engine (the driver's own oracle setup, reproduced here)."""
+    import duckdb
+
+    from retailfeaturestore_spark.schemas import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _time_duck(con, sql: str) -> float | None:
+    """min-of-up-to-3 DuckDB anchor; run count degrades for whale anchors
+    (>5s: min-of-2, >20s: single run) so the co-measurement doesn't
+    dominate the bench's wall clock.  None = the anchor errored."""
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"# duck anchor error: {type(e).__name__}", file=sys.stderr)
+            return None
+        times.append(time.time() - t0)
+        if times[0] > 20:
+            break
+        if times[0] > 5 and len(times) >= 2:
+            break
+    return round(min(times), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("rfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    duck = _duck_connect(sf_dir)
 
     # Untimed harness warmup: pays one-time JVM/codegen/scan-cache costs so
     # the first timed query isn't charged for session spin-up (the DuckDB
@@ -200,6 +248,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    anchors: dict[str, float | None] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]
         # Iterative queries (connected-components convergence loop, KMeans
@@ -244,7 +293,14 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # same-box, same-run anchor: the oracle SQL on the same parquet
+        anchors[name] = _time_duck(duck, qd.oracle) if qd.oracle else None
 
+    ratios = {
+        n: round(timings[n] / anchors[n], 3)
+        for n in timings
+        if anchors.get(n)
+    }
     total = round(sum(timings.values()), 3)
     # Round-over-round comparability: against the previous round's recorded
     # bench, report the shared-query-set totals so renames/additions never
@@ -258,6 +314,18 @@ def main() -> None:
             "total_sec": round(sum(timings[q] for q in shared), 3),
             "prev_total_sec": round(sum(prev[q] for q in shared), 3),
         }
+    prev_ratio = _load_prev_ratios()
+    if prev_ratio and versus_prev is not None:
+        rshared = sorted(set(ratios) & set(prev_ratio))
+        if rshared:
+            # the drift-proof comparison: both sides are same-box ratios
+            versus_prev["ratio_shared_n"] = len(rshared)
+            versus_prev["ratio_median"] = sorted(
+                ratios[q] for q in rshared
+            )[len(rshared) // 2]
+            versus_prev["prev_ratio_median"] = sorted(
+                prev_ratio[q] for q in rshared
+            )[len(rshared) // 2]
 
     # The driver's tail capture is ~2 kB; at 77+ headline queries one JSON
     # line with the full per-query map outgrew it and BENCH_r04.json
@@ -268,22 +336,59 @@ def main() -> None:
     # (2) the FINAL line is a compact summary — total, sf, versus_prev,
     # and the slowest-12 sub-map — guaranteed well under 2 kB at any
     # future query count.
+    import duckdb as _duckdb_mod
+
     full = {
         "metric": "headline_queries_full",
         "unit": "sec",
         "queries": timings,
+        "duck": anchors,
+        "ratio": ratios,
+        "duckdb_version": _duckdb_mod.__version__,
         "sf": float(sf),
     }
     print(json.dumps(full), flush=True)
     _persist_full_record(full)
 
     heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    anchored = sorted(ratios)
+    spark_anchored = sum(timings[n] for n in anchored)
+    duck_anchored = sum(anchors[n] for n in anchored)
+    rvals = sorted(ratios.values())
+    heavy_names = [n for n in anchored if anchors[n] >= 0.3]
+    ratio_summary = {
+        "n_anchored": len(anchored),
+        # aggregate = total Spark seconds / total DuckDB seconds on the
+        # anchored set, measured in THIS run on THIS box — the drift-proof
+        # headline number (1.0 = parity with the embedded oracle engine)
+        "aggregate": round(spark_anchored / duck_anchored, 3)
+        if duck_anchored
+        else None,
+        "median": rvals[len(rvals) // 2] if rvals else None,
+        # the subset doing real work (anchor >= 0.3s): flat per-job
+        # overhead on sub-second anchors can't masquerade as a plan problem
+        "heavy": round(
+            sum(timings[n] for n in heavy_names)
+            / sum(anchors[n] for n in heavy_names),
+            3,
+        )
+        if heavy_names
+        else None,
+        # worst heavy-anchor ratios: the rows to actually look at
+        "worst_heavy": {
+            n: ratios[n]
+            for n in sorted(
+                heavy_names, key=lambda n: -ratios[n]
+            )[:5]
+        },
+    }
     out = {
         "metric": "headline_queries_total_wall_sec",
         "value": total,
         "unit": "sec",
         "sf": float(sf),
         "n_queries": len(timings),
+        "ratio_vs_duckdb_samebox": ratio_summary,
         # Slowest-12 only: the full map is on the FIRST stdout line and in
         # BENCH_FULL_r{N}.json — this final line must stay under the
         # driver's ~2 kB tail buffer at any future query count.
@@ -329,6 +434,20 @@ def _persist_full_record(full: dict) -> None:
             f.write("\n")
     except OSError:
         pass
+
+
+def _load_prev_ratios() -> dict[str, float] | None:
+    """Previous round's per-query same-box ratios from its FULL record
+    (absent before r11 — the first ratio-instrumented round)."""
+    for _n, path in _bench_round_files("BENCH_FULL_r*.json"):
+        try:
+            with open(path) as f:
+                r = json.load(f).get("ratio")
+            if r:
+                return {k: float(v) for k, v in r.items()}
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 def _load_prev_bench() -> dict[str, float] | None:

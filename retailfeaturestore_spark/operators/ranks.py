@@ -48,9 +48,19 @@ comfortably past the 100 TB design point).
 
 Consumers: ``rfm_segments`` and ``model_calibration_bins`` (exact_ntile)
 and ``ml/metrics.exact_auc`` (range_prefix_sum) — the three global windows
-the r6 review flagged.  Because the primitive computes (checkpoint +
-collect) while BUILDING the plan, consumer queries are tagged "iterative"
-so the bench's eviction protocol times the full build every run.
+the r6 review flagged.
+
+RESIDENT SERVING (VERDICT r10 next-round #5, the knn ``get_or_register``
+precedent): the expensive slice is CONTROL-PLANE — the range boundary
+sample, the localCheckpoint materialization, and the O(P) totals collect,
+~1.4-1.7 s of fixed driver-visible jobs at any data size — while the
+per-row execute slice is 0.3-0.5 s.  Passing ``cache_scope=<dataset>``
+(+ a ``cache_key`` uniquely naming the input recipe) memoizes the
+(checkpointed frame, totals) artifact in the session's scope-keyed memo,
+so repeat calls pay only the execute slice; ``queries.invalidate_caches``
+evicts by scope, and a fresh session's first call pays the honest build —
+the oracle hash certifies both paths because they are the same literals
+over the same blocks.
 Reference parity: the single-process engine sorts everything in memory
 anyway (pandas ``sort_values`` in jobs/build_feature_views.py), so any
 faithful distributed ranking is new surface, not a translation.
@@ -79,22 +89,53 @@ def _num_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
+def _resident(spark, cache_key: str | None, cache_scope: str | None, build):
+    """Memoize a control-plane artifact — (checkpointed frame, totals
+    rows) — per (recipe, dataset version) in the session's scope-keyed
+    memo (the knn resident-serving recipe).  ``cache_key`` must uniquely
+    name the INPUT RECIPE (frame + ordering + partitioning); the scope is
+    the dataset version, and ``queries.invalidate_caches`` evicts both
+    together on any rewrite.  No key/scope = build every call (the
+    pre-r11 behavior)."""
+    if cache_scope is None or cache_key is None:
+        return build()
+    from ._cache import session_memo
+
+    memo = session_memo(spark)
+    key = (f"ranks::{cache_key}", cache_scope)
+    art = memo.get(key)
+    if art is None:
+        art = build()
+        memo[key] = art
+    return art
+
+
 def _prefix_and_total(
     df: DataFrame,
     order_by: Sequence[Column],
     value: Column,
     out_col: str,
     num_partitions: int | None,
+    cache_key: str | None = None,
+    cache_scope: str | None = None,
 ) -> tuple[DataFrame, int]:
     """(frame + inclusive global prefix of ``value``, grand total).
 
     One eager job (the O(P) totals collect, which also materializes the
     lazy localCheckpoint); the per-row work stays lazy for the consumer.
+    With ``cache_key``/``cache_scope``, the checkpointed frame + totals
+    memoize per dataset version and repeat calls skip both control jobs.
     """
     n_part = num_partitions or _num_partitions(df)
-    part = df.repartitionByRange(n_part, *order_by).localCheckpoint(eager=False)
-    base = part.withColumn(_PID, F.spark_partition_id())
-    rows = base.groupBy(_PID).agg(F.sum(value).alias(_PSUM)).collect()
+
+    def build():
+        part = df.repartitionByRange(n_part, *order_by).localCheckpoint(
+            eager=False
+        )
+        b = part.withColumn(_PID, F.spark_partition_id())
+        return b, b.groupBy(_PID).agg(F.sum(value).alias(_PSUM)).collect()
+
+    base, rows = _resident(df.sparkSession, cache_key, cache_scope, build)
     acc = 0
     items: list[Column] = []
     for pid, psum in sorted((r[_PID], r[_PSUM] or 0) for r in rows):
@@ -125,6 +166,8 @@ def range_prefix_sum(
     out_col: str,
     *,
     num_partitions: int | None = None,
+    cache_key: str | None = None,
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive prefix sum of ``value`` under the global
     ordering ``order_by``, computed with range-partitioned arithmetic (no
@@ -136,7 +179,9 @@ def range_prefix_sum(
     prefix at tie-group boundaries (e.g. the AUC midrank sum groups by the
     ordering key first, so keys are unique) are safe either way.
     """
-    out, _ = _prefix_and_total(df, order_by, value, out_col, num_partitions)
+    out, _ = _prefix_and_total(
+        df, order_by, value, out_col, num_partitions, cache_key, cache_scope
+    )
     return out
 
 
@@ -146,12 +191,15 @@ def global_row_number(
     out_col: str,
     *,
     num_partitions: int | None = None,
+    cache_key: str | None = None,
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """Exact global 1-based row number under ``order_by`` (which must be a
     total order — include a unique tiebreak — for a deterministic result),
     without a single-partition window."""
     out, _ = _prefix_and_total(
-        df, order_by, F.lit(1).cast("long"), out_col, num_partitions
+        df, order_by, F.lit(1).cast("long"), out_col, num_partitions,
+        cache_key, cache_scope,
     )
     return out
 
@@ -163,6 +211,8 @@ def exact_ntile(
     out_col: str,
     *,
     num_partitions: int | None = None,
+    cache_key: str | None = None,
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """SQL ``ntile(k) OVER (ORDER BY ...)`` semantics — the first
     ``n mod k`` tiles get ``n div k + 1`` rows, the rest ``n div k`` —
@@ -175,7 +225,8 @@ def exact_ntile(
     extra job, aggregate, or join."""
     rank_col = "__rp_rank"
     ranked, n = _prefix_and_total(
-        df, order_by, F.lit(1).cast("long"), rank_col, num_partitions
+        df, order_by, F.lit(1).cast("long"), rank_col, num_partitions,
+        cache_key, cache_scope,
     )
     return ranked.withColumn(out_col, _tile_expr(rank_col, n, k)).drop(rank_col)
 
@@ -211,6 +262,8 @@ def exact_ntile_multi(
     *,
     num_partitions: int | None = None,
     carry: Sequence[str] | None = None,
+    cache_key: str | None = None,
+    cache_scope: str | None = None,
 ) -> DataFrame:
     """N independent exact ntile(k) rankings of the SAME frame for the cost
     of ONE ranking (VERDICT r8 next-round #4: ``rfm_segments`` paid the
@@ -262,15 +315,19 @@ def exact_ntile_multi(
         F.col("__e.v").alias(_VAL),
     )
     order = [F.col(_VAL).asc(), *[F.col(c).asc() for c in tiebreak]]
-    part = tagged.repartitionByRange(
-        n_part, F.col(_SPEC), *order
-    ).localCheckpoint(eager=False)
-    base = part.withColumn(_PID, F.spark_partition_id())
-    rows = (
-        base.groupBy(_PID, _SPEC)
-        .agg(F.count(F.lit(1)).cast("long").alias(_PSUM))
-        .collect()
-    )
+
+    def build():
+        part = tagged.repartitionByRange(
+            n_part, F.col(_SPEC), *order
+        ).localCheckpoint(eager=False)
+        b = part.withColumn(_PID, F.spark_partition_id())
+        return b, (
+            b.groupBy(_PID, _SPEC)
+            .agg(F.count(F.lit(1)).cast("long").alias(_PSUM))
+            .collect()
+        )
+
+    base, rows = _resident(df.sparkSession, cache_key, cache_scope, build)
     # exclusive prefix per spec over pid order; map key = pid * N + spec
     per_spec: dict[int, list[tuple[int, int]]] = {}
     for r in rows:

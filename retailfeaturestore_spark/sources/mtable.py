@@ -38,11 +38,17 @@ comes from:
 
 - **Atomic commit**: a version becomes visible exactly when its manifest
   object appears; data files are staged invisibly first (readers never
-  list ``data/``).  Manifest create uses ``overwrite=false`` —
-  create-if-absent is the compare-and-swap on HDFS/local POSIX, so two
-  racing writers cannot both claim a version (on object stores without
-  conditional PUT this degrades to the same single-writer assumption as
-  ``merge_upsert``, documented).
+  list ``data/``).  The ONE primitive the guarantee rests on is
+  put-if-absent of the manifest object, extracted behind the
+  :class:`LogStore` seam (the Delta LogStore recipe): the default
+  :class:`HadoopLogStore` gets it from ``create(overwrite=false)``
+  (HDFS/local POSIX/ABFS); :class:`S3ConditionalPutLogStore` gets it
+  from S3 conditional PUT (``If-None-Match: *``, generally available on
+  S3 since 2024 — and the same header shape on GCS/R2/MinIO).  Two
+  racing writers therefore cannot both claim a version on ANY store with
+  a put-if-absent primitive; a store without one needs an external
+  coordinator (Delta's pre-conditional-PUT DynamoDB LogStore shape) —
+  plug it in through the same seam.
 - **Snapshot isolation**: a reader resolves the latest manifest once and
   plans against that exact file list; concurrent commits add NEW files and
   NEW manifests, never mutate or delete referenced ones — the snapshot
@@ -174,9 +180,9 @@ validated under.
 
 What this deliberately does NOT implement (and real Delta/Iceberg add):
 multi-table transactions, NARROWING/lossy retypes without rewrite (only
-the lossless widening set above), bitmap-compressed deletion vectors
+the lossless widening set above), and bitmap-compressed deletion vectors
 (ours are plain parquet position tombstones — same read semantics,
-simpler encoding), and object-store conditional-PUT CAS.
+simpler encoding).
 """
 
 from __future__ import annotations
@@ -194,7 +200,20 @@ __all__ = [
     "ConcurrentCommit",
     "ConstraintViolation",
     "NoSuchVersion",
+    "ProtocolVersionError",
 ]
+
+# Protocol versioning (the Delta protocol-versioning recipe,
+# delta-io PROTOCOL.md "Protocol Evolution"): every manifest records the
+# minimum reader/writer capability it needs, and this build refuses —
+# LOUDLY, never by silently misreading — any manifest stamped with a
+# future requirement.  Manifests written before the stamp existed read as
+# requirement 1 (this build), so old tables stay forward-compatible.
+# Bump _READER_VERSION only for a change old readers would MISREAD (not
+# merely ignore); bump _WRITER_VERSION when old writers could corrupt
+# invariants a new feature relies on.
+_READER_VERSION = 1
+_WRITER_VERSION = 1
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
@@ -206,38 +225,36 @@ _SPEC_SEP = "\x1f"
 
 # Hive-style partition-path escaping: Spark's writer escapes a fixed char set
 # ("%XX", '%' itself included) in partition directory names, and the manifest
-# keys carry that ESCAPED form (they come from the staged dir names).  Any
-# value surfaced to the user — the restored partition column, a value-match
-# against caller-supplied partition values — must DECODE, or a value like
-# "4-NOT SPECIFIED" round-trips as "4-NOT%20SPECIFIED" and re-escapes on
-# every subsequent rewrite.  Decode order matters only for "%25" ('%'
-# itself): Hive escaping guarantees no other code can overlap it, so it
-# decodes LAST.
-_PVAL_UNESCAPES = (
-    ("%22", '"'),
-    ("%23", "#"),
-    ("%27", "'"),
-    ("%2A", "*"),
-    ("%2F", "/"),
-    ("%3A", ":"),
-    ("%3D", "="),
-    ("%3F", "?"),
-    ("%5B", "["),
-    ("%5C", "\\"),
-    ("%5D", "]"),
-    ("%7B", "{"),
-    ("%7D", "}"),
-    ("%20", " "),
-    ("%25", "%"),
-)
+# keys carry that ESCAPED form (they come from the staged dir names).  A
+# path component pulled out of ``input_file_name()`` carries TWO escaping
+# layers, because input_file_name returns a URI: the raw directory name on
+# disk is the Hive-escaped value, and the URI rendering percent-encodes it
+# AGAIN (space -> %20, and critically '%' -> %25, so a disk name "a%3Db"
+# arrives as "a%253Db").  Restoring the TRUE value therefore needs two
+# full percent-decodes, not one — a single fixed-table pass decoded '%25'
+# last and left "a%3Db" mangled (ADVICE r10 #1).  Both layers are plain
+# %XX decodes: the URI layer by construction, and the Hive layer because
+# the writer escapes '%' itself, so after the URI decode every remaining
+# '%' introduces a writer escape.  java.net.URLDecoder semantics also
+# decode '+' as space, which neither layer produces for a literal '+'
+# (Hive leaves '+' raw on disk; URIs keep it raw in paths) — so '+' is
+# masked to %2B before each decode and round-trips exactly.
+
+
+def _decode_pct_col(col):
+    """One JVM-side percent-decode of a path component ('+' preserved;
+    malformed input — impossible for writer-produced paths — falls back
+    to the raw string rather than nulling the partition value)."""
+    masked = F.replace(col, F.lit("+"), F.lit("%2B"))
+    return F.coalesce(F.try_url_decode(masked), col)
 
 
 def _unescape_pval_col(col):
-    """JVM-side decode of a path-extracted partition value (chained literal
-    replaces — scalar, codegen-friendly; no UDF in the scan)."""
-    for code, ch in _PVAL_UNESCAPES:
-        col = F.replace(col, F.lit(code), F.lit(ch))
-    return col
+    """JVM-side restore of a TRUE partition value from an
+    ``input_file_name()``-extracted path component: URI decode first,
+    then the Hive path unescape (scalar expressions, no UDF in the
+    scan)."""
+    return _decode_pct_col(_decode_pct_col(col))
 
 
 def _unq(s: str) -> str:
@@ -258,6 +275,104 @@ class NoSuchVersion(ValueError):
 
 class ConstraintViolation(ValueError):
     """A write's rows break a table CHECK constraint; nothing committed."""
+
+
+class ProtocolVersionError(RuntimeError):
+    """The table requires a newer reader/writer than this build supports —
+    refusing beats silently misreading a future manifest format."""
+
+
+class LogStore:
+    """The commit-protocol seam (Delta's LogStore recipe): mtable's entire
+    ACID story rests on ONE storage primitive — atomically create the
+    manifest object only if no object exists at that path.  Implementations
+    return ``True`` when this writer created the object, ``False`` when the
+    path already existed (a lost CAS — the caller raises
+    :class:`ConcurrentCommit` and retries on a fresh base), and re-raise
+    any other storage failure as itself (a transient IO error must never
+    masquerade as a benign race)."""
+
+    def put_if_absent(self, spark: SparkSession, path: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+
+class HadoopLogStore(LogStore):
+    """Default: ``FileSystem.create(overwrite=false)`` IS put-if-absent on
+    HDFS, local POSIX (O_EXCL), and ABFS — the stores where Hadoop's
+    create is atomic.  Do not use on S3A: S3A's create only checks
+    existence BEFORE the write, so two racers can both 'succeed'; use
+    :class:`S3ConditionalPutLogStore` there."""
+
+    def put_if_absent(self, spark: SparkSession, path: str, data: bytes) -> bool:
+        fs, jvm = _fs(spark, path)
+        p = _jpath(jvm, path)
+        try:
+            out = fs.create(p, False)  # overwrite=False: compare-and-swap
+        except Exception as e:  # py4j wraps the Java exception
+            # Only a lost CAS reports False; a transient IO/permission
+            # failure must surface as itself (callers may retry a lost CAS
+            # on a fresh base).  The Java class name is authoritative;
+            # fs.exists is the fallback probe when the wrapper hides it
+            # (ADVICE r8).
+            jexc = getattr(e, "java_exception", None)
+            lost_cas = (
+                jexc is not None
+                and "AlreadyExists" in jexc.getClass().getName()
+            ) or fs.exists(p)
+            if not lost_cas:
+                raise
+            return False
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        return True
+
+
+class S3ConditionalPutLogStore(LogStore):
+    """S3 conditional PUT (``If-None-Match: *``): the object is created
+    atomically only when no object exists at the key; a racer losing the
+    CAS gets HTTP 412 PreconditionFailed (or 409 during a concurrent
+    in-flight PUT, which S3 documents as retry-then-412).  Available on
+    Amazon S3 (GA Nov 2024), GCS, Cloudflare R2, and MinIO.
+
+    ``client`` is a boto3 S3 client (injected in tests; built lazily from
+    the environment otherwise — boto3 is import-gated because this
+    sandbox cannot install it)."""
+
+    def __init__(self, client=None):
+        self._client = client
+
+    def _s3(self):
+        if self._client is None:
+            import boto3  # import-gated: not installable in-sandbox
+
+            self._client = boto3.client("s3")
+        return self._client
+
+    @staticmethod
+    def _bucket_key(path: str) -> tuple[str, str]:
+        rest = path.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def put_if_absent(self, spark: SparkSession, path: str, data: bytes) -> bool:
+        bucket, key = self._bucket_key(path)
+        try:
+            self._s3().put_object(
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+            )
+        except Exception as e:  # botocore.exceptions.ClientError shape
+            resp = getattr(e, "response", None) or {}
+            status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+            code = (resp.get("Error") or {}).get("Code")
+            if status in (409, 412) or code in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+            ):
+                return False
+            raise
+        return True
 
 
 def _fs(spark: SparkSession, path: str):
@@ -282,7 +397,11 @@ class MTable:
     checkpoint_interval: int = 8
 
     def __init__(
-        self, spark: SparkSession, path: str, checkpoint_interval: int | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int | None = None,
+        log_store: LogStore | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -290,6 +409,10 @@ class MTable:
             if checkpoint_interval < 1:
                 raise ValueError("checkpoint_interval must be >= 1")
             self.checkpoint_interval = checkpoint_interval
+        # commit-protocol seam: default is Hadoop create-if-absent; pass
+        # S3ConditionalPutLogStore (or any LogStore) for stores where
+        # Hadoop's create is not atomic
+        self.log_store: LogStore = log_store or HadoopLogStore()
         self._state_cache: dict[int, dict] = {}
 
     # -- manifest plumbing --------------------------------------------------
@@ -359,6 +482,13 @@ class MTable:
         m = self._read_json(self._manifest_path(version))
         if m is None:
             raise NoSuchVersion(f"{self.path} has no version {version}")
+        need = int(m.get("min_reader_version", 1))
+        if need > _READER_VERSION:
+            raise ProtocolVersionError(
+                f"{self.path} version {version} requires reader protocol "
+                f"{need}; this build supports {_READER_VERSION} — upgrade "
+                "before reading (a silent misread could return wrong rows)"
+            )
         return m
 
     def _read_manifest(self, version: int) -> dict:
@@ -402,30 +532,40 @@ class MTable:
         """CAS-create the manifest object for ``version`` (the commit
         point).  create(overwrite=false) raises if the object exists —
         exactly one writer wins a version."""
+        # protocol gate: the PARENT's stamped writer requirement governs
+        # whether this build may commit on top of it; the new manifest
+        # carries the requirement forward (max with this build's own), so
+        # a table a future writer touched keeps refusing old writers even
+        # through old-writer-readable versions
+        parent_v = manifest.get("parent")
+        need_w, need_r = _WRITER_VERSION, _READER_VERSION
+        if parent_v is not None:
+            pm = self._read_manifest_raw(parent_v)
+            need_w = max(need_w, int(pm.get("min_writer_version", 1)))
+            need_r = max(need_r, int(pm.get("min_reader_version", 1)))
+            if need_w > _WRITER_VERSION:
+                raise ProtocolVersionError(
+                    f"{self.path} requires writer protocol {need_w}; this "
+                    f"build supports {_WRITER_VERSION} — refusing to commit "
+                    "(an old writer could break invariants a newer feature "
+                    "relies on)"
+                )
+        manifest.setdefault("min_reader_version", need_r)
+        manifest.setdefault("min_writer_version", need_w)
         fs, jvm = _fs(self.spark, self.path)
         fs.mkdirs(_jpath(jvm, f"{self.path}/{_MANIFEST_DIR}"))
-        p = _jpath(jvm, self._manifest_path(version))
-        try:
-            out = fs.create(p, False)  # overwrite=False: compare-and-swap
-        except Exception as e:  # py4j wraps the Java exception
-            # Only a lost CAS is ConcurrentCommit; a transient IO/permission
-            # failure must surface as itself, not as a benign race (callers
-            # may retry a ConcurrentCommit on a fresh base).  The Java class
-            # name is authoritative; fs.exists is the fallback probe when
-            # the wrapper hides it (ADVICE r8).
-            jexc = getattr(e, "java_exception", None)
-            lost_cas = (
-                jexc is not None and "AlreadyExists" in jexc.getClass().getName()
-            ) or fs.exists(p)
-            if not lost_cas:
-                raise
+        # the commit point: put-if-absent through the LogStore seam —
+        # exactly one writer wins a version on any store whose
+        # put_if_absent is atomic (see LogStore)
+        won = self.log_store.put_if_absent(
+            self.spark,
+            self._manifest_path(version),
+            json.dumps(manifest, sort_keys=True).encode("utf-8"),
+        )
+        if not won:
             raise ConcurrentCommit(
                 f"version {version} of {self.path} already committed"
-            ) from e
-        try:
-            out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
-        finally:
-            out.close()
+            )
         # best-effort latest-version HINT: one small overwrite after the
         # CAS, so _latest() resolves in O(1 + staleness) fs.exists probes
         # instead of an O(versions) directory listing (VERDICT r9 missing
@@ -1064,8 +1204,17 @@ class MTable:
         else is the path-string convention."""
         pby = m["partition_by"]
         ptype = m.get("partition_type") or "string"
+        # a retired partition column's TRUE type is recorded in the data
+        # schema by repartition_table (phys[old_p] = partition_type of its
+        # own spec) — cast the path-derived branch to it, or the
+        # when(path-string).otherwise(typed-data) coercion silently widens
+        # the column (int data + string path -> bigint) and read() diverges
+        # from the manifest schema (ADVICE r10 #2)
+        schema_types = dict(self._parse_schema(m["schema"]))
         cols = ([(pby, ptype)] if pby else []) + [
-            (p, "string") for p in self._legacy_pbys(m) if p != pby
+            (p, schema_types.get(p, "string"))
+            for p in self._legacy_pbys(m)
+            if p != pby
         ]
         for col, typ in cols:
             ex = F.regexp_extract(F.input_file_name(), f"{col}=([^/]+)/", 1)
@@ -1868,17 +2017,22 @@ class MTable:
                 staged, partition_by, "overwritten partition rows",
                 cons_eff, m0,
             )
-        # removal set, matched on TRUE (unescaped) values: caller-supplied
-        # partition_values are true values while manifest/staged keys carry
-        # the path-escaped form
+        # removal set, matched the way read() matches (ADVICE r10 #3):
+        # caller-supplied partition_values stay RAW (unescaping a TRUE
+        # value containing a literal %XX would mangle it — 'a%20b' is not
+        # 'a b') and each manifest key is tested both as-is and unescaped.
+        # The dual test covers every producer: user TRUE values match via
+        # _unq(k); compact/zorder hand off escaped manifest keys, which
+        # match via k directly; the partition_values=None default takes
+        # the staged dir names (escaped), which also match via k.
         wanted = {
-            _unq(str(v))
+            str(v)
             for v in (
                 partition_values if partition_values is not None else staged
             )
         }
         replaced = {
-            k for k in m0["partitions"] if _unq(k) in wanted
+            k for k in m0["partitions"] if k in wanted or _unq(k) in wanted
         } | set(staged)
         # stat the staged files with the requested columns (default:
         # whatever the base version was stats'd with, so a stats table
@@ -1914,7 +2068,7 @@ class MTable:
             parts = {
                 k: list(v)
                 for k, v in mb["partitions"].items()
-                if _unq(k) not in wanted
+                if k not in wanted and _unq(k) not in wanted
             }
             for pval, files in staged.items():
                 parts[pval] = files
@@ -3364,23 +3518,27 @@ class MTable:
         committed within the last ``keep_ms`` milliseconds is retained in
         ADDITION to the newest ``keep_versions`` — "time travel stays
         available for N days" becomes a policy instead of a version-count
-        guess at commit cadence.  Commit timestamps are monotone, so the
-        union is still a contiguous suffix."""
+        guess at commit cadence.  Commit timestamps come from different
+        writer machines, so they are NOT assumed monotone: retention is
+        forced CONTIGUOUS from the oldest version that qualifies on either
+        criterion (ADVICE r10 #4) — a skewed clock must not punch a hole
+        in the middle of the retained range, because a retained DELTA
+        manifest above such a gap would lose its reconstruction chain and
+        only the single oldest retained version is checkpointed below."""
         vs = self.versions()
         if not vs:
             return []
         keep = vs[-max(keep_versions, 1) :]
         if keep_ms is not None:
             cutoff_ts = int(time.time() * 1000) - max(keep_ms, 0)
-            keep = sorted(
-                set(keep)
-                | {
-                    v
-                    for v in vs
-                    if self._read_manifest_raw(v).get("committed_at_ms", 0)
-                    >= cutoff_ts
-                }
-            )
+            qualifying = [
+                v
+                for v in vs
+                if self._read_manifest_raw(v).get("committed_at_ms", 0)
+                >= cutoff_ts
+            ]
+            lo = min([keep[0], *qualifying])
+            keep = [v for v in vs if v >= lo]
         referenced: set[str] = set()
         for v in keep:
             mv = self._read_manifest(v)

@@ -39,6 +39,7 @@ this package.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -156,6 +157,38 @@ class ChangeFeedConsumer:
             self._write_ckpt(v1)
             done.append((v0, v1))
             v0 = v1
+
+    def run_continuous(
+        self,
+        process,
+        poll_interval_s: float = 1.0,
+        max_cycles: int | None = None,
+        stop_when=None,
+    ) -> list[list[tuple[int, int]]]:
+        """Long-running micro-batch mode (the ``Trigger.ProcessingTime``
+        shape, VERDICT r10 next-round #7): poll the table on a fixed
+        cadence, each cycle draining every commit that has landed since
+        the last — including commits that land WHILE a drain is running
+        (``run_available`` re-reads the latest version per iteration, so a
+        racing writer extends the current drain instead of waiting a
+        cycle).  The batching / checkpoint / ledger protocol is byte-
+        identical to :meth:`run_available` — exactly-once through a
+        transactional sink holds across cycles and restarts because every
+        cycle re-derives its cursor from the same (checkpoint, ledger)
+        max.
+
+        Runs until ``stop_when()`` is truthy (checked after each cycle) or
+        ``max_cycles`` cycles complete (None = forever — the deploy shape,
+        paired with an external supervisor).  Returns the per-cycle
+        processed ranges (empty list = an idle cycle)."""
+        cycles: list[list[tuple[int, int]]] = []
+        while True:
+            cycles.append(self.run_available(process))
+            if max_cycles is not None and len(cycles) >= max_cycles:
+                return cycles
+            if stop_when is not None and stop_when():
+                return cycles
+            time.sleep(poll_interval_s)
 
 
 def mtable_append_sink(dest, transform=None, ledger_key: str = "cdc_through"):
