@@ -149,6 +149,8 @@ HEADLINE = [
     "approx_heavy_hitters",
     "approx_customer_overlap_months",
     "approx_customer_retention_months",
+    "url_dedup_domains",
+    "domain_quality_mix",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and

@@ -1,0 +1,170 @@
+"""URL canonicalization, registrable-domain (eTLD+1) extraction, URL-level
+dedup, and per-domain quality/mixture aggregation — the standard
+pretraining-corpus curation stage between raw crawl ingestion and content
+dedup (CCNet/RefinedWeb/Dolma all gate on it: one canonical URL keeps one
+document, and no single registrable domain may dominate the token mix).
+
+Everything here is pure JVM Column algebra (regexp + conditional
+expressions — no UDF, no shuffle beyond the aggregations the consumer
+asks for), so it runs inside whole-stage codegen at crawl scale:
+
+- :func:`canonical_url` — deterministic URL normal form: lowercase, strip
+  fragment, strip ``utm_*`` tracking params (mid-query and trailing),
+  strip default ports (https:443 / http:80), strip trailing slashes and
+  dangling separators.  Two crawls of the same page with different
+  tracking decorations collapse to one key.
+- :func:`url_host` — host component of a canonical URL.
+- :func:`registrable_domain` — eTLD+1 against a bundled public-suffix
+  subset (the multi-label entries that change the answer: co.uk,
+  github.io, ...).  A production deployment swaps the literal tuple for
+  the full Mozilla PSL (also public data) — same expression shape, the
+  list is a broadcast-sized constant either way.
+- :func:`url_dedup` — one surviving doc per canonical URL (deterministic
+  keep rule: smallest id), with the duplicate count carried for lineage.
+- :func:`domain_mixture_weights` — per-domain share of a weight column
+  (tokens), capped at ``cap`` and renormalized: the mixture-sampler input
+  that stops a whale domain from dominating the training mix.
+
+Reference parity: the reference has no crawl-curation surface at all
+(775 lines of single-process pandas over retail rows) — this extends the
+LLM-pipeline family (SURVEY §6 extension operators) with the curation
+stage the rest of the dedup suite assumes has already run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PSL_MULTI_LABEL",
+    "canonical_url",
+    "url_host",
+    "registrable_domain",
+    "url_dedup",
+    "domain_mixture_weights",
+]
+
+# Multi-label public suffixes (subset of the Mozilla PSL — public data);
+# any host whose last TWO labels match one of these takes THREE labels as
+# its registrable domain.  Single-label suffixes (com, org, ...) need no
+# listing: the default two-label rule covers them.
+PSL_MULTI_LABEL: tuple[str, ...] = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "gov.uk",
+    "com.au",
+    "net.au",
+    "org.au",
+    "co.jp",
+    "or.jp",
+    "ne.jp",
+    "co.in",
+    "co.kr",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "com.tr",
+    "github.io",
+    "gitlab.io",
+    "blogspot.com",
+    "web.app",
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Deterministic canonical form of ``url`` (see module docstring).
+    Pure regexp pipeline — the same steps, in the same order, as the
+    DuckDB oracle twin, so the normal form is engine-exact."""
+    u = F.lower(F.trim(url))
+    # 1. fragment never reaches the server
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. tracking params: mid-query (followed by &) then trailing
+    u = F.regexp_replace(u, r"utm_[a-z]+=[^&#]*&", "")
+    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*$", "")
+    # 3. dangling separators a stripped param can leave behind
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # 4. default ports
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443$", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#])", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80$", r"$1")
+    # 5. trailing slash(es)
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def url_host(url: Column) -> Column:
+    """Host component of a (canonical) URL — empty string when the value
+    has no scheme://host shape."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 of ``host``: three labels when the last two are a listed
+    multi-label public suffix, else two labels; a bare 1-label host (or a
+    host that IS a suffix) passes through unchanged."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*PSL_MULTI_LABEL) & (last3 != ""), last3
+    ).otherwise(F.when(last2 != "", last2).otherwise(host))
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL: the surviving ``keep_<id_col>`` (the
+    smallest id — deterministic, engine-independent), the duplicate count,
+    and the registrable domain.  One hash aggregation on the canonical
+    key; the canonicalization itself is map-side codegen."""
+    canon = canonical_url(F.col(url_col))
+    return (
+        df.select(
+            canon.alias("canonical_url"), F.col(id_col).cast("long").alias("__id")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("__id").alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).cast("long").alias("n_dupes"),
+        )
+        .withColumn(
+            "registrable_domain", registrable_domain(url_host(F.col("canonical_url")))
+        )
+    )
+
+
+def domain_mixture_weights(
+    per_domain: DataFrame, weight_col: str, cap: float = 0.05
+) -> DataFrame:
+    """Append ``raw_share`` (= weight / total) and ``mix_weight`` (weight
+    capped at ``cap`` of the total, renormalized over the capped mass) to
+    a per-domain aggregate — the sampling distribution a
+    temperature/budget mixture stage consumes.  ``weight_col`` must be
+    INTEGRAL (token counts): the cap is applied in weight units
+    (``cap_w = floor(cap * total)``) so every sum stays an exact long and
+    each output share is ONE exact-input IEEE division — float summation
+    order can never skew the mix or the differential hash.  Two broadcast
+    singleton aggregates over an already-domain-sized frame:
+    control-plane arithmetic, not a data-scale shuffle."""
+    total = per_domain.agg(F.sum(F.col(weight_col)).alias("__tot"))
+    with_tot = per_domain.crossJoin(F.broadcast(total)).withColumn(
+        "__capped",
+        F.least(
+            F.col(weight_col),
+            F.floor(F.lit(cap) * F.col("__tot")).cast("long"),
+        ),
+    )
+    capped_total = with_tot.agg(F.sum("__capped").alias("__ctot"))
+    return (
+        with_tot.crossJoin(F.broadcast(capped_total))
+        .withColumn(
+            "raw_share",
+            F.col(weight_col).cast("double") / F.col("__tot").cast("double"),
+        )
+        .withColumn(
+            "mix_weight",
+            F.col("__capped").cast("double") / F.col("__ctot").cast("double"),
+        )
+        .drop("__tot", "__capped", "__ctot")
+    )

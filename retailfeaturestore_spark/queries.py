@@ -9342,6 +9342,216 @@ def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL / domain curation (r11, VERDICT r10 next-round #10): the standard
+# pretraining-pipeline stage between crawl ingestion and content dedup —
+# URL canonicalization -> one doc per canonical URL -> registrable-domain
+# (eTLD+1) rollup -> capped mixture weights for the sampler.
+# The testdata has no URL column, so both engines derive the SAME
+# deterministic URL per document from (doc_id, doc_id % 200) — subdomain /
+# suffix / port / path / tracking-param / fragment variants all exercised —
+# and the differential therefore verifies the OPERATOR semantics
+# (canonicalization, PSL logic, dedup keep rule, integer-exact mixture
+# arithmetic), not the synthetic formula.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+  'https://' ||
+  CASE (doc_id % 200) % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.static.' END ||
+  'h' || CAST((doc_id % 200) % 40 AS VARCHAR) || '.' ||
+  CASE (doc_id % 200) % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'org'
+       WHEN 3 THEN 'github.io' ELSE 'com.au' END ||
+  CASE WHEN (doc_id % 200) % 7 = 0 THEN ':443' ELSE '' END ||
+  '/p/' || CAST((doc_id % 200) % 50 AS VARCHAR) ||
+  CASE WHEN (doc_id % 200) % 2 = 0 THEN '/' ELSE '' END ||
+  '?utm_source=u' || CAST(doc_id AS VARCHAR) || '&id=' || CAST((doc_id % 200) % 50 AS VARCHAR) ||
+  CASE WHEN doc_id % 2 = 1 THEN '&utm_campaign=c' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+  CASE WHEN (doc_id % 200) % 11 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END
+"""
+
+# the oracle's canonicalization twin: same steps, same order as
+# operators/urlops.canonical_url (DuckDB RE2 + \1 backrefs; the default-
+# port-at-end and http:80 steps are omitted because no input produces them)
+_CANON_SQL = r"""
+regexp_replace(
+ regexp_replace(
+  regexp_replace(
+   regexp_replace(
+    regexp_replace(
+     regexp_replace(lower(trim(url)), '#.*$', ''),
+     'utm_[a-z]+=[^&#]*&', '', 'g'),
+    '[?&]utm_[a-z]+=[^&#]*$', ''),
+   '[?&]+$', ''),
+  '^(https://[^/:?#]+):443([/?#])', '\1\2'),
+ '/+$', '')
+"""
+
+
+def _psl_sql() -> str:
+    from .operators.urlops import PSL_MULTI_LABEL
+
+    return ",".join(f"'{x}'" for x in PSL_MULTI_LABEL)
+
+
+def _registrable_sql(host: str) -> str:
+    return rf"""
+  CASE WHEN regexp_extract({host}, '([^.]+\.[^.]+)$', 1) IN ({_psl_sql()})
+            AND regexp_extract({host}, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+       THEN regexp_extract({host}, '([^.]+\.[^.]+\.[^.]+)$', 1)
+       WHEN regexp_extract({host}, '([^.]+\.[^.]+)$', 1) <> ''
+       THEN regexp_extract({host}, '([^.]+\.[^.]+)$', 1)
+       ELSE {host} END
+"""
+
+
+def _url_expr():
+    g = F.col("doc_id") % 200
+    s = lambda c: c.cast("string")  # noqa: E731
+    sub = (
+        F.when(g % 3 == 0, F.lit(""))
+        .when(g % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("cdn.static."))
+    )
+    suffix = (
+        F.when(g % 5 == 0, F.lit("com"))
+        .when(g % 5 == 1, F.lit("co.uk"))
+        .when(g % 5 == 2, F.lit("org"))
+        .when(g % 5 == 3, F.lit("github.io"))
+        .otherwise(F.lit("com.au"))
+    )
+    port = F.when(g % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(g % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    turm = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit("&utm_campaign=c"), s(F.col("doc_id"))),
+    ).otherwise(F.lit(""))
+    frag = F.when(
+        g % 11 == 0, F.concat(F.lit("#sec"), s(F.col("doc_id")))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("https://"), sub, F.lit("h"), s(g % 40), F.lit("."), suffix,
+        port, F.lit("/p/"), s(g % 50), slash,
+        F.lit("?utm_source=u"), s(F.col("doc_id")),
+        F.lit("&id="), s(g % 50), turm, frag,
+    )
+
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {_CANON_SQL} AS canonical_url FROM u),
+d AS (SELECT canonical_url, min(doc_id) AS keep_doc_id,
+             CAST(count(*) AS BIGINT) AS n_dupes
+      FROM c GROUP BY canonical_url),
+h AS (SELECT *, regexp_extract(canonical_url,
+        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM d)
+SELECT canonical_url, keep_doc_id, n_dupes,
+       {_registrable_sql("host")} AS registrable_domain
+FROM h
+"""
+
+
+@register("url_dedup_domains", oracle=_URL_DEDUP_ORACLE, tags=("dedup", "text", "curation"))
+def q_url_dedup_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus dedup (operators/urlops): canonicalize every
+    document URL (lowercase, strip fragment / utm_* tracking params /
+    default port / trailing slash), keep ONE doc per canonical URL
+    (deterministic min-doc_id rule), and attach the registrable domain
+    (eTLD+1 against the bundled public-suffix subset).  Scale: the
+    canonicalization is map-side regexp codegen; the dedup is one hash
+    aggregation on the canonical key — the exact-dedup shuffle shape at
+    crawl scale, no self-join anywhere."""
+    from .operators.urlops import url_dedup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", _url_expr())
+    )
+    return url_dedup(docs, "url")
+
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH u AS (SELECT doc_id, length(text) AS n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                  {_URL_SQL} AS url
+           FROM documents),
+c AS (SELECT doc_id, toks, {_CANON_SQL} AS canonical_url FROM u),
+d AS (SELECT canonical_url,
+             arg_min(toks, doc_id) AS kept_toks,
+             CAST(count(*) AS BIGINT) AS n_dupes
+      FROM c GROUP BY canonical_url),
+h AS (SELECT *, regexp_extract(canonical_url,
+        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM d),
+per_dom AS (
+  SELECT {_registrable_sql("host")} AS registrable_domain,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(sum(n_dupes) AS BIGINT) AS n_docs,
+         CAST(sum(kept_toks) AS BIGINT) AS tokens
+  FROM h GROUP BY 1),
+w AS (SELECT *, sum(tokens) OVER () AS tot FROM per_dom),
+cw AS (SELECT *, least(tokens, CAST(floor(0.05 * tot) AS BIGINT)) AS capped,
+              sum(least(tokens, CAST(floor(0.05 * tot) AS BIGINT))) OVER () AS ctot
+       FROM w)
+SELECT registrable_domain, n_urls, n_docs, tokens,
+       CAST(tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS raw_share,
+       CAST(capped AS DOUBLE) / CAST(ctot AS DOUBLE) AS mix_weight
+FROM cw
+"""
+
+
+@register("domain_quality_mix", oracle=_DOMAIN_MIX_ORACLE, tags=("text", "curation", "sampling"))
+def q_domain_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus mixture (operators/urlops): URL-dedup the corpus
+    (one kept doc per canonical URL, min-doc_id rule, its token count via
+    min_by), roll up to the registrable domain (urls / total docs / kept
+    tokens), then compute the CAPPED mixture weights the sampler consumes
+    — no domain may exceed 5% of the token mass; the cap is applied in
+    integer token units and renormalized, so every share is one
+    exact-input IEEE division and the differential hashes bit-for-bit
+    (float summation order never enters).  Scale: one map-side
+    canonicalization, one hash agg per level (url -> domain), two
+    broadcast singleton aggregates — zero self-joins, zero windows over
+    data-scale rows."""
+    from .functions.text import words
+    from .operators.urlops import (
+        canonical_url,
+        domain_mixture_weights,
+        registrable_domain,
+        url_host,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("toks"),
+        _url_expr().alias("url"),
+    )
+    per_url = (
+        docs.select(
+            canonical_url(F.col("url")).alias("canonical_url"),
+            "doc_id",
+            "toks",
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min_by("toks", "doc_id").alias("kept_toks"),
+            F.count(F.lit(1)).cast("long").alias("n_dupes"),
+        )
+    )
+    per_dom = (
+        per_url.withColumn(
+            "registrable_domain",
+            registrable_domain(url_host(F.col("canonical_url"))),
+        )
+        .groupBy("registrable_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("n_dupes").cast("long").alias("n_docs"),
+            F.sum("kept_toks").cast("long").alias("tokens"),
+        )
+    )
+    return domain_mixture_weights(per_dom, "tokens", cap=0.05)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole
 # operator families (grouping sets, max_by latest, navigation, rows-frame,
@@ -9420,11 +9630,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_pii_scrub",
     "user_retention_cohorts",
     "xlsx_ingest_normalize",
-    # (3 spare cohort slots intentionally held for queries added or
-    # re-implemented later in r11 — any left unused at round end are
-    # filled by the next-oldest cohort entries below.)
-    "dedup_cross_source_matrix",
-    "source_token_divergence",
+    # --- r11 block 4: NEW r11 surface (URL/domain curation — VERDICT r10
+    # next-round #10) — zero driver history by construction; they take two
+    # of the three spare cohort slots, first-verdict-beats-refresh.
+    "url_dedup_domains",
+    "domain_quality_mix",
     "user_daily_snapshot_spine",
     # --- r12 handoff: after this window, driver-evidence freshness is
     # r11 (50) / r10 (50) / r9 (50) minus overlap, plus the 14 simple

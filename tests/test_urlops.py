@@ -1,0 +1,111 @@
+"""URL canonicalization / registrable-domain / mixture-weight operators
+(operators/urlops.py — the r11 crawl-curation stage).  The differential
+oracles cover the corpus-scale shapes; these pin the edge cases the
+synthetic corpus never produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retailfeaturestore_spark.operators.urlops import (
+    canonical_url,
+    domain_mixture_weights,
+    registrable_domain,
+    url_dedup,
+    url_host,
+)
+
+
+def _one_col(spark, values, name="u"):
+    return spark.createDataFrame([(v,) for v in values], f"{name} string")
+
+
+def _apply(spark, fn, values):
+    df = _one_col(spark, values).select(fn(F.col("u")).alias("out"))
+    return [r.out for r in df.collect()]
+
+
+def test_canonical_url_edge_cases(spark):
+    cases = {
+        # tracking params: mid, trailing, only-param
+        "https://X.com/a?utm_source=1&id=2": "https://x.com/a?id=2",
+        "https://x.com/a?id=2&utm_medium=m": "https://x.com/a?id=2",
+        "https://x.com/a?utm_source=1": "https://x.com/a",
+        # fragment, default ports (mid and END of url), http:80
+        "https://x.com/a#frag": "https://x.com/a",
+        "https://x.com:443/a": "https://x.com/a",
+        "https://x.com:443": "https://x.com",
+        "http://x.com:80/a": "http://x.com/a",
+        "http://x.com:80": "http://x.com",
+        # NON-default port survives
+        "https://x.com:8443/a": "https://x.com:8443/a",
+        # trailing slashes (root and deep), dangling separators
+        "https://x.com/": "https://x.com",
+        "https://x.com/a/b///": "https://x.com/a/b",
+        "https://x.com/a?": "https://x.com/a",
+        # case + whitespace
+        "  HTTPS://WWW.X.COM/A  ": "https://www.x.com/a",
+    }
+    got = _apply(spark, canonical_url, list(cases))
+    assert got == list(cases.values())
+
+
+def test_registrable_domain_psl_logic(spark):
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.example.co.uk": "example.co.uk",
+        "user.github.io": "user.github.io",
+        "www.user.github.io": "user.github.io",
+        "example.com.au": "example.com.au",
+        # bare 1-label host and a host that IS a suffix pass through
+        "localhost": "localhost",
+        "co.uk": "co.uk",
+    }
+    got = _apply(spark, registrable_domain, list(cases))
+    assert got == list(cases.values())
+
+
+def test_url_host_extracts_and_rejects(spark):
+    cases = {
+        "https://x.com/a": "x.com",
+        "https://x.com:8443/a": "x.com",
+        "not a url": "",
+    }
+    got = _apply(spark, url_host, list(cases))
+    assert got == list(cases.values())
+
+
+def test_url_dedup_keep_rule_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://x.com/a?utm_source=s1"),
+            (7, "https://X.com/a#f"),
+            (3, "https://x.com/a"),
+            (9, "https://y.co.uk/b/"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        (r.canonical_url, r.keep_doc_id, r.n_dupes, r.registrable_domain)
+        for r in url_dedup(df, "url").collect()
+    }
+    assert out == {
+        ("https://x.com/a", 1, 3, "x.com"),
+        ("https://y.co.uk/b", 9, 1, "y.co.uk"),
+    }
+
+
+def test_domain_mixture_weights_integer_exact_cap(spark):
+    per_dom = spark.createDataFrame(
+        [("whale.com", 900), ("a.com", 60), ("b.com", 40)],
+        "registrable_domain string, tokens long",
+    )
+    out = {
+        r.registrable_domain: (r.tokens, r.raw_share, r.mix_weight)
+        for r in domain_mixture_weights(per_dom, "tokens", cap=0.10).collect()
+    }
+    # total=1000, cap_w=floor(0.10*1000)=100; capped: 100/60/40, ctot=200
+    assert out["whale.com"] == (900, 0.9, 0.5)
+    assert out["a.com"] == (60, 0.06, 0.3)
+    assert out["b.com"] == (40, 0.04, 0.2)
