@@ -36,50 +36,112 @@ def bm25_topk(
 ) -> DataFrame:
     """BM25 top-k per query over a (query_id, term) bag.
 
-    Scale shape: the token stream is pruned to query terms by a broadcast
-    semi-join BEFORE the tf aggregate (the explode never shuffles
-    non-matching postings); df and corpus stats are tiny broadcast sides;
-    the only wide exchanges are the (doc, term) tf partial agg and the
-    per-query top-k window, whose partitions are match-list-sized."""
+    Scale shape (re-planned r11; the pre-r11 path exploded EVERY token,
+    shuffled all matched tokens into a (doc, term) aggregate, and re-ran
+    that pipeline under TWO broadcast branches — three corpus passes plus
+    a token-scale exchange): the query's term set is a DRIVER-SIDE
+    literal, so per-doc term frequencies are computed MAP-SIDE — one
+    ``isin`` pass shrinks the token array to query-term matches (a
+    match-list per doc; CollapseProject keeps the non-cheap HOF alias
+    un-inlined), then |terms| cheap counts over that small array; what
+    explodes is |terms|+1 pre-aggregated rows per doc, pruned to tf > 0
+    before any exchange.  A SENTINEL row per doc (term = "\x00stats",
+    tf = dl) lets corpus stats (n_docs, total_tokens) and per-term df all
+    fall out of ONE tiny groupBy(term) folded to a single broadcast map
+    row — exactly one auxiliary re-execution of the map pipeline, instead
+    of one per broadcast branch.  Two corpus scans total, zero
+    token-level exchanges; the remaining exchanges are the
+    match-list-sized (query, doc) score sum and the per-query top-k
+    window.  Floor decomposition (sf0.1, 32 threads): each corpus
+    scan+split ≈ 0.18-0.35 s, so the ~1.1 s total is string-throughput
+    bound — the embedded columnar engine splits the same 120 MB in
+    ~0.1 s; plan shape cannot close that constant-factor gap, only
+    engine string SIMD could.  A fully map-side variant (per-query
+    F.aggregate, zero groupBy) was A/B'd and LOST: Catalyst re-inlines
+    the shared tf array into every query's lambda, multiplying the
+    filter work.
+
+    Determinism contract (SURVEY §5.2) unchanged: exact rational idf,
+    per-term x1e12 quantization BEFORE the cross-term sum."""
     spark = docs.sparkSession
     ws = F.split(F.col(text_col), " ")
+    q_by_id: dict[int, list[str]] = {}
+    for q, t in term_queries:
+        if str(t):
+            q_by_id.setdefault(int(q), []).append(str(t))
+    terms = sorted({t for ts in q_by_id.values() for t in ts})
     qterms = F.broadcast(
         spark.createDataFrame(
-            [(int(q), str(t)) for q, t in term_queries], "query_id long, term string"
+            [(q, t) for q, ts in sorted(q_by_id.items()) for t in ts],
+            "query_id long, term string",
         )
     )
-    stats = F.broadcast(
-        docs.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(ws)).cast("long").alias("total_tokens"),
+    sent = "\x00stats"  # cannot collide: real terms are whitespace tokens
+
+    def _eq(t: str):
+        # closure, NOT a default arg: a second lambda parameter would make
+        # F.filter pass the element INDEX into it
+        return lambda x: x == F.lit(t)
+
+    matched = F.filter(ws, lambda x: x.isin(*terms))
+    tf_arr = F.concat(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("term"),
+                    F.size(F.filter(F.col("__m"), _eq(t)))
+                    .cast("long")
+                    .alias("tf"),
+                )
+                for t in terms
+            ]
+        ),
+        F.array(F.struct(F.lit(sent).alias("term"), F.col("dl").alias("tf"))),
+    )
+    rows = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(ws).cast("long").alias("dl"),
+            matched.alias("__m"),
+        )
+        .select("doc_id", "dl", F.explode(tf_arr).alias("__e"))
+        .select(
+            "doc_id",
+            "dl",
+            F.col("__e.term").alias("term"),
+            F.col("__e.tf").alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    # per-term (df, tf-mass) + the sentinel's (n_docs, total_tokens), one
+    # tiny agg folded to a single broadcast MAP row
+    aggterm = rows.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("tf").cast("long").alias("s"),
+    )
+    aux = F.broadcast(
+        aggterm.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", F.struct("c", "s")))
+            ).alias("__tmap")
         )
     )
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(ws).cast("long").alias("dl"),
-        F.explode(ws).alias("term"),
-    ).where(F.length("term") > 0)
-    tok_q = tok.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    )
-    tf = tok_q.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"), F.min("dl").alias("dl")
-    )
-    dfx = F.broadcast(
-        tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
-    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
-        dbl("df") + F.lit(0.5)
-    )
-    avgdl = dbl("total_tokens") / dbl("n_docs")
-    tfn = (dbl("tf") * F.lit(k1 + 1.0)) / (
-        dbl("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dbl("dl") / avgdl))
+    tmap = F.col("__tmap")
+    n_docs = F.element_at(tmap, sent)["c"].cast("double")
+    total_tokens = F.element_at(tmap, sent)["s"].cast("double")
+    df_d = F.element_at(tmap, F.col("term"))["c"].cast("double")
+    idf = ((n_docs - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
+    avgdl = total_tokens / n_docs
+    tfd = F.col("tf").cast("double")
+    tfn = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
     )
     scored = (
-        tf.join(dfx, "term")
+        rows.where(F.col("term") != sent)
         .join(qterms, "term")
-        .crossJoin(stats)
+        .crossJoin(aux)
         .select(
             "query_id",
             "doc_id",
