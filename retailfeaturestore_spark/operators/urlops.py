@@ -146,7 +146,11 @@ def domain_mixture_weights(
     each output share is ONE exact-input IEEE division — float summation
     order can never skew the mix or the differential hash.  Two broadcast
     singleton aggregates over an already-domain-sized frame:
-    control-plane arithmetic, not a data-scale shuffle."""
+    control-plane arithmetic, not a data-scale shuffle.  The input
+    aggregate is lazily ``localCheckpoint``-ed first: each broadcast
+    singleton branch would otherwise re-execute the whole upstream
+    corpus pipeline (plan-audited: 3 corpus scans became 1)."""
+    per_domain = per_domain.localCheckpoint(eager=False)
     total = per_domain.agg(F.sum(F.col(weight_col)).alias("__tot"))
     with_tot = per_domain.crossJoin(F.broadcast(total)).withColumn(
         "__capped",

@@ -443,13 +443,20 @@ def test_containment_builds_rare_posting_artifact_once(spark):
 def test_rrf_halves_keep_their_scale_shapes(spark):
     """Fusion must not degrade either half: dense = broadcast queries over
     the corpus (BNLJ, corpus never exchanged before scoring), lexical =
-    broadcast semi-join prune before the tf aggregate, and no cartesian
-    product anywhere in the fused plan."""
+    map-side tf (r11 re-plan: the old token-explode + LeftSemi prune is
+    gone — term counting happens in codegen before any exchange, so no
+    sort-merge join may appear anywhere), and no cartesian product in the
+    fused plan."""
     df = REGISTRY["hybrid_retrieval_rrf"].fn(spark, SF)
     plan = formatted_plan(df)
+    import re
+
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast(3 queries) x corpus
-    assert "LeftSemi" in plan  # query-term prune on the token stream
+    # the ONLY sort-merge join is the top-k-sized FullOuter fusion merge;
+    # nothing corpus-scale sort-merges (lexical tf is map-side since r11)
+    smj = re.findall(r"SortMergeJoin \w+", plan)
+    assert set(smj) <= {"SortMergeJoin FullOuter"}, smj
 
 
 def test_epoch_shuffle_is_one_shard_exchange_plus_sort(spark):
@@ -523,3 +530,29 @@ def test_incremental_rollup_is_two_partial_pipelines_one_union(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan, plan[:2000]
     assert "Union" in plan, plan[:2000]
+
+
+def test_url_dedup_single_exchange_and_id_only_scan(spark):
+    """URL-level dedup is ONE hash aggregation on the canonical key: the
+    canonicalization chain is map-side regexp codegen, and the documents
+    scan reads doc_id ONLY (the synthetic URL derives from it — text must
+    never be scanned for a URL-keyed dedup)."""
+    import re
+
+    df = REGISTRY["url_dedup_domains"].fn(spark, SF)
+    plan = formatted_plan(df)
+    # formatted plans list each node twice (tree + detail): count node ids
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan[:2000]
+
+
+def test_domain_mix_is_one_corpus_pass(spark):
+    """domain_mixture_weights lazily localCheckpoints the domain-sized
+    aggregate so its two singleton broadcast branches never re-execute
+    the corpus pipeline: at most one parquet scan of documents appears in
+    the executed plan (zero once the checkpoint is materialized), and no
+    join beyond the two broadcast singletons."""
+    df = REGISTRY["domain_quality_mix"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("ReadSchema") <= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
