@@ -91,7 +91,15 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#])", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80$", r"$1")
     # 5. trailing slash(es)
-    return F.regexp_replace(u, r"/+$", "")
+    u = F.regexp_replace(u, r"/+$", "")
+    # 6. query-param ORDER is not semantic: '?a=1&b=2' and '?b=2&a=1' are
+    # the same request — sort the params so both collapse to one key
+    base = F.regexp_replace(u, r"\?.*$", "")
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    return F.when(
+        q != "",
+        F.concat(base, F.lit("?"), F.array_join(F.array_sort(F.split(q, "&")), "&")),
+    ).otherwise(u)
 
 
 def url_host(url: Column) -> Column:

@@ -9363,7 +9363,10 @@ _URL_SQL = """
   CASE WHEN (doc_id % 200) % 7 = 0 THEN ':443' ELSE '' END ||
   '/p/' || CAST((doc_id % 200) % 50 AS VARCHAR) ||
   CASE WHEN (doc_id % 200) % 2 = 0 THEN '/' ELSE '' END ||
-  '?utm_source=u' || CAST(doc_id AS VARCHAR) || '&id=' || CAST((doc_id % 200) % 50 AS VARCHAR) ||
+  '?utm_source=u' || CAST(doc_id AS VARCHAR) ||
+  CASE WHEN doc_id % 3 = 0
+       THEN '&z=1&id=' || CAST((doc_id % 200) % 50 AS VARCHAR)
+       ELSE '&id=' || CAST((doc_id % 200) % 50 AS VARCHAR) || '&z=1' END ||
   CASE WHEN doc_id % 2 = 1 THEN '&utm_campaign=c' || CAST(doc_id AS VARCHAR) ELSE '' END ||
   CASE WHEN (doc_id % 200) % 11 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END
 """
@@ -9372,6 +9375,15 @@ _URL_SQL = """
 # operators/urlops.canonical_url (DuckDB RE2 + \1 backrefs; the default-
 # port-at-end and http:80 steps are omitted because no input produces them)
 _CANON_SQL = r"""
+CASE WHEN regexp_extract(__c, '\?(.*)$', 1) <> ''
+     THEN regexp_replace(__c, '\?.*$', '') || '?' ||
+          array_to_string(list_sort(string_split(
+            regexp_extract(__c, '\?(.*)$', 1), '&')), '&')
+     ELSE __c END
+"""
+
+# the pre-param-sort pipeline (fragment / utm / dangling / port / slash)
+_CANON_PRE_SQL = r"""
 regexp_replace(
  regexp_replace(
   regexp_replace(
@@ -9427,17 +9439,22 @@ def _url_expr():
     frag = F.when(
         g % 11 == 0, F.concat(F.lit("#sec"), s(F.col("doc_id")))
     ).otherwise(F.lit(""))
+    zpair = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("&z=1&id="), s(g % 50)),
+    ).otherwise(F.concat(F.lit("&id="), s(g % 50), F.lit("&z=1")))
     return F.concat(
         F.lit("https://"), sub, F.lit("h"), s(g % 40), F.lit("."), suffix,
         port, F.lit("/p/"), s(g % 50), slash,
         F.lit("?utm_source=u"), s(F.col("doc_id")),
-        F.lit("&id="), s(g % 50), turm, frag,
+        zpair, turm, frag,
     )
 
 
 _URL_DEDUP_ORACLE = f"""
 WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
-c AS (SELECT doc_id, {_CANON_SQL} AS canonical_url FROM u),
+pre AS (SELECT doc_id, {_CANON_PRE_SQL} AS __c FROM u),
+c AS (SELECT doc_id, {_CANON_SQL} AS canonical_url FROM pre),
 d AS (SELECT canonical_url, min(doc_id) AS keep_doc_id,
              CAST(count(*) AS BIGINT) AS n_dupes
       FROM c GROUP BY canonical_url),
@@ -9474,7 +9491,8 @@ WITH u AS (SELECT doc_id, length(text) AS n_chars,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
                   {_URL_SQL} AS url
            FROM documents),
-c AS (SELECT doc_id, toks, {_CANON_SQL} AS canonical_url FROM u),
+pre AS (SELECT doc_id, toks, {_CANON_PRE_SQL} AS __c FROM u),
+c AS (SELECT doc_id, toks, {_CANON_SQL} AS canonical_url FROM pre),
 d AS (SELECT canonical_url,
              arg_min(toks, doc_id) AS kept_toks,
              CAST(count(*) AS BIGINT) AS n_dupes

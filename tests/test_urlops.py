@@ -46,6 +46,9 @@ def test_canonical_url_edge_cases(spark):
         "https://x.com/a?": "https://x.com/a",
         # case + whitespace
         "  HTTPS://WWW.X.COM/A  ": "https://www.x.com/a",
+        # query-param order is not semantic: params sort
+        "https://x.com/a?b=2&a=1": "https://x.com/a?a=1&b=2",
+        "https://x.com/a?b=2&utm_x=9&a=1": "https://x.com/a?a=1&b=2",
     }
     got = _apply(spark, canonical_url, list(cases))
     assert got == list(cases.values())
