@@ -533,9 +533,14 @@ def _commit_graph_gold_mtable(
     )
     t = MTable(spark, out_path)
     changed: list[str] | None = None
-    if t._latest() is None:
+    cur = t._latest()
+    if cur is None:
         version = t.write(gold_b, partition_by="part_bucket", stats_cols=["part_id"])
     else:
+        # pin the snapshot the diff was computed against: a commit racing
+        # in between must trip the CAS (ConcurrentCommit), not be clobbered
+        # — same invariant as the feature-plane publish above
+        v0, _m0 = cur
         data_cols = [c for c in gold_b.columns if c != "part_bucket"]
 
         def bucket_hashes(df) -> dict:
@@ -550,7 +555,7 @@ def _commit_graph_gold_mtable(
             }
 
         new_h = bucket_hashes(gold_b)
-        old_h = bucket_hashes(t.read())
+        old_h = bucket_hashes(t.read(version=v0))
         changed = sorted(
             b
             for b in set(new_h) | set(old_h)
@@ -561,9 +566,10 @@ def _commit_graph_gold_mtable(
                 gold_b.where(F.col("part_bucket").isin(changed)),
                 partition_values=changed,
                 stats_cols=["part_id"],
+                base_version=v0,
             )
         else:
-            version = t._latest()[0]  # identical rebuild: no commit
+            version = v0  # identical rebuild: no commit
     written = t.read()
     return {
         "rows": written.count(),

@@ -96,7 +96,14 @@ def bm25_topk(
                 for t in terms
             ]
         ),
-        F.array(F.struct(F.lit(sent).alias("term"), F.col("dl").alias("tf"))),
+        # the sentinel's tf must survive a NULL dl (null/absent text):
+        # oracle-side n_docs is count(*), so every doc must emit it
+        F.array(
+            F.struct(
+                F.lit(sent).alias("term"),
+                F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("tf"),
+            )
+        ),
     )
     rows = (
         docs.select(
@@ -111,7 +118,7 @@ def bm25_topk(
             F.col("__e.term").alias("term"),
             F.col("__e.tf").alias("tf"),
         )
-        .where(F.col("tf") > 0)
+        .where((F.col("tf") > 0) | (F.col("term") == sent))
     )
     # per-term (df, tf-mass) + the sentinel's (n_docs, total_tokens), one
     # tiny agg folded to a single broadcast MAP row

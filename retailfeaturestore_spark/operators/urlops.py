@@ -80,9 +80,13 @@ def canonical_url(url: Column) -> Column:
     u = F.lower(F.trim(url))
     # 1. fragment never reaches the server
     u = F.regexp_replace(u, r"#.*$", "")
-    # 2. tracking params: mid-query (followed by &) then trailing
-    u = F.regexp_replace(u, r"utm_[a-z]+=[^&#]*&", "")
-    u = F.regexp_replace(u, r"[?&]utm_[a-z]+=[^&#]*$", "")
+    # 2. tracking params — anchored on the preceding separator so a param
+    # NAMED '*utm_*' (e.g. 'myutm_b') is never corrupted: first every
+    # '&utm_...' (any position after the first param), then a LEADING
+    # '?utm_...' (followed by more params, or alone)
+    u = F.regexp_replace(u, r"&utm_[a-z]+=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*$", "")
     # 3. dangling separators a stripped param can leave behind
     u = F.regexp_replace(u, r"[?&]+$", "")
     # 4. default ports
@@ -90,8 +94,9 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443$", r"$1")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#])", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80$", r"$1")
-    # 5. trailing slash(es)
-    u = F.regexp_replace(u, r"/+$", "")
+    # 5. trailing slash(es) — at end of URL AND at end of PATH (before a
+    # query): '/a/?id=1' and '/a?id=1' are the same resource
+    u = F.regexp_replace(u, r"/+(\?|$)", r"$1")
     # 6. query-param ORDER is not semantic: '?a=1&b=2' and '?b=2&a=1' are
     # the same request — sort the params so both collapse to one key
     base = F.regexp_replace(u, r"\?.*$", "")

@@ -135,8 +135,21 @@ def invalidate_caches(
     # the scope-at-[1] key contract and MUST evict with their frames: stale
     # codebooks over a rewritten corpus would serve wrong neighbors.
     memo = getattr(spark, "_rfs_memo", None) or {}
+    popped_any = False
     for key in [k for k in memo if sf_dir is None or k[1] is None or k[1] == sf_dir]:
         memo.pop(key, None)
+        popped_any = True
+    if popped_any:
+        # memo artifacts can hold locally-checkpointed frames (the ranks
+        # engine's control-plane artifact).  Checkpoint blocks have no
+        # DataFrame-level unpersist; they release through the JVM
+        # ContextCleaner once the LAST py4j reference drops — collect now
+        # so the release is prompt instead of whenever Python GC runs
+        # (code-review r11: eviction used to leave the blocks pinned
+        # until an arbitrary later GC).
+        import gc
+
+        gc.collect()
 
 
 # ---------------------------------------------------------------------------
@@ -9389,12 +9402,14 @@ regexp_replace(
   regexp_replace(
    regexp_replace(
     regexp_replace(
-     regexp_replace(lower(trim(url)), '#.*$', ''),
-     'utm_[a-z]+=[^&#]*&', '', 'g'),
-    '[?&]utm_[a-z]+=[^&#]*$', ''),
+     regexp_replace(
+      regexp_replace(lower(trim(url)), '#.*$', ''),
+      '&utm_[a-z]+=[^&#]*', '', 'g'),
+     '\?utm_[a-z]+=[^&#]*&', '?'),
+    '\?utm_[a-z]+=[^&#]*$', ''),
    '[?&]+$', ''),
   '^(https://[^/:?#]+):443([/?#])', '\1\2'),
- '/+$', '')
+ '/+(\?|$)', '\1')
 """
 
 

@@ -358,21 +358,33 @@ class S3ConditionalPutLogStore(LogStore):
 
     def put_if_absent(self, spark: SparkSession, path: str, data: bytes) -> bool:
         bucket, key = self._bucket_key(path)
-        try:
-            self._s3().put_object(
-                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
-            )
-        except Exception as e:  # botocore.exceptions.ClientError shape
-            resp = getattr(e, "response", None) or {}
-            status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
-            code = (resp.get("Error") or {}).get("Code")
-            if status in (409, 412) or code in (
-                "PreconditionFailed",
-                "ConditionalRequestConflict",
-            ):
-                return False
-            raise
-        return True
+        # 409 ConditionalRequestConflict means the OUTCOME IS UNKNOWN — a
+        # racing conditional PUT is still in flight (and may itself fail):
+        # S3 documents retry-until-definitive (200 = we won, 412 = a
+        # committed object exists).  Mapping 409 straight to a lost CAS
+        # would abort commits a retry would have landed (code-review r11).
+        for attempt in range(8):
+            try:
+                self._s3().put_object(
+                    Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+                )
+            except Exception as e:  # botocore.exceptions.ClientError shape
+                resp = getattr(e, "response", None) or {}
+                status = (resp.get("ResponseMetadata") or {}).get(
+                    "HTTPStatusCode"
+                )
+                code = (resp.get("Error") or {}).get("Code")
+                if status == 412 or code == "PreconditionFailed":
+                    return False  # definitive: an object exists — lost CAS
+                if status == 409 or code == "ConditionalRequestConflict":
+                    time.sleep(min(0.05 * (2**attempt), 1.0))
+                    continue
+                raise
+            return True
+        raise RuntimeError(
+            f"s3 conditional PUT of {path} returned 409 on every attempt — "
+            "cannot determine commit outcome; check bucket health and retry"
+        )
 
 
 def _fs(spark: SparkSession, path: str):

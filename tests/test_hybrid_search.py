@@ -74,3 +74,21 @@ def test_hybrid_search_pq_matches_component_fusion(spark, tmp_path):
     # both halves actually contribute somewhere in the fused lists
     assert any(v[1] is not None for v in got.values())
     assert any(v[2] is not None for v in got.values())
+
+
+def test_bm25_null_text_doc_still_counts_in_corpus_stats(spark):
+    """Code-review r11: the sentinel row must survive a NULL-text doc —
+    oracle-side n_docs is count(*), so idf/avgdl must see every document,
+    matched or not, text or not."""
+    from retailfeaturestore_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "scan scan scan"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, [(0, "hash")], k=10).collect()}
+    assert set(out) == {1}
+    # n_docs=3 (NULL-text doc counted), df=1, dl=2, avgdl=(2+3+0)/3
+    idf = (3 - 1 + 0.5) / (1 + 0.5)
+    tfn = (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (2 / (5 / 3))))
+    assert out[1].score_scaled == round(idf * tfn * 1e12)

@@ -123,3 +123,42 @@ def test_s3_store_reraises_non_cas_errors():
     store = S3ConditionalPutLogStore(client=BrokenClient())
     with pytest.raises(RuntimeError, match="AccessDenied"):
         store.put_if_absent(None, "s3a://b/k", b"x")
+
+
+def test_s3_store_retries_409_until_definitive():
+    """409 = outcome unknown (a racing conditional PUT in flight): retry
+    until a definitive 200 (we won) or 412 (lost CAS), never map it
+    straight to ConcurrentCommit."""
+
+    class Flaky409Client:
+        def __init__(self, outcomes):
+            self.outcomes = list(outcomes)
+            self.calls = 0
+
+        def put_object(self, **kw):
+            self.calls += 1
+            o = self.outcomes.pop(0)
+            if o == "ok":
+                return
+            e = RuntimeError(o)
+            e.response = {
+                "Error": {"Code": o},
+                "ResponseMetadata": {
+                    "HTTPStatusCode": 409
+                    if o == "ConditionalRequestConflict"
+                    else 412
+                },
+            }
+            raise e
+
+    # 409, 409, then we win
+    c = Flaky409Client(
+        ["ConditionalRequestConflict", "ConditionalRequestConflict", "ok"]
+    )
+    store = S3ConditionalPutLogStore(client=c)
+    assert store.put_if_absent(None, "s3a://b/k", b"m") is True
+    assert c.calls == 3
+    # 409 then definitive 412: lost CAS
+    c = Flaky409Client(["ConditionalRequestConflict", "PreconditionFailed"])
+    store = S3ConditionalPutLogStore(client=c)
+    assert store.put_if_absent(None, "s3a://b/k", b"m") is False

@@ -49,6 +49,11 @@ def test_canonical_url_edge_cases(spark):
         # query-param order is not semantic: params sort
         "https://x.com/a?b=2&a=1": "https://x.com/a?a=1&b=2",
         "https://x.com/a?b=2&utm_x=9&a=1": "https://x.com/a?a=1&b=2",
+        # pre-query slash collapses; consecutive leading utm params strip;
+        # a param merely NAMED '*utm_*' survives intact
+        "https://x.com/a/?id=1": "https://x.com/a?id=1",
+        "https://x.com/a?utm_a=1&utm_b=2&id=3": "https://x.com/a?id=3",
+        "https://x.com/a?p=1&myutm_b=2&c=3": "https://x.com/a?c=3&myutm_b=2&p=1",
     }
     got = _apply(spark, canonical_url, list(cases))
     assert got == list(cases.values())
