@@ -440,8 +440,13 @@ def _persist_full_record(full: dict) -> None:
 
 def _load_prev_ratios() -> dict[str, float] | None:
     """Previous round's per-query same-box ratios from its FULL record
-    (absent before r11 — the first ratio-instrumented round)."""
+    (absent before r11 — the first ratio-instrumented round).  Strictly
+    PRIOR rounds only: a same-round builder re-run must not compare
+    against itself."""
+    cur = _current_round()
     for _n, path in _bench_round_files("BENCH_FULL_r*.json"):
+        if _n >= cur:
+            continue
         try:
             with open(path) as f:
                 r = json.load(f).get("ratio")
