@@ -147,7 +147,10 @@ HEADLINE = [
     "part_similar_by_copurchase",
     "semantic_dedup_embeddings",
     "approx_heavy_hitters",
-    "approx_customer_overlap_months",
+    # headline row is the sketch-only deployment shape (VERDICT r11 #5);
+    # the _months sibling keeps the exact-count verdict leg for the
+    # correctness driver but is a verification harness, not a serving plan
+    "approx_customer_overlap_sketch",
     "approx_customer_retention_months",
     "url_dedup_domains",
     "domain_quality_mix",
@@ -164,6 +167,26 @@ RUNS = 3
 # queries persist edge-scale frames and OOM under ~100 queries of
 # accumulated session caches (BENCH_r06 was a heap-OOM crash record).
 EVICT_TAGS = frozenset({"iterative", "graph"})
+
+# Queries that memoize a session-resident artifact via get_or_register /
+# ranks cache_key (ADVICE r12 #3): without eviction, runs 2-3 reuse the
+# artifact and min-of-3 records the warm path while the co-measured DuckDB
+# anchor pays its full query every run — the ratio-of-record would be
+# warm-only by construction.  These evict before EVERY run so the
+# number-of-record (and the aggregate ratio) covers the honest build, and
+# a FOURTH un-evicted run records the resident-serving timing as a
+# separate diagnostic ("resident_warm" in BENCH_FULL).
+RESIDENT_QUERIES = frozenset(
+    {
+        "hybrid_retrieval_rrf",
+        "knn_ivf_kmeans",
+        "knn_ivf_pq",
+        "knn_recall_eval",
+        "model_calibration_bins",
+        "model_eval_auc",
+        "rfm_segments",
+    }
+)
 
 
 def _should_evict(tags: tuple[str, ...]) -> bool:
@@ -251,6 +274,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     anchors: dict[str, float | None] = {}
+    resident_warm: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]
         # Iterative queries (connected-components convergence loop, KMeans
@@ -272,7 +296,8 @@ def main() -> None:
         # plan is right (11.3 s, 2x faster than DuckDB).  Evicting all
         # sf-scoped caches before each run both frees that region and keeps
         # the timing honest (every run pays its own persist build).
-        evict = _should_evict(qd.tags)
+        resident = name in RESIDENT_QUERIES
+        evict = _should_evict(qd.tags) or resident
         best = None
         for _ in range(RUNS):
             if evict:
@@ -295,6 +320,13 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        if resident:
+            # run 3 left the artifact warm — one extra un-evicted run is
+            # the resident-serving number (diagnostic only, never the
+            # number-of-record)
+            t0 = time.time()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            resident_warm[name] = round(time.time() - t0, 3)
         # same-box, same-run anchor: the oracle SQL on the same parquet
         anchors[name] = _time_duck(duck, qd.oracle) if qd.oracle else None
 
@@ -317,6 +349,7 @@ def main() -> None:
             "prev_total_sec": round(sum(prev[q] for q in shared), 3),
         }
     prev_ratio = _load_prev_ratios()
+    ratio_delta: dict[str, float] = {}
     if prev_ratio and versus_prev is not None:
         rshared = sorted(set(ratios) & set(prev_ratio))
         if rshared:
@@ -328,6 +361,19 @@ def main() -> None:
             versus_prev["prev_ratio_median"] = sorted(
                 prev_ratio[q] for q in rshared
             )[len(rshared) // 2]
+            # per-query ratio-over-ratio deltas (VERDICT r11 next-round
+            # #8): the full map goes to BENCH_FULL; the compact line
+            # carries the 3 worst regressions so a plan regression
+            # auto-flags even if only the summary survives
+            ratio_delta = {
+                q: round(ratios[q] - prev_ratio[q], 3) for q in rshared
+            }
+            worst = sorted(ratio_delta, key=lambda q: -ratio_delta[q])[:3]
+            versus_prev["ratio_regressions"] = {
+                q: [prev_ratio[q], ratios[q]]
+                for q in worst
+                if ratio_delta[q] > 0.1
+            }
 
     # The driver's tail capture is ~2 kB; at 77+ headline queries one JSON
     # line with the full per-query map outgrew it and BENCH_r04.json
@@ -346,6 +392,12 @@ def main() -> None:
         "queries": timings,
         "duck": anchors,
         "ratio": ratios,
+        # resident-artifact queries: number-of-record above is the honest
+        # evicted build; this is the warm serving path (ADVICE r12 #3)
+        "resident_warm": resident_warm,
+        # per-query (this round's ratio − previous round's ratio); the
+        # box-drift-immune regression detector (VERDICT r11 #8)
+        "ratio_delta_vs_prev": ratio_delta,
         "duckdb_version": _duckdb_mod.__version__,
         "sf": float(sf),
     }

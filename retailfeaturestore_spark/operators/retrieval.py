@@ -33,6 +33,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    max_literal_terms: int = 64,
 ) -> DataFrame:
     """BM25 top-k per query over a (query_id, term) bag.
 
@@ -70,6 +71,17 @@ def bm25_topk(
         if str(t):
             q_by_id.setdefault(int(q), []).append(str(t))
     terms = sorted({t for ts in q_by_id.values() for t in ts})
+    if not terms:
+        # ADVICE r12 #4: x.isin(*terms) with an empty term set throws at
+        # plan build; an all-empty query bag has an exact answer — no hits
+        return docs.select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.lit(0).cast("long").alias("rank"),
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("n_terms_hit"),
+            F.lit(0).cast("long").alias("score_scaled"),
+            F.lit(0.0).alias("score"),
+        ).where(F.lit(False))
     qterms = F.broadcast(
         spark.createDataFrame(
             [(q, t) for q, ts in sorted(q_by_id.items()) for t in ts],
@@ -83,43 +95,77 @@ def bm25_topk(
         # F.filter pass the element INDEX into it
         return lambda x: x == F.lit(t)
 
-    matched = F.filter(ws, lambda x: x.isin(*terms))
-    tf_arr = F.concat(
-        F.array(
-            *[
+    if len(terms) <= max_literal_terms:
+        # literal map-side path: plan/codegen size and per-doc work grow
+        # linearly with |terms| (one F.size(F.filter(...)) struct each),
+        # so it is gated at max_literal_terms (ADVICE r12 #4); above the
+        # gate the explode+broadcast-semi-join path below handles
+        # arbitrary vocabularies at one token-level exchange
+        matched = F.filter(ws, lambda x: x.isin(*terms))
+        tf_arr = F.concat(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.size(F.filter(F.col("__m"), _eq(t)))
+                        .cast("long")
+                        .alias("tf"),
+                    )
+                    for t in terms
+                ]
+            ),
+            # the sentinel's tf must survive a NULL dl (null/absent text):
+            # oracle-side n_docs is count(*), so every doc must emit it
+            F.array(
                 F.struct(
-                    F.lit(t).alias("term"),
-                    F.size(F.filter(F.col("__m"), _eq(t)))
-                    .cast("long")
-                    .alias("tf"),
+                    F.lit(sent).alias("term"),
+                    F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("tf"),
                 )
-                for t in terms
-            ]
-        ),
-        # the sentinel's tf must survive a NULL dl (null/absent text):
-        # oracle-side n_docs is count(*), so every doc must emit it
-        F.array(
-            F.struct(
-                F.lit(sent).alias("term"),
-                F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("tf"),
+            ),
+        )
+        rows = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(ws).cast("long").alias("dl"),
+                matched.alias("__m"),
             )
-        ),
-    )
-    rows = (
-        docs.select(
+            .select("doc_id", "dl", F.explode(tf_arr).alias("__e"))
+            .select(
+                "doc_id",
+                "dl",
+                F.col("__e.term").alias("term"),
+                F.col("__e.tf").alias("tf"),
+            )
+            .where((F.col("tf") > 0) | (F.col("term") == sent))
+        )
+    else:
+        # join path for large vocabularies: explode tokens once, keep only
+        # query-term matches via a broadcast join (Catalyst pushes the
+        # join's term set as a bloom/semi filter), aggregate tf per
+        # (doc, term); the per-doc sentinel row unions in from the base
+        # scan so corpus stats still fall out of the same tiny groupBy
+        term_lit = F.broadcast(
+            spark.createDataFrame([(t,) for t in terms], "term string")
+        )
+        base = docs.select(
             F.col(id_col).alias("doc_id"),
             F.size(ws).cast("long").alias("dl"),
-            matched.alias("__m"),
+            ws.alias("__toks"),
         )
-        .select("doc_id", "dl", F.explode(tf_arr).alias("__e"))
-        .select(
+        tf_rows = (
+            base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+            .join(term_lit, "term")
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .select("doc_id", "dl", "term", "tf")
+        )
+        sent_rows = base.select(
             "doc_id",
             "dl",
-            F.col("__e.term").alias("term"),
-            F.col("__e.tf").alias("tf"),
+            F.lit(sent).alias("term"),
+            F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("tf"),
         )
-        .where((F.col("tf") > 0) | (F.col("term") == sent))
-    )
+        rows = tf_rows.unionByName(sent_rows)
     # per-term (df, tf-mass) + the sentinel's (n_docs, total_tokens), one
     # tiny agg folded to a single broadcast MAP row
     aggterm = rows.groupBy("term").agg(

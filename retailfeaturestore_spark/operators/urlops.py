@@ -33,6 +33,8 @@ stage the rest of the dedup suite assumes has already run.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -155,7 +157,9 @@ def domain_mixture_weights(
     a per-domain aggregate — the sampling distribution a
     temperature/budget mixture stage consumes.  ``weight_col`` must be
     INTEGRAL (token counts): the cap is applied in weight units
-    (``cap_w = floor(cap * total)``) so every sum stays an exact long and
+    (``cap_w = floor(cap * total)``, computed in DECIMAL so the floor
+    boundary matches an exact-arithmetic oracle) so every sum stays an
+    exact long and
     each output share is ONE exact-input IEEE division — float summation
     order can never skew the mix or the differential hash.  Two broadcast
     singleton aggregates over an already-domain-sized frame:
@@ -165,11 +169,18 @@ def domain_mixture_weights(
     corpus pipeline (plan-audited: 3 corpus scans became 1)."""
     per_domain = per_domain.localCheckpoint(eager=False)
     total = per_domain.agg(F.sum(F.col(weight_col)).alias("__tot"))
+    # the cap itself computes in DECIMAL, matching DuckDB's exact
+    # floor(0.05 * tot) — a double 0.05 * tot can floor to a different
+    # long when cap*total lands on an integer boundary (ADVICE r12 #2);
+    # str(cap) carries the literal's exact decimal digits
+    cap_dec = Decimal(str(cap))
     with_tot = per_domain.crossJoin(F.broadcast(total)).withColumn(
         "__capped",
         F.least(
             F.col(weight_col),
-            F.floor(F.lit(cap) * F.col("__tot")).cast("long"),
+            F.floor(
+                F.col("__tot").cast("decimal(32,0)") * F.lit(cap_dec)
+            ).cast("long"),
         ),
     )
     capped_total = with_tot.agg(F.sum("__capped").alias("__ctot"))

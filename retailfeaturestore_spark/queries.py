@@ -3855,6 +3855,105 @@ def q_approx_customer_overlap_months(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_KMV_OVERLAP_SKETCH_ORACLE = f"""
+WITH dm AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m, o_custkey AS c FROM orders
+),
+hs AS (
+  SELECT DISTINCT m,
+         CAST('0x' || substr(md5('kmv#' || CAST(c AS VARCHAR)), 1, 14) AS BIGINT) AS h
+  FROM dm
+),
+sk AS (
+  SELECT m, h FROM hs
+  QUALIFY row_number() OVER (PARTITION BY m ORDER BY h) <= {_KMV_K}
+),
+months AS (SELECT DISTINCT m FROM dm),
+pairs AS (
+  SELECT a.m AS ga, b.m AS gb FROM months a JOIN months b
+    ON b.m = strftime(CAST(a.m || '-01' AS DATE) + INTERVAL 1 MONTH, '%Y-%m')
+),
+u AS (
+  SELECT DISTINCT ga, gb, h FROM (
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.m = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.m = p.gb
+  )
+),
+mk AS (
+  SELECT ga, gb, h FROM u
+  QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY h) <= {_KMV_K}
+),
+merged AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS ku, max(h) AS hk FROM mk GROUP BY 1, 2
+),
+common AS (
+  SELECT p.ga, p.gb, sa.h
+  FROM pairs p
+  JOIN sk sa ON sa.m = p.ga
+  JOIN sk sb ON sb.m = p.gb AND sb.h = sa.h
+),
+nb AS (
+  SELECT mg.ga, mg.gb, mg.ku, mg.hk, count(c.h) AS n_both
+  FROM merged mg
+  LEFT JOIN common c ON c.ga = mg.ga AND c.gb = mg.gb AND c.h <= mg.hk
+  GROUP BY 1, 2, 3, 4
+)
+SELECT ga AS month_a, gb AS month_b, CAST(ku AS BIGINT) AS ku,
+       (CAST(n_both AS DOUBLE) / CAST(ku AS DOUBLE)) *
+       (CASE WHEN ku < {_KMV_K} THEN CAST(ku AS DOUBLE)
+             ELSE {float(_KMV_K - 1)} /
+                  ((CAST(hk AS DOUBLE) + 1.0) / 72057594037927936.0)
+        END) AS inter_est
+FROM nb
+"""
+
+
+@register(
+    "approx_customer_overlap_sketch",
+    oracle=_KMV_OVERLAP_SKETCH_ORACLE,
+    tags=("approx", "scale"),
+)
+def q_approx_customer_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment shape of ``approx_customer_overlap_months``: the KMV
+    set-operation estimate ALONE, no exact-count verdict leg (VERDICT r11
+    next-round #5).  The sibling query keeps the fact-table self-join
+    solely to certify the sketch's error envelope; a production pipeline
+    serves THIS plan — G*k sketch rows, two broadcast joins, zero
+    fact-scale exchanges past the distinct — so the bench row measures the
+    sketch economics rather than the verification harness.  The md5-based
+    sketch is a pure function of the data (any engine computes the
+    identical k-minimum set), which is why the estimate itself stays
+    driver-hashable."""
+    from .operators.sketches import kmv_group_sketch, kmv_pair_overlap
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.col("o_custkey").alias("c"),
+    )
+    dm = o.distinct()
+    sk = kmv_group_sketch(dm, "m", "c", k=_KMV_K).localCheckpoint()
+    months = sk.select("m").distinct()
+    pairs = (
+        months.alias("a")
+        .join(
+            months.alias("b"),
+            F.col("b.m")
+            == F.date_format(
+                F.add_months(F.to_date(F.concat(F.col("a.m"), F.lit("-01"))), 1),
+                "yyyy-MM",
+            ),
+        )
+        .select(F.col("a.m").alias("group_a"), F.col("b.m").alias("group_b"))
+    )
+    return kmv_pair_overlap(sk, pairs, "m", k=_KMV_K).select(
+        F.col("group_a").alias("month_a"),
+        F.col("group_b").alias("month_b"),
+        "ku",
+        "inter_est",
+    )
+
+
 _KMV_RETENTION_ORACLE = f"""
 WITH dm AS (
   SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m, o_custkey AS c FROM orders

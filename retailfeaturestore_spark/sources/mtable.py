@@ -1001,7 +1001,7 @@ class MTable:
             sel = {
                 kk: v
                 for kk, v in sel.items()
-                if kk in want or _unq(kk) in want
+                if _unq(kk) in want
             }
         stats = m.get("stats") or {}
         col = self._p(m, col)  # sketches are keyed by physical name
@@ -2029,22 +2029,39 @@ class MTable:
                 staged, partition_by, "overwritten partition rows",
                 cons_eff, m0,
             )
-        # removal set, matched the way read() matches (ADVICE r10 #3):
-        # caller-supplied partition_values stay RAW (unescaping a TRUE
-        # value containing a literal %XX would mangle it — 'a%20b' is not
-        # 'a b') and each manifest key is tested both as-is and unescaped.
-        # The dual test covers every producer: user TRUE values match via
-        # _unq(k); compact/zorder hand off escaped manifest keys, which
-        # match via k directly; the partition_values=None default takes
-        # the staged dir names (escaped), which also match via k.
-        wanted = {
-            str(v)
-            for v in (
-                partition_values if partition_values is not None else staged
+        # removal set (ADVICE r11 #1): callers speak TRUE partition values
+        # ONLY, and each manifest key (canonically escaped by the writer,
+        # so _unq is injective over them) is matched solely via _unq(k).
+        # The old dual raw/unescaped test was a data-loss hazard: with
+        # TRUE 'a b' (key 'a%20b') and TRUE 'a%20b' (key 'a%2520b') both
+        # live, partition_values=['a%20b'] removed BOTH entries but only
+        # restaged one.  compact()/zorder() unescape their manifest keys
+        # before the hand-off; the partition_values=None default takes the
+        # staged dir names (escaped) and unescapes them here for the same
+        # reason.
+        wanted = (
+            {str(v) for v in partition_values}
+            if partition_values is not None
+            else {_unq(k) for k in staged}
+        )
+        # loud failure for the retired escaped-key convention: a wanted
+        # value that matches NO true value but IS verbatim a live manifest
+        # key of a DIFFERENT true value would silently leave stale files
+        # live (or, under dual-match, silently drop the wrong partition)
+        true_vals = {_unq(k) for k in m0["partitions"]}
+        miskeyed = sorted(
+            v
+            for v in wanted
+            if v not in true_vals and v in m0["partitions"] and _unq(v) != v
+        )
+        if miskeyed:
+            raise ValueError(
+                "partition_values must be TRUE (unescaped) partition "
+                f"values; got escaped manifest key(s) {miskeyed} — pass "
+                f"{sorted(_unq(v) for v in miskeyed)} instead"
             )
-        }
         replaced = {
-            k for k in m0["partitions"] if k in wanted or _unq(k) in wanted
+            k for k in m0["partitions"] if _unq(k) in wanted
         } | set(staged)
         # stat the staged files with the requested columns (default:
         # whatever the base version was stats'd with, so a stats table
@@ -2080,7 +2097,7 @@ class MTable:
             parts = {
                 k: list(v)
                 for k, v in mb["partitions"].items()
-                if k not in wanted and _unq(k) not in wanted
+                if _unq(k) not in wanted
             }
             for pval, files in staged.items():
                 parts[pval] = files
@@ -2626,12 +2643,14 @@ class MTable:
                 sel = {k: v for k, v in sel.items() if k in want}
             else:
                 # user value selection: match the TRUE (path-unescaped)
-                # value; legacy-spec entries stay planned — their rows are
-                # not addressable by current value until migrate()
+                # value ONLY (ADVICE r11 #1 — the raw-key alternative made
+                # colliding values ambiguous); legacy-spec entries stay
+                # planned — their rows are not addressable by current
+                # value until migrate()
                 sel = {
                     k: v
                     for k, v in sel.items()
-                    if k in want or _unq(k) in want or _SPEC_SEP in k
+                    if _unq(k) in want or _SPEC_SEP in k
                 }
         rels = [rel for v in sel.values() for rel in v]
         if prune:
@@ -3430,8 +3449,10 @@ class MTable:
                 "legacy-spec entries cannot be compacted in place: "
                 "use migrate() to rewrite them into the current layout"
             )
+        # caller speaks TRUE values (same convention as
+        # overwrite_partitions / read); manifest keys match via _unq only
         want = (
-            {_unq(str(x)) for x in partitions} if partitions is not None else None
+            {str(x) for x in partitions} if partitions is not None else None
         )
         sel = [
             p
@@ -3497,10 +3518,14 @@ class MTable:
             meta["zorder_method"] = zorder_method
         meta.update(extra_meta or {})
         # base_version: the rewritten rows are v0's — a commit racing in
-        # between must fail the CAS, not be replaced by stale bytes
+        # between must fail the CAS, not be replaced by stale bytes.
+        # sel holds ESCAPED manifest keys (exact-read selection above);
+        # the overwrite contract takes TRUE values, so unescape here
+        # (ADVICE r11 #1 — the dual-match it replaced could drop a
+        # colliding partition's files)
         return self.overwrite_partitions(
             df,
-            partition_values=sel,
+            partition_values=sorted(_unq(p) for p in sel),
             extra_meta=meta,
             base_version=v0,
             stats_cols=stats_cols,

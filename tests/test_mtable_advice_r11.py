@@ -127,16 +127,72 @@ def test_overwrite_partitions_literal_percent_value(spark, tmp_path):
     assert {(r.k, r.x) for r in t.read().collect()} == {("plain", 2)}
 
 
-def test_overwrite_partitions_escaped_key_handoff_still_matches(spark, tmp_path):
-    # compact()/zorder() pass ESCAPED manifest keys through
-    # partition_values — the dual raw/unescaped test must cover them too
+def test_overwrite_partitions_true_values_only(spark, tmp_path):
+    # ADVICE r12 #1 retired the dual raw/unescaped match: callers speak
+    # TRUE values only, and an escaped manifest key of a DIFFERENT true
+    # value raises instead of silently dropping the wrong partition
     # (':' is in the writer's Hive escape set, so TRUE 'a:b' has manifest
-    # key 'a%3Ab'; the TRUE form must keep matching as well)
+    # key 'a%3Ab')
     t = MTable(spark, str(tmp_path / "ovw2"))
     t.write(_kx(spark, [("a:b", 1), ("a:c", 3), ("plain", 2)]), partition_by="k")
-    t.overwrite_partitions(_kx(spark, []), partition_values=["a%3Ab"])
+    with pytest.raises(ValueError, match="TRUE .* partition"):
+        t.overwrite_partitions(_kx(spark, []), partition_values=["a%3Ab"])
+    t.overwrite_partitions(_kx(spark, []), partition_values=["a:b"])
     t.overwrite_partitions(_kx(spark, []), partition_values=["a:c"])
     assert {(r.k, r.x) for r in t.read().collect()} == {("plain", 2)}
+
+
+def test_overwrite_partitions_colliding_escape_layer_values(spark, tmp_path):
+    # ADVICE r12 #1 data-loss scenario: TRUE 'a b' (manifest key 'a%20b')
+    # and TRUE 'a%20b' (manifest key 'a%2520b') are distinct partitions;
+    # replacing the literal-percent one must not touch the space one.
+    # The retired dual-match removed BOTH keys but restaged only one —
+    # the 'a b' partition's files silently vanished.
+    t = MTable(spark, str(tmp_path / "ovwcol"))
+    t.write(_kx(spark, [("a b", 1), ("a%20b", 2), ("plain", 3)]), partition_by="k")
+    t.overwrite_partitions(
+        _kx(spark, [("a%20b", 9)]), partition_values=["a%20b"]
+    )
+    assert {(r.k, r.x) for r in t.read().collect()} == {
+        ("a b", 1),
+        ("a%20b", 9),
+        ("plain", 3),
+    }
+    # the space partition stays addressable by its own TRUE value
+    t.overwrite_partitions(_kx(spark, []), partition_values=["a b"])
+    assert {(r.k, r.x) for r in t.read().collect()} == {
+        ("a%20b", 9),
+        ("plain", 3),
+    }
+
+
+def test_compact_selects_by_true_value_and_preserves_collisions(spark, tmp_path):
+    # compact() unescapes its manifest keys at the overwrite hand-off, so
+    # a maintenance rewrite of 'a%20b' never swallows the 'a b' partition
+    t = MTable(spark, str(tmp_path / "cmpcol"))
+    t.write(_kx(spark, [("a b", 1), ("a%20b", 2)]), partition_by="k")
+    t.write(_kx(spark, [("a b", 11), ("a%20b", 12)]), mode="append")
+    v = t.compact()
+    m = t._read_manifest(v)
+    assert all(len(files) == 1 for files in m["partitions"].values())
+    assert {(r.k, r.x) for r in t.read().collect()} == {
+        ("a b", 1),
+        ("a b", 11),
+        ("a%20b", 2),
+        ("a%20b", 12),
+    }
+    # targeted compact speaks TRUE values too
+    t.write(_kx(spark, [("a b", 21)]), mode="append")
+    v2 = t.compact(partitions=["a b"])
+    m2 = t._read_manifest(v2)
+    assert all(len(files) == 1 for files in m2["partitions"].values())
+    assert {(r.k, r.x) for r in t.read().collect()} == {
+        ("a b", 1),
+        ("a b", 11),
+        ("a b", 21),
+        ("a%20b", 2),
+        ("a%20b", 12),
+    }
 
 
 # --- ADVICE #4: vacuum keep_ms contiguity under clock skew -------------
