@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .io import load_table, load_tables
+from .io import load_table, load_table_parallel, load_tables
 from .operators.encode import group_mode, onehot_encode, topk_categories
 from .operators.normalize import lineitem_to_bronze
 from .operators.pit import (
@@ -2881,9 +2881,14 @@ def q_daily_feature_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALE.md) — bronze reduces to (entity, day) partial aggregates FIRST
     (partial+final, map-side combine), then the 30d window runs over the
     tiny day grain.  Window input shrinks by the intra-day duplication
-    factor; the per-line flagship and this grain coexist as two views."""
-    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    bronze = lineitem_to_bronze(t["lineitem"], t["orders"])
+    factor; the per-line flagship and this grain coexist as two views.
+    The lineitem scan goes through the row-group-gated parallelism rescue
+    (io.load_table_parallel, r12): on the single-row-group testdata the
+    whole scan+join+partial-agg pipeline otherwise serializes through one
+    task (1.45s -> 0.97s measured); on a many-row-group production layout
+    the rescue is a no-op."""
+    li = load_table_parallel(spark, sf_dir, "lineitem", keys=("l_orderkey",))
+    bronze = lineitem_to_bronze(li, load_table(spark, sf_dir, "orders"))
     daily = (
         bronze.groupBy(
             "customer_id", F.col("invoice_date").cast("date").alias("day")
@@ -8659,7 +8664,9 @@ def q_boilerplate_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textops import boilerplate_scrub
 
     return boilerplate_scrub(
-        load_table(spark, sf_dir, "documents"), passage_tokens=8, min_docs=2
+        load_table_parallel(spark, sf_dir, "documents", keys=("doc_id",)),
+        passage_tokens=8,
+        min_docs=2,
     )
 
 
@@ -8744,7 +8751,9 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.retrieval import bm25_topk
 
     return bm25_topk(
-        load_table(spark, sf_dir, "documents"), list(_BM25_QUERY_TERMS), k=10
+        load_table_parallel(spark, sf_dir, "documents", keys=("doc_id",)),
+        list(_BM25_QUERY_TERMS),
+        k=10,
     )
 
 
@@ -8922,7 +8931,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import containment_pairs
 
     return containment_pairs(
-        load_table(spark, sf_dir, "documents"),
+        load_table_parallel(spark, sf_dir, "documents", keys=("doc_id",)),
         n=3,
         max_df=20,
         thr_num=4,
