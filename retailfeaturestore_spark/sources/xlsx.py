@@ -35,7 +35,12 @@ from collections.abc import Iterable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_xlsx", "parse_xlsx_bytes", "write_minimal_xlsx"]
+__all__ = [
+    "read_xlsx",
+    "read_xlsx_sharded",
+    "parse_xlsx_bytes",
+    "write_minimal_xlsx",
+]
 
 _MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
@@ -229,6 +234,284 @@ def read_xlsx(
 
     binary = spark.read.format("binaryFile").load(path).select("path", "content")
     return binary.mapInPandas(_parse, schema=full_schema)
+
+
+# ---------------------------------------------------------------------------
+# SHARDED single-workbook reader — intra-sheet parallelism.
+#
+# read_xlsx parallelizes per FILE (a zip member can't be split mid-DEFLATE
+# stream), which is the right unit for a landing zone of thousands of
+# workbooks but serializes ONE giant workbook through two tasks (VERDICT r11
+# next-round #7: ~18k rows/s on the 1.07M-row UCI-shaped synthetic).  The
+# fix is to shard each worksheet's DECOMPRESSED XML by byte ranges aligned
+# to <row> boundaries: row starts ('<row ') can never appear inside cell
+# text (XML escapes '<' in content, and xlsx string payloads live in the
+# separate sharedStrings part anyway), so a C-speed bytes.find() scan is a
+# sound row splitter.  Each shard is its own Spark task that re-opens the
+# workbook, streams the member through zipfile's incremental inflater up to
+# its slice end (shard i decompresses ~i/N of the member — DEFLATE is not
+# seekable, but inflation is ~10x cheaper than XML parse, so duplicating it
+# buys N-way parse parallelism), cuts [first row-start >= i*L/N, first
+# row-start >= (i+1)*L/N), and ET-parses only that slice.  The plan is a
+# tiny (path, member, shard) DataFrame repartitioned one-row-per-task —
+# the same shape Spark itself uses for parquet row-group splits.
+# ---------------------------------------------------------------------------
+
+_ROW_START = re.compile(rb"<(?:[A-Za-z0-9._]+:)?row[ >/]")
+_SHEETDATA_END = re.compile(rb"</(?:[A-Za-z0-9._]+:)?sheetData>")
+
+
+def _list_workbooks(path: str) -> list[tuple[str, str]]:
+    """Driver-side file enumeration (the same role Spark's own
+    InMemoryFileIndex plays for parquet): ``(lineage_uri, open_loc)`` per
+    workbook under ``path`` — lineage_uri matches the binaryFile source's
+    ``path`` column format (``file:/abs/path`` locally, the full scheme
+    URI otherwise) so ``_source_file`` is byte-identical across the two
+    readers; open_loc is what pyarrow.fs resolves.  pyarrow handles local
+    paths and any scheme the installed arrow filesystems support
+    (file://, hdfs://, s3://)."""
+    import pyarrow.fs as pafs
+
+    scheme = path.split("://", 1)[0] + "://" if "://" in path else None
+    fs, p = pafs.FileSystem.from_uri(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        files = [p]
+    else:
+        sel = pafs.FileSelector(p, recursive=True)
+        files = sorted(i.path for i in fs.get_file_info(sel) if i.is_file)
+    if scheme:
+        return [(scheme + f, scheme + f) for f in files]
+    return [("file:" + f, f) for f in files]
+
+
+def _open_input(path: str):
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(path)
+    return fs.open_input_file(p)
+
+
+def _workbook_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """(sheet_name, member) in workbook order — the enumeration read is
+    workbook.xml + its rels, a few KB regardless of data size."""
+    rels = {
+        rel.get("Id"): rel.get("Target")
+        for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")).iter(
+            f"{_PKG_REL_NS}Relationship"
+        )
+    }
+    out = []
+    for sheet_el in ET.fromstring(zf.read("xl/workbook.xml")).iter(f"{_MAIN_NS}sheet"):
+        target = rels[sheet_el.get(_REL_NS)].lstrip("/")
+        member = target if target.startswith("xl/") else f"xl/{target}"
+        out.append((sheet_el.get("name"), member))
+    return out
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    return [
+        "".join(t.text or "" for t in si.iter(f"{_MAIN_NS}t"))
+        for si in root.iter(f"{_MAIN_NS}si")
+    ]
+
+
+class _MemberScanner:
+    """Incremental scan state over one decompressing zip-member stream:
+    grows a single bytearray via the ZipExtFile inflater and answers
+    find() queries against it.  Callers only ever scan FORWARD, so the
+    inflater runs at most once over the member."""
+
+    def __init__(self, fh):
+        self._fh = fh
+        self.buf = bytearray()
+        self.eof = False
+
+    def ensure(self, n: int) -> None:
+        while not self.eof and len(self.buf) < n:
+            chunk = self._fh.read(max(n - len(self.buf), 1 << 20))
+            if not chunk:
+                self.eof = True
+                return
+            self.buf += chunk
+
+    def find(self, pattern: re.Pattern, start: int) -> int:
+        """Offset of the first ``pattern`` match at >= start, -1 if the
+        member ends first.  Extends the buffer as needed; re-scans only
+        the 16-byte straddle window on each growth step."""
+        pos = start
+        while True:
+            self.ensure(pos + (1 << 20))
+            m = pattern.search(self.buf, pos)
+            if m:
+                return m.start()
+            if self.eof:
+                return -1
+            pos = max(pos, len(self.buf) - 16)
+
+
+def _parse_row_elements(data: bytes, shared: list[str]) -> Iterator[list]:
+    """Parse a byte slice of complete <row> elements (cut on row starts)
+    into sparse-filled row lists — the same cell semantics as
+    parse_xlsx_bytes, minus the per-sheet global width pad (consumers
+    index by header position with a bounds guard, so trailing Nones are
+    equivalent)."""
+    prefix = b""
+    m = re.match(rb"<([A-Za-z0-9._]+):row[ >/]", data[:64])
+    if m:
+        prefix = m.group(1)
+    decl = (
+        b'<sheetData xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        + (
+            b' xmlns:' + prefix + b'="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+            if prefix
+            else b""
+        )
+        + b">"
+    )
+    root = ET.fromstring(decl + data + b"</sheetData>")
+    for row_el in root.iter(f"{_MAIN_NS}row"):
+        row: list = []
+        for cell in row_el.iter(f"{_MAIN_NS}c"):
+            ref = cell.get("r")
+            if ref is not None:
+                m2 = _CELL_REF.match(ref)
+                idx = _col_index(m2.group(1)) if m2 else len(row)
+            else:
+                idx = len(row)
+            while len(row) <= idx:
+                row.append(None)
+            row[idx] = _cell_value(cell, shared)
+        yield row
+
+
+def read_xlsx_sharded(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    sheets: Iterable[str] | None = None,
+    add_source_columns: bool = False,
+    target_shard_bytes: int = 8 << 20,
+    max_shards_per_sheet: int | None = None,
+) -> DataFrame:
+    """``read_xlsx`` semantics (same schema/header/coercion contract, same
+    multi-sheet UNION) with INTRA-sheet parallelism: each worksheet is cut
+    into ``ceil(uncompressed_xml / target_shard_bytes)`` row-aligned byte
+    shards (capped at the session's default parallelism per sheet unless
+    ``max_shards_per_sheet`` overrides), each parsed by its own task.  Use
+    it when the landing zone is one giant workbook rather than many; for
+    directories of ordinary workbooks the per-file reader avoids the
+    duplicated inflation and is the better default."""
+    out_schema = (
+        schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+    )
+    full_schema = out_schema
+    if add_source_columns:
+        full_schema = T.StructType(
+            list(out_schema.fields)
+            + [
+                T.StructField("_source_file", T.StringType()),
+                T.StructField("_sheet", T.StringType()),
+            ]
+        )
+    names = [f.name for f in out_schema.fields]
+    dtypes = [f.dataType for f in out_schema.fields]
+    want = set(sheets) if sheets is not None else None
+    cap = max_shards_per_sheet or spark.sparkContext.defaultParallelism
+
+    # enumeration: central directory + workbook.xml per file — KBs each,
+    # the control-plane read every split-planning scan does
+    plan_rows: list[tuple] = []
+    for uri, loc in _list_workbooks(path):
+        with zipfile.ZipFile(_open_input(loc)) as zf:
+            sizes = {zi.filename: zi.file_size for zi in zf.infolist()}
+            for sheet_name, member in _workbook_sheets(zf):
+                if want is not None and sheet_name not in want:
+                    continue
+                xml_size = sizes.get(member, 0)
+                n_shards = max(1, min(cap, -(-xml_size // target_shard_bytes)))
+                for i in range(n_shards):
+                    plan_rows.append(
+                        (uri, loc, member, sheet_name, i, n_shards, xml_size)
+                    )
+    if not plan_rows:
+        return spark.createDataFrame([], schema=full_schema)
+
+    def _parse_shards(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        opened: dict[str, tuple[zipfile.ZipFile, list[str]]] = {}
+
+        def handle(uri: str) -> tuple[zipfile.ZipFile, list[str]]:
+            if uri not in opened:
+                zf = zipfile.ZipFile(_open_input(uri))
+                opened[uri] = (zf, _shared_strings(zf))
+            return opened[uri]
+
+        for pdf in batches:
+            for uri, loc, member, sheet_name, shard, n_shards, xml_size in zip(
+                pdf["path"], pdf["loc"], pdf["member"], pdf["sheet"],
+                pdf["shard"], pdf["n_shards"], pdf["xml_size"],
+            ):
+                zf, shared = handle(loc)
+                chunk = -(-int(xml_size) // int(n_shards))
+                start_t, end_t = int(shard) * chunk, (int(shard) + 1) * chunk
+                sc = _MemberScanner(zf.open(member))
+                first = sc.find(_ROW_START, 0)
+                if first < 0:
+                    continue  # empty sheet
+                pos_map: list[int] | None = None
+                hdr_end = first
+                if header:
+                    nxt = sc.find(_ROW_START, first + 4)
+                    if nxt < 0:
+                        nxt = sc.find(_SHEETDATA_END, first)
+                    hdr_end = nxt if nxt >= 0 else len(sc.buf)
+                    hdr_rows = list(
+                        _parse_row_elements(bytes(sc.buf[first:hdr_end]), shared)
+                    )
+                    head = [
+                        str(c) if c is not None else ""
+                        for c in (hdr_rows[0] if hdr_rows else [])
+                    ]
+                    pos_map = [head.index(n) if n in head else -1 for n in names]
+                else:
+                    pos_map = list(range(len(names)))
+                # data region begins after the header row (or at the first
+                # row when header=False); shard ownership = row starts in
+                # [start_t, end_t)
+                data_floor = hdr_end if header else first
+                lo = sc.find(_ROW_START, max(start_t, data_floor))
+                sd_end = sc.find(_SHEETDATA_END, max(start_t, data_floor))
+                if lo < 0 or (sd_end >= 0 and lo > sd_end) or lo >= end_t:
+                    continue  # no row starts inside this shard's range
+                hi = sc.find(_ROW_START, end_t)
+                if hi < 0 or (sd_end >= 0 and hi > sd_end):
+                    hi = sd_end if sd_end >= 0 else len(sc.buf)
+                out_rows: list[list] = []
+                for row in _parse_row_elements(bytes(sc.buf[lo:hi]), shared):
+                    out_rows.append(
+                        [
+                            coerce_cell(row[p], dt) if 0 <= p < len(row) else None
+                            for p, dt in zip(pos_map, dtypes)
+                        ]
+                    )
+                pdf_out = pd.DataFrame(out_rows, columns=names)
+                if add_source_columns:
+                    pdf_out["_source_file"] = uri
+                    pdf_out["_sheet"] = sheet_name
+                yield pdf_out
+
+    plan = spark.createDataFrame(
+        plan_rows,
+        schema="path string, loc string, member string, sheet string, "
+        "shard int, n_shards int, xml_size bigint",
+    ).repartition(len(plan_rows))
+    return plan.mapInPandas(_parse_shards, schema=full_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ sys.path.insert(0, "/root/repo")
 from retailfeaturestore_spark.session import get_spark  # noqa: E402
 from retailfeaturestore_spark.sources.xlsx import (  # noqa: E402
     read_xlsx,
+    read_xlsx_sharded,
     write_minimal_xlsx,
 )
 
@@ -82,6 +83,9 @@ def main() -> None:
     df = read_xlsx(spark, path, schema)  # all sheets, header per sheet
     n_read = df.count()
     t_read = time.time() - t0
+    t0 = time.time()
+    n_shard = read_xlsx_sharded(spark, path, schema).count()
+    t_shard = time.time() - t0
     print(json.dumps({
         "metric": "xlsx_parse_throughput",
         "rows": n_read,
@@ -90,8 +94,11 @@ def main() -> None:
         "write_sec": round(t_write, 2),
         "read_sec": round(t_read, 2),
         "rows_per_sec": round(n_read / t_read),
+        "sharded_read_sec": round(t_shard, 2),
+        "sharded_rows_per_sec": round(n_shard / t_shard),
     }))
     assert n_read == n_total, (n_read, n_total)
+    assert n_shard == n_total, (n_shard, n_total)
 
 
 if __name__ == "__main__":
