@@ -8372,6 +8372,33 @@ def q_xlsx_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_orders_raw(raw)
 
 
+@register("xlsx_ingest_sharded", oracle=_XLSX_INGEST_ORACLE, tags=("source", "projection"))
+def q_xlsx_ingest_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same S1 file-format-to-bronze differential as
+    ``xlsx_ingest_normalize``, through the INTRA-sheet sharded reader
+    (``sources/xlsx.read_xlsx_sharded``): each worksheet's XML is cut into
+    row-aligned byte shards parsed by independent tasks — the scale path
+    for ONE giant workbook (the per-file reader serializes it through one
+    task per sheet; the sharded reader measured 52k rows/s vs 10k on the
+    1.07M-row UCI-shaped synthetic).  ``target_shard_bytes`` is forced
+    tiny here so the fixture exercises REAL multi-shard cuts (header-only
+    shards, boundary ownership, final sheetData cut) under the driver's
+    hash gate, not a degenerate single shard."""
+    from .operators.normalize import normalize_orders_raw
+    from .sources.xlsx import read_xlsx_sharded
+    from .sources.xlsx_fixture import ensure_fixture_workbook
+
+    path = ensure_fixture_workbook()
+    raw = read_xlsx_sharded(
+        spark,
+        path,
+        "Invoice string, StockCode string, Description string, Quantity long, "
+        "InvoiceDate double, Price double, `Customer ID` double, Country string",
+        target_shard_bytes=2 << 10,
+    )
+    return normalize_orders_raw(raw)
+
+
 # Concat-and-chunk packing is integer interval arithmetic over a per-shard
 # running token offset — engine-exact, so the oracle hashes bit-for-bit.
 _SEQ_PACK_ORACLE = """
@@ -9772,11 +9799,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_repetition_ratio",
     "embedding_dedup_clusters",
     "embedding_neardup_lsh",
-    "events_tumbling_daily",
-    # --- r13 handoff: rotate the remaining 23 r9-green queries FIRST
-    # (alphabetical from events_zorder_pruned_scan), then any query whose
-    # implementation changes in r12/r13, then the r10-green cohort
-    # oldest-first.  The rotation is one edit here.
+    # --- r12 block 5: NEW r12 surface — the sharded xlsx reader's
+    # oracle-backed differential (zero driver history by construction;
+    # first-verdict-beats-refresh, so it displaces the last alphabetical
+    # r9-cohort slot, events_tumbling_daily, to r13).
+    "xlsx_ingest_sharded",
+    # --- r13 handoff: rotate the remaining 24 r9-green queries FIRST
+    # (events_tumbling_daily, then alphabetical from
+    # events_zorder_pruned_scan), then any query whose implementation
+    # changes in r12/r13, then the r10-green cohort oldest-first.  The
+    # rotation is one edit here.
 )
 
 
