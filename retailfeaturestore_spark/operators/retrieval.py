@@ -166,6 +166,19 @@ def bm25_topk(
             F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("tf"),
         )
         rows = tf_rows.unionByName(sent_rows)
+    # `rows` feeds TWO consumers (the aux stats agg and the scoring join);
+    # Spark re-executes DataFrame subtrees per consumer, so without
+    # materialization the corpus scan+split pipeline runs twice.  A lazy
+    # localCheckpoint pins the PRUNED match-list rows (one sentinel +
+    # matched terms per doc — query-working-set scale, never the raw
+    # corpus), so the second consumer reads blocks instead of re-splitting
+    # the corpus.  r12 same-session A/B at sf0.1: a WASH (~0.93 s min both
+    # ways — the 120 MB split is cheap enough that materialization
+    # overhead cancels the saved pass), kept anyway because at 100 TB the
+    # second corpus pass is a full re-scan while the checkpoint is a
+    # per-query working set; same pattern as
+    # urlops.domain_mixture_weights.
+    rows = rows.localCheckpoint(eager=False)
     # per-term (df, tf-mass) + the sentinel's (n_docs, total_tokens), one
     # tiny agg folded to a single broadcast MAP row
     aggterm = rows.groupBy("term").agg(

@@ -27,7 +27,7 @@ SHOW = {
     "segment_spend_deciles": "Quantile binning: ntile under PARTITION BY segment — no SinglePartition window, no global sort.",
     "corpus_curation_pipeline": "End-to-end curation: digest dedup window + broadcast-marked contamination agg + one doc_id join; Gopher flags ride map-side.",
     "nation_daily_revenue_outliers": "Exact 2-sigma gate in squared form: DECIMAL(38,0) arithmetic, broadcast dims, one tiny per-nation window.",
-    "bm25_retrieval": "r11 re-plan: map-side tf (isin-shrunk match arrays, |terms|+1 pre-aggregated rows per doc), sentinel-row stats+df folded into ONE broadcast map row; the only exchanges are the match-list-sized (query,doc) sum and the per-query top-k window — zero token-level shuffles.",
+    "bm25_retrieval": "r11 re-plan + r12 rows checkpoint: map-side tf (isin-shrunk match arrays, |terms|+1 pre-aggregated rows per doc), sentinel-row stats+df folded into ONE broadcast map row, match-list rows localCheckpoint-ed so the stats agg and the scoring join share ONE corpus split pass; the only exchanges are the match-list-sized (query,doc) sum and the per-query top-k window — zero token-level shuffles.",
     "url_dedup_domains": "URL curation: canonicalization entirely map-side regexp codegen; ONE hash exchange on the canonical key; the documents scan reads doc_id only (ReadSchema-pruned).",
     "domain_quality_mix": "Capped domain mixture: one corpus pass (the domain-sized aggregate is lazily localCheckpoint-ed so the two singleton broadcast branches read blocks, not the pipeline); integer-exact cap arithmetic, one IEEE division per share.",
     "brand_basket_affinity": "Per-order brand BITMASK (bit_or, 16-byte exchange rows with map-side partials) -> C(k,2) pairs from two codegen'd explode(sequence) generators (no lambda HOF) -> tiny pair rollup -> TakeOrdered.",
