@@ -437,3 +437,24 @@ def test_sharded_reader_empty_sheet(spark, tmp_path):
     path = str(tmp_path / "empty.xlsx")
     write_minimal_xlsx(path, {"E": []})
     assert read_xlsx_sharded(spark, path, "K string, V double").count() == 0
+
+
+def test_read_excel_sheets_dispatches_giant_workbooks(spark, tmp_path, workbook):
+    """The ingest entry point must route a workbook whose worksheet XML
+    exceeds the shard threshold through the sharded reader (same output
+    contract), and keep ordinary workbooks on the per-file reader."""
+    import pandas as pd
+
+    from retailfeaturestore_spark.jobs import read_excel_sheets
+
+    schema = "Invoice string, StockCode string, Quantity long, Price double"
+    cols = ["Invoice", "StockCode", "Quantity", "Price"]
+    small = read_excel_sheets(spark, workbook, schema)
+    # threshold of 1 byte forces every workbook onto the sharded path
+    sharded = read_excel_sheets(
+        spark, workbook, schema, shard_threshold_bytes=1
+    )
+    a = small.toPandas().sort_values(cols, na_position="last").reset_index(drop=True)
+    b = sharded.toPandas().sort_values(cols, na_position="last").reset_index(drop=True)
+    assert len(a) == 4  # 3 + 1 rows across the two sheets
+    pd.testing.assert_frame_equal(a, b)
