@@ -117,14 +117,24 @@ def _row_group_count(path: str) -> int:
                 for f in names
                 if f.endswith(".parquet") and not f.startswith((".", "_"))
             ]
-    else:
+    elif os.path.isfile(path):
         files = [path]
     n = 0
     for f in files:
         try:
             n += pq.ParquetFile(f).metadata.num_row_groups
-        except Exception:  # noqa: BLE001 — unreadable footer: assume 1
-            n += 1
+        except Exception:  # noqa: BLE001
+            # unreadable footer: fail SAFE for the gate (pretend many row
+            # groups, so the rescue never fires) — a spurious +1 here
+            # could otherwise trip the gate and bolt a full-table shuffle
+            # onto a production scan
+            n += 1 << 20
+    if not files:
+        # non-local path (s3://, hdfs://) or nothing found: the gate must
+        # never fire on layouts it cannot inspect — a production object
+        # store scan is exactly where an unconditional repartition would
+        # cost a 100 TB shuffle
+        n = 1 << 30
     _RG_COUNT_CACHE[path] = n
     return n
 
