@@ -189,6 +189,23 @@ RESIDENT_QUERIES = frozenset(
 )
 
 
+def _plan_holds_rdd_scan(df) -> bool:
+    """True when the built plan embeds an RDD scan (LogicalRDD /
+    ExistingRDD) — a localCheckpoint the query materializes on run 1 and
+    would silently SERVE on runs 2-3 through the prepared-plan memo,
+    exactly the warm bias RESIDENT_QUERIES exists to evict (r12
+    code-review finding: bm25's new match-list checkpoint, the KMV sketch
+    rows, and four older checkpoint-bearing queries were outside the hand
+    list).  createDataFrame literals also surface as ExistingRDD, so this
+    over-detects — which only errs toward MORE eviction, i.e. more
+    honest (cold) numbers."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — unplannable here: let the timed run decide
+        return False
+    return "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
 def _should_evict(tags: tuple[str, ...]) -> bool:
     return bool(EVICT_TAGS & set(tags))
 
@@ -296,8 +313,14 @@ def main() -> None:
         # plan is right (11.3 s, 2x faster than DuckDB).  Evicting all
         # sf-scoped caches before each run both frees that region and keeps
         # the timing honest (every run pays its own persist build).
+        # detection order: hand list first (no build), then tag eviction
+        # (iterative queries compute while PLANNING — building them here
+        # just to inspect the plan would run that work un-timed), then the
+        # plan inspection for everything else
         resident = name in RESIDENT_QUERIES
         evict = _should_evict(qd.tags) or resident
+        if not evict and _plan_holds_rdd_scan(qd.fn(spark, sf_dir)):
+            resident = evict = True
         best = None
         for _ in range(RUNS):
             if evict:
