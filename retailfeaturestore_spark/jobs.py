@@ -53,13 +53,17 @@ def read_excel_sheets(
 
     Giant-workbook dispatch (r12): when any worksheet's uncompressed XML
     exceeds ``shard_threshold_bytes`` (the zip central directory records
-    it — a KB-scale driver read, no inflation), the whole read goes
-    through :func:`..sources.xlsx.read_xlsx_sharded` so ONE 1M-row
-    workbook parses at full cluster width (row-aligned byte shards,
-    ~5x the per-file reader's throughput) instead of serializing through
-    one task per sheet.  Directories of ordinary workbooks stay on the
-    per-file reader, which avoids the sharded path's duplicated
-    inflation."""
+    it), the whole read goes through
+    :func:`..sources.xlsx.read_xlsx_sharded` so ONE 1M-row workbook parses
+    at full cluster width (row-aligned byte shards, ~4x the per-file
+    reader's throughput) instead of serializing through one task per
+    sheet.  Directories of ordinary workbooks stay on the per-file reader,
+    which avoids the sharded path's duplicated inflation.  Probe cost is
+    bounded: the listing's COMPRESSED size (free) prefilters — only
+    workbooks that could plausibly hold a worksheet that big (DEFLATE on
+    spreadsheet XML stays well under 20:1, so compressed >= threshold/20)
+    get a central-directory read, so a landing zone of thousands of small
+    workbooks pays zero zip opens (r12 code-review finding)."""
     import zipfile
 
     from .sources.xlsx import _list_workbooks, _open_input, read_xlsx, read_xlsx_sharded
@@ -68,14 +72,23 @@ def read_excel_sheets(
         "Invoice string, StockCode string, Description string, Quantity long, "
         "InvoiceDate double, Price double, `Customer ID` double, Country string"
     )
-    for _, loc in _list_workbooks(xlsx_path):
-        with zipfile.ZipFile(_open_input(loc)) as zf:
-            if any(
-                zi.file_size > shard_threshold_bytes
-                for zi in zf.infolist()
-                if zi.filename.startswith("xl/worksheets/")
-            ):
-                return read_xlsx_sharded(spark, xlsx_path, ddl, header=True)
+    for _, loc, csize in _list_workbooks(xlsx_path):
+        if csize < shard_threshold_bytes // 20:
+            continue  # cannot hold a >threshold worksheet at any real ratio
+        raw = _open_input(loc)
+        try:
+            with zipfile.ZipFile(raw) as zf:
+                if any(
+                    zi.file_size > shard_threshold_bytes
+                    for zi in zf.infolist()
+                    if zi.filename.startswith("xl/worksheets/")
+                ):
+                    return read_xlsx_sharded(spark, xlsx_path, ddl, header=True)
+        finally:
+            try:
+                raw.close()
+            except Exception:  # noqa: BLE001 — already closed
+                pass
     return read_xlsx(spark, xlsx_path, ddl, header=True)
 
 

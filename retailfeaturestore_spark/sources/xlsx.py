@@ -261,28 +261,32 @@ _ROW_START = re.compile(rb"<(?:[A-Za-z0-9._]+:)?row[ >/]")
 _SHEETDATA_END = re.compile(rb"</(?:[A-Za-z0-9._]+:)?sheetData>")
 
 
-def _list_workbooks(path: str) -> list[tuple[str, str]]:
+def _list_workbooks(path: str) -> list[tuple[str, str, int]]:
     """Driver-side file enumeration (the same role Spark's own
-    InMemoryFileIndex plays for parquet): ``(lineage_uri, open_loc)`` per
-    workbook under ``path`` — lineage_uri matches the binaryFile source's
-    ``path`` column format (``file:/abs/path`` locally, the full scheme
-    URI otherwise) so ``_source_file`` is byte-identical across the two
-    readers; open_loc is what pyarrow.fs resolves.  pyarrow handles local
-    paths and any scheme the installed arrow filesystems support
-    (file://, hdfs://, s3://)."""
+    InMemoryFileIndex plays for parquet): ``(lineage_uri, open_loc,
+    compressed_size)`` per workbook under ``path`` — lineage_uri matches
+    the binaryFile source's ``path`` column format (``file:/abs/path``
+    locally, the full scheme URI otherwise) so ``_source_file`` is
+    byte-identical across the two readers; open_loc is what pyarrow.fs
+    resolves; compressed_size is the listing's file size (free — no open),
+    used by dispatch prefilters.  pyarrow handles local paths and any
+    scheme the installed arrow filesystems support (file://, hdfs://,
+    s3://)."""
     import pyarrow.fs as pafs
 
     scheme = path.split("://", 1)[0] + "://" if "://" in path else None
     fs, p = pafs.FileSystem.from_uri(path)
     info = fs.get_file_info(p)
     if info.type == pafs.FileType.File:
-        files = [p]
+        files = [(p, info.size or 0)]
     else:
         sel = pafs.FileSelector(p, recursive=True)
-        files = sorted(i.path for i in fs.get_file_info(sel) if i.is_file)
+        files = sorted(
+            (i.path, i.size or 0) for i in fs.get_file_info(sel) if i.is_file
+        )
     if scheme:
-        return [(scheme + f, scheme + f) for f in files]
-    return [("file:" + f, f) for f in files]
+        return [(scheme + f, scheme + f, sz) for f, sz in files]
+    return [("file:" + f, f, sz) for f, sz in files]
 
 
 def _open_input(path: str):
@@ -320,58 +324,108 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
 
 
 class _MemberScanner:
-    """Incremental scan state over one decompressing zip-member stream:
-    grows a single bytearray via the ZipExtFile inflater and answers
-    find() queries against it.  Callers only ever scan FORWARD, so the
-    inflater runs at most once over the member."""
+    """Incremental scan state over one decompressing zip-member stream.
+    All offsets are STREAM offsets; ``base`` tracks the stream offset of
+    ``buf[0]`` so already-scanned prefix bytes can be discarded — shard i
+    of a giant worksheet must hold O(slice) bytes, not O(i*L/N) (r12
+    code-review finding: without discard, concurrent late shards of one
+    2 GB-XML sheet would sum to tens of GB resident).  Callers only ever
+    scan FORWARD, so the inflater runs at most once over the member."""
+
+    #: rescan overlap on buffer growth — must exceed the longest token the
+    #: scanner searches for ('</{prefix}:sheetData>' with a long prefix);
+    #: the previous fixed 16 could skip a straddled long-prefixed match
+    _STRADDLE = 64
 
     def __init__(self, fh):
         self._fh = fh
         self.buf = bytearray()
+        self.base = 0
         self.eof = False
 
+    def end(self) -> int:
+        return self.base + len(self.buf)
+
     def ensure(self, n: int) -> None:
-        while not self.eof and len(self.buf) < n:
-            chunk = self._fh.read(max(n - len(self.buf), 1 << 20))
+        while not self.eof and self.end() < n:
+            chunk = self._fh.read(max(n - self.end(), 1 << 20))
             if not chunk:
                 self.eof = True
                 return
             self.buf += chunk
 
-    def find(self, pattern: re.Pattern, start: int) -> int:
-        """Offset of the first ``pattern`` match at >= start, -1 if the
-        member ends first.  Extends the buffer as needed; re-scans only
-        the 16-byte straddle window on each growth step."""
-        pos = start
+    def discard_to(self, n: int) -> None:
+        cut = min(max(n - self.base, 0), len(self.buf))
+        if cut:
+            del self.buf[:cut]
+            self.base += cut
+
+    def slice(self, a: int, b: int) -> bytes:
+        return bytes(self.buf[a - self.base : b - self.base])
+
+    def find(self, pattern: re.Pattern, start: int, discard: bool = False) -> int:
+        """Stream offset of the first ``pattern`` match at >= start, -1 if
+        the member ends first.  ``discard=True`` drops bytes behind the
+        scan frontier as the inflater advances (skip-to-shard phase: the
+        caller has no further use for them)."""
+        pos = max(start, self.base)
         while True:
             self.ensure(pos + (1 << 20))
-            m = pattern.search(self.buf, pos)
+            m = pattern.search(self.buf, pos - self.base)
             if m:
-                return m.start()
+                return self.base + m.start()
             if self.eof:
                 return -1
-            pos = max(pos, len(self.buf) - 16)
+            pos = max(pos, self.end() - self._STRADDLE)
+            if discard:
+                self.discard_to(pos)
 
 
-def _parse_row_elements(data: bytes, shared: list[str]) -> Iterator[list]:
+def _root_namespaces(head: bytes) -> list[tuple[str, str]]:
+    """Namespace declarations visible on the worksheet root, read from the
+    bytes preceding the first row via ET's pull parser (quote-correct, no
+    regex over attribute soup).  Real Excel declares extension prefixes on
+    the root (xmlns:x14ac, xmlns:mc, ...) and then uses them on EVERY row
+    (x14ac:dyDescent) — a re-wrapped row slice parses only if those
+    declarations are replayed on the synthetic wrapper (r12 code-review
+    finding: the fixture-only writer never emits prefixed attributes, so
+    tests alone missed this)."""
+    parser = ET.XMLPullParser(events=("start-ns",))
+    out: list[tuple[str, str]] = []
+    try:
+        parser.feed(head)
+        for _ev, (prefix, uri) in parser.read_events():
+            out.append((prefix, uri))
+    except ET.ParseError:
+        pass  # head is cut at a tag boundary; decls already collected
+    return out
+
+
+def _parse_row_elements(
+    data: bytes, shared: list[str], ns_decls: list[tuple[str, str]] = ()
+) -> Iterator[list]:
     """Parse a byte slice of complete <row> elements (cut on row starts)
     into sparse-filled row lists — the same cell semantics as
     parse_xlsx_bytes, minus the per-sheet global width pad (consumers
     index by header position with a bounds guard, so trailing Nones are
-    equivalent)."""
-    prefix = b""
-    m = re.match(rb"<([A-Za-z0-9._]+):row[ >/]", data[:64])
-    if m:
-        prefix = m.group(1)
-    decl = (
-        b'<sheetData xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
-        + (
-            b' xmlns:' + prefix + b'="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
-            if prefix
-            else b""
+    equivalent).  ``ns_decls`` replays the worksheet root's namespace
+    declarations on the synthetic wrapper so prefixed row/cell attributes
+    (x14ac:dyDescent et al.) stay bound."""
+    parts = [b"<sheetData"]
+    seen: set[str] = set()
+    for prefix, uri in ns_decls:
+        if prefix in seen:
+            continue
+        seen.add(prefix)
+        if prefix:
+            parts.append(f' xmlns:{prefix}="{uri}"'.encode())
+        else:
+            parts.append(f' xmlns="{uri}"'.encode())
+    if "" not in seen:
+        parts.append(
+            b' xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
         )
-        + b">"
-    )
+    decl = b"".join(parts) + b">"
     root = ET.fromstring(decl + data + b"</sheetData>")
     for row_el in root.iter(f"{_MAIN_NS}row"):
         row: list = []
@@ -426,85 +480,138 @@ def read_xlsx_sharded(
     # enumeration: central directory + workbook.xml per file — KBs each,
     # the control-plane read every split-planning scan does
     plan_rows: list[tuple] = []
-    for uri, loc in _list_workbooks(path):
-        with zipfile.ZipFile(_open_input(loc)) as zf:
-            sizes = {zi.filename: zi.file_size for zi in zf.infolist()}
-            for sheet_name, member in _workbook_sheets(zf):
-                if want is not None and sheet_name not in want:
-                    continue
-                xml_size = sizes.get(member, 0)
-                n_shards = max(1, min(cap, -(-xml_size // target_shard_bytes)))
-                for i in range(n_shards):
-                    plan_rows.append(
-                        (uri, loc, member, sheet_name, i, n_shards, xml_size)
+    for uri, loc, _csize in _list_workbooks(path):
+        raw = _open_input(loc)
+        try:
+            with zipfile.ZipFile(raw) as zf:
+                sizes = {zi.filename: zi.file_size for zi in zf.infolist()}
+                for sheet_name, member in _workbook_sheets(zf):
+                    if want is not None and sheet_name not in want:
+                        continue
+                    xml_size = sizes.get(member, 0)
+                    n_shards = max(
+                        1, min(cap, -(-xml_size // target_shard_bytes))
                     )
+                    for i in range(n_shards):
+                        plan_rows.append(
+                            (uri, loc, member, sheet_name, i, n_shards, xml_size)
+                        )
+        finally:
+            try:
+                raw.close()
+            except Exception:  # noqa: BLE001 — already closed
+                pass
     if not plan_rows:
         return spark.createDataFrame([], schema=full_schema)
 
     def _parse_shards(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        opened: dict[str, tuple[zipfile.ZipFile, list[str]]] = {}
+        # per-task handle cache; BOTH layers closed in the finally below
+        # (ZipFile.close() does not close a file object it was handed, so
+        # the pyarrow NativeFile must be tracked separately — r12
+        # code-review finding: long-lived executors leaked one descriptor
+        # per workbook per batch)
+        opened: dict[str, tuple[object, zipfile.ZipFile, list[str]]] = {}
 
-        def handle(uri: str) -> tuple[zipfile.ZipFile, list[str]]:
-            if uri not in opened:
-                zf = zipfile.ZipFile(_open_input(uri))
-                opened[uri] = (zf, _shared_strings(zf))
-            return opened[uri]
+        def handle(loc: str) -> tuple[zipfile.ZipFile, list[str]]:
+            if loc not in opened:
+                raw = _open_input(loc)
+                zf = zipfile.ZipFile(raw)
+                opened[loc] = (raw, zf, _shared_strings(zf))
+            _raw, zf, shared = opened[loc]
+            return zf, shared
 
-        for pdf in batches:
-            for uri, loc, member, sheet_name, shard, n_shards, xml_size in zip(
-                pdf["path"], pdf["loc"], pdf["member"], pdf["sheet"],
-                pdf["shard"], pdf["n_shards"], pdf["xml_size"],
-            ):
-                zf, shared = handle(loc)
-                chunk = -(-int(xml_size) // int(n_shards))
-                start_t, end_t = int(shard) * chunk, (int(shard) + 1) * chunk
-                sc = _MemberScanner(zf.open(member))
-                first = sc.find(_ROW_START, 0)
-                if first < 0:
-                    continue  # empty sheet
-                pos_map: list[int] | None = None
-                hdr_end = first
-                if header:
-                    nxt = sc.find(_ROW_START, first + 4)
-                    if nxt < 0:
-                        nxt = sc.find(_SHEETDATA_END, first)
-                    hdr_end = nxt if nxt >= 0 else len(sc.buf)
-                    hdr_rows = list(
-                        _parse_row_elements(bytes(sc.buf[first:hdr_end]), shared)
-                    )
-                    head = [
-                        str(c) if c is not None else ""
-                        for c in (hdr_rows[0] if hdr_rows else [])
-                    ]
-                    pos_map = [head.index(n) if n in head else -1 for n in names]
-                else:
-                    pos_map = list(range(len(names)))
-                # data region begins after the header row (or at the first
-                # row when header=False); shard ownership = row starts in
-                # [start_t, end_t)
-                data_floor = hdr_end if header else first
-                lo = sc.find(_ROW_START, max(start_t, data_floor))
-                sd_end = sc.find(_SHEETDATA_END, max(start_t, data_floor))
-                if lo < 0 or (sd_end >= 0 and lo > sd_end) or lo >= end_t:
-                    continue  # no row starts inside this shard's range
-                hi = sc.find(_ROW_START, end_t)
-                if hi < 0 or (sd_end >= 0 and hi > sd_end):
-                    hi = sd_end if sd_end >= 0 else len(sc.buf)
-                out_rows: list[list] = []
-                for row in _parse_row_elements(bytes(sc.buf[lo:hi]), shared):
-                    out_rows.append(
-                        [
-                            coerce_cell(row[p], dt) if 0 <= p < len(row) else None
-                            for p, dt in zip(pos_map, dtypes)
-                        ]
-                    )
+        def shard_frames():
+            for pdf in batches:
+                for uri, loc, member, sheet_name, shard, n_shards, xml_size in zip(
+                    pdf["path"], pdf["loc"], pdf["member"], pdf["sheet"],
+                    pdf["shard"], pdf["n_shards"], pdf["xml_size"],
+                ):
+                    zf, shared = handle(loc)
+                    chunk = -(-int(xml_size) // int(n_shards))
+                    start_t, end_t = int(shard) * chunk, (int(shard) + 1) * chunk
+                    with zf.open(member) as fh:
+                        sc = _MemberScanner(fh)
+                        first = sc.find(_ROW_START, 0)
+                        if first < 0:
+                            continue  # empty sheet
+                        ns_decls = _root_namespaces(sc.slice(0, first))
+                        hdr_end = first
+                        if header:
+                            nxt = sc.find(_ROW_START, first + 4)
+                            if nxt < 0:
+                                nxt = sc.find(_SHEETDATA_END, first)
+                            hdr_end = nxt if nxt >= 0 else sc.end()
+                            hdr_rows = list(
+                                _parse_row_elements(
+                                    sc.slice(first, hdr_end), shared, ns_decls
+                                )
+                            )
+                            head = [
+                                str(c) if c is not None else ""
+                                for c in (hdr_rows[0] if hdr_rows else [])
+                            ]
+                            pos_map = [
+                                head.index(n) if n in head else -1 for n in names
+                            ]
+                        else:
+                            pos_map = list(range(len(names)))
+                        # data region begins after the header row (or at the
+                        # first row when header=False); shard ownership = row
+                        # starts in [start_t, end_t).  '<row[ >/]' cannot
+                        # match outside sheetData (worksheet-level elements
+                        # like <rowBreaks> fail the delimiter; '<' is escaped
+                        # inside cell text), so no sheetData-end probe is
+                        # needed to validate lo — and the skip phase discards
+                        # behind its frontier, so memory stays O(shard slice)
+                        data_floor = hdr_end if header else first
+                        scan_from = max(start_t, data_floor)
+                        sc.discard_to(max(scan_from - sc._STRADDLE, 0))
+                        lo = sc.find(_ROW_START, scan_from, discard=True)
+                        if lo < 0 or lo >= end_t:
+                            continue  # no row starts inside this shard's range
+                        hi = sc.find(_ROW_START, end_t)
+                        if hi < 0:
+                            # last occupied shard: cut at the sheetData
+                            # close.  Search from lo, NOT end_t — the
+                            # ceil-sized final range can overshoot EOF, and
+                            # '</sheetData>' never appears between rows so
+                            # the first match past lo is the data end.
+                            # (Only THIS shard ever scans the member tail.)
+                            hi = sc.find(_SHEETDATA_END, lo)
+                            if hi < 0:
+                                hi = sc.end()
+                        out_rows: list[list] = []
+                        for row in _parse_row_elements(
+                            sc.slice(lo, hi), shared, ns_decls
+                        ):
+                            out_rows.append(
+                                [
+                                    coerce_cell(row[p], dt)
+                                    if 0 <= p < len(row)
+                                    else None
+                                    for p, dt in zip(pos_map, dtypes)
+                                ]
+                            )
+                    yield uri, sheet_name, out_rows
+
+        try:
+            for uri, sheet_name, out_rows in shard_frames():
                 pdf_out = pd.DataFrame(out_rows, columns=names)
                 if add_source_columns:
                     pdf_out["_source_file"] = uri
                     pdf_out["_sheet"] = sheet_name
                 yield pdf_out
+        finally:
+            for raw, zf, _shared in opened.values():
+                try:
+                    zf.close()
+                finally:
+                    try:
+                        raw.close()
+                    except Exception:  # noqa: BLE001 — already closed
+                        pass
 
     plan = spark.createDataFrame(
         plan_rows,

@@ -458,3 +458,67 @@ def test_read_excel_sheets_dispatches_giant_workbooks(spark, tmp_path, workbook)
     b = sharded.toPandas().sort_values(cols, na_position="last").reset_index(drop=True)
     assert len(a) == 4  # 3 + 1 rows across the two sheets
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sharded_reader_handles_excel_prefixed_attributes(spark, tmp_path):
+    """Real Excel declares extension namespaces on the worksheet ROOT
+    (xmlns:x14ac, xmlns:mc) and uses them on every row
+    (x14ac:dyDescent="0.25").  A row slice re-wrapped without replaying
+    those declarations raises 'unbound prefix' — the r12 review's top
+    finding, invisible to fixture-only tests because the minimal writer
+    never emits prefixed attributes.  This fixture retrofits them the way
+    Excel writes them."""
+    import re
+    import zipfile
+
+    import pandas as pd
+
+    from retailfeaturestore_spark.sources.xlsx import (
+        read_xlsx,
+        read_xlsx_sharded,
+        write_minimal_xlsx,
+    )
+
+    src = str(tmp_path / "plain.xlsx")
+    n = 300
+    rows = [["K", "V"]] + [[f"k{i:03d}", float(i)] for i in range(n)]
+    write_minimal_xlsx(src, {"S": rows})
+
+    dst = str(tmp_path / "excelish.xlsx")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(
+        dst, "w", zipfile.ZIP_DEFLATED
+    ) as zout:
+        for zi in zin.infolist():
+            data = zin.read(zi.filename)
+            if zi.filename.startswith("xl/worksheets/"):
+                xml = data.decode()
+                xml = xml.replace(
+                    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">',
+                    '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+                    'xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006" '
+                    'xmlns:x14ac="http://schemas.microsoft.com/office/spreadsheetml/2009/9/ac" '
+                    'mc:Ignorable="x14ac">',
+                )
+                xml = re.sub(
+                    r'<row r="(\d+)">',
+                    r'<row r="\1" spans="1:2" x14ac:dyDescent="0.25">',
+                    xml,
+                )
+                data = xml.encode()
+            zout.writestr(zi.filename, data)
+
+    schema = "K string, V double"
+    a = (
+        read_xlsx(spark, dst, schema)
+        .toPandas()
+        .sort_values("K")
+        .reset_index(drop=True)
+    )
+    b = (
+        read_xlsx_sharded(spark, dst, schema, target_shard_bytes=2048)
+        .toPandas()
+        .sort_values("K")
+        .reset_index(drop=True)
+    )
+    assert len(a) == n
+    pd.testing.assert_frame_equal(a, b)
