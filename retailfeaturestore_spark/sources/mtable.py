@@ -265,6 +265,45 @@ def _unq(s: str) -> str:
     return unquote(s)
 
 
+def _check_retired_key_misuse(
+    wanted: set[str],
+    manifest_partitions: dict,
+    op: str,
+    allow: frozenset[str] = frozenset(),
+) -> None:
+    """Loud failure for the retired escaped-key convention, applied by
+    EVERY user-value selection site (read/ndv/compact/overwrite — the r12
+    review found the guard only on overwrite, leaving the read paths to
+    silently select nothing for the same caller mistake).  A wanted value
+    that matches no live TRUE value but IS verbatim a live manifest key of
+    a DIFFERENT true value is overwhelmingly a pre-r12 caller passing
+    escaped keys; acting on it would silently skip (read: zero rows, ndv:
+    0.0, compact: no-op) or, under the old dual-match, hit the WRONG
+    partition.  ``allow`` exempts values the caller is actively writing
+    (overwrite's staged TRUE values): creating a new partition whose
+    literal value collides with another partition's escaped key is
+    legitimate and must not raise (r12 review finding #2)."""
+    true_vals = {_unq(k) for k in manifest_partitions}
+    suspicious = sorted(
+        v
+        for v in wanted
+        if v not in true_vals
+        and v not in allow
+        and v in manifest_partitions
+        and _unq(v) != v
+    )
+    if suspicious:
+        raise ValueError(
+            f"{op}: partition value(s) {suspicious} match no live TRUE "
+            "partition value but are verbatim manifest keys of other "
+            "partitions (this API takes TRUE, unescaped values — the "
+            "escaped-key convention is retired).  If you meant the "
+            "partition(s) whose escaped key this is, pass the true "
+            f"value(s) {sorted(_unq(v) for v in suspicious)}; if you meant "
+            "the literal string, no such partition exists in this version."
+        )
+
+
 class ConcurrentCommit(RuntimeError):
     """Another writer claimed this version first (manifest CAS failed)."""
 
@@ -998,6 +1037,9 @@ class MTable:
         sel = m["partitions"]
         if partitions is not None:
             want = {str(p) for p in partitions}
+            # escaped-key misuse would silently drop every file from the
+            # estimate (ndv's own contract forbids partial answers)
+            _check_retired_key_misuse(want, m["partitions"], "ndv")
             sel = {
                 kk: v
                 for kk, v in sel.items()
@@ -2044,22 +2086,20 @@ class MTable:
             if partition_values is not None
             else {_unq(k) for k in staged}
         )
-        # loud failure for the retired escaped-key convention: a wanted
-        # value that matches NO true value but IS verbatim a live manifest
-        # key of a DIFFERENT true value would silently leave stale files
-        # live (or, under dual-match, silently drop the wrong partition)
-        true_vals = {_unq(k) for k in m0["partitions"]}
-        miskeyed = sorted(
-            v
-            for v in wanted
-            if v not in true_vals and v in m0["partitions"] and _unq(v) != v
+        # loud failure for the retired escaped-key convention — EXCEPT for
+        # values the caller is actively staging: creating a brand-new
+        # partition whose literal value collides with an existing
+        # partition's escaped key is legitimate under the TRUE-values
+        # contract (its own manifest key escapes one layer deeper) and
+        # must not raise (r12 review finding #2: the old guard
+        # false-positived here, and its message recommended the colliding
+        # TRUE value — obeying it would have dropped the wrong partition)
+        _check_retired_key_misuse(
+            wanted,
+            m0["partitions"],
+            "overwrite_partitions",
+            allow=frozenset(_unq(k) for k in staged),
         )
-        if miskeyed:
-            raise ValueError(
-                "partition_values must be TRUE (unescaped) partition "
-                f"values; got escaped manifest key(s) {miskeyed} — pass "
-                f"{sorted(_unq(v) for v in miskeyed)} instead"
-            )
         replaced = {
             k for k in m0["partitions"] if _unq(k) in wanted
         } | set(staged)
@@ -2204,7 +2244,14 @@ class MTable:
             partition_col_value = F.col(pby)
         upd = updates.withColumn(pby, partition_col_value.cast("string"))
         touched = [r[0] for r in upd.select(pby).distinct().collect()]
-        old_slice = self.read(version=v0, partitions=touched)
+        # the caller is actively WRITING these values: a new TRUE value
+        # colliding with an existing escaped key is legitimate here, same
+        # exemption as overwrite_partitions' staged set
+        old_slice = self.read(
+            version=v0,
+            partitions=touched,
+            _staging_values=frozenset(str(t) for t in touched),
+        )
         if old_slice is not None:
             update_keys = F.broadcast(upd.select(*keys).distinct())
             survivors = old_slice.join(update_keys, keys, "left_anti")
@@ -2610,6 +2657,7 @@ class MTable:
         prune: list[tuple] | None = None,
         as_of_ms: int | None = None,
         _exact_partitions: bool = False,
+        _staging_values: frozenset[str] = frozenset(),
     ) -> DataFrame | None:
         """Snapshot read: plan against exactly the files the manifest names
         (never a directory listing).  ``version=None`` = latest;
@@ -2646,7 +2694,12 @@ class MTable:
                 # value ONLY (ADVICE r11 #1 — the raw-key alternative made
                 # colliding values ambiguous); legacy-spec entries stay
                 # planned — their rows are not addressable by current
-                # value until migrate()
+                # value until migrate().  Escaped-key misuse fails loud
+                # here too — silently returning None for it is the same
+                # caller bug overwrite_partitions rejects.
+                _check_retired_key_misuse(
+                    want, m["partitions"], "read", allow=_staging_values
+                )
                 sel = {
                     k: v
                     for k, v in sel.items()
@@ -3450,10 +3503,14 @@ class MTable:
                 "use migrate() to rewrite them into the current layout"
             )
         # caller speaks TRUE values (same convention as
-        # overwrite_partitions / read); manifest keys match via _unq only
+        # overwrite_partitions / read); manifest keys match via _unq only.
+        # Escaped-key misuse fails loud — a silent no-op compact that
+        # "succeeded" is worse than the error.
         want = (
             {str(x) for x in partitions} if partitions is not None else None
         )
+        if want is not None:
+            _check_retired_key_misuse(want, m0["partitions"], "compact")
         sel = [
             p
             for p, files in m0["partitions"].items()

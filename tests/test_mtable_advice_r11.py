@@ -226,3 +226,65 @@ def test_vacuum_keep_ms_clock_skew_keeps_contiguous_range(spark, tmp_path):
     t3 = MTable(spark, str(tmp_path / "skew"))
     assert {(r.k, r.x) for r in t3.read(version=3).collect()} == {("p", 3)}
     assert {(r.k, r.x) for r in t3.read(version=2).collect()} == {("p", 2)}
+
+
+# --- r12 review refinements on the TRUE-values guard --------------------
+
+
+def test_overwrite_creates_new_partition_colliding_with_escaped_key(
+    spark, tmp_path
+):
+    """r12 review finding #2: TRUE 'a b' exists (manifest key 'a%20b'),
+    TRUE 'a%20b' does NOT.  Creating the literal-percent partition is a
+    legitimate new write under the TRUE-values contract — the old guard
+    false-positived on it, and its error message recommended passing
+    'a b', which would have dropped the WRONG partition."""
+    t = MTable(spark, str(tmp_path / "ovwnew"))
+    t.write(_kx(spark, [("a b", 1), ("plain", 2)]), partition_by="k")
+    t.overwrite_partitions(
+        _kx(spark, [("a%20b", 9)]), partition_values=["a%20b"]
+    )
+    assert {(r.k, r.x) for r in t.read().collect()} == {
+        ("a b", 1),
+        ("a%20b", 9),
+        ("plain", 2),
+    }
+
+
+def test_merge_upsert_into_new_colliding_partition(spark, tmp_path):
+    """Same exemption on the merge path: upserting rows whose NEW true
+    partition value collides with an existing partition's escaped key
+    must not trip the retired-convention guard."""
+    t = MTable(spark, str(tmp_path / "mrgnew"))
+    t.write(_kx(spark, [("a b", 1)]), partition_by="k")
+    t.merge_upsert(_kx(spark, [("a%20b", 9)]), keys=["x"])
+    assert {(r.k, r.x) for r in t.read().collect()} == {
+        ("a b", 1),
+        ("a%20b", 9),
+    }
+
+
+def test_read_ndv_compact_fail_loud_on_escaped_key_misuse(spark, tmp_path):
+    """r12 review finding: the retired escaped-key convention failed loud
+    only in overwrite_partitions; read() silently returned None, ndv()
+    0.0, compact() a no-op — three silent-wrong behaviors for the same
+    caller mistake.  All three now raise."""
+    t = MTable(spark, str(tmp_path / "loud"))
+    t.write(
+        _kx(spark, [("a:b", 1), ("a:b", 2), ("plain", 3)]),
+        partition_by="k",
+        stats_cols=["x"],
+        ndv_cols=["x"],
+    )
+    with pytest.raises(ValueError, match="read: .*escaped"):
+        t.read(partitions=["a%3Ab"])
+    with pytest.raises(ValueError, match="ndv: .*escaped"):
+        t.ndv("x", partitions=["a%3Ab"])
+    with pytest.raises(ValueError, match="compact: .*escaped"):
+        t.compact(partitions=["a%3Ab"])
+    # the TRUE value keeps working (ndv's own sketch-presence contract is
+    # covered by its dedicated tests; here only the guard is under test)
+    assert t.read(partitions=["a:b"]).count() == 2
+    # a simply-nonexistent value (no key collision) stays a quiet miss:
+    # read None, compact no-op — that is the normal empty-selection path
+    assert t.read(partitions=["nope"]) is None
