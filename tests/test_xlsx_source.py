@@ -522,3 +522,30 @@ def test_sharded_reader_handles_excel_prefixed_attributes(spark, tmp_path):
     )
     assert len(a) == n
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sharded_reader_over_workbook_directory(spark, tmp_path):
+    """Directory enumeration: the sharded reader must union every sheet
+    of every workbook under the path with correct per-file lineage, same
+    as the per-file reader."""
+    import pandas as pd
+
+    from retailfeaturestore_spark.sources.xlsx import read_xlsx_sharded
+
+    for i in range(3):
+        rows = [["K", "V"]] + [[f"w{i}k{j}", float(j)] for j in range(50)]
+        write_minimal_xlsx(str(tmp_path / f"wb{i}.xlsx"), {"S": rows})
+    schema = "K string, V double"
+    a = (
+        read_xlsx(spark, str(tmp_path), schema, add_source_columns=True)
+        .toPandas().sort_values("K").reset_index(drop=True)
+    )
+    b = (
+        read_xlsx_sharded(
+            spark, str(tmp_path), schema,
+            add_source_columns=True, target_shard_bytes=256,
+        )
+        .toPandas().sort_values("K").reset_index(drop=True)
+    )
+    assert len(a) == 150
+    pd.testing.assert_frame_equal(a, b)
