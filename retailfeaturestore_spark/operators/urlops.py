@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "PSL_MULTI_LABEL",
+    "url_screen",
     "canonical_url",
     "url_host",
     "registrable_domain",
@@ -195,4 +196,71 @@ def domain_mixture_weights(
             F.col("__capped").cast("double") / F.col("__ctot").cast("double"),
         )
         .drop("__tot", "__capped", "__ctot")
+    )
+
+
+def url_screen(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_path_terms: tuple[str, ...] = (),
+    max_host_digit_pct: int = 40,
+) -> DataFrame:
+    """URL-level admission screen — the curation gate crawl pipelines run
+    BEFORE fetching or keeping content (RefinedWeb runs exactly this
+    trio; CCNet/Dolma variants differ only in list contents):
+
+    - ``flag_blocked_domain``: the registrable domain (eTLD+1) is on the
+      blocklist — domain-level, so every subdomain of a listed domain is
+      caught without listing them;
+    - ``flag_path_term``: a blocked term appears in the PATH or QUERY
+      (never matched against the host, where an innocent domain name
+      could contain a blocked substring);
+    - ``flag_digit_host``: more than ``max_host_digit_pct`` percent of
+      the host's alphanumeric characters are digits (machine-generated
+      spam-farm hosts; threshold compares as integers,
+      ``100 * digits > pct * alnum``, so the cut is engine-exact);
+    - ``url_ok``: none of the flags fired.
+
+    Appends the canonical URL, host, registrable domain, the three flags
+    (int 0/1) and ``url_ok`` to ``df``.  Pure map-side Column algebra
+    (regexp + conditionals inside whole-stage codegen): zero exchanges,
+    zero UDFs — the screen runs at crawl scale as a filter pushed over
+    the URL column alone, and both list arguments are plan literals
+    (broadcast-sized constants, same deployment shape as the PSL
+    subset)."""
+    canon = canonical_url(F.col(url_col))
+    host = url_host(canon)
+    dom = registrable_domain(host)
+    path_q = F.regexp_replace(canon, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    if blocked_domains:
+        f_dom = dom.isin(*blocked_domains).cast("int")
+    else:
+        f_dom = F.lit(0)
+    if blocked_path_terms:
+        pat = "(" + "|".join(blocked_path_terms) + ")"
+        f_path = (F.regexp_count(path_q, F.lit(pat)) > 0).cast("int")
+    else:
+        f_path = F.lit(0)
+    digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    alnum = F.length(F.regexp_replace(host, r"[^a-z0-9]", ""))
+    f_digit = (
+        (alnum > 0)
+        & (digits * F.lit(100) > alnum * F.lit(int(max_host_digit_pct)))
+    ).cast("int")
+    return (
+        df.withColumn("canonical_url", canon)
+        .withColumn("host", host)
+        .withColumn("registrable_domain", dom)
+        .withColumn("flag_blocked_domain", f_dom)
+        .withColumn("flag_path_term", f_path)
+        .withColumn("flag_digit_host", f_digit)
+        .withColumn(
+            "url_ok",
+            (
+                (F.col("flag_blocked_domain") == 0)
+                & (F.col("flag_path_term") == 0)
+                & (F.col("flag_digit_host") == 0)
+            ).cast("int"),
+        )
     )

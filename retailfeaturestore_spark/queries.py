@@ -9719,6 +9719,77 @@ def q_domain_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture_weights(per_dom, "tokens", cap=0.05)
 
 
+_URL_SCREEN_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+pre AS (SELECT doc_id, {_CANON_PRE_SQL} AS __c FROM u),
+c AS (SELECT doc_id, {_CANON_SQL} AS canonical_url FROM pre),
+h AS (SELECT doc_id, canonical_url,
+             regexp_extract(canonical_url,
+               '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+             regexp_replace(canonical_url,
+               '^[a-z][a-z0-9+.-]*://[^/]*', '') AS path_q
+      FROM c),
+f AS (
+  SELECT {_registrable_sql("host")} AS registrable_domain,
+         CASE WHEN {_registrable_sql("host")} IN
+                   ('h10.com', 'h21.co.uk', 'h13.github.io')
+              THEN 1 ELSE 0 END AS flag_blocked_domain,
+         CASE WHEN regexp_matches(path_q, '(/p/13|id=7)')
+              THEN 1 ELSE 0 END AS flag_path_term,
+         CASE WHEN length(regexp_replace(host, '[^a-z0-9]', '', 'g')) > 0
+               AND 100 * length(regexp_replace(host, '[^0-9]', '', 'g'))
+                   > 25 * length(regexp_replace(host, '[^a-z0-9]', '', 'g'))
+              THEN 1 ELSE 0 END AS flag_digit_host
+  FROM h)
+SELECT registrable_domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(flag_blocked_domain) AS BIGINT) AS n_blocked_domain,
+       CAST(sum(flag_path_term) AS BIGINT) AS n_path_term,
+       CAST(sum(flag_digit_host) AS BIGINT) AS n_digit_host,
+       CAST(sum(CASE WHEN flag_blocked_domain = 0 AND flag_path_term = 0
+                      AND flag_digit_host = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ok
+FROM f GROUP BY registrable_domain
+"""
+
+
+@register("url_blocklist_screen", oracle=_URL_SCREEN_ORACLE, tags=("text", "curation", "dedup"))
+def q_url_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level admission screen (operators/urlops.url_screen) — the
+    curation gate RefinedWeb-class pipelines run BEFORE keeping content:
+    blocklisted registrable domains (domain-level, so subdomains are
+    caught), blocked terms in the path/query (never matched against the
+    host, where an innocent domain could contain a blocked substring),
+    and machine-generated digit-heavy hosts (integer-exact percent cut).
+    Rolled up to a per-domain admission report — the artifact a crawl
+    operator reviews before committing the filter list.  Scale: the
+    screen is pure map-side regexp codegen over the URL column (zero
+    exchanges, zero UDFs); the only exchange is the domain-sized rollup.
+    NEW in r12 (after the window froze): zero driver history by
+    construction — r13 rotates it in first, per the new-surface rule."""
+    from .operators.urlops import url_screen
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", _url_expr())
+    )
+    screened = url_screen(
+        docs,
+        "url",
+        blocked_domains=("h10.com", "h21.co.uk", "h13.github.io"),
+        blocked_path_terms=("/p/13", "id=7"),
+        max_host_digit_pct=25,
+    )
+    return screened.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("flag_blocked_domain").cast("long").alias("n_blocked_domain"),
+        F.sum("flag_path_term").cast("long").alias("n_path_term"),
+        F.sum("flag_digit_host").cast("long").alias("n_digit_host"),
+        F.sum("url_ok").cast("long").alias("n_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver evaluation order.  The correctness driver evaluates the FIRST 50
 # registry entries; with 73 registered queries, definition order left whole

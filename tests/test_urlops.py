@@ -117,3 +117,61 @@ def test_domain_mixture_weights_integer_exact_cap(spark):
     assert out["whale.com"] == (900, 0.9, 0.5)
     assert out["a.com"] == (60, 0.06, 0.3)
     assert out["b.com"] == (40, 0.04, 0.2)
+
+
+def test_url_screen_flag_semantics(spark):
+    """The three screen flags must honor their scoping rules: domain
+    blocks catch SUBDOMAINS (eTLD+1 match), path terms never match the
+    HOST, and the digit cut is integer-exact at the boundary."""
+    from pyspark.sql import Row
+
+    from retailfeaturestore_spark.operators.urlops import url_screen
+
+    rows = [
+        # subdomain of a blocked registrable domain -> caught
+        Row(id=1, url="https://cdn.bad.com/x"),
+        # innocent domain whose NAME contains a blocked path term ->
+        # must NOT trip the path flag (host is out of scope for it)
+        Row(id=2, url="https://casino.example.com/clean"),
+        # blocked term in the path -> caught
+        Row(id=3, url="https://ok.com/casino/page"),
+        # blocked term in the query -> caught
+        Row(id=4, url="https://ok.com/p?ref=casino"),
+        # digit boundary: host alnum 'a1com'=5, digits 1 -> 20% == cut:
+        # strict > means NO flag at exactly the threshold
+        Row(id=5, url="https://a1.com/x"),
+        # 'h37com'=6 alnum, 2 digits -> 33% > 20 -> flagged
+        Row(id=6, url="https://h37.com/x"),
+        Row(id=7, url="https://clean.org/x"),
+    ]
+    out = {
+        r.id: r
+        for r in url_screen(
+            spark.createDataFrame(rows),
+            "url",
+            blocked_domains=("bad.com",),
+            blocked_path_terms=("casino",),
+            max_host_digit_pct=20,
+        ).collect()
+    }
+    assert out[1].flag_blocked_domain == 1 and out[1].registrable_domain == "bad.com"
+    assert out[2].flag_path_term == 0 and out[2].url_ok == 1
+    assert out[3].flag_path_term == 1 and out[3].url_ok == 0
+    assert out[4].flag_path_term == 1
+    assert out[5].flag_digit_host == 0 and out[5].url_ok == 1
+    assert out[6].flag_digit_host == 1
+    assert out[7].url_ok == 1
+
+
+def test_url_screen_empty_lists_never_flag(spark):
+    from pyspark.sql import Row
+
+    from retailfeaturestore_spark.operators.urlops import url_screen
+
+    out = url_screen(
+        spark.createDataFrame([Row(id=1, url="https://bad.com/casino")]),
+        "url",
+    ).collect()[0]
+    assert out.flag_blocked_domain == 0 and out.flag_path_term == 0
+    # the digit gate still applies with its default threshold
+    assert out.url_ok == 1
