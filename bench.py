@@ -154,6 +154,7 @@ HEADLINE = [
     "approx_customer_retention_months",
     "url_dedup_domains",
     "domain_quality_mix",
+    "url_blocklist_screen",
 ]
 
 # min-of-3: the first run of a plan pays whole-stage-codegen compilation and
