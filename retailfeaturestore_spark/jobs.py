@@ -60,10 +60,13 @@ def read_excel_sheets(
     sheet.  Directories of ordinary workbooks stay on the per-file reader,
     which avoids the sharded path's duplicated inflation.  Probe cost is
     bounded: the listing's COMPRESSED size (free) prefilters — only
-    workbooks that could plausibly hold a worksheet that big (DEFLATE on
-    spreadsheet XML stays well under 20:1, so compressed >= threshold/20)
-    get a central-directory read, so a landing zone of thousands of small
-    workbooks pays zero zip opens (r12 code-review finding)."""
+    workbooks above a small absolute floor (1 MiB compressed) get a
+    central-directory read (a few KB each), so a landing zone of
+    thousands of small workbooks pays zero zip opens (r12 code-review
+    finding).  The floor is absolute, NOT a compression-ratio guess:
+    repetitive numeric sheet XML routinely deflates 25-50:1, so a
+    threshold/20 cut would silently serialize exactly the giant
+    worksheets the sharded path targets (r12 advice finding)."""
     import zipfile
 
     from .sources.xlsx import _list_workbooks, _open_input, read_xlsx, read_xlsx_sharded
@@ -72,9 +75,10 @@ def read_excel_sheets(
         "Invoice string, StockCode string, Description string, Quantity long, "
         "InvoiceDate double, Price double, `Customer ID` double, Country string"
     )
+    probe_floor = min(1 << 20, shard_threshold_bytes)
     for _, loc, csize in _list_workbooks(xlsx_path):
-        if csize < shard_threshold_bytes // 20:
-            continue  # cannot hold a >threshold worksheet at any real ratio
+        if csize < probe_floor:
+            continue  # small workbook: skip the (cheap) directory probe
         raw = _open_input(loc)
         try:
             with zipfile.ZipFile(raw) as zf:

@@ -238,7 +238,14 @@ def url_screen(
     else:
         f_dom = F.lit(0)
     if blocked_path_terms:
-        pat = "(" + "|".join(blocked_path_terms) + ")"
+        # terms are LITERAL strings (per the contract above) — escape each
+        # alternative so a term like 'c++' or one containing '(' or '.'
+        # neither throws at plan time nor silently widens the match (r12
+        # advice finding).  re.escape output is Java-regex compatible
+        # (backslash-escaped punctuation only).
+        import re as _re
+
+        pat = "(" + "|".join(_re.escape(t) for t in blocked_path_terms) + ")"
         f_path = (F.regexp_count(path_q, F.lit(pat)) > 0).cast("int")
     else:
         f_path = F.lit(0)

@@ -347,8 +347,12 @@ class _MemberScanner:
         return self.base + len(self.buf)
 
     def ensure(self, n: int) -> None:
+        # fixed-size reads: a single read(n - end) for a far-ahead target
+        # would inflate and buffer the entire gap in one call (r12 advice
+        # finding) — the loop shape is identical, the peak per-call
+        # allocation is capped at the chunk size
         while not self.eof and self.end() < n:
-            chunk = self._fh.read(max(n - self.end(), 1 << 20))
+            chunk = self._fh.read(1 << 20)
             if not chunk:
                 self.eof = True
                 return
@@ -369,6 +373,17 @@ class _MemberScanner:
         scan frontier as the inflater advances (skip-to-shard phase: the
         caller has no further use for them)."""
         pos = max(start, self.base)
+        if discard:
+            # bounded skip phase: advance the inflater toward ``start`` in
+            # ~1 MiB steps, discarding behind the frontier EACH step, so
+            # skipping to a late shard of a giant member holds O(1 MiB)
+            # resident — not the whole [base, start) prefix (r12 advice:
+            # the old single ensure(start + 1MiB) buffered the entire gap
+            # before the first discard ran; N concurrent late shards of
+            # one 2 GB-XML sheet summed to tens of GB)
+            while not self.eof and self.end() < pos - self._STRADDLE:
+                self.ensure(self.end() + (1 << 20))
+                self.discard_to(min(self.end(), pos) - self._STRADDLE)
         while True:
             self.ensure(pos + (1 << 20))
             m = pattern.search(self.buf, pos - self.base)

@@ -175,3 +175,30 @@ def test_url_screen_empty_lists_never_flag(spark):
     assert out.flag_blocked_domain == 0 and out.flag_path_term == 0
     # the digit gate still applies with its default threshold
     assert out.url_ok == 1
+
+
+def test_url_screen_path_terms_are_literal(spark):
+    """Blocked path terms are LITERAL strings (r12 advice): a term with
+    regex metacharacters ('c++', 'a.b', an unbalanced '(') must neither
+    throw at plan time nor widen the match — '.' matches only a dot."""
+    from pyspark.sql import Row
+
+    from retailfeaturestore_spark.operators.urlops import url_screen
+
+    rows = [
+        Row(id=1, url="https://ok.com/docs/c++/intro"),   # literal hit
+        Row(id=2, url="https://ok.com/docs/cxx/intro"),   # 'c++' != 'cxx'
+        Row(id=3, url="https://ok.com/x?q=a.b"),          # literal dot hit
+        Row(id=4, url="https://ok.com/x?q=aXb"),          # '.' must not match X
+        Row(id=5, url="https://ok.com/f(1)/y"),           # unbalanced-paren term
+        Row(id=6, url="https://ok.com/clean"),
+    ]
+    out = {
+        r.id: r.flag_path_term
+        for r in url_screen(
+            spark.createDataFrame(rows),
+            "url",
+            blocked_path_terms=("c++", "a.b", "f("),
+        ).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 0}

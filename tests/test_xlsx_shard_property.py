@@ -133,3 +133,62 @@ def test_sharded_cut_equals_whole_document_parse(rows, shard_bytes):
         assert norm(got) == norm(expect), (
             f"{len(got)} rows from {n_shards} shards vs {len(expect)}"
         )
+
+
+class _PeakTrackingScanner(_MemberScanner):
+    """Records the peak resident buffer across every ensure step."""
+
+    def __init__(self, fh):
+        super().__init__(fh)
+        self.peak = 0
+
+    def ensure(self, n):
+        super().ensure(n)
+        self.peak = max(self.peak, len(self.buf))
+
+
+def test_skip_phase_memory_is_bounded():
+    """Skipping to a late shard of a giant member must hold O(1 MiB)
+    resident, not the whole prefix (r12 advice: a single ensure(start)
+    used to issue one read that inflated and buffered the entire
+    [0, start) gap before any discard ran — N concurrent late shards of
+    one multi-GB sheet summed to executor OOM)."""
+    import io
+    import re
+
+    row = b'<row r="1"><c t="inline"><is><t>aaaaaaaaaaaaaaaa</t></is></c></row>'
+    body = row * (8 * (1 << 20) // len(row))  # ~8 MiB of row elements
+    sc = _PeakTrackingScanner(io.BytesIO(body))
+    target = len(body) - (1 << 20)  # skip ~7 MiB into the stream
+    lo = sc.find(_ROW_START, target, discard=True)
+    assert lo >= target
+    # bound: one skip-step chunk + one search-window chunk + straddle slack
+    assert sc.peak <= (2 << 20) + (1 << 16), f"peak resident {sc.peak} bytes"
+    # and the found offset is a genuine row start
+    assert body[lo : lo + 4] == b"<row"
+
+
+def test_skip_phase_memory_bounded_under_compression():
+    """Same bound through a real DEFLATE zip member (ZipExtFile.read path
+    — the production fh type): peak buffer while skipping most of a
+    ~12 MiB-XML worksheet stays ~2 MiB."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "big.xlsx")
+        # ~60k identical rows -> multi-MiB XML, tiny compressed
+        write_minimal_xlsx(
+            path, {"S": [[i, "x" * 64] for i in range(60_000)]}
+        )
+        with zipfile.ZipFile(path) as zf:
+            member = "xl/worksheets/sheet1.xml"
+            xml_size = next(
+                zi.file_size for zi in zf.infolist() if zi.filename == member
+            )
+            assert xml_size > 4 << 20, "fixture too small to exercise skip"
+            with zf.open(member) as fh:
+                sc = _PeakTrackingScanner(fh)
+                target = xml_size - (1 << 20)
+                lo = sc.find(_ROW_START, target, discard=True)
+                assert lo >= target
+                assert sc.peak <= (2 << 20) + (1 << 16), (
+                    f"peak resident {sc.peak} bytes for {xml_size}-byte member"
+                )
