@@ -191,20 +191,25 @@ RESIDENT_QUERIES = frozenset(
 
 
 def _plan_holds_rdd_scan(df) -> bool:
-    """True when the built plan embeds an RDD scan (LogicalRDD /
-    ExistingRDD) — a localCheckpoint the query materializes on run 1 and
-    would silently SERVE on runs 2-3 through the prepared-plan memo,
-    exactly the warm bias RESIDENT_QUERIES exists to evict (r12
-    code-review finding: bm25's new match-list checkpoint, the KMV sketch
-    rows, and four older checkpoint-bearing queries were outside the hand
-    list).  createDataFrame literals also surface as ExistingRDD, so this
+    """True when the built plan embeds warm session state: an RDD scan
+    (LogicalRDD / ExistingRDD — a localCheckpoint the query materializes
+    on run 1 and would silently SERVE on runs 2-3 through the
+    prepared-plan memo, r12 code-review finding) or a persisted frame
+    (InMemoryRelation — a get_or_register artifact such as the r13 shared
+    tokenization corpus; without eviction runs 2-3 would read the cached
+    split while the co-measured DuckDB anchor re-tokenizes every run).
+    createDataFrame literals also surface as ExistingRDD, so this
     over-detects — which only errs toward MORE eviction, i.e. more
     honest (cold) numbers."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # noqa: BLE001 — unplannable here: let the timed run decide
         return False
-    return "LogicalRDD" in plan or "ExistingRDD" in plan
+    return (
+        "LogicalRDD" in plan
+        or "ExistingRDD" in plan
+        or "InMemoryRelation" in plan
+    )
 
 
 def _should_evict(tags: tuple[str, ...]) -> bool:

@@ -34,38 +34,59 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_literal_terms: int = 64,
+    pretokenized: DataFrame | None = None,
+    stats: tuple[int, int] | None = None,
+    term_dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k per query over a (query_id, term) bag.
 
-    Scale shape (re-planned r11; the pre-r11 path exploded EVERY token,
-    shuffled all matched tokens into a (doc, term) aggregate, and re-ran
-    that pipeline under TWO broadcast branches — three corpus passes plus
-    a token-scale exchange): the query's term set is a DRIVER-SIDE
-    literal, so per-doc term frequencies are computed MAP-SIDE — one
-    ``isin`` pass shrinks the token array to query-term matches (a
-    match-list per doc; CollapseProject keeps the non-cheap HOF alias
-    un-inlined), then |terms| cheap counts over that small array; what
-    explodes is |terms|+1 pre-aggregated rows per doc, pruned to tf > 0
-    before any exchange.  A SENTINEL row per doc (term = "\x00stats",
-    tf = dl) lets corpus stats (n_docs, total_tokens) and per-term df all
-    fall out of ONE tiny groupBy(term) folded to a single broadcast map
-    row — exactly one auxiliary re-execution of the map pipeline, instead
-    of one per broadcast branch.  Two corpus scans total, zero
-    token-level exchanges; the remaining exchanges are the
-    match-list-sized (query, doc) score sum and the per-query top-k
-    window.  Floor decomposition (sf0.1, 32 threads): each corpus
-    scan+split ≈ 0.18-0.35 s, so the ~1.1 s total is string-throughput
-    bound — the embedded columnar engine splits the same 120 MB in
-    ~0.1 s; plan shape cannot close that constant-factor gap, only
-    engine string SIMD could.  A fully map-side variant (per-query
-    F.aggregate, zero groupBy) was A/B'd and LOST: Catalyst re-inlines
-    the shared tf array into every query's lambda, multiplying the
-    filter work.
+    Scale shape (re-planned r13; history: the pre-r11 path exploded EVERY
+    token and re-ran the corpus pipeline under two broadcast branches;
+    r11 moved term frequencies map-side behind a per-doc ``isin`` prune
+    with a sentinel-row trick folding corpus stats and per-term df into
+    one groupBy + broadcast + localCheckpoint; r13 removes the sentinel,
+    the checkpoint, and — when the shared tokenization artifact supplies
+    them — every auxiliary job):
 
-    Determinism contract (SURVEY §5.2) unchanged: exact rational idf,
-    per-term x1e12 quantization BEFORE the cross-term sum."""
+    - per-doc term frequencies are MAP-SIDE: one ``isin`` pass shrinks
+      the token array to query-term matches, then |terms| cheap counts
+      over that small array; what explodes is |terms| pre-aggregated
+      rows per doc, pruned to tf > 0 before any exchange (above
+      ``max_literal_terms`` a broadcast-semi-join explode path handles
+      arbitrary vocabularies at one token-level exchange);
+    - ``term_dfs`` (document frequencies for the literal query terms,
+      from ``operators.tokenize.query_term_dfs``) folds the df side to
+      PLAN LITERALS — no stats groupBy, no broadcast barrier.  Without
+      it, df derives from the matched rows themselves by a count over a
+      term-partitioned window (matched rows are query-working-set-sized,
+      so the term partitions cannot whale);
+    - ``stats`` (``(n_docs, total_tokens)`` from
+      ``operators.tokenize.corpus_token_stats``) folds the corpus-stat
+      side to literals; without it a single-row broadcast aggregate over
+      the token frame supplies them (one auxiliary corpus pass);
+    - ``pretokenized`` (the ``operators.tokenize.token_corpus`` L1 frame:
+      ``doc_id, toks, dl``) replaces the scan+split with a read of the
+      persisted split.
+
+    With all three artifact inputs the whole ranking is ONE job: scan
+    tokens -> map match+score -> two match-list-sized exchanges (the
+    (query, doc) score sum and the per-query top-k window).  Floor
+    decomposition at sf0.1/local[32] (r13 re-measured): the corpus
+    scan+split is ~0.1 s and per-STAGE scheduling is ~0.1-0.2 s, so the
+    artifact path's ~3 tiny stages bound the latency — job-count, not
+    string throughput, is the measured floor at bench scale; at sf5+ the
+    data work dominates and the artifact path's saved passes are the win.
+
+    Determinism contract (SURVEY §5.2) unchanged: exact rational idf
+    (no log), per-term x1e12 quantization BEFORE the cross-term sum —
+    the literal-vs-column sourcing of n_docs/df/avgdl cannot change a
+    single bit because every leaf is the same integer-valued double and
+    the expression tree is identical.
+
+    Reference parity: ranking semantics per Robertson-Sparck Jones BM25
+    (k1/b defaults 1.2/0.75), the curation-search shape of SURVEY.md
+    LLM-pipeline coverage."""
     spark = docs.sparkSession
-    ws = F.split(F.col(text_col), " ")
     q_by_id: dict[int, list[str]] = {}
     for q, t in term_queries:
         if str(t):
@@ -82,13 +103,39 @@ def bm25_topk(
             F.lit(0).cast("long").alias("score_scaled"),
             F.lit(0.0).alias("score"),
         ).where(F.lit(False))
-    qterms = F.broadcast(
-        spark.createDataFrame(
-            [(q, t) for q, ts in sorted(q_by_id.items()) for t in ts],
-            "query_id long, term string",
+    if pretokenized is not None:
+        tok = pretokenized.select(
+            F.col("doc_id"), F.col("toks"), F.col("dl")
         )
+    else:
+        ws = F.split(F.col(text_col), " ")
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            ws.alias("toks"),
+            F.size(ws).cast("long").alias("dl"),
+        )
+    # term -> [query_id, ...] literal fanout map: replaces the broadcast
+    # (query_id, term) relation of earlier rounds — no createDataFrame on
+    # the driver, no BroadcastExchange, no join operator in the plan; a
+    # matched row fans out to its queries by exploding a map lookup.
+    # Plan size grows with |terms| like every literal here, so it shares
+    # the max_literal_terms gate economics (the map is query-bag-sized).
+    q_of_term: dict[str, list[int]] = {}
+    for q, ts in sorted(q_by_id.items()):
+        for t in ts:
+            q_of_term.setdefault(t, []).append(q)
+    qmap = F.create_map(
+        *[
+            x
+            for t in terms
+            for x in (
+                F.lit(t),
+                F.array(
+                    *[F.lit(q).cast("long") for q in sorted(q_of_term[t])]
+                ),
+            )
+        ]
     )
-    sent = "\x00stats"  # cannot collide: real terms are whitespace tokens
 
     def _eq(t: str):
         # closure, NOT a default arg: a second lambda parameter would make
@@ -101,34 +148,20 @@ def bm25_topk(
         # so it is gated at max_literal_terms (ADVICE r12 #4); above the
         # gate the explode+broadcast-semi-join path below handles
         # arbitrary vocabularies at one token-level exchange
-        matched = F.filter(ws, lambda x: x.isin(*terms))
-        tf_arr = F.concat(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("term"),
-                        F.size(F.filter(F.col("__m"), _eq(t)))
-                        .cast("long")
-                        .alias("tf"),
-                    )
-                    for t in terms
-                ]
-            ),
-            # the sentinel's tf must survive a NULL dl (null/absent text):
-            # oracle-side n_docs is count(*), so every doc must emit it
-            F.array(
+        matched = F.filter(F.col("toks"), lambda x: x.isin(*terms))
+        tf_arr = F.array(
+            *[
                 F.struct(
-                    F.lit(sent).alias("term"),
-                    F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("tf"),
+                    F.lit(t).alias("term"),
+                    F.size(F.filter(F.col("__m"), _eq(t)))
+                    .cast("long")
+                    .alias("tf"),
                 )
-            ),
+                for t in terms
+            ]
         )
         rows = (
-            docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.size(ws).cast("long").alias("dl"),
-                matched.alias("__m"),
-            )
+            tok.select("doc_id", "dl", matched.alias("__m"))
             .select("doc_id", "dl", F.explode(tf_arr).alias("__e"))
             .select(
                 "doc_id",
@@ -136,66 +169,57 @@ def bm25_topk(
                 F.col("__e.term").alias("term"),
                 F.col("__e.tf").alias("tf"),
             )
-            .where((F.col("tf") > 0) | (F.col("term") == sent))
+            .where(F.col("tf") > 0)
         )
     else:
         # join path for large vocabularies: explode tokens once, keep only
         # query-term matches via a broadcast join (Catalyst pushes the
         # join's term set as a bloom/semi filter), aggregate tf per
-        # (doc, term); the per-doc sentinel row unions in from the base
-        # scan so corpus stats still fall out of the same tiny groupBy
+        # (doc, term)
         term_lit = F.broadcast(
             spark.createDataFrame([(t,) for t in terms], "term string")
         )
-        base = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(ws).cast("long").alias("dl"),
-            ws.alias("__toks"),
-        )
-        tf_rows = (
-            base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        rows = (
+            tok.select("doc_id", "dl", F.explode("toks").alias("term"))
             .join(term_lit, "term")
             .groupBy("doc_id", "dl", "term")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
             .select("doc_id", "dl", "term", "tf")
         )
-        sent_rows = base.select(
-            "doc_id",
-            "dl",
-            F.lit(sent).alias("term"),
-            F.coalesce(F.col("dl"), F.lit(0).cast("long")).alias("tf"),
+    # df side: literals when the caller holds the vocabulary artifact;
+    # otherwise derived from the matched rows by a term-partitioned window
+    # count (rows are distinct on (doc, term), so the partition count IS
+    # the document frequency — restricted to query terms, the partitions
+    # are match-list-sized and cannot whale)
+    if term_dfs is not None:
+        df_d = F.create_map(
+            *[x for t in terms for x in (F.lit(t), F.lit(int(term_dfs.get(t, 0))))]
+        )[F.col("term")].cast("double")
+        scored_in = rows
+    else:
+        w_df = Window.partitionBy("term")
+        df_d = F.col("__df").cast("double")
+        scored_in = rows.withColumn(
+            "__df", F.count(F.lit(1)).over(w_df).cast("long")
         )
-        rows = tf_rows.unionByName(sent_rows)
-    # `rows` feeds TWO consumers (the aux stats agg and the scoring join);
-    # Spark re-executes DataFrame subtrees per consumer, so without
-    # materialization the corpus scan+split pipeline runs twice.  A lazy
-    # localCheckpoint pins the PRUNED match-list rows (one sentinel +
-    # matched terms per doc — query-working-set scale, never the raw
-    # corpus), so the second consumer reads blocks instead of re-splitting
-    # the corpus.  r12 same-session A/B at sf0.1: a WASH (~0.93 s min both
-    # ways — the 120 MB split is cheap enough that materialization
-    # overhead cancels the saved pass), kept anyway because at 100 TB the
-    # second corpus pass is a full re-scan while the checkpoint is a
-    # per-query working set; same pattern as
-    # urlops.domain_mixture_weights.
-    rows = rows.localCheckpoint(eager=False)
-    # per-term (df, tf-mass) + the sentinel's (n_docs, total_tokens), one
-    # tiny agg folded to a single broadcast MAP row
-    aggterm = rows.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("c"),
-        F.sum("tf").cast("long").alias("s"),
-    )
-    aux = F.broadcast(
-        aggterm.agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", F.struct("c", "s")))
-            ).alias("__tmap")
+    # corpus-stat side: literals from the artifact, else one single-row
+    # broadcast aggregate over the token frame (the one auxiliary pass)
+    if stats is not None:
+        n_docs_i, total_tokens_i = int(stats[0]), int(stats[1])
+        n_docs = F.lit(float(n_docs_i))
+        total_tokens = F.lit(float(total_tokens_i))
+    else:
+        aux = F.broadcast(
+            tok.agg(
+                F.count(F.lit(1)).cast("long").alias("__nd"),
+                F.sum(F.coalesce(F.col("dl"), F.lit(0).cast("long")))
+                .cast("long")
+                .alias("__tt"),
+            )
         )
-    )
-    tmap = F.col("__tmap")
-    n_docs = F.element_at(tmap, sent)["c"].cast("double")
-    total_tokens = F.element_at(tmap, sent)["s"].cast("double")
-    df_d = F.element_at(tmap, F.col("term"))["c"].cast("double")
+        scored_in = scored_in.crossJoin(aux)
+        n_docs = F.col("__nd").cast("double")
+        total_tokens = F.col("__tt").cast("double")
     idf = ((n_docs - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
     avgdl = total_tokens / n_docs
     tfd = F.col("tf").cast("double")
@@ -204,16 +228,19 @@ def bm25_topk(
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
     )
-    scored = (
-        rows.where(F.col("term") != sent)
-        .join(qterms, "term")
-        .crossJoin(aux)
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * tfn * F.lit(1e12)).cast("long").alias("scaled"),
-        )
+    scored = scored_in.select(
+        F.explode(qmap[F.col("term")]).alias("query_id"),
+        F.col("doc_id"),
+        F.round(idf * tfn * F.lit(1e12)).cast("long").alias("scaled"),
     )
+    # single-exchange tail: hash-partition the match-list rows by query_id
+    # ONCE — HashPartitioning(query_id) satisfies both the (query_id,
+    # doc_id) aggregate's clustering (subset rule) and the top-k window's
+    # partitioning, so the agg and the window share the one exchange
+    # instead of shuffling twice.  Value-neutral (partitioning commutes
+    # with the agg); per-query partitions are match-list-sized by
+    # construction, the same bound the window already implied.
+    scored = scored.repartition(F.col("query_id"))
     per_qd = scored.groupBy("query_id", "doc_id").agg(
         F.sum("scaled").cast("long").alias("score_scaled"),
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),

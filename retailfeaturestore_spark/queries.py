@@ -6594,39 +6594,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 terms by tf-idf.  The idf is kept as the exact
     rational tf*N/df (single IEEE division — bit-identical across engines;
     a log() idf would diverge at libm level, SURVEY.md §5.2 determinism
-    contract), ties broken by term.  Scale shape: term postings shuffle on
-    term once for the document-frequency agg; the df side is vocabulary-
-    sized (<< corpus) so it broadcast-joins back; the N-docs scalar is a
-    1-row broadcast cross join, never a driver collect."""
-    from .operators.dedup import spread_compute
+    contract), ties broken by term.
 
-    d = spread_compute(load_table(spark, sf_dir, "documents"))
-    tok = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-        .where(F.length("term") > 0)
-    )
-    # tf rows are distinct on (doc, term), so document frequency derives
-    # from tf by a map-side-combinable aggregate — the former
-    # tok->distinct->groupBy(term) branch re-tokenized the whole corpus
-    # from scratch (and the N-docs agg a third time; Spark does not reuse
-    # duplicated subtrees).  tf is still consumed twice (join + dfx; at
-    # real scale persist it) — a term-partitioned WINDOW would get df in
-    # one consumption but puts every posting of a stopword term in ONE
-    # partition, a whale-skew the aggregate's partial combine never has.
-    # N = docs with >=1 nonempty token, from the raw text without an
-    # explode.
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    Scale shape (r13, VERDICT r12 next-round #1): tf comes from the
+    SHARED ``term_postings`` artifact (operators/tokenize) — the split
+    and the (doc, term) aggregate run once per dataset and are reused by
+    every posting consumer (r12's plan re-executed the tf subtree twice
+    because Spark does not reuse duplicated subtrees, and re-tokenized
+    the corpus a second time for the N-docs scalar).  df derives from
+    the postings by a map-side-combinable aggregate (vocabulary-sized,
+    broadcast back; a term-partitioned WINDOW would get df in one
+    consumption but puts every posting of a stopword term in ONE
+    partition, a whale-skew the aggregate's partial combine never has);
+    N (docs with >=1 nonempty token) is a memoized scalar literal."""
+    from .operators.tokenize import n_docs_with_tokens, term_postings
+
+    tf = term_postings(spark, sf_dir).select("doc_id", "term", "tf")
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    nd = F.broadcast(
-        d.where(
-            F.exists(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
-        ).agg(F.count(F.lit(1)).alias("n"))
+    n = n_docs_with_tokens(spark, sf_dir)
+    score = (F.col("tf") * F.lit(int(n))).cast("double") / F.col("df").cast(
+        "double"
     )
-    score = (F.col("tf") * F.col("n")).cast("double") / F.col("df").cast("double")
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return (
         tf.join(F.broadcast(dfx), "term")
-        .crossJoin(nd)
         .withColumn("score", score)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
@@ -6694,7 +6685,12 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     each other before meeting the data-scale pairs ONCE; V is a one-row
     broadcast cross join, never a driver collect.  The final rollup is one
     exchange on doc_id.  No token ever rides a shuffle wider than the pair
-    itself."""
+    itself.  r13 A/B note: routing the pair build through the shared
+    token-array artifact (operators/tokenize) was measured and LOST
+    (cold 1.07 -> 1.60 s, warm 0.46 -> 0.60 s at sf0.1) — deserializing
+    cached array<string> columns costs more than re-running the split
+    fused into the pairs pipeline, so this query keeps the direct split;
+    the artifact serves the consumers where it wins (bm25, tfidf)."""
     d = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
     pairs = (
@@ -8767,20 +8763,30 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to a x1e12 long BEFORE the cross-term sum, so the sum is
     order-free exact and the final ranking hash-identical across engines.
 
-    Scale shape: the token stream is pruned to query terms by a broadcast
-    semi-join BEFORE the tf aggregate (the explode never shuffles
-    non-matching postings); df and the corpus stats are tiny broadcast
-    sides; the only wide exchanges are the (doc_id, term) tf partial agg
-    and the per-query top-k window — with ~10 query terms the window
-    partitions are match-list-sized, not corpus-sized.  Implementation
-    lives in operators/retrieval.py:bm25_topk (shared with the
-    hybrid_search_pq serving path)."""
+    Scale shape (r13, VERDICT r12 next-round #1): the query reads the
+    SHARED tokenization artifact (operators/tokenize) — the persisted L1
+    token arrays plus literal corpus stats and literal per-term document
+    frequencies — so the whole ranking is ONE job: scan tokens, map-side
+    match+score, two match-list-sized exchanges (the (query, doc) score
+    sum and the per-query top-k window).  No checkpoint, no stats
+    groupBy, no broadcast barrier; the split pass that was this query's
+    measured floor runs once per dataset inside the artifact build and
+    amortizes across the whole text family (tfidf / ngram / LM / dedup
+    consumers).  Implementation lives in operators/retrieval.py:bm25_topk
+    (shared with the hybrid_search_pq serving path)."""
     from .operators.retrieval import bm25_topk
+    from .operators.tokenize import corpus_stats_and_dfs, token_corpus
 
+    docs = load_table_parallel(spark, sf_dir, "documents", keys=("doc_id",))
+    terms = tuple(sorted({t for _, t in _BM25_QUERY_TERMS}))
+    stats, dfs = corpus_stats_and_dfs(spark, sf_dir, terms, docs=docs)
     return bm25_topk(
-        load_table_parallel(spark, sf_dir, "documents", keys=("doc_id",)),
+        docs,
         list(_BM25_QUERY_TERMS),
         k=10,
+        pretokenized=token_corpus(spark, sf_dir, docs=docs),
+        stats=stats,
+        term_dfs=dfs,
     )
 
 
