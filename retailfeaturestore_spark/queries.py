@@ -9809,83 +9809,76 @@ def q_url_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r12 block 1: the 4 r7-stale queries the r11 "nothing older
-    # than r8" claim missed (VERDICT r11 wrong #1 / next-round #1):
-    # displaced from the r10 window while r7-green, sweep-verified
-    # every round since.  Rotated FIRST, per the judge.
-    "large_volume_orders",
-    "returns_by_priority",
-    "small_qty_revenue",
-    "supplier_variety_by_part",
-    # --- r12 block 2: the 14 r8-green single-exchange shapes named in
-    # r11's block-3 comment; after this block no oracle-backed query's
-    # driver evidence is older than r9 (histogram verified from the
-    # CORRECTNESS_r01..r11 union before this edit: r7:4 r8:14 r9:48).
-    "approx_value_percentiles",
-    "asof_snapshot_lookup",
-    "customer_priority_scd2",
-    "decayed_user_value",
-    "distinct_parts_per_customer",
-    "funnel_time_to_convert",
-    "late_shipment_priority_check",
-    "normalize_lineitem",
-    "pricing_summary",
-    "sole_return_supplier",
-    "supplier_profit_by_year",
-    "text_lang_id",
-    "top_balance_inactive_customers",
-    "value_percentiles",
-    # --- r12 block 3: queries whose implementation changed THIS round —
-    # bm25 empty/large-term-set guards + scan-parallelism rescue
-    # (bm25_retrieval, hybrid_retrieval_rrf, daily_feature_snapshots,
-    # boilerplate_passage_scrub, dedup_containment), the DECIMAL cap in
-    # domain_mixture_weights (domain_quality_mix), and the NEW
-    # sketch-only overlap entry (zero driver history by construction).
+    # --- r13 window (50 slots), rotation per VERDICT r12 next-round #2/#3
+    # and the tests/test_driver_rotation.py guard (next-round #9): the
+    # window must contain every zero-history entry and the full oldest
+    # latest-green cohort; impl-changed queries take the remaining slots.
+    # --- r13 block 1: zero driver history.  url_blocklist_screen was
+    # added after the r12 window froze; bpe_token_count / seq_packing_ffd
+    # have never hash-matched (rows-only) and gain partial oracles in r13.
+    "url_blocklist_screen",
+    "bpe_token_count",
+    "seq_packing_ffd",
+    # --- r13 block 2: the full r9-green cohort (24) — events_tumbling_daily
+    # (displaced from the r12 window by the new sharded-xlsx entry), then
+    # alphabetical within the equal-age cohort.
+    "events_tumbling_daily",
+    "events_zorder_pruned_scan",
+    "feature_rank_normalize",
+    "feature_view_build_mtable",
+    "feature_view_incremental_mtable",
+    "first_event_per_user",
+    "hash_split_train_val",
+    "knn_ivf_bucketed",
+    "knn_mmr_diverse",
+    "latest_order_maxby",
+    "order_navigation",
+    "order_sequence_analytics",
+    "priority_mode_per_customer",
+    "purchase_multitouch_attribution",
+    "segment_priority_grouping_sets",
+    "semantic_dedup_embeddings",
+    "source_length_ks_drift",
+    "source_token_divergence",
+    "text_quality_score",
+    "text_simhash",
+    "tfidf_top_terms",
+    "token_count",
+    "topk_segments",
+    "user_activity_features",
+    # --- r13 block 3: implementation changed this round (shared token
+    # artifact rebuild of bm25/tfidf (tfidf is already in the r9 cohort
+    # above), the xlsx scanner memory fix, and their consumers).
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
-    "domain_quality_mix",
-    "daily_feature_snapshots",
-    "boilerplate_passage_scrub",
-    "dedup_containment",
-    "approx_customer_overlap_sketch",
-    # --- r12 block 4: the r9-green cohort (48 queries), oldest-first =
-    # alphabetical within the equal-age cohort; the first 25 take the
-    # remaining slots, the other 23 (events_zorder_pruned_scan ..
-    # user_activity_features) roll to r13.
-    "approx_customer_overlap_months",
-    "approx_heavy_hitters",
-    "benchmark_contamination",
-    "brand_basket_affinity",
-    "churn_labels_orders",
-    "corpus_importance_sample",
-    "corpus_temperature_mix",
-    "corpus_token_budget_sample",
-    "customer_onehot",
-    "dau_mau_stickiness",
-    "dedup_canonical_by_quality",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_cross_source_matrix",
-    "dedup_ngram_jaccard",
-    "dedup_remove_repeated_spans",
-    "dedup_repeated_ngrams",
-    "doc_chunk_overlap",
-    "doc_fingerprint",
-    "doc_ngram_commonality",
-    "doc_pack_context_windows",
-    "doc_repetition_ratio",
-    "embedding_dedup_clusters",
-    "embedding_neardup_lsh",
-    # --- r12 block 5: NEW r12 surface — the sharded xlsx reader's
-    # oracle-backed differential (zero driver history by construction;
-    # first-verdict-beats-refresh, so it displaces the last alphabetical
-    # r9-cohort slot, events_tumbling_daily, to r13).
+    "doc_lm_score",
     "xlsx_ingest_sharded",
-    # --- r13 handoff: rotate the remaining 24 r9-green queries FIRST
-    # (events_tumbling_daily, then alphabetical from
-    # events_zorder_pruned_scan), then any query whose implementation
-    # changes in r12/r13, then the r10-green cohort oldest-first.  The
-    # rotation is one edit here.
+    "xlsx_ingest_normalize",
+    # --- r13 block 4: r10-green cohort oldest-first (alphabetical), filling
+    # the remaining slots; the rest of the cohort rolls to r14.
+    "approx_customer_retention_months",
+    "asof_join_clicks_purchases",
+    "brand_revenue_concentration",
+    "bulk_part_suppliers",
+    "corpus_cdc_dedup_admission",
+    "cross_nation_trade",
+    "events_bloom_point_lookup",
+    "events_generated_partition_rollup",
+    "events_sliding_7d_daily",
+    "feature_view_build",
+    "knn_ivf_pq",
+    "knn_pq_index_mtable",
+    "knn_recall_eval",
+    "min_price_supplier_per_part",
+    "mtable_change_feed",
+    "multimodal_payload_meta",
+    "nation_market_share",
+    "order_calendar_features",
+    # --- r14 handoff: rotate the REMAINING r10-green cohort FIRST
+    # (orders_column_mapping_scan .. users_purchase_and_signup, ~25), then
+    # any r14-impl-changed queries, then the r11 cohort oldest-first.  The
+    # guard test recomputes the histogram and fails if this comment and
+    # the ledger ever disagree.
 )
 
 
