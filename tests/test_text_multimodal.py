@@ -395,12 +395,15 @@ def test_bpe_learn_and_encode_classic_fixture():
 
 
 def test_bpe_token_count_distributed_equals_python_replay(spark):
-    """The registry query's distributed path (word-count exchange ->
-    driver merge learning -> broadcast-ranks pandas UDF) must equal a
-    pure-Python replay of the same algorithm over the same corpus."""
+    """The registry query's distributed path (frozen-merge-table
+    broadcast-ranks pandas UDF, r13) must equal a pure-Python replay of
+    merge LEARNING + encoding over the same corpus — this both verifies
+    the distributed encode and pins the provenance of the frozen table:
+    training on this corpus with the documented parameters produces
+    exactly queries._BPE_FROZEN_MERGES."""
     from retailfeaturestore_spark.functions.bpe import encode_word, learn_bpe
     from retailfeaturestore_spark.io import load_table
-    from retailfeaturestore_spark.queries import REGISTRY
+    from retailfeaturestore_spark.queries import _BPE_FROZEN_MERGES, REGISTRY
 
     sf = "/root/testdata/sf0.001"
     got = {
@@ -420,7 +423,11 @@ def test_bpe_token_count_distributed_equals_python_replay(spark):
             if w:
                 wc[w] += 1
     vocab = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:4000]
-    ranks = {p: i for i, p in enumerate(learn_bpe(vocab, 40))}
+    learned = learn_bpe(vocab, 40)
+    # provenance pin: the frozen table the query (and its SQL oracle)
+    # ship IS what training on this corpus produces
+    assert tuple(learned) == _BPE_FROZEN_MERGES
+    ranks = {p: i for i, p in enumerate(learned)}
     assert len(got) == len(docs)
     nontrivial = 0
     for doc_id, text in docs.items():
