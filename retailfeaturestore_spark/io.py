@@ -323,6 +323,14 @@ def merge_upsert(
     without a table format: rows in ``updates`` replace target rows with
     the same ``keys``; new keys append; everything else is untouched.
 
+    DEFAULT FOR NEW CODE (r13, VERDICT r12 next-round #8): prefer the ACID
+    table format — ``sources.mtable.MTable.merge_upsert`` — which closes
+    this function's reader-isolation gap (below) with a single atomic
+    manifest commit and snapshot-isolated readers.
+    ``operators.incremental.upsert_latest`` auto-routes to it when its
+    target is an mtable; this directory path remains for plain-parquet
+    layouts that cannot adopt a manifest.
+
     Scale shape: only the ``date=`` partitions that ``updates`` touches are
     read (partition pruning on the derived date) and rewritten (dynamic
     partition overwrite) — the merge cost is proportional to the touched

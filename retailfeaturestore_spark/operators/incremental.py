@@ -33,15 +33,74 @@ def upsert_latest(
     tiebreak_col: str | None = None,
     partition_col: str | None = None,
 ) -> int:
-    """Merge ``updates`` into the parquet table at ``table_path``: for each
-    key, the row with the greatest (ts, tiebreak) wins.  Returns the row
-    count after the merge.
+    """Merge ``updates`` into the table at ``table_path``: for each key,
+    the row with the greatest (ts, tiebreak) wins.  Returns the row count
+    after the merge.
+
+    DEFAULT TARGET (r13, VERDICT r12 next-round #8): when ``table_path``
+    is an existing ACID ``mtable`` (manifest directory present), the merge
+    routes through :meth:`..sources.mtable.MTable.merge_upsert` — one
+    atomic manifest commit, readers snapshot-isolated for the whole apply
+    window.  Point NEW tables at an mtable (create with ``MTable.write``)
+    to get that path; the plain-directory branch below remains for
+    existing directory layouts and keeps its documented gap: a reader
+    listing files during the staged overwrite can observe a partial
+    partition swap (io.merge_upsert documents the same).  On the mtable
+    route, an update row TIES with the stored row (equal ts and tiebreak)
+    in favor of the UPDATE — deterministic and replay-idempotent, where
+    the directory route's union + row_number resolves full ties by
+    partition-order luck.
 
     First write (no existing table) degrades to a plain write.  With
     ``partition_col``, only the touched partitions are rewritten
     (``partitionOverwriteMode=dynamic``).
     """
     tb = tiebreak_col or ts_col
+    from ..sources.mtable import MTable
+
+    t = MTable(spark, table_path)
+    if t.versions():
+        # snapshot-isolated route: batch-local winners, then keep only the
+        # update rows that beat (or miss) the stored row for their key —
+        # merge_upsert replaces matched keys and appends new ones, all in
+        # one manifest commit against the version read here
+        cand = latest_per_key(updates, keys, ts_col, tb)
+        ex = t.read().select(
+            *keys,
+            F.col(ts_col).alias("__ex_ts"),
+            F.col(tb).alias("__ex_tb"),
+        )
+        beats = (
+            F.col("__ex_ts").isNull()
+            | (F.col(ts_col) > F.col("__ex_ts"))
+            | (
+                (F.col(ts_col) == F.col("__ex_ts"))
+                & (F.col(tb) >= F.col("__ex_tb"))
+            )
+        )
+        winners = (
+            cand.join(ex, on=list(keys), how="left")
+            .where(beats)
+            .drop("__ex_ts", "__ex_tb")
+        )
+        pby = t._logical_pby(t._read_manifest(t.versions()[-1]))
+        if pby is not None:
+            # partitioned table: keyed merge rewrites only touched
+            # partitions, one manifest commit
+            pval = F.col(partition_col) if partition_col is not None else None
+            t.merge_upsert(winners, keys=list(keys), partition_col_value=pval)
+        else:
+            # unpartitioned table: survivors + winners as one atomic
+            # whole-table version (there is no partition grain to scope
+            # the rewrite to — same cost as the directory route's full
+            # overwrite, minus its reader-isolation gap)
+            survivors = t.read().join(
+                F.broadcast(winners.select(*keys).distinct()),
+                on=list(keys),
+                how="left_anti",
+            )
+            t.write(survivors.unionByName(winners.select(*survivors.columns)))
+        return t.read().count()
     try:
         existing = spark.read.parquet(table_path)
         merged = existing.unionByName(updates, allowMissingColumns=True)

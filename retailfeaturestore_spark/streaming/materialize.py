@@ -79,6 +79,12 @@ def stream_upsert_gold(
     the lakehouse pattern (on a cluster, the foreachBatch body is a Delta
     ``MERGE INTO``; the call site does not change).  Idempotent under
     micro-batch replay: re-merging the same rows elects the same winners.
+
+    DEFAULT FOR NEW CODE (r13): point ``table_path`` at an existing ACID
+    ``mtable`` — ``upsert_latest`` auto-routes each micro-batch through
+    ``MTable.merge_upsert`` (atomic commit, snapshot-isolated readers).
+    For exactly-once (not just idempotent) semantics with a batch-id
+    ledger, use :func:`stream_commit_gold_mtable` instead.
     """
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:

@@ -235,3 +235,93 @@ def test_whale_skew_delta_completes_where_set_degrades(spark):
         f"the delta engine's whale-safety margin (delta={delta_secs:.1f}s) "
         "no longer demonstrates; grow the stress size"
     )
+
+
+def test_upsert_latest_routes_mtable_targets_through_manifest_commit(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 #8): when the target is an existing ACID mtable,
+    upsert_latest must merge through MTable.merge_upsert — each call lands
+    as one atomic manifest version, stale updates lose, and full (ts,
+    tiebreak) ties resolve in favor of the update (deterministic, unlike
+    the directory route's partition-order luck)."""
+    from datetime import datetime
+
+    from retailfeaturestore_spark.operators.incremental import upsert_latest
+    from retailfeaturestore_spark.sources.mtable import MTable
+
+    path = str(tmp_path / "gold_mt")
+    t = MTable(spark, path)
+    t.write(
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 10.0), (2, datetime(2024, 1, 1), 20.0)],
+            "customer_id int, t_ref timestamp, spend double",
+        )
+    )
+    v0 = t.versions()[-1]
+
+    updates = spark.createDataFrame(
+        [
+            (2, datetime(2024, 2, 1), 25.0),  # newer: wins
+            (3, datetime(2024, 1, 15), 30.0),  # new key: inserts
+        ],
+        "customer_id int, t_ref timestamp, spend double",
+    )
+    n = upsert_latest(spark, path, updates, ["customer_id"], "t_ref")
+    assert n == 3
+    assert t.versions()[-1] == v0 + 1  # ONE atomic commit, not a dir swap
+    out = {r.customer_id: r.spend for r in t.read().collect()}
+    assert out == {1: 10.0, 2: 25.0, 3: 30.0}
+
+    # stale update (older ts) must NOT win — and must not burn data
+    stale = spark.createDataFrame(
+        [(2, datetime(2023, 1, 1), 1.0)],
+        "customer_id int, t_ref timestamp, spend double",
+    )
+    upsert_latest(spark, path, stale, ["customer_id"], "t_ref")
+    assert {r.customer_id: r.spend for r in t.read().collect()}[2] == 25.0
+
+    # full tie (equal ts, equal tiebreak): the UPDATE wins
+    tie = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 11.0)],
+        "customer_id int, t_ref timestamp, spend double",
+    )
+    upsert_latest(spark, path, tie, ["customer_id"], "t_ref")
+    assert {r.customer_id: r.spend for r in t.read().collect()}[1] == 11.0
+
+
+def test_stream_upsert_gold_lands_on_mtable_when_target_is_one(spark, tmp_path):
+    """The streaming gold maintainer inherits the mtable route through
+    upsert_latest: micro-batches land as manifest commits."""
+    from datetime import datetime
+
+    from retailfeaturestore_spark.sources.mtable import MTable
+    from retailfeaturestore_spark.streaming.materialize import stream_upsert_gold
+
+    path = str(tmp_path / "gold_stream_mt")
+    t = MTable(spark, path)
+    t.write(
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 10.0)],
+            "customer_id int, t_ref timestamp, spend double",
+        )
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, datetime(2024, 3, 1), 99.0), (2, datetime(2024, 1, 2), 7.0)],
+        "customer_id int, t_ref timestamp, spend double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "customer_id int, t_ref timestamp, spend double"
+    ).parquet(src)
+    q = stream_upsert_gold(
+        stream,
+        path,
+        keys=["customer_id"],
+        ts_col="t_ref",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = {r.customer_id: r.spend for r in t.read().collect()}
+    assert out == {1: 99.0, 2: 7.0}
+    assert len(t.versions()) == 2

@@ -549,3 +549,150 @@ def test_sharded_reader_over_workbook_directory(spark, tmp_path):
     )
     assert len(a) == 150
     pd.testing.assert_frame_equal(a, b)
+
+
+def _write_foreign_style_workbook(path: str) -> None:
+    """A workbook in the shape REAL producers (Excel, openpyxl) emit and
+    the repo's minimal writer never does: pretty-printed XML (newlines and
+    indentation BETWEEN row elements), dimension/sheetViews/cols before
+    sheetData and pageMargins after it, spans/s/ht attributes on rows,
+    x14ac:dyDescent prefixed attributes under an mc:Ignorable declaration,
+    and sharedStrings with multi-run formatted text (<si><r><rPr/><t>)
+    that concatenates per run.  (r12 code-review found the namespace
+    replay only via a synthetic fixture; this pins the broader
+    foreign-producer surface byte-shape.)"""
+    import zipfile
+
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<sheets>"
+        '<sheet name="Data" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    # multi-run formatted string: parser must concatenate ALL <t> runs
+    shared = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">\n'
+        "  <si><t>Invoice</t></si>\n"
+        "  <si><t>Country</t></si>\n"
+        '  <si><r><rPr><b/></rPr><t>United </t></r><r><t>Kingdom</t></r></si>\n'
+        '  <si><t xml:space="preserve">France</t></si>\n'
+        "</sst>"
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships" '
+        'xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006" '
+        'xmlns:x14ac="http://schemas.microsoft.com/office/spreadsheetml/2009/9/ac" '
+        'mc:Ignorable="x14ac">\n'
+        '  <dimension ref="A1:B3"/>\n'
+        "  <sheetViews>\n"
+        '    <sheetView tabSelected="1" workbookViewId="0"/>\n'
+        "  </sheetViews>\n"
+        '  <sheetFormatPr defaultRowHeight="15" x14ac:dyDescent="0.25"/>\n'
+        '  <cols><col min="1" max="2" width="12.85546875" customWidth="1"/></cols>\n'
+        "  <sheetData>\n"
+        '    <row r="1" spans="1:2" x14ac:dyDescent="0.25">\n'
+        '      <c r="A1" t="s"><v>0</v></c>\n'
+        '      <c r="B1" t="s"><v>1</v></c>\n'
+        "    </row>\n"
+        '    <row r="2" spans="1:2" ht="15.75" s="1" customFormat="1" x14ac:dyDescent="0.25">\n'
+        '      <c r="A2" s="1"><v>536365</v></c>\n'
+        '      <c r="B2" t="s" s="1"><v>2</v></c>\n'
+        "    </row>\n"
+        '    <row r="3" spans="1:2" x14ac:dyDescent="0.25">\n'
+        '      <c r="A3"><v>536366</v></c>\n'
+        '      <c r="B3" t="s"><v>3</v></c>\n'
+        "    </row>\n"
+        "  </sheetData>\n"
+        '  <pageMargins left="0.7" right="0.7" top="0.75" bottom="0.75" header="0.3" footer="0.3"/>\n'
+        "</worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("docProps/app.xml", "<Properties/>")  # foreign extra member
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_foreign_style_workbook_both_readers_agree(spark, tmp_path):
+    """Both readers must parse the foreign-producer byte shape (pretty-
+    printed rows, style attributes, multi-run shared strings) and agree."""
+    from retailfeaturestore_spark.sources.xlsx import read_xlsx_sharded
+
+    path = str(tmp_path / "foreign.xlsx")
+    _write_foreign_style_workbook(path)
+    schema = "Invoice string, Country string"
+    per_file = read_xlsx(spark, path, schema)
+    # tiny shard size forces multiple shards across the indented XML, so
+    # the row cutter must handle whitespace BETWEEN row elements
+    sharded = read_xlsx_sharded(spark, path, schema, target_shard_bytes=64)
+    a = sorted(map(tuple, per_file.collect()))
+    b = sorted(map(tuple, sharded.collect()))
+    assert a == b
+    assert a == [
+        ("536365", "United Kingdom"),  # multi-run si concatenated
+        ("536366", "France"),
+    ]
+
+
+def test_openpyxl_written_workbook_differential(spark, tmp_path):
+    """Where openpyxl exists (the real-deps CI leg), write a genuinely
+    foreign workbook with it and require both readers to parse it
+    identically (VERDICT r12 next-round #7)."""
+    openpyxl = pytest.importorskip("openpyxl")
+    from retailfeaturestore_spark.sources.xlsx import read_xlsx_sharded
+
+    path = str(tmp_path / "opx.xlsx")
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.title = "Data"
+    ws.append(["Invoice", "Quantity", "Price", "Country"])
+    ws.append(["536365", 6, 2.55, "United Kingdom"])
+    ws.append(["536366", 4, 3.39, "Français & <co>"])
+    ws.append(["536367", None, 2.75, None])  # sparse row
+    wb.save(path)
+    schema = "Invoice string, Quantity long, Price double, Country string"
+    per_file = sorted(map(tuple, read_xlsx(spark, path, schema).collect()))
+    sharded = sorted(
+        map(
+            tuple,
+            read_xlsx_sharded(
+                spark, path, schema, target_shard_bytes=64
+            ).collect(),
+        )
+    )
+    assert per_file == sharded
+    assert per_file == [
+        ("536365", 6, 2.55, "United Kingdom"),
+        ("536366", 4, 3.39, "Français & <co>"),
+        ("536367", None, 2.75, None),
+    ]
