@@ -8645,16 +8645,13 @@ def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh session has no registered artifacts.  Any table rewrite calls
     ``invalidate_caches``, which evicts both keys by scope."""
     from .operators._cache import get_or_register
-    from .operators.similarity import cosine_topk, ivf_topk_cells
+    from .operators.similarity import cosine_topk_quantized, ivf_topk_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = get_or_register(
-        spark,
-        ("knn_recall_exact", sf_dir),
-        lambda: cosine_topk(
-            emb, emb.where(F.col("vec_id") < _KM_QUERY_MAX), k=3
-        ).select("q_id", "n_id"),
-    )
+    # Appx leg FIRST: its training pass quantizes+persists the shared
+    # corpus and fetches the query vectors in the seed collect, so the
+    # exact leg below scores from the same persisted frame with zero
+    # additional collects (r13: one quantize pass for the whole eval).
     appx = get_or_register(
         spark,
         ("knn_recall_appx", sf_dir),
@@ -8662,6 +8659,13 @@ def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, query_ids=list(range(_KM_QUERY_MAX)), k_neighbors=3,
             n_cells=_KM_K, iters=2, cache_scope=sf_dir,
         ).select("q_id", F.col("n_id").alias("__a_id")),
+    )
+    exact = get_or_register(
+        spark,
+        ("knn_recall_exact", sf_dir),
+        lambda: cosine_topk_quantized(
+            emb, list(range(_KM_QUERY_MAX)), k=3, cache_scope=sf_dir
+        ).select("q_id", "n_id"),
     )
     hit = F.when(F.col("__a_id").isNotNull(), 1).otherwise(0)
     return (
