@@ -1354,7 +1354,7 @@ QUALIFY rank <= 5
 def q_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
     broadcast queries x corpus scan, zero corpus shuffle, per-query top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     queries = emb.where(F.col("vec_id") < 10)
     return cosine_topk(emb, queries, k=5)
 
@@ -1394,7 +1394,7 @@ def q_knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: search restricted to the query's coarse cell (label
     column as the quantizer assignment) — O(n/q_cells) per query vs brute
     force."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     queries = emb.where(F.col("vec_id") < 20)
     return ivf_topk_label(emb, queries, k=3)
 
@@ -1489,7 +1489,7 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope on any table rewrite."""
     from .operators._cache import get_or_register
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     return get_or_register(
         spark,
         ("knn_ivf_kmeans_topk", sf_dir),
@@ -1596,7 +1596,7 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the honest build (the driver's fresh session has no memo),
     and both paths are bit-identical by construction.  Any table rewrite
     calls ``invalidate_caches``, which evicts memo + frame by scope."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     return pq_topk_adc_resident(
         emb, query_ids=list(range(_PQ_QUERY_MAX)), k_neighbors=5, m=_PQ_M,
         k_codes=_PQ_K, iters=2, cache_scope=sf_dir,
@@ -1678,7 +1678,7 @@ def q_knn_pq_index_mtable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .sources.mtable import MTable
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     nmax = int(emb.agg(F.max("vec_id")).collect()[0][0])
     split = (nmax + 1) * 9 // 10
     dirs = getattr(spark, "_rfs_mtable_q_dirs", None)
@@ -1792,7 +1792,7 @@ def q_knn_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls all five greedy picks as SQL CTEs and matches
     bit-for-bit — certifying the Python selection against the declarative
     replay."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     queries = emb.where(F.col("vec_id") < _MMR_QUERY_MAX)
     return mmr_diverse_topk(emb, queries, k_select=_MMR_PICKS, k_candidates=_MMR_CANDS)
 
@@ -1843,7 +1843,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidates via sign-pattern LSH bands + exact
     cosine >= 0.35 filter (corpus has no planted dups; threshold documents
     the candidate flow)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     return sign_lsh_neardup(emb, threshold=0.35, bands=4, band_bits=8)
 
 
@@ -1882,7 +1882,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep one representative per cluster.  Oracle: the sign-LSH pair SQL
     nested as a CTE under the same recursive min-reachability closure
     that certifies the text CC queries."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     pairs = sign_lsh_neardup(emb, threshold=0.35, bands=4, band_bits=8)
     return connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
         F.col("id").alias("vec_id"), F.col("cluster_id")
@@ -1961,7 +1961,7 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact end to end."""
     from .operators.similarity import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     return semantic_dedup(
         emb, k=_KM_K, iters=2, threshold=_SEMDEDUP_TAU, cache_scope=sf_dir
     ).select(
@@ -5766,7 +5766,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt is a single correctly-rounded IEEE op — bit-stable across engines.
     At 100 TB this is the pattern for embedding hygiene scans (norm audit,
     dead-dimension detection) at full scan speed."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     xd = lambda x: x.cast("double")  # noqa: E731
     sq_c = F.transform(
         "embedding",
@@ -7921,7 +7921,7 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean and E[x^2]-mean^2 variance are identical division/multiply chains
     in both engines.  Plan: posexplode to (label, dim) long form, one
     partial-aggregated shuffle on the (tiny) label x dim key space."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     xd = lambda x: x.cast("double")  # noqa: E731
     lf = e.select(
         "label",
@@ -8647,7 +8647,7 @@ def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators._cache import get_or_register
     from .operators.similarity import cosine_topk_quantized, ivf_topk_cells
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     # Appx leg FIRST: its training pass quantizes+persists the shared
     # corpus and fetches the query vectors in the seed collect, so the
     # exact leg below scores from the same persisted frame with zero
@@ -9173,7 +9173,7 @@ def q_hybrid_retrieval_rrf(
         )
 
     def build_dense() -> DataFrame:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
         return cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=10).select(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("doc_id"),
@@ -9406,7 +9406,7 @@ def q_knn_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus shuffle beyond the one projection-index groupBy."""
     from .operators.similarity import cosine_topk, random_projection
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",))
     proj = random_projection(emb, out_dims=8, seed="rp0").select(
         "id",
         "j",
@@ -9477,7 +9477,7 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators.similarity import random_projection
 
     return random_projection(
-        load_table(spark, sf_dir, "embeddings"), out_dims=8, seed="rp0"
+        load_table_parallel(spark, sf_dir, "embeddings", keys=("vec_id",)), out_dims=8, seed="rp0"
     )
 
 

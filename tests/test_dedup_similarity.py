@@ -184,6 +184,58 @@ def test_kmeans_cells_deterministic_and_partitioned(spark):
     assert a.select("cell").distinct().count() > 1
 
 
+@requires_testdata
+def test_ivf_literal_and_join_paths_agree(spark, monkeypatch):
+    """r13 (VERDICT r12 #5): small query sets take the literal-query path
+    (query vectors/cells/norms as plan literals, one pure-map scoring job);
+    large sets keep the broadcast join.  Both must produce bit-identical
+    rankings — the driver-side integer replay (_assign_py, python norms)
+    must match the SQL argmin exactly."""
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = list(range(7))
+    lit = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_cells(emb, query_ids=qids, k_neighbors=3, n_cells=4).collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "_LITERAL_QUERY_MAX", 0)  # force the join path
+    join = sorted(
+        map(
+            tuple,
+            sim.ivf_topk_cells(emb, query_ids=qids, k_neighbors=3, n_cells=4).collect(),
+        )
+    )
+    assert lit == join
+    assert len(lit) == len(qids) * 3
+
+
+@requires_testdata
+def test_cosine_topk_quantized_matches_broadcast_path(spark):
+    """The literal-query exact leg must rank identically to cosine_topk
+    (same int64 dots/norms, same IEEE division, same tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(
+        map(
+            tuple,
+            cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=4).collect(),
+        )
+    )
+    b = sorted(map(tuple, cosine_topk_quantized(emb, range(5), k=4).collect()))
+    assert a == b
+
+
 def test_minhash_sql_front_survives_short_docs(spark):
     """Docs with fewer than 3 words must contribute zero shingles, not
     abort the job (sequence(1, 0) yields DESCENDING [1, 0] and slice(ws,
