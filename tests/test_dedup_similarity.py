@@ -641,12 +641,18 @@ def test_random_projection_matches_python_replay_and_preserves_distance(spark):
 
 
 def test_random_projection_is_map_only_plan(spark):
+    """Map-only on any production layout; on the single-row-group testdata
+    the footer-gated scan rescue (r13) may insert its explicit
+    REPARTITION_BY_NUM width exchange — no DEMANDED shuffle is allowed."""
     from retailfeaturestore_spark.plans import formatted_plan
     from retailfeaturestore_spark.queries import REGISTRY
 
     df = REGISTRY["embedding_random_projection"].fn(spark, "/root/testdata/sf0.001")
     plan = formatted_plan(df)
-    assert "Exchange" not in plan, plan[:1500]
+    assert "ENSURE_REQUIREMENTS" not in plan, plan[:1500]
+    assert plan.count("Arguments: hashpartitioning") == plan.count(
+        "REPARTITION_BY_NUM"
+    ), plan[:1500]
 
 
 def test_repeated_ngram_spans_fixture(spark):

@@ -252,9 +252,19 @@ def test_interarrival_single_exchange(spark):
 
 
 def test_centroids_single_exchange(spark):
+    """One demanded exchange (the label rollup); the footer-gated scan
+    rescue (r13) may add its explicit width repartition on this
+    single-row-group layout."""
+    import re
+
     df = REGISTRY["embedding_label_centroids"].fn(spark, SF)
     plan = formatted_plan(df)
-    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+    demanded = len(
+        re.findall(r"hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS", plan)
+    )
+    assert demanded == 1, plan[:2000]
+    other = plan.count("Arguments: hashpartitioning") - demanded
+    assert other == plan.count("REPARTITION_BY_NUM"), plan[:2000]
 
 
 def test_curation_exchange_budget(spark):
@@ -326,11 +336,24 @@ def test_cross_source_matrix_broadcasts_pairs(spark):
 def test_pq_adc_scoring_is_join_free_single_exchange(spark):
     """PQ/ADC promise: codebooks and LUTs are literals, so the scoring
     pass is a pure map over the encoded corpus — NO join anywhere in the
-    final plan, and the only shuffle is the per-query top-k window."""
+    final plan, and the only DATA shuffle is the per-query top-k window
+    (r13: plus the footer-gated scan-rescue repartition — an explicit
+    REPARTITION_BY_NUM that fires on this single-row-group testdata layout
+    to un-serialize the encode, never on a multi-row-group production
+    layout — so the assertion distinguishes demanded shuffles
+    (ENSURE_REQUIREMENTS) from the deliberate width exchange)."""
+    import re
+
     df = REGISTRY["knn_ivf_pq"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "Join" not in plan, plan[:2000]
-    assert plan.count("Arguments: hashpartitioning") == 1, plan[:2000]
+    demanded = len(
+        re.findall(r"hashpartitioning\([^)]*\), ENSURE_REQUIREMENTS", plan)
+    )
+    assert demanded == 1, plan[:2000]
+    # every other hash exchange must be the scan-rescue width repartition
+    other = plan.count("Arguments: hashpartitioning") - demanded
+    assert other == plan.count("REPARTITION_BY_NUM"), plan[:2000]
 
 
 def test_mmr_broadcasts_candidates_never_shuffles_corpus(spark):
