@@ -284,7 +284,24 @@ def _time_duck(con, sql: str) -> float | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("rfs-bench")
+    # Driver heap (r13): under the PySpark default (1g) the 32 concurrent
+    # local-mode tasks share ~600 MB of unified memory — the triangles
+    # wedge join's ShuffledHashJoin build sides starve it late in the run
+    # (UNABLE_TO_ACQUIRE_MEMORY; the BENCH_r06 signature recurred on the
+    # r13 box even with per-run eviction + retry).  bench.py launches the
+    # FIRST session in its process, so spark.driver.memory set here DOES
+    # reach the JVM launch (the session.py no-op caveat applies only to
+    # already-running drivers, e.g. pytest).  Parameterized; 6g local
+    # default is ~5% of the sandbox and changes no timing methodology —
+    # on a cluster the launch environment sizes the driver instead.
+    spark = get_spark(
+        "rfs-bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEMORY", "6g"
+            )
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     duck = _duck_connect(sf_dir)
 

@@ -47,31 +47,35 @@ def copurchase_edges(
     k² regardless of basket size.  The cap window rides the SAME orderkey
     partitioning the self-join needs, so it costs a sort, not an extra
     exchange."""
+    # r13 re-plan (guide §2.3/§2.4): the r6-r12 shape was distinct(ok, part)
+    # -> SMJ self-join on ok -> distinct(src, dst) — FOUR exchanges plus two
+    # merge-join sorts, and the self-join shipped every (ok, part) row twice
+    # (once per side).  Pair generation is per-ORDER local work, so one
+    # collect_set aggregation (map-side partial combine dedupes (ok, part)
+    # before the exchange) followed by a codegen'd double explode yields the
+    # identical ordered-pair set with TWO exchanges and no join at all:
+    #   groupBy(ok) collect_set(part)   [exchange 1 — the only (ok)-keyed pass]
+    #   explode x explode, src != dst   [map-side, k^2 per order]
+    #   distinct(src, dst)              [exchange 2]
+    # Per-order state is the order's DISTINCT part set — bounded by basket
+    # size exactly like the old self-join's per-key fan-out, with
+    # ``max_items_per_order`` as the same whale valve (first-k parts in
+    # part order == slice(array_sort, 1, k) over the set).  Measured at
+    # sf0.1: the shared edge build drops ~40% (see OPTIMIZATION_r13.md).
     li = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
-    ).distinct()
+    )
+    sets = li.groupBy("ok").agg(F.collect_set("part").alias("__ps"))
+    ps = F.col("__ps")
     if max_items_per_order is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("ok").orderBy("part")
-        li = (
-            li.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= max_items_per_order)
-            .drop("__rn")
-        )
-    a = li.select("ok", F.col("part").alias("src"))
-    b = li.select("ok", F.col("part").alias("dst"))
-    # merge hint: this is a fact ⋈ fact self-join — both sides scale with
-    # the lineitem table, so the broadcast Spark's size estimate flirts
-    # with at small SFs (the distinct order-part list sits right at the
-    # 10 MB autoBroadcast threshold) is wrong at ANY scale: it OOMs a
-    # default-heap driver at sf0.1 (measured) and would ship the fact
-    # table to every executor on a cluster.  Sort-merge on ok is the
-    # shape that survives 100x.
+        # deterministic first-k: k smallest part ids, identical to the old
+        # row_number-over-(ok ORDER BY part) cap
+        ps = F.slice(F.array_sort(ps), 1, max_items_per_order)
     return (
-        a.join(b.hint("merge"), "ok")
+        sets.select(ps.alias("__ps"))
+        .select(F.explode("__ps").alias("src"), F.col("__ps"))
+        .select("src", F.explode("__ps").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
         .distinct()
     )
 
@@ -111,6 +115,14 @@ def pagerank_scaled(
     localCheckpoint exactly like connected_components' rounds
     (operators/dedup.py).  Returns (id, degree, pagerank_scaled, pagerank).
     """
+    if cache_scope is not None:
+        # the edge list feeds TWO materializations below (deg, then the
+        # deg-attach join's probe side); un-persisted it re-runs the whole
+        # upstream build (the co-purchase set aggregation + pair explode)
+        # once per consumer — measured ~2x the edge-build cost per query
+        # (r13).  Same eviction contract as every other registered frame.
+        edges = edges.persist()
+        register_persisted(edges, ("pagerank_raw_edges", cache_scope))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # shuffle_hash on the deg side keeps BOTH join strategies scale-honest:
     # the cached edge layout comes out hash-partitioned by src (the join's
@@ -216,6 +228,11 @@ def triangle_counts(
     coefficient is ``2T / (deg * (deg-1))`` — one exact-int IEEE division,
     0.0 below degree 2.
     """
+    if cache_scope is not None:
+        # deg and the orientation join both materialize the edge list; one
+        # persisted build instead of two (r13, same contract as pagerank)
+        edges = edges.persist()
+        register_persisted(edges, ("triangles_raw_edges", cache_scope))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     und = edges.where(F.col("src") < F.col("dst"))
     withd = (
@@ -303,6 +320,11 @@ def similar_by_neighbors(
     broadcast (the pagerank AQE lesson).  Jaccard = c / (da + db - c),
     one exact long/long IEEE division; ties rank by neighbor id.
     """
+    if cache_scope is not None:
+        # the uncapped degree pass and the two semi-join attaches all
+        # consume the edge list; one persisted build instead of two (r13)
+        edges = edges.persist()
+        register_persisted(edges, ("simneigh_raw_edges", cache_scope))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
     keep = deg.where(F.col("d") <= max_degree).select("src")
     ec = (

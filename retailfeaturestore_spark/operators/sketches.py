@@ -38,7 +38,7 @@ pipeline at 100 TB needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # 56-bit hash: 14 hex chars; (h + 1) / 2^56 maps to (0, 1] with the max
@@ -74,26 +74,36 @@ def kmv_group_sketch(
     an exact distinct set (and every downstream estimator returns exact
     answers for such groups).
     """
-    hashed = (
-        df.select(F.col(group_col), kmv_hash(F.col(value_col)).alias("h"))
-        # NULL values hash to NULL; without this filter the (g, NULL) row
-        # survives both tournament windows (Spark orders NULLs FIRST asc),
-        # wasting a sketch slot and diverging from DuckDB's NULLS-LAST
-        .where(F.col("h").isNotNull())
-        .groupBy(group_col, "h")
-        .agg(F.lit(1))  # map-side combinable distinct
-        .select(group_col, "h")
+    # r13 re-plan (guide §2.3/§2.4): the r11-r12 shape was a distinct
+    # groupBy(g, h) exchange followed by TWO window passes (lane
+    # row_number, then final row_number) — three exchanges and two full
+    # sorts of the distinct stream.  The tournament is an AGGREGATION, not
+    # a ranking: per (g, lane) the k smallest distinct hashes are
+    # ``slice(array_sort(collect_set(h)), 1, k)`` (collect_set dedupes, so
+    # the separate distinct exchange disappears; partial collect_set
+    # combines map-side), and because pmod partitions the hash space the
+    # lanes are DISJOINT — the final k-of-group is a flatten+sort+slice
+    # over <= fanout*k survivors, a fanout-bounded second aggregate.  Two
+    # exchanges, zero sorts of the full stream, identical rows out.
+    # Whale-group state note: a lane's collect_set holds that lane's
+    # distinct share (1/fanout of the group) in task memory — ``fanout``
+    # is the valve, exactly the task-size bound the window tournament had
+    # (the window buffered the same lane partition; it spilled where this
+    # holds heap — size fanout so distinct/fanout fits comfortably).
+    hashed = df.select(
+        F.col(group_col), kmv_hash(F.col(value_col)).alias("h")
+    ).where(
+        # NULL values hash to NULL; a (g, NULL) row would waste a sketch
+        # slot and diverge from DuckDB's NULLS-LAST ordering
+        F.col("h").isNotNull()
     )
-    lane = Window.partitionBy(group_col, F.pmod(F.col("h"), F.lit(fanout))).orderBy("h")
-    final = Window.partitionBy(group_col).orderBy("h")
-    return (
-        hashed.withColumn("__lr", F.row_number().over(lane))
-        .where(F.col("__lr") <= k)
-        .drop("__lr")
-        .withColumn("__r", F.row_number().over(final))
-        .where(F.col("__r") <= k)
-        .drop("__r")
+    lanes = hashed.groupBy(group_col, F.pmod(F.col("h"), F.lit(fanout)).alias("__lane")).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("__ks")
     )
+    grp = lanes.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__ks"))), 1, k).alias("__hs")
+    )
+    return grp.select(group_col, F.explode("__hs").alias("h"))
 
 
 def kmv_pair_overlap(

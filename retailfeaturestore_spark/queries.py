@@ -3423,10 +3423,24 @@ def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     (``approx_users`` stays in the plan; the harness just doesn't hash
     it)."""
     ev = load_table(spark, sf_dir, "events")
-    a = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+    # r13 re-plan (guide §2.3): mixing countDistinct with the HLL in ONE
+    # groupBy made Spark key the partial aggregate on (day, user_id) — so
+    # the 410-word HLL++ buffer rode the exchange ON EVERY DISTINCT
+    # (day, user) ROW (413-column, ~3.3 kB shuffle rows; the plan's
+    # Results list was the MS[0..409] sketch per user).  Two-level
+    # aggregation shuffles 3 narrow columns instead: level 1 reduces to
+    # distinct (day, user_id) with the event count (map-side combinable),
+    # level 2 builds ONE sketch per day over the deduped users.  Exactly
+    # equivalent: HLL register updates are idempotent (duplicate-
+    # insensitive), count of non-null deduped users IS countDistinct, and
+    # sum of per-user counts IS count(1).
+    per_user = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    a = per_user.groupBy("day").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.count("user_id").alias("exact_users"),
+        F.sum("__n").alias("n_events"),
     )
     return a.select(
         "day",
@@ -3936,8 +3950,11 @@ def q_approx_customer_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFr
         F.date_format("o_orderdate", "yyyy-MM").alias("m"),
         F.col("o_custkey").alias("c"),
     )
-    dm = o.distinct()
-    sk = kmv_group_sketch(dm, "m", "c", k=_KMV_K).localCheckpoint()
+    # r13: no pre-distinct — the sketch's lane collect_set dedupes
+    # internally (operators/sketches.py), so the (m, c) distinct exchange
+    # the _months verdict siblings still need for their EXACT legs is pure
+    # overhead here (this query ships the sketch alone)
+    sk = kmv_group_sketch(o, "m", "c", k=_KMV_K).localCheckpoint()
     months = sk.select("m").distinct()
     pairs = (
         months.alias("a")

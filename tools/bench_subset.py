@@ -24,7 +24,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--sf" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf") + 1]
-    spark = get_spark("rfs-bench-subset")
+    spark = get_spark(
+        "rfs-bench-subset",
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEMORY", "6g"
+            )
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     duck = bench._duck_connect(sf_dir)
     # warmup identical to bench.py
