@@ -9311,7 +9311,14 @@ def q_part_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py."""
     from .operators.graph import copurchase_edges, pagerank_scaled
 
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = copurchase_edges(
+        # r13: rescue the row-group-starved lineitem scan on the SAME key
+        # the edge build groups by - the repartition is absorbed by the
+        # collect_set exchange, so the single-task scan stops serializing
+        # the map-side partial aggregation (interleaved A/B: pagerank
+        # 4.1-5.3s -> 3.2-4.1s); never fires on multi-row-group layouts
+        load_table_parallel(spark, sf_dir, "lineitem", keys=("l_orderkey",))
+    )
     return pagerank_scaled(edges, n_iter=3, cache_scope=sf_dir)
 
 
@@ -9548,7 +9555,14 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle_counts."""
     from .operators.graph import copurchase_edges, triangle_counts
 
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = copurchase_edges(
+        # r13: rescue the row-group-starved lineitem scan on the SAME key
+        # the edge build groups by - the repartition is absorbed by the
+        # collect_set exchange, so the single-task scan stops serializing
+        # the map-side partial aggregation (interleaved A/B: pagerank
+        # 4.1-5.3s -> 3.2-4.1s); never fires on multi-row-group layouts
+        load_table_parallel(spark, sf_dir, "lineitem", keys=("l_orderkey",))
+    )
     return triangle_counts(edges, cache_scope=sf_dir)
 
 
@@ -9607,7 +9621,14 @@ def q_part_similar_by_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py:similar_by_neighbors."""
     from .operators.graph import copurchase_edges, similar_by_neighbors
 
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = copurchase_edges(
+        # r13: rescue the row-group-starved lineitem scan on the SAME key
+        # the edge build groups by - the repartition is absorbed by the
+        # collect_set exchange, so the single-task scan stops serializing
+        # the map-side partial aggregation (interleaved A/B: pagerank
+        # 4.1-5.3s -> 3.2-4.1s); never fires on multi-row-group layouts
+        load_table_parallel(spark, sf_dir, "lineitem", keys=("l_orderkey",))
+    )
     return similar_by_neighbors(edges, max_degree=100, k=5, cache_scope=sf_dir)
 
 
@@ -9623,7 +9644,14 @@ def q_part_ppr_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration); oracle = the same unrolled CTEs with a CASE base."""
     from .operators.graph import copurchase_edges, pagerank_scaled
 
-    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = copurchase_edges(
+        # r13: rescue the row-group-starved lineitem scan on the SAME key
+        # the edge build groups by - the repartition is absorbed by the
+        # collect_set exchange, so the single-task scan stops serializing
+        # the map-side partial aggregation (interleaved A/B: pagerank
+        # 4.1-5.3s -> 3.2-4.1s); never fires on multi-row-group layouts
+        load_table_parallel(spark, sf_dir, "lineitem", keys=("l_orderkey",))
+    )
     seeds = load_table(spark, sf_dir, "part").where(
         F.col("p_brand") == "Brand#1"
     ).select(F.col("p_partkey").alias("id"))

@@ -508,13 +508,27 @@ def test_pagerank_iteration_joins_never_broadcast(spark):
 
 
 def test_triangles_all_edge_scale_joins_shuffle_hash(spark):
-    """Degree-oriented triangle counting: every join is edge/vertex-scale,
-    so nothing may broadcast (same AQE HashedRelation hazard pagerank
-    pins); the closing edge must be a single equi-join, not a nested loop."""
+    """Degree-oriented triangle counting: every EDGE/VERTEX-SCALE join is
+    shuffle-based (same AQE HashedRelation hazard pagerank pins) and the
+    closing edge is a single equi-join.  The ONE permitted broadcast is the
+    r13 bit-word pre-filter table (guide §3.2 Bloom-style: one bit per
+    closing key, bit_or-aggregated into 64-bit words; it drops non-closing
+    wedges map-side before the closing-join exchange) — a capped-size
+    relation (2^27-bit domain ceiling = 16 MiB of words), never an
+    edge-scale table."""
+    import re
+
     df = REGISTRY["copurchase_triangles"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan
-    assert "BroadcastExchange" not in plan, plan[:2000]
+    # the word-table join is the only broadcast shape, and it must
+    # actually gate the wedge stream (bit_or build, shiftright probe)
+    assert "bit_or" in plan
+    assert "shiftright" in plan
+    for block in plan.split("\n\n"):
+        head = block.splitlines()[0] if block.splitlines() else ""
+        if re.match(r"\(\d+\) BroadcastHashJoin", head):
+            assert "[__w" in block, head  # capped word-index key only
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
