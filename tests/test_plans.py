@@ -497,9 +497,9 @@ def test_pagerank_iteration_joins_never_broadcast(spark):
     """The AQE-at-runtime hazard this pins: the columnar edge cache looks
     threshold-small but explodes ~10x as a driver-side HashedRelation
     (OOM'd a default-heap local[32] at sf0.1).  The shuffle_hash hints must
-    hold: rank/deg tables are per-partition build sides, nothing in the
-    iteration pipeline is a broadcast join, and the fact-fact co-purchase
-    self-join stays sort-merge."""
+    hold: rank/deg tables are per-partition build sides and nothing in the
+    iteration pipeline is a broadcast join (r13: the edge build itself is
+    join-free — collect_set + explode)."""
     df = REGISTRY["part_pagerank_copurchase"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan
@@ -593,3 +593,38 @@ def test_domain_mix_is_one_corpus_pass(spark):
     plan = formatted_plan(df)
     assert plan.count("ReadSchema") <= 1, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_copurchase_edges_plan_no_join_two_exchanges(spark):
+    """r13 edge-build contract: pair generation is collect_set + double
+    explode — NO self-join (the r6-r12 shape paid a SortMergeJoin plus two
+    extra exchanges) and exactly two hash exchanges (the per-order set
+    aggregate and the pair distinct)."""
+    import re
+
+    from retailfeaturestore_spark.io import load_table
+    from retailfeaturestore_spark.operators.graph import copurchase_edges
+
+    df = copurchase_edges(load_table(spark, SF, "lineitem"))
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:2000]
+    assert "ObjectHashAggregate" in plan  # collect_set partials map-side
+
+
+def test_kmv_sketch_plan_two_exchanges_no_window(spark):
+    """r13 KMV tournament contract: the k-min sketch is pure aggregation
+    (lane collect_set slice, then per-group flatten slice) — exactly two
+    hash exchanges, zero WindowExec/Sort of the hash stream (the r11-r12
+    shape paid a distinct groupBy plus two ranking windows)."""
+    import re
+
+    from retailfeaturestore_spark.operators.sketches import kmv_group_sketch
+
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(50)] + [("g2", i) for i in range(5)],
+        "g string, v long",
+    )
+    plan = formatted_plan(kmv_group_sketch(df, "g", "v", k=8))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:2000]

@@ -40,12 +40,12 @@ SHOW = {
     "purchase_multitouch_attribution": "Multi-touch: bucketed range join = plain (user, bucket) equi-join + exact filter; the per-purchase rank window carries only matched pairs.",
     "recs_negative_samples": "Negative sampling: no customer x part cross product anywhere - md5 guesses are |C| x 12 generated rows, exclusion is a LeftAnti equi-join over the checkpointed purchase set.",
     "dedup_containment": "Containment dedup: ONE persisted rare-posting artifact (partial-agg df rollup + digest semi-join) feeds all four consumers via InMemoryTableScan; overlap self-join keys on the digest both sides are partitioned by.",
-    "part_pagerank_copurchase": "Integer PageRank: every vertex-scale join is a hinted ShuffledHashJoin (NO BroadcastExchange anywhere — the columnar edge cache decompresses ~10x as a HashedRelation); fact-fact co-purchase self-join stays SortMergeJoin.",
-    "copurchase_triangles": "Degree-oriented triangle counting: wedge self-join co-partitioned on the oriented source, closing edge a single equi-join (wedge pairs ordered by the SAME (degree,id) key); all joins ShuffledHashJoin, no broadcast.",
-    "part_similar_by_copurchase": "Item-item CF: stopword-vertex semi-joins bound the common-neighbor self-join (co-partitioned on the shared neighbor); degree attaches are shuffle-hash, never broadcast; per-part rank window over pair-sized rows.",
+    "part_pagerank_copurchase": "Integer PageRank: every vertex-scale join is a hinted ShuffledHashJoin (NO BroadcastExchange anywhere — the columnar edge cache decompresses ~10x as a HashedRelation); r13 edge build is collect_set + double explode — no self-join, two exchanges, persisted once per query.",
+    "copurchase_triangles": "Degree-oriented triangle counting: wedge self-join co-partitioned on the oriented source; r13 bit-word pre-filter (bit_or word table, broadcast, shiftright probe) drops non-closing wedges map-side before the closing equi-join's exchange; edge-scale joins stay ShuffledHashJoin; per-vertex rollup is one explode pass.",
+    "part_similar_by_copurchase": "Item-item CF: stopword-vertex semi-joins bound the common-neighbor self-join (co-partitioned on the shared neighbor); degree attaches are shuffle-hash, never broadcast; per-part rank window over pair-sized rows; r13: edge list persisted once per query.",
     "training_shuffle_shards": "Epoch shuffle: exactly the sharded-write plan — one hashpartitioning(shard) exchange + in-partition sort by the md5 key; no global sort, no rangepartitioning.",
     "semantic_dedup_embeddings": "SemDeDup: skinny (id, cell, dist) dominance join at full parallelism; pre-quantized int vectors re-attach by id AFTER the pair cut — embedding arrays never ride the cell shuffle.",
-    "approx_customer_overlap_months": "KMV set-op sketch: tournament top-k behind a checkpoint (2 windows total), then the ENTIRE pairwise stage is broadcast joins + per-row array math — zero exchanges beyond the sketch agg; exact leg is the only fact-scale join.",
+    "approx_customer_overlap_months": "KMV set-op sketch: r13 lane-aggregate tournament (collect_set slice + flatten slice — two exchanges, zero windows/sorts) behind a checkpoint, then the ENTIRE pairwise stage is broadcast joins + per-row array math; exact leg is the only fact-scale join.",
     "approx_heavy_hitters": "Frequent-items: KPS counters merged driver-side (no word shuffle for the sketch); the exact-leg groupBy is the harness, broadcast-joined to the one-row total.",
     "mtable_change_feed": "Change data feed netting: one scan PER CHANGE SET with ReadSchema pruned to the 3 output columns (the partition-restore regexp is eliminated by pruning), map-side partial HashAggregate under ONE exchange — the feed plans the changed files, never the table.",
     "revenue_rollup_incremental_cdf": "O(delta) rollup maintenance: the v1-state agg and the signed feed agg are two independent partial-agg pipelines unioned into one final 5-row exchange; cents-integer sums make state + delta exactly the full recompute.",
