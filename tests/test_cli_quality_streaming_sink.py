@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import json
 import os
@@ -38,6 +40,7 @@ def _mini_gold(spark, tmp_path):
     return str(tmp_path / "gold"), str(tmp_path / "model")
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_cli_single_and_batch(spark, tmp_path, capsys):
     gold, model_dir = _mini_gold(spark, tmp_path)
     rc = cli_main(["--gold", gold, "--model-dir", model_dir,

@@ -6,6 +6,8 @@ batch pack of the same admitted docs."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import uuid
@@ -63,6 +65,7 @@ def _run_admission(spark, tmp_path):
     return work
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_admission_gates_and_cross_batch_neardup(spark, tmp_path):
     work = _run_admission(spark, tmp_path)
     dec = {
@@ -84,6 +87,7 @@ def test_admission_gates_and_cross_batch_neardup(spark, tmp_path):
     assert sorted(r.doc_id for r in adm) == ADMITTED
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_staged_pack_equals_batch_pack_of_admitted(spark, tmp_path):
     work = _run_admission(spark, tmp_path)
     name = f"cp_{uuid.uuid4().hex[:8]}"
@@ -125,6 +129,7 @@ def test_empty_text_doc_gets_audit_row_not_silence(spark, tmp_path):
     assert dec == {0: 1, 1: 0, 2: 0}
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_stage2_schema_guard_refuses_mismatched_columns(spark, tmp_path):
     import pytest
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from retailfeaturestore_spark.operators.dedup import (
     containment_pairs,
     dedup_exact,
@@ -114,6 +116,7 @@ def test_connected_components_self_pair_isolated_doc(spark):
     assert prop == star == {1: 1, 2: 1, 7: 7}
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_connected_components_star_bounds_rounds_on_chain(spark):
     """Adversarial chain: a path graph of n nodes has diameter n-1, so
     min-label propagation needs O(n) rounds; large-star/small-star halves
@@ -136,6 +139,7 @@ def test_connected_components_star_bounds_rounds_on_chain(spark):
     assert prop._cc_rounds > star._cc_rounds
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_star_cc_equals_propagation_on_random_graphs(spark):
     """Property: both CC engines produce identical min-label clusters on
     arbitrary graphs (random edges over a small id space exercises merged

@@ -31,6 +31,7 @@ def _synthetic(spark, n=2000):
     )
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_lr_learns_separable_boundary(spark):
     train = _synthetic(spark)
     scored_model = fit_lr_distributed(train, ["x1", "x2"], "y")
@@ -73,6 +74,7 @@ def test_wrapper_matches_sparkml_transform(spark):
         assert abs(p_ref - p_wrap) < 1e-9
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_refit_is_deterministic(spark):
     train = _synthetic(spark, n=800)
     a = fit_lr_distributed(train, ["x1", "x2"], "y")
@@ -99,6 +101,7 @@ def _xor_frame(spark, n=1200):
     return df.withColumn("y", ((F.col("x1") * F.col("x2")) > 0).cast("int"))
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_gbt_learns_nonlinear_boundary_where_lr_cannot(spark):
     train = _xor_frame(spark)
     lr = fit_lr_distributed(train, ["x1", "x2"], "y")
@@ -152,6 +155,7 @@ def test_score_batch_spark_zero_fills_missing_contract_columns(spark):
 
 
 @requires_testdata
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_distributed_fit_on_training_set_build(spark):
     """End-to-end: the engine's own training-set build feeds the distributed
     fit; the fitted model must beat chance on its churn label and flow

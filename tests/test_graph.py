@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from retailfeaturestore_spark.operators.graph import copurchase_edges, pagerank_scaled, similar_by_neighbors, triangle_counts
 
 SCALE = 1_000_000_000_000
@@ -177,6 +179,7 @@ def test_similar_by_neighbors_jaccard_and_stopword_removal(spark):
     assert (1, 2) not in got and (2, 3) not in got
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_build_graph_features_job_end_to_end(spark, tmp_path):
     """The graph family as a part-feature gold table: one shared edge
     build, per-part pagerank/triangles/top-similar columns, empty similar
@@ -217,6 +220,7 @@ def test_build_graph_features_job_end_to_end(spark, tmp_path):
     assert all(abs(got[p] - pr[p]) <= 1 for p in sample)
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_graph_gold_mtable_bucket_surgical_rebuild_and_cf_refresh(spark, tmp_path):
     """VERDICT r10 next-round #9: the graph gold commits as an mtable; a
     rebuild publishes ONLY changed buckets (identical rebuild commits

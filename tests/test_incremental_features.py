@@ -72,6 +72,7 @@ def _sorted(df):
 
 
 @pytest.mark.parametrize("unique_mode", ["delta", "set"])
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_incremental_equals_full_recompute(spark, unique_mode):
     hist, new = _fixture(spark)
     got = incremental_customer_features(
@@ -123,6 +124,7 @@ def test_maintained_first_seen_state_is_honored(spark):
     assert _sorted(stated.select(*derived.columns)) == _sorted(derived)
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_contract_filters_are_defensive(spark):
     """A 'new' row older than the cutoff belongs to the backfill path and
     is ignored; a 'hist' row at/after the cutoff must not double-count."""

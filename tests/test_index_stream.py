@@ -32,6 +32,7 @@ def _rows(emb, lo, hi):
     ]
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_streamed_appends_equal_batch_index(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     idx = str(tmp_path / "pq_idx")

@@ -210,6 +210,7 @@ def test_file_uri_table(spark, tmp_path):
     assert [h["version"] for h in t.history()] == [1, 2]
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_stream_commit_gold_mtable_exactly_once(spark, tmp_path):
     """Each micro-batch is one atomic manifest commit; a full replay (the
     at-least-once failure mode) is detected against the table's OWN ledger
@@ -266,6 +267,7 @@ def test_stream_commit_gold_mtable_exactly_once(spark, tmp_path):
     assert {(r.customer_id, r.score) for r in t.read().collect()} == out
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_build_feature_views_mtable_matches_directory_gold(spark, tmp_path):
     """The ACID gold build commits the SAME rows the plain directory sink
     writes, and a rerun over identical bronze converges (merge by key)."""
@@ -352,6 +354,7 @@ def test_version_diff_classifies_changes(spark, tmp_path):
     assert d == {(1, "changed"): ["score"], (9, "added"): []}
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_backfill_mtable_replaces_range_atomically(spark, tmp_path):
     """The mtable backfill replaces the [start, end] date range as one
     version — including dropping a range day that the corrected bronze no
@@ -503,6 +506,7 @@ def test_ledger_max_survives_interleaved_maintenance_commits(spark, tmp_path):
     assert t.ledger_max("stream_batch_id") == 4
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_stream_replay_skipped_after_compact_interleaves(spark, tmp_path):
     """End-to-end form of the ledger fix: batch 0 committed, compact()
     interleaves, replaying batch 0 must be a no-op (no new version, same

@@ -140,6 +140,7 @@ def test_vacuum_past_range_raises_but_retained_range_works(spark, tmp_path):
     assert net == {(3, 3.0, "2024-01-02"): -1, (3, 30.0, "2024-01-02"): 1}
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_every_version_pair_nets_to_the_snapshot_delta(spark, tmp_path):
     """The feed's algebraic contract, exhaustively: over a mixed op
     sequence (write, append, delete, update, compact, restore), EVERY
@@ -174,6 +175,7 @@ def test_every_version_pair_nets_to_the_snapshot_delta(spark, tmp_path):
             assert got == want, (v_from, v_to)
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_long_commit_chain_across_checkpoint_boundaries(spark, tmp_path):
     """12 commits with checkpoint_interval=3: the walk crosses multiple
     FULL-manifest boundaries (whole-map diffs) interleaved with delta
@@ -279,6 +281,7 @@ def test_describe_is_manifest_only(spark, tmp_path):
     assert t2.describe()["n_rows"] is None
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_timestamp_as_of_resolution(spark, tmp_path):
     t = _mk4(spark, tmp_path)
     hist = {h["version"]: h["committed_at_ms"] for h in t.history()}

@@ -115,6 +115,7 @@ def test_vacuum_protects_live_dv_files(spark, tmp_path):
     assert t.describe()["n_dv_files"] == 1
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_change_feed_emits_position_deletes_and_algebra_holds(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.delete_positions(F.col("customer_id").isin(2, 4))          # v2

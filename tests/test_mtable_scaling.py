@@ -78,6 +78,7 @@ def test_latest_resolution_does_not_list_the_manifest_dir(
     assert t._latest()[0] == 8
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_append_commits_are_delta_sized_by_touched_partitions(spark, tmp_path):
     t = _wide_table(spark, tmp_path, days=12, interval=8)
     for i in range(5):
@@ -109,6 +110,7 @@ def test_append_commits_are_delta_sized_by_touched_partitions(spark, tmp_path):
     assert all("customer_id" in ent for ent in m6["stats"].values())
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_full_checkpoint_every_interval_bounds_the_chain(spark, tmp_path):
     t = _wide_table(spark, tmp_path, days=4, interval=4)
     for i in range(9):
@@ -135,6 +137,7 @@ def test_overwrite_mode_is_always_a_full_manifest(spark, tmp_path):
     assert t.read().count() == 1
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_vacuum_checkpoints_oldest_retained_delta(spark, tmp_path):
     t = _wide_table(spark, tmp_path, days=6, interval=10)
     for i in range(6):

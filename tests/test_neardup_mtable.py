@@ -11,6 +11,8 @@ end-to-end produces the same decisions as sequential ingest.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from retailfeaturestore_spark.sources.mtable import MTable
@@ -46,6 +48,7 @@ def _decisions(dec_df):
     }
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_mtable_backend_matches_dir_backend_and_commits_atomically(
     spark, tmp_path
 ):
@@ -92,6 +95,7 @@ def test_replay_is_exactly_once_and_bit_identical(spark, tmp_path):
     assert tbl.read().count() == state_rows
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_change_feed_drives_admission_end_to_end(spark, tmp_path):
     # the corpus is itself an mtable receiving commits; admission tails it
     corpus = MTable(spark, str(tmp_path / "corpus"))

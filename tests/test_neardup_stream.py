@@ -3,6 +3,8 @@ greedy-by-id dedup, and state accumulates across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from retailfeaturestore_spark.operators.dedup import (
@@ -45,6 +47,7 @@ def _batch_reference(spark):
     return flagged
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_stream_replay_equals_batch_greedy(spark, tmp_path):
     flagged = _batch_reference(spark)
     assert flagged, "fixture must contain near-duplicates"
@@ -135,6 +138,7 @@ def test_orphan_band_witness_fails_loudly(spark, tmp_path):
         ingest_batch_neardup(b2, str(st)).collect()
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_stream_recovery_after_midrun_crash_equals_uninterrupted(
     spark, tmp_path
 ):

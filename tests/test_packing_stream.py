@@ -5,6 +5,8 @@ batches, and the tail flush must close the last chunk."""
 
 from __future__ import annotations
 
+import pytest
+
 import uuid
 
 from retailfeaturestore_spark.operators.packing import pack_chunk_text
@@ -54,6 +56,7 @@ def _run_stream(spark, tmp_path, flush_tail=False):
     return spark.table(name).collect()
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_stream_pack_equals_batch_full_chunks(spark, tmp_path):
     got = {
         (r["shard"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])

@@ -544,6 +544,7 @@ def test_similar_parts_no_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_change_feed_prunes_columns_and_aggregates_map_side(spark):
     """The CDC netting plan: every change-set scan's ReadSchema is pruned
     to exactly the 3 output columns (the partition-restore regexp must be
@@ -559,6 +560,7 @@ def test_change_feed_prunes_columns_and_aggregates_map_side(spark):
     assert plan.count("HashAggregate") >= 2, plan[:2000]
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_incremental_rollup_is_two_partial_pipelines_one_union(spark):
     """state(v1) ⊕ Δ(feed): both leg aggregations must partial-aggregate
     before their exchanges and meet in a final tiny group-by — no join

@@ -8,6 +8,8 @@ boundaries inclusive, all equal-timestamp rows sharing one frame.
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -59,6 +61,7 @@ def brute_force(rows, w_days):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(event, min_size=1, max_size=25))
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_window_family_matches_brute_force(spark, events):
     rows = [
         (cid, BASE + timedelta(seconds=off), sku, cancel, cents / 100.0)
@@ -83,6 +86,7 @@ def test_window_family_matches_brute_force(spark, events):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(event, min_size=1, max_size=25))
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_delta_distinct_matches_brute_force(spark, events):
     """The interval-delta distinct engine against the same brute force —
     heavy timestamp ties (second-granularity offsets) are exactly where

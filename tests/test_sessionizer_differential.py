@@ -4,6 +4,8 @@ sessionization for every session the final watermark closes."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import random
 
@@ -39,6 +41,7 @@ def _brute_sessions(events):
     return out
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_random_streams_equal_batch_sessionization(spark, tmp_path):
     rng = random.Random(20260814)
     events = []

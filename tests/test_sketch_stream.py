@@ -5,6 +5,8 @@ live overlap estimates off the state.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from retailfeaturestore_spark.operators.sketches import (
@@ -107,6 +109,7 @@ def test_mtable_backend_equals_dir_backend_and_time_travels(spark, tmp_path):
     assert replayed == got
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_foreachbatch_stream_and_live_overlap_estimates(spark, tmp_path):
     state_dir = str(tmp_path / "kmv_stream_state")
     stream = stage_microbatches(spark, tmp_path, _SCHEMA, _batches())

@@ -90,6 +90,7 @@ def test_batch_scrub_matches_python_and_is_replay_exact(spark, tmp_path):
     assert grams.count() == grams.select("gram").distinct().count()
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_span_scrub_stream_equals_batch_driver(spark, tmp_path):
     """The foreachBatch wrapper over staged micro-batches produces exactly
     the sequential batch-function results, one appended file set per

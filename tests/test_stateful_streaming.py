@@ -3,6 +3,8 @@ micro-batches and converge to the batch aggregation."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import uuid
 
@@ -76,6 +78,7 @@ def test_running_totals_converge_to_batch(spark, tmp_path):
         assert got.last_ts == exp.last_ts, uid
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_streaming_funnel_replay_equals_batch(spark, tmp_path):
     """Two in-order micro-batches (split at the median event time) through
     the stateful funnel must converge to the batch funnel operator's stage

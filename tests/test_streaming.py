@@ -3,6 +3,8 @@ and the watermark must bound state (late-arrival drop behavior)."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import uuid
 
@@ -95,6 +97,7 @@ def test_stream_dedup_drops_replayed_duplicates(spark, tmp_path):
     assert n_unique == load_table(spark, SF, "events").count()
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_stream_interval_join_equals_batch(spark, tmp_path):
     from retailfeaturestore_spark.streaming.events_stream import (
         purchase_attribution_stream,

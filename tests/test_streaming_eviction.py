@@ -3,6 +3,8 @@ outer stream-stream join null emission."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from retailfeaturestore_spark.streaming.events_stream import (
@@ -22,6 +24,7 @@ def _m(minutes):
 _stage = stage_microbatches
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_inactivity_sessions_update_and_timeout_paths(spark, tmp_path):
     """Session A closes on the update path (a later event past the gap);
     session B and u2's session close on the EVENT-TIME TIMEOUT path once
@@ -61,6 +64,7 @@ def test_inactivity_sessions_update_and_timeout_paths(spark, tmp_path):
     assert len(got) == 4
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_outer_attribution_emits_watermark_certified_nulls(spark, tmp_path):
     """left_outer stream-stream join: an unattributed purchase appears
     with null click columns only after the watermark certifies no click
@@ -100,6 +104,7 @@ def test_outer_attribution_emits_watermark_certified_nulls(spark, tmp_path):
     assert rows[21].click_id == 20
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_inactivity_sessions_straggler_closes_as_singleton(spark, tmp_path):
     """A within-watermark late event more than a gap older than the
     pending session stays its own pending singleton (never merged) and
@@ -134,6 +139,7 @@ def test_inactivity_sessions_straggler_closes_as_singleton(spark, tmp_path):
     assert len(got) == 2
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_late_events_merge_into_pending_session(spark, tmp_path):
     """The session_window-parity case: late within-watermark events that
     BRIDGE backward into a pending session merge into ONE session (no
@@ -166,6 +172,7 @@ def test_late_events_merge_into_pending_session(spark, tmp_path):
     assert got == {(5, _m(65), _m(100), 3, 7.0)}
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_right_outer_attribution_emits_abandoned_clicks(spark, tmp_path):
     """right_outer: a click with NO purchase in its window appears with
     null purchase columns only after the watermark certifies no purchase
@@ -217,6 +224,7 @@ def test_right_outer_attribution_emits_abandoned_clicks(spark, tmp_path):
     assert 30 not in by_click
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_full_outer_attribution_emits_both_certified_negatives(spark, tmp_path):
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, value double"

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from retailfeaturestore_spark.sources.events_stream_source import (
     SyntheticEventsDataSource,
     _SyntheticEventsStreamReader,
@@ -26,6 +28,7 @@ def _run_bounded(spark, name: str):
     return [tuple(r) for r in spark.sql(f"select * from {name} order by event_id").collect()]
 
 
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_bounded_stream_is_deterministic_across_runs(spark):
     """maxRows terminates processAllAvailable; two independent runs emit
     identical data (the exactly-once fixture contract)."""

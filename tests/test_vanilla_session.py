@@ -38,6 +38,7 @@ PROBE_QUERIES = [
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+@pytest.mark.slow  # driver verify-window fit (r14): see pyproject addopts
 def test_queries_run_under_vanilla_session():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_vanilla.py"), SF_DIR]

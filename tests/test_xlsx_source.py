@@ -281,6 +281,7 @@ def test_python_datasource_rejects_uri_scheme_paths(spark):
         df.collect()
 
 
+@pytest.mark.slow  # throughput gate, ~90s workbook build+parse (driver-window fit, r14)
 def test_xlsx_parser_throughput_100k_rows(spark, tmp_path):
     """Scaled ingest exercise (VERDICT r5 'missing' #3 proxy: the real UCI
     workbook is 1.07M rows across two sheets and is not present in this
@@ -345,11 +346,19 @@ def test_xlsx_parser_throughput_100k_rows(spark, tmp_path):
     # throughput gate: measured ~10k rows/s (single-task stdlib XML parse)
     # on the r5-r12 boxes; the r13 box measures 5.3k cold / 6.5k warm on
     # BIT-IDENTICAL reader code (box drift, same class as the r11/r12
-    # drift records in BASELINE.md), so the floor is 3.5k — still
-    # extrapolating the 1.07M-row UCI workbook to < 6 min per-file (the
-    # sharded reader is the large-workbook path; read_excel_sheets
-    # auto-dispatches to it above 64 MiB worksheet XML)
-    assert n / elapsed > 3_500, f"{n / elapsed:.0f} rows/s"
+    # drift records in BASELINE.md).  r14 (ADVICE r13 #4): the floor is
+    # env-parameterized PER BOX instead of permanently relaxed — the
+    # default restores the historical 6k gate (fast boxes / CI keep the
+    # tight bar, so a real ~40% reader regression fails there again), and
+    # a drifted box states its calibration explicitly, e.g.
+    # RFS_XLSX_MIN_ROWS_PER_SEC=3500 on the r13/r14 sandbox.  Either floor
+    # extrapolates the 1.07M-row UCI workbook to single-digit minutes per
+    # file (the sharded reader is the large-workbook path;
+    # read_excel_sheets auto-dispatches above 64 MiB worksheet XML).
+    import os
+
+    floor = float(os.environ.get("RFS_XLSX_MIN_ROWS_PER_SEC", "6000"))
+    assert n / elapsed > floor, f"{n / elapsed:.0f} rows/s (floor {floor:.0f})"
 
 
 # ---------------------------------------------------------------------------
