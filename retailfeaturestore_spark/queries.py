@@ -9982,74 +9982,74 @@ def q_url_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r13 window (50 slots), rotation per VERDICT r12 next-round #2/#3
-    # and the tests/test_driver_rotation.py guard (next-round #9): the
-    # window must contain every zero-history entry and the full oldest
-    # latest-green cohort; impl-changed queries take the remaining slots.
-    # --- r13 block 1: zero driver history.  url_blocklist_screen was
-    # added after the r12 window froze; bpe_token_count / seq_packing_ffd
-    # have never hash-matched (rows-only) and gain partial oracles in r13.
-    "url_blocklist_screen",
-    "bpe_token_count",
-    "seq_packing_ffd",
-    # --- r13 block 2: the full r9-green cohort (24) — events_tumbling_daily
-    # (displaced from the r12 window by the new sharded-xlsx entry), then
-    # alphabetical within the equal-age cohort.
-    "events_tumbling_daily",
-    "events_zorder_pruned_scan",
-    "feature_rank_normalize",
-    "feature_view_build_mtable",
-    "feature_view_incremental_mtable",
-    "first_event_per_user",
-    "hash_split_train_val",
-    "knn_ivf_bucketed",
-    "knn_mmr_diverse",
-    "latest_order_maxby",
-    "order_navigation",
-    "order_sequence_analytics",
-    "priority_mode_per_customer",
-    "purchase_multitouch_attribution",
-    "segment_priority_grouping_sets",
-    "semantic_dedup_embeddings",
-    "source_length_ks_drift",
-    "source_token_divergence",
-    "text_quality_score",
-    "text_simhash",
-    "tfidf_top_terms",
-    "token_count",
-    "topk_segments",
-    "user_activity_features",
-    # --- r13 block 3: implementation changed this round (shared token
-    # artifact rebuild of bm25/tfidf (tfidf is already in the r9 cohort
-    # above), the xlsx scanner memory fix, and their consumers).
-    "bm25_retrieval",
-    "hybrid_retrieval_rrf",
-    "doc_lm_score",
-    "xlsx_ingest_sharded",
-    "xlsx_ingest_normalize",
-    # --- r13 block 4: r10-green cohort oldest-first (alphabetical), filling
-    # the remaining slots; the rest of the cohort rolls to r14.
+    # --- r14 window (50 slots), rotation per VERDICT r13 next-round #8
+    # and the tests/test_driver_rotation.py guard: the full OLDEST
+    # latest-green cohort (r10, 24 queries) leads, then every query whose
+    # implementation changed this round (shared graph edge cache;
+    # packed-KMV consumption), then the r11 cohort oldest-first
+    # (alphabetical within the equal-age cohort).  Zero-history entries:
+    # none.
+    # --- r14 block 1: the full r10-green cohort (24).
+    "orders_column_mapping_scan",
+    "orders_partition_respec_scan",
+    "orders_position_delete_scan",
+    "orders_priority_pivot",
+    "orders_type_widening_scan",
+    "part_pagerank_copurchase",
+    "promo_revenue_share",
+    "recs_negative_samples",
+    "revenue_by_nation",
+    "revenue_rollup",
+    "revenue_rollup_incremental_cdf",
+    "rows_rolling_spend",
+    "segment_priority_cube",
+    "seq_packing_chunk_text",
+    "seq_packing_chunks",
+    "shipping_priority",
+    "stratified_sample_balanced",
+    "text_string_features",
+    "top_customers_by_revenue",
+    "top_revenue_supplier",
+    "training_set_build",
+    "training_shuffle_shards",
+    "user_days_view_no_purchase",
+    "users_purchase_and_signup",
+    # --- r14 block 2: implementation changed this round (r14): the
+    # graph family now shares one persisted edge build (pagerank is in
+    # the r10 cohort above) and the KMV overlap/retention queries
+    # consume the sketch packed.
+    "copurchase_triangles",
+    "part_ppr_brand_affinity",
+    "part_similar_by_copurchase",
+    "approx_customer_overlap_months",
+    "approx_customer_overlap_sketch",
     "approx_customer_retention_months",
-    "asof_join_clicks_purchases",
-    "brand_revenue_concentration",
-    "bulk_part_suppliers",
-    "corpus_cdc_dedup_admission",
-    "cross_nation_trade",
-    "events_bloom_point_lookup",
-    "events_generated_partition_rollup",
-    "events_sliding_7d_daily",
-    "feature_view_build",
-    "knn_ivf_pq",
-    "knn_pq_index_mtable",
-    "knn_recall_eval",
-    "min_price_supplier_per_part",
-    "mtable_change_feed",
-    "multimodal_payload_meta",
-    "nation_market_share",
-    "order_calendar_features",
-    # --- r14 handoff: rotate the REMAINING r10-green cohort FIRST
-    # (orders_column_mapping_scan .. users_purchase_and_signup, ~25), then
-    # any r14-impl-changed queries, then the r11 cohort oldest-first.  The
+    # --- r14 block 3: r11-green cohort oldest-first (alphabetical),
+    # filling the remaining 20 slots; the other 25 r11 rows roll to r15
+    # (post-r14 histogram: nothing older than r11).
+    "approx_distinct_users_daily",
+    "brand_margin",
+    "cohort_revenue_retention",
+    "corpus_curation_pipeline",
+    "customers_with_urgent_orders",
+    "customers_without_recent_orders",
+    "data_quality_report",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "discounted_revenue",
+    "doc_quality_gopher",
+    "embedding_label_centroids",
+    "embedding_norms",
+    "embedding_random_projection",
+    "events_funnel_conversion",
+    "events_props_json",
+    "events_session_windows",
+    "feature_drift_bins",
+    # --- r15 handoff: rotate the REMAINING r11 cohort FIRST
+    # (feature_view_build_set .. user_retention_cohorts, 25), then any
+    # r15-impl-changed queries, then the r12 cohort oldest-first.  The
     # guard test recomputes the histogram and fails if this comment and
     # the ledger ever disagree.
 )
