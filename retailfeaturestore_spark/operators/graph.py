@@ -276,6 +276,16 @@ def triangle_counts(
         oe = oe.persist()
         register_persisted(deg, ("triangles_deg", cache_scope))
         register_persisted(oe, ("triangles_oriented", cache_scope))
+    # r14 NOTE (measured rejection, guide §1): rebuilding this wedge join
+    # as collect_set((dv, v)) + ordered slice-explode (the move that DID
+    # win in similar_by_neighbors and the r13 edge build) measured a wash
+    # here — interleaved A/B new 7.04/6.34/5.46 vs old 6.77/5.68/5.94 s at
+    # 32 cores (plans/r14/triangles_wedge_ab.txt).  Both sides of this
+    # self-join read the SAME persisted orientation (one exchange,
+    # ReusedExchange on the probe), and the join + ordering filter + word-
+    # table probe fuse into one whole-stage-codegen span that the
+    # ObjectHashAggregate variant breaks — the halved candidate stream
+    # paid for itself in lost codegen.  Kept the join.
     e1 = oe.select(F.col("u"), F.col("v").alias("b"), F.col("dv").alias("db"))
     e2 = oe.select(F.col("u"), F.col("v").alias("c"), F.col("dv").alias("dc"))
     wedges = e1.join(e2.hint("shuffle_hash"), "u").where(
@@ -385,11 +395,13 @@ def similar_by_neighbors(
     capped graph, so the Jaccard is exact and self-consistent — not a
     capped numerator over an uncapped denominator.
 
-    Scale shape: two semi-joins apply the cap; the common-neighbor
-    self-join keys on the shared neighbor (src) both sides are partitioned
-    by; the degree attach joins are vertex-scale — shuffle_hash, never
-    broadcast (the pagerank AQE lesson).  Jaccard = c / (da + db - c),
-    one exact long/long IEEE division; ties rank by neighbor id.
+    Scale shape: two semi-joins apply the cap; common-neighbor pairs are
+    generated by collect_set + ordered slice-explode over each customer's
+    capped neighborhood (exactly C(d, 2) wedges per center, d <= max_degree
+    — no self-join; r14, see the inline note); the degree attach joins are
+    vertex-scale — shuffle_hash, never broadcast (the pagerank AQE lesson).
+    Jaccard = c / (da + db - c), one exact long/long IEEE division; ties
+    rank by neighbor id.
     """
     if cache_scope is not None and not edges.is_cached:
         # the uncapped degree pass and the two semi-join attaches all
@@ -411,11 +423,25 @@ def similar_by_neighbors(
         ec = ec.persist()
         register_persisted(ec, ("simneigh_edges", cache_scope))
     dc = ec.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a = ec.select(F.col("src").alias("u"), F.col("dst").alias("pa"))
-    b = ec.select(F.col("src").alias("u"), F.col("dst").alias("pb"))
+    # r14 wedge generation (guide §2.3/§2.4, the same move as the r13 edge
+    # build): the common-neighbor pass used to SELF-JOIN ec on the shared
+    # customer u (d^2 candidate rows per wedge center, then pa < pb drops
+    # half) — one exchange + a hash join whose output is re-aggregated
+    # anyway.  Collect each center's capped neighborhood once
+    # (collect_set, <= max_degree elements by construction — the cap IS
+    # the memory valve) and explode exactly the C(d, 2) ordered pairs via
+    # slice(sorted, i+2, ...): half the generated rows, the join and its
+    # probe-side exchange gone.  array_sort gives ascending part ids, so
+    # pairs come out pa < pb — identical to the join's predicate.
+    ns = ec.groupBy("src").agg(F.array_sort(F.collect_set("dst")).alias("__ns"))
     common = (
-        a.join(b.hint("shuffle_hash"), "u")
-        .where(F.col("pa") < F.col("pb"))
+        ns.select(F.posexplode("__ns").alias("__i", "pa"), F.col("__ns"))
+        .select(
+            "pa",
+            F.explode(
+                F.slice(F.col("__ns"), F.col("__i") + F.lit(2), F.size("__ns"))
+            ).alias("pb"),
+        )
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

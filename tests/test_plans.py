@@ -614,6 +614,29 @@ def test_copurchase_edges_plan_no_join_two_exchanges(spark):
     assert "ObjectHashAggregate" in plan  # collect_set partials map-side
 
 
+def test_similar_wedge_plan_no_self_join(spark):
+    """r14 wedge contract: similar_by_neighbors generates common-neighbor
+    pairs by collect_set + ordered slice-explode — the capped edge table is
+    never self-joined on the wedge center (the r6-r13 shape paid a
+    ShuffledHashJoin emitting d^2 candidates per center before pa < pb).
+    Remaining joins are exactly the two cap semi-joins and the two degree
+    attaches; the pair generator shows up as Generate nodes."""
+    import re
+
+    from retailfeaturestore_spark.operators.graph import similar_by_neighbors
+
+    edges = spark.createDataFrame(
+        [(u, p) for u in range(1, 7) for p in range(10, 10 + u)],
+        "src long, dst long",
+    )
+    plan = formatted_plan(similar_by_neighbors(edges, max_degree=10, k=3))
+    # tree lines carry the join type (details lines don't); the un-cached
+    # plan duplicates subtrees under the sym union, so the wedge self-join
+    # would show as EXTRA Inner joins beyond the two degree attaches
+    assert len(re.findall(r"ShuffledHashJoin Inner \w+ \(\d+\)", plan)) == 2, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Generate", plan)) >= 2, plan[:3000]
+
+
 def test_kmv_sketch_plan_two_exchanges_no_window(spark):
     """r13 KMV tournament contract: the k-min sketch is pure aggregation
     (lane collect_set slice, then per-group flatten slice) — exactly two

@@ -42,7 +42,7 @@ SHOW = {
     "dedup_containment": "Containment dedup: ONE persisted rare-posting artifact (partial-agg df rollup + digest semi-join) feeds all four consumers via InMemoryTableScan; overlap self-join keys on the digest both sides are partitioned by.",
     "part_pagerank_copurchase": "Integer PageRank: every vertex-scale join is a hinted ShuffledHashJoin (NO BroadcastExchange anywhere — the columnar edge cache decompresses ~10x as a HashedRelation); r13 edge build is collect_set + double explode — no self-join, two exchanges, persisted once per query.",
     "copurchase_triangles": "Degree-oriented triangle counting: wedge self-join co-partitioned on the oriented source; r13 bit-word pre-filter (bit_or word table, broadcast, shiftright probe) drops non-closing wedges map-side before the closing equi-join's exchange; edge-scale joins stay ShuffledHashJoin; per-vertex rollup is one explode pass.",
-    "part_similar_by_copurchase": "Item-item CF: stopword-vertex semi-joins bound the common-neighbor self-join (co-partitioned on the shared neighbor); degree attaches are shuffle-hash, never broadcast; per-part rank window over pair-sized rows; r13: edge list persisted once per query.",
+    "part_similar_by_copurchase": "Item-item CF: stopword-vertex semi-joins cap the graph; r14: common-neighbor pairs come from collect_set + ordered slice-explode (exactly C(d,2) wedges, NO self-join); degree attaches are shuffle-hash, never broadcast; per-part rank window over pair-sized rows.",
     "training_shuffle_shards": "Epoch shuffle: exactly the sharded-write plan — one hashpartitioning(shard) exchange + in-partition sort by the md5 key; no global sort, no rangepartitioning.",
     "semantic_dedup_embeddings": "SemDeDup: skinny (id, cell, dist) dominance join at full parallelism; pre-quantized int vectors re-attach by id AFTER the pair cut — embedding arrays never ride the cell shuffle.",
     "approx_customer_overlap_months": "KMV set-op sketch: r13 lane-aggregate tournament (collect_set slice + flatten slice — two exchanges, zero windows/sorts) behind a checkpoint, then the ENTIRE pairwise stage is broadcast joins + per-row array math; exact leg is the only fact-scale join.",
