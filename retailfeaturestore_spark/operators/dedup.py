@@ -583,6 +583,14 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
+        # r14 NOTE (measured rejection, guide §1): making this checkpoint
+        # LAZY so the changed-count aggregate's job materializes it (one
+        # driver barrier per round instead of two) measured a wash —
+        # run-1 job wall-sum 5.67 s lazy vs 5.34 s eager, 37 vs 39 jobs
+        # (plans/r14/cc_lazy_checkpoint_ab.txt).  The per-round cost is
+        # the 32-task stages over the small label frame (per-task launch
+        # overhead), not the job submissions; merging barriers moves the
+        # wall between job labels without removing it.  Kept eager.
         merged = (
             neighbor_min.alias("n")
             .join(labels.alias("o"), "id")
