@@ -462,6 +462,16 @@ def main() -> None:
     _persist_full_record(full)
 
     heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    # r14: the compact dict is slowest-12 UNION the previous round's
+    # headline names — membership was purely dynamic before, so a query
+    # that got FASTER fell out of the dict and the driver's round-over-
+    # round diff flagged it as "dropped_from_bench" (PERF r13 noted three
+    # such false drops).  Additive only (entries are never removed or
+    # renamed, per the bench contract); size stays bounded at 12 + churn,
+    # well under the driver's ~2 kB tail buffer.
+    for n in _load_prev_headline_names():
+        if n in timings:
+            heavy.setdefault(n, timings[n])
     anchored = sorted(ratios)
     spark_anchored = sum(timings[n] for n in anchored)
     duck_anchored = sum(anchors[n] for n in anchored)
@@ -556,6 +566,28 @@ def _persist_full_record(full: dict) -> None:
             f.write("\n")
     except OSError:
         pass
+
+
+def _load_prev_headline_names() -> list[str]:
+    """The previous round's compact-line headline names (the dict the
+    driver's PERF diff compares), from the driver's parsed BENCH_r{N}.json
+    — strictly prior rounds only, most recent first.  Empty when no prior
+    driver record exists; errors degrade to the bare slowest-12."""
+    cur = _current_round()
+    for n, path in sorted(
+        _bench_round_files("BENCH_r*.json"), key=lambda t: -t[0]
+    ):
+        if n >= cur:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            q = parsed.get("queries") if isinstance(parsed, dict) else None
+            if q:
+                return list(q)
+        except (OSError, ValueError):
+            continue
+    return []
 
 
 def _load_prev_ratios() -> dict[str, float] | None:

@@ -51,6 +51,26 @@ def test_bench_headline_names_resolve():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
 
 
+def test_bench_compact_dict_keeps_prev_round_headline_names():
+    """r14: the compact final-line `queries` dict is slowest-12 UNION the
+    previous round's headline names, so a query that merely got FASTER can
+    never vanish from the round-over-round diff (PERF r13 flagged three
+    such false 'dropped_from_bench' rows).  The helper must return only
+    registered names from a strictly-prior driver record; additive-only
+    per the bench contract."""
+    names = bench._load_prev_headline_names()
+    assert names, "a prior driver BENCH_r*.json exists in this repo"
+    unknown = [n for n in names if n not in REGISTRY]
+    assert not unknown, unknown
+    # the union reproduction: nothing from prev may be dropped
+    timings = {n: 1.0 for n in REGISTRY}
+    heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    for n in names:
+        if n in timings:
+            heavy.setdefault(n, timings[n])
+    assert set(names) <= set(heavy)
+
+
 def test_bench_evicts_caches_for_graph_and_iterative_queries():
     """BENCH_r06 was a heap-OOM crash record: copurchase_triangles (tagged
     "graph", not "iterative") ran its wedge join against ~100 queries of
